@@ -1,0 +1,192 @@
+"""The ``seq`` namespace — sequence-analysis functions, Spark-first.
+
+Mirrors the reference's Polars expression namespace
+(reference: src/polars_fastx/fastx_parsers.py:11-67) with **pure Column
+expressions** — everything runs JVM-side inside whole-stage codegen;
+no Python UDF is on the hot path. The reference implements codon_usage,
+generate_hash and kmer frequencies as per-row Python callbacks
+(``map_elements`` at fastx_parsers.py:41,50,65-67), which re-enter Python
+per record; here the same semantics compile to Catalyst higher-order
+functions over arrays/maps, so they scale with executor parallelism.
+
+Exact semantics preserved (SURVEY.md §2.8):
+
+- ``gc_content`` is **case-sensitive** ('G' + 'C' literal counts,
+  fastx_parsers.py:19) with char length as the denominator (including
+  N's); empty sequence → null (Polars yields NaN from 0/0; we document
+  null — the ANSI-safe choice).
+- ``n_count`` counts literal uppercase 'N' only (fastx_parsers.py:24).
+- ``codon_usage``: non-overlapping 3-mers from frame 0
+  (``range(0, len-2, 3)``, fastx_parsers.py:34), uppercased; codons
+  containing 'N' skipped; relative frequencies over kept codons; empty
+  map when nothing kept.
+- ``kmer_frequencies``: overlapping k-mers (fastx_parsers.py:58),
+  uppercased, 'N'-containing skipped, relative frequencies, empty map
+  when ``len < k``.
+- ``generate_hash``: md5 hexdigest of UTF-8 bytes truncated to the first
+  ``length`` hex chars (fastx_parsers.py:47-48).
+
+The ragged per-row dicts the reference shoehorns into ``pl.Struct``
+(fastx_parsers.py:41,66) are modeled as ``MapType(string, double)`` —
+Spark structs need fixed fields, maps are the faithful representation
+(SURVEY.md §1.2).
+
+A ``pandas_udf`` transliteration of the reference's Python lives in
+:mod:`polars_fastx_spark.functions.seq_udf_ref` purely as a cross-check
+twin for tests (SURVEY.md §5.3); never use it in pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def length(c: Column | str) -> Column:
+    """Sequence character length (reference fastx_parsers.py:26-28)."""
+    return F.length(_col(c)).cast("bigint")
+
+
+def count_matches(c: Column | str, literal: str) -> Column:
+    """Count non-overlapping occurrences of a 1-char literal (K7).
+
+    Implemented as length delta under ``translate`` — stays in codegen,
+    no regex engine.
+    """
+    if len(literal) != 1:
+        # general literal: regexp-based count with the literal quoted
+        import re
+
+        return F.regexp_count(_col(c), F.lit(re.escape(literal))).cast("bigint")
+    col = _col(c)
+    return (F.length(col) - F.length(F.translate(col, literal, ""))).cast("bigint")
+
+
+def gc_content(c: Column | str) -> Column:
+    """(count('G') + count('C')) / char_length, case-sensitive (K2).
+
+    Empty sequence → null (guarded division; ANSI mode would otherwise
+    raise on 0/0).
+    """
+    col = _col(c)
+    gc = F.length(col) - F.length(F.translate(col, "GC", ""))
+    return gc / F.nullif(F.length(col), F.lit(0))
+
+
+def n_count(c: Column | str) -> Column:
+    """Count of literal uppercase 'N' (K3)."""
+    col = _col(c)
+    return (F.length(col) - F.length(F.translate(col, "N", ""))).cast("bigint")
+
+
+def generate_hash(c: Column | str, hash_length: int = 32) -> Column:
+    """md5 hexdigest truncated to ``hash_length`` hex chars (K4).
+
+    Pure built-in (``F.md5`` over UTF-8 bytes) — the reference does this
+    per-row in Python (fastx_parsers.py:47-50).
+    """
+    return F.substring(F.md5(F.encode(_col(c), "UTF-8")), 1, hash_length)
+
+
+def _freq_map(tokens: Column) -> Column:
+    """tokens array<string> → map<token, relative_frequency>.
+
+    Counting is O(n·d) per row via nested higher-order functions — fully
+    JVM-side and shuffle-free (embarrassingly parallel across rows),
+    which at 100 TB beats an explode→groupBy→re-collect round trip that
+    would shuffle every k-mer instance. d is bounded (≤ |alphabet|^k).
+    """
+    kept = F.filter(tokens, lambda x: ~x.contains("N"))
+    total = F.size(kept)
+    dist = F.array_sort(F.array_distinct(kept))
+    freqs = F.transform(
+        dist, lambda x: F.size(F.filter(kept, lambda y: y == x)) / total
+    )
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<double>")
+    )
+    return F.when(total > 0, F.map_from_arrays(dist, freqs)).otherwise(empty)
+
+
+def codon_usage(c: Column | str) -> Column:
+    """Relative frequencies of non-overlapping frame-0 codons (K5).
+
+    map<string,double>; uppercased; codons containing 'N' skipped; empty
+    map when the sequence holds no complete codon.
+    """
+    col = _col(c)
+    n = F.floor(F.length(col) / 3).cast("int")
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    codons = F.transform(idx, lambda i: F.upper(F.substring(col, i * 3 + 1, 3)))
+    return _freq_map(codons)
+
+
+def kmer_frequencies(c: Column | str, k: int = 3) -> Column:
+    """Relative frequencies of overlapping k-mers (K6).
+
+    map<string,double>; empty map when ``len(seq) < k``.
+    """
+    col = _col(c)
+    last = F.length(col) - F.lit(k) + 1  # 1-based start of last kmer
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kmers = F.transform(idx, lambda i: F.upper(F.substring(col, i, k)))
+    return _freq_map(kmers)
+
+
+def map_as_sorted_json(m: Column | str, scale: int = 9) -> Column:
+    """Canonical JSON rendering of a map<string,double> with sorted keys.
+
+    Oracle-parity helper (SURVEY.md §4.4.7): ragged maps are compared as
+    sorted-key JSON with values rounded to ``scale`` decimals.
+    """
+    col = _col(m)
+    keys = F.array_sort(F.map_keys(col))
+    parts = F.transform(
+        keys,
+        lambda k: F.concat(
+            F.lit('"'), k, F.lit('":'),
+            F.format_string(f"%.{scale}f", F.element_at(col, k)),
+        ),
+    )
+    return F.concat(F.lit("{"), F.array_join(parts, ","), F.lit("}"))
+
+
+class SeqAccessor:
+    """Fluent accessor mirroring Polars' ``pl.col("sequence").seq.*``.
+
+    >>> from polars_fastx_spark.functions.seq import seq
+    >>> df.select(seq("sequence").gc_content().alias("gc"))
+    """
+
+    def __init__(self, c: Column | str):
+        self._c = _col(c)
+
+    def length(self) -> Column:
+        return length(self._c)
+
+    def gc_content(self) -> Column:
+        return gc_content(self._c)
+
+    def n_count(self) -> Column:
+        return n_count(self._c)
+
+    def generate_hash(self, hash_length: int = 32) -> Column:
+        return generate_hash(self._c, hash_length)
+
+    def codon_usage(self) -> Column:
+        return codon_usage(self._c)
+
+    def calculate_kmer_frequencies(self, k: int = 3) -> Column:
+        return kmer_frequencies(self._c, k)
+
+
+def seq(c: Column | str) -> SeqAccessor:
+    return SeqAccessor(c)

@@ -1,0 +1,84 @@
+"""``fasta_stats`` — the reference's end-to-end example pipeline.
+
+Mirror of reference src/polars_fastx/fastx_parsers.py:137-223:
+scan → length filters → per-field stats expressions → projection →
+nested-type stringification → TSV write (path or stdout). In Spark this
+compiles to ONE Catalyst DAG: a shuffle-free scan+project stage, so it
+parallelizes across the scan's input partitions untouched.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+
+from polars_fastx_spark.functions import seq as sq
+from polars_fastx_spark.sources.fastx import scan_fastx
+from polars_fastx_spark.sources.sinks import write_tsv
+
+#: field name → builder(sequence_col) (reference fastx_parsers.py:168-177)
+FIELD_OPTIONS = (
+    "header", "sequence", "length", "gc_content", "n_count", "hash",
+    "codon_usage", "kmer_freq",
+)
+
+
+def fasta_stats_frame(
+    df: DataFrame,
+    min_length: int | None = None,
+    max_length: int | None = None,
+    fields: str = "header,length,gc_content,n_count,hash,codon_usage,kmer_freq",
+    kmer_length: int = 3,
+) -> DataFrame:
+    """The relational core of ``fasta_stats``, as DataFrame → DataFrame.
+
+    Field list semantics match the reference (fastx_parsers.py:179-189):
+    unknown fields warn and are dropped; stats compute on the
+    length-filtered frame (fastx_parsers.py:161-164).
+    """
+    if min_length:
+        df = df.filter(sq.length("sequence") >= min_length)
+    if max_length:
+        df = df.filter(sq.length("sequence") <= max_length)
+
+    selected = [f.strip().lower() for f in fields.split(",")] if fields else ["header"]
+    invalid = [f for f in selected if f not in FIELD_OPTIONS]
+    if invalid:
+        warnings.warn(
+            f"Unknown field(s): {', '.join(invalid)}. "
+            f"Available fields are: {', '.join(FIELD_OPTIONS)}"
+        )
+    selected = [f for f in selected if f in FIELD_OPTIONS]
+
+    exprs = {}
+    if "length" in selected:
+        exprs["length"] = sq.length("sequence")
+    if "gc_content" in selected:
+        exprs["gc_content"] = sq.gc_content("sequence")
+    if "n_count" in selected:
+        exprs["n_count"] = sq.n_count("sequence")
+    if "hash" in selected:
+        exprs["hash"] = sq.generate_hash("sequence")
+    if "codon_usage" in selected:
+        exprs["codon_usage"] = sq.codon_usage("sequence")
+    if "kmer_freq" in selected:
+        exprs["kmer_freq"] = sq.kmer_frequencies("sequence", kmer_length)
+    if exprs:
+        df = df.withColumns(exprs)
+    return df.select(*selected)
+
+
+def fasta_stats(
+    spark: SparkSession,
+    input_file: str,
+    output_file: str | None = None,
+    min_length: int | None = None,
+    max_length: int | None = None,
+    fields: str = "header,length,gc_content,n_count,hash,codon_usage,kmer_freq",
+    kmer_length: int = 3,
+) -> None:
+    """scan → stats → TSV (stdout when no output path), reference-parity."""
+    df = scan_fastx(spark, input_file)
+    out = fasta_stats_frame(df, min_length, max_length, fields, kmer_length)
+    write_tsv(out, output_file)

@@ -1,0 +1,99 @@
+"""SparkSession builder with the engine's documented defaults.
+
+Defaults are chosen for oracle parity (SURVEY.md §4.4) and 100 TB posture
+(SURVEY.md §4.3):
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table
+  carries TIMESTAMP(NANOS) which Spark 4 otherwise refuses to read; with
+  this flag ``ts`` arrives as bigint ns-since-epoch and queries derive
+  ``timestamp_micros(ts div 1000)``.
+- ANSI mode stays on (Spark 4 default) — overflow/div-by-zero raise like
+  the DuckDB oracle; expressions that may divide by zero must guard with
+  ``nullif``/``try_divide`` explicitly (e.g. gc_content of an empty
+  sequence).
+- AQE on (default) — runtime coalescing/skew-join handling; this is the
+  knob that makes the same plans survive a 100× scale-up without
+  hand-tuned partition counts.
+- Arrow enabled for pandas interchange — every Python-side operator in
+  this engine uses Arrow-batched pandas UDFs, never row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # events.parquet has INT64 TIMESTAMP(NANOS) — see SURVEY.md §4.4.1.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Explicit even though they are Spark 4 defaults: the engine's
+    # correctness contract depends on them.
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for all pandas UDF / toPandas paths.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let Python data sources (the fastx scan) receive pushed filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
+    # Local testing runs single-node; on a real cluster this should track
+    # cluster cores (AQE coalesces down, so erring high is safe).
+    "spark.sql.shuffle.partitions": "32",
+    # Session timezone pinned so timestamp formatting is deterministic
+    # against the oracle regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def builder(app_name: str = "polars_fastx_spark", master: str | None = None,
+            extra_conf: dict[str, str] | None = None) -> SparkSession.Builder:
+    """Return a SparkSession.Builder carrying the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured — on a real cluster, leave it
+    unset and spark-submit decides.
+    """
+    b = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if master:
+        b = b.master(master)
+    for k, v in _DEFAULTS.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b
+
+
+def get_spark(app_name: str = "polars_fastx_spark",
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Get or create the engine's SparkSession."""
+    return builder(app_name, extra_conf=extra_conf).getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = (
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents", "embeddings",
+                )) -> dict[str, "object"]:
+    """Load the driver testdata parquet tables and register temp views.
+
+    Returns {name: DataFrame}. Missing files are skipped (sf dirs may not
+    all carry every table).
+    """
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,72 @@
+"""Sinks (SURVEY.md §2.1 S3/S7).
+
+The reference's only sink is a TSV write (or stdout)
+(reference: src/polars_fastx/fastx_parsers.py:154,222) preceded by
+casting nested columns to strings (fastx_parsers.py:214-220). Spark's
+CSV sink has the same nested-type restriction, so nested columns are
+rendered as canonical JSON first (documented deviation from Polars'
+``str(dict)`` formatting — SURVEY.md §7 hard part #3).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import IO
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def stringify_nested(df: DataFrame) -> DataFrame:
+    """Cast array/map/struct columns to canonical JSON strings.
+
+    Mirror of the reference's pre-CSV nested→Utf8 cast pass
+    (reference: src/polars_fastx/fastx_parsers.py:214-220).
+    """
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            out = out.withColumn(field.name, F.to_json(F.col(field.name)))
+    return out
+
+
+def write_tsv(df: DataFrame, path: str | None = None, sep: str = "\t") -> None:
+    """Write a DataFrame as TSV to ``path``, or to stdout when None.
+
+    Path writes are fully distributed (``df.write.csv``). The stdout
+    path exists only for CLI parity with the reference's default
+    (fastx_parsers.py:154) and intentionally materializes on the driver
+    — never use it at scale.
+    """
+    flat = stringify_nested(df)
+    if path is None:
+        _stream_tsv(flat, sys.stdout, sep)
+        return
+    (
+        flat.write.mode("overwrite")
+        .option("sep", sep)
+        .option("header", True)
+        # RFC4180 quote-doubling instead of Spark's backslash default, so
+        # standard CSV readers parse embedded quotes (JSON-rendered maps).
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def _stream_tsv(df: DataFrame, out: IO[str], sep: str) -> None:
+    cols = df.columns
+    out.write(sep.join(cols) + "\n")
+    for row in df.toLocalIterator():
+        out.write(
+            sep.join("" if v is None else str(v) for v in row) + "\n"
+        )
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Parquet sink (S7) — the engine's native output format."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

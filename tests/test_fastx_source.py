@@ -1,0 +1,126 @@
+"""FASTX source tests — golden-file parser coverage (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import FIXTURES
+
+from polars_fastx_spark.sources import parser
+from polars_fastx_spark.sources.fastx import (
+    parse_fasta_relational,
+    read_fastx,
+    scan_fastx,
+)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    rows = json.loads((FIXTURES / "golden_stats.json").read_text())
+    return [(g["header"], g["sequence"]) for g in rows]
+
+
+def _fasta_rows(df):
+    return [(r["header"], r["sequence"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize(
+    "name", ["basic.fasta", "multiline.fasta", "basic.fasta.gz", "crlf.fasta"]
+)
+def test_fasta_variants(spark, golden, name):
+    df = scan_fastx(spark, str(FIXTURES / name))
+    assert df.columns == ["header", "sequence"]  # FASTA → 2 columns
+    assert sorted(_fasta_rows(df)) == sorted(golden)
+
+
+def test_fastq(spark, golden):
+    df = scan_fastx(spark, str(FIXTURES / "basic.fastq"))
+    assert df.columns == ["header", "sequence", "quality"]  # FASTQ → 3 columns
+    rows = df.collect()
+    expected = {h: s for h, s in golden if s}  # fastq fixture skips empty seqs
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert expected[r["header"]] == r["sequence"]
+        assert len(r["quality"]) == len(r["sequence"])
+        # fixture qualities embed '@' and '+' — framing must survive them
+        if len(r["sequence"]) >= 2:
+            assert r["quality"][0] == "@" and r["quality"][1] == "+"
+
+
+def test_empty_sequences(spark):
+    df = scan_fastx(spark, str(FIXTURES / "empty_seq.fasta"))
+    rows = dict(_fasta_rows(df))
+    assert rows == {"only_header desc=empty": "", "second desc=empty": "", "third desc=x": "ACGT"}
+
+
+def test_byte_range_split_parity(spark, golden):
+    """Tiny split_bytes forces many byte-range partitions; row set identical."""
+    path = str(FIXTURES / "multiline.fasta")
+    whole = scan_fastx(spark, path)
+    split = scan_fastx(spark, path, split_bytes=256)
+    n_parts = split.rdd.getNumPartitions()
+    assert n_parts > 1, "expected multiple byte-range partitions"
+    assert sorted(_fasta_rows(split)) == sorted(_fasta_rows(whole)) == sorted(golden)
+
+
+def test_range_parser_no_dup_no_loss():
+    """Every record parsed exactly once for any split size (unit level)."""
+    path = str(FIXTURES / "multiline.fasta")
+    import os
+
+    size = os.path.getsize(path)
+    whole = list(parser.parse_file(path, is_fastq=False))
+    for step in (37, 128, 999, size):
+        got = []
+        for start in range(0, size, step):
+            got.extend(
+                parser.parse_fasta_range(path, start, min(start + step, size))
+            )
+        assert sorted(got) == sorted(whole), f"step={step}"
+
+
+def test_filter_pushdown_applied(spark):
+    df = scan_fastx(spark, str(FIXTURES / "basic.fasta"))
+    out = df.filter(df.header.startswith("seq_1"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan, f"filter should be pushed into scan: {plan}"
+    headers = [r["header"] for r in out.collect()]
+    assert headers and all(h.startswith("seq_1") for h in headers)
+
+
+def test_directory_and_glob(spark, tmp_path, golden):
+    import shutil
+
+    d = tmp_path / "fastxdir"
+    d.mkdir()
+    shutil.copy(FIXTURES / "basic.fasta", d / "a.fasta")
+    shutil.copy(FIXTURES / "multiline.fasta", d / "b.fasta")
+    df = scan_fastx(spark, str(d))
+    assert df.count() == 2 * len(golden)
+    df2 = scan_fastx(spark, str(d / "*.fasta"))
+    assert df2.count() == 2 * len(golden)
+
+
+def test_eager_read(spark, golden):
+    df = read_fastx(spark, str(FIXTURES / "basic.fasta"))
+    assert df.is_cached
+    assert df.count() == len(golden)
+    df.unpersist()
+
+
+def test_relational_parser_matches_source(spark, golden):
+    rel = parse_fasta_relational(spark, str(FIXTURES / "multiline.fasta"))
+    assert sorted(_fasta_rows(rel)) == sorted(golden)
+
+
+def test_sniff_errors(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("not a fastx file\n")
+    with pytest.raises(ValueError, match="not FASTA/FASTQ"):
+        parser.sniff_is_fastq(str(bad))
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="empty file"):
+        parser.sniff_is_fastq(str(empty))

@@ -1,0 +1,132 @@
+"""K1-K7 semantics: golden file, UDF cross-check, properties (SURVEY.md §5.3-5.4)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import FIXTURES
+
+from polars_fastx_spark.functions import seq as sq
+from polars_fastx_spark.functions import seq_udf_ref as ref
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads((FIXTURES / "golden_stats.json").read_text())
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark, golden):
+    return spark.createDataFrame(
+        [(g["seq_id"], g["sequence"]) for g in golden], "seq_id long, sequence string"
+    ).cache()
+
+
+def _collect_stats(seq_df):
+    rows = seq_df.select(
+        "seq_id",
+        sq.length("sequence").alias("length"),
+        sq.gc_content("sequence").alias("gc_content"),
+        sq.n_count("sequence").alias("n_count"),
+        sq.generate_hash("sequence").alias("hash"),
+        sq.codon_usage("sequence").alias("codon_usage"),
+        sq.kmer_frequencies("sequence", 3).alias("kmer_freq"),
+    ).collect()
+    return {r["seq_id"]: r for r in rows}
+
+
+def _canon_map(m: dict | None) -> str:
+    return json.dumps(
+        {k: round(v, 9) for k, v in sorted((m or {}).items())},
+        separators=(",", ":"),
+    )
+
+
+def test_against_golden(seq_df, golden):
+    got = _collect_stats(seq_df)
+    for g in golden:
+        r = got[g["seq_id"]]
+        assert r["length"] == g["length"], g
+        if g["gc_content"] is None:
+            assert r["gc_content"] is None
+        else:
+            assert math.isclose(r["gc_content"], g["gc_content"], abs_tol=1e-9)
+        assert r["n_count"] == g["n_count"]
+        assert r["hash"] == g["hash"]
+        assert _canon_map(r["codon_usage"]) == g["codon_usage_json"], g["sequence"]
+        assert _canon_map(r["kmer_freq"]) == g["kmer_freq_json"], g["sequence"]
+
+
+def test_pure_sql_matches_reference_udf(seq_df):
+    """The pure-Column path must equal the reference-transliterated pandas UDF."""
+    df = seq_df.select(
+        "seq_id",
+        sq.gc_content("sequence").alias("gc_sql"),
+        ref.gc_content_ref("sequence").alias("gc_udf"),
+        sq.n_count("sequence").alias("n_sql"),
+        ref.n_count_ref("sequence").alias("n_udf"),
+        sq.generate_hash("sequence").alias("h_sql"),
+        ref.generate_hash_ref("sequence").alias("h_udf"),
+        sq.codon_usage("sequence").alias("c_sql"),
+        ref.codon_usage_ref("sequence").alias("c_udf"),
+        sq.kmer_frequencies("sequence", 4).alias("k_sql"),
+        ref.kmer_frequencies_ref(4)("sequence").alias("k_udf"),
+    )
+    for r in df.collect():
+        if r["gc_udf"] is None:
+            assert r["gc_sql"] is None
+        else:
+            assert math.isclose(r["gc_sql"], r["gc_udf"], abs_tol=1e-12)
+        assert r["n_sql"] == r["n_udf"]
+        assert r["h_sql"] == r["h_udf"]
+        assert _canon_map(r["c_sql"]) == _canon_map(r["c_udf"])
+        assert _canon_map(r["k_sql"]) == _canon_map(r["k_udf"])
+
+
+def test_hash_length_truncation(spark):
+    df = spark.createDataFrame([("ACGT",)], "sequence string")
+    r = df.select(
+        sq.generate_hash("sequence", 8).alias("h8"),
+        sq.generate_hash("sequence", 32).alias("h32"),
+    ).first()
+    assert len(r["h8"]) == 8
+    assert r["h32"].startswith(r["h8"])  # prefix-stable (SURVEY.md §5.4)
+
+
+def test_properties_random(spark):
+    """Property invariants over random ACGTNacgtn sequences (SURVEY.md §5.4)."""
+    import random
+
+    rng = random.Random(7)
+    seqs = [
+        "".join(rng.choice("ACGTNacgtn") for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in seqs], "sequence string")
+    rows = df.select(
+        "sequence",
+        sq.gc_content("sequence").alias("gc"),
+        sq.codon_usage("sequence").alias("codons"),
+        sq.kmer_frequencies("sequence", 3).alias("kmers"),
+    ).collect()
+    for r in rows:
+        s = r["sequence"]
+        if s:
+            assert 0.0 <= r["gc"] <= 1.0
+        else:
+            assert r["gc"] is None
+        for m in (r["codons"], r["kmers"]):
+            if m:
+                assert math.isclose(sum(m.values()), 1.0, abs_tol=1e-9)
+            assert all("N" not in k for k in m)
+            assert all(k == k.upper() for k in m)
+
+
+def test_count_matches_multichar(spark):
+    df = spark.createDataFrame([("abcabcabc",)], "s string")
+    assert df.select(sq.count_matches("s", "abc").alias("c")).first()["c"] == 3
+    assert df.select(sq.count_matches("s", "b").alias("c")).first()["c"] == 3

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark suite — mirrors the 8 baseline queries in BASELINE.md.
+
+Runs each catalog query against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], warm session, and
+prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Timing counts the full action (plan + execute + fetch) per query;
+session/JVM startup and view setup are excluded, consistent with how
+BASELINE.md was measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# name → catalog entry; mirrors BASELINE.md's 8-query suite
+SUITE = {
+    "q_agg_tpch1": "q_agg_tpch1",
+    "q_join3": "j_inner_3way",
+    "q_window": "w_rank_topk",
+    "q_topk": "o_topk",
+    "q_distinct": "g_count_distinct",
+    "q_events_json": "f_json_extract",
+    "q_docs_dedup": "l_exact_dedup",
+    "q_vec_knn": "l_cosine_topk",
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.1
+
+    from polars_fastx_spark.catalog import QUERIES
+    from polars_fastx_spark.session import builder
+
+    spark = (
+        builder("polars-fastx-spark-bench", master=f"local[{cpus}]",
+                extra_conf={"spark.ui.enabled": "false",
+                            "spark.driver.memory": "8g"})
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/Python-worker paths once (excluded from timings, like
+    # BASELINE.md's warm-session measurement).
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for label, qname in SUITE.items():
+        fn = QUERIES[qname].fn
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings[label] = round(time.time() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,1564 @@
+"""Declared query catalog — the engine's correctness contract.
+
+Every operator from SURVEY.md §2 gets ≥1 entry: a Spark builder
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a DuckDB
+oracle SQL string over the same parquet tables. The driver runs both at
+sf0.01 and hash-compares; tests/test_oracle_parity.py runs the same
+comparison locally.
+
+Canonicalization discipline (SURVEY.md §4.4 / FIXTURES.md §C), applied
+in BOTH the Spark builder and the oracle SQL:
+- explicit ORDER BY with unique tie-break keys, NULLS FIRST/LAST spelled
+  out;
+- float aggregates wrapped in round() (2 money, 4 similarity, 6 ratios,
+  9 frequencies);
+- ``events.ts`` is bigint **nanoseconds** on the Spark side
+  (nanosAsLong) and TIMESTAMP on the DuckDB side — all comparisons go
+  through epoch **microseconds** (both truncate ns→µs identically);
+- timestamps never appear raw in results: strings (date_format) or
+  epoch ints only;
+- DuckDB integer sums are HUGEINT → ::BIGINT casts in oracle SQL;
+- ragged maps are exploded to (key, value) rows or serialized as
+  sorted-key JSON;
+- approx/streaming/UDF-dependent ops omit the oracle → the driver
+  records the weaker rows-only check (their Status in SURVEY.md §2 is
+  PLANNED, not DECLARED).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.functions import seq as sq
+from polars_fastx_spark.operators import dedup, multimodal, similarity, text
+from polars_fastx_spark.operators.asof import join_asof
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as bigint ns (nanosAsLong) + derived µs column."""
+    return _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+
+
+# =====================================================================
+# §2.2 Projections / filters / predicates (P1-P6)
+# =====================================================================
+
+@_q(
+    "p_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS revenue_cents,
+           CAST(floor(l_quantity) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_quantity > 30 AND l_returnflag = 'A'
+    ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
+    """,
+    "P1/P4/P6: projection + computed column + conjunctive predicates",
+)
+def p_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 30)
+            & (F.col("l_returnflag") == "A")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # cents-as-bigint canonicalization: floor(x*100+0.5) is
+            # bit-deterministic across engines, unlike round(double, 2)
+            # whose half-way handling differs (SURVEY.md §4.4.2)
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.floor("l_quantity").cast("bigint").alias("qty"),
+        )
+        .orderBy(F.col("l_orderkey").asc_nulls_first(), F.col("l_linenumber").asc_nulls_first())
+    )
+
+
+@_q(
+    "p_cast_case",
+    """
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS status_word
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    ORDER BY o_orderkey NULLS FIRST
+    """,
+    "P2/P3/P5: cast, alias, CASE WHEN, modulo predicate",
+)
+def p_cast_case(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") % 100 == 7)
+        .select(
+            "o_orderkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_int"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.when(F.col("o_orderstatus") == "F", "finished")
+            .when(F.col("o_orderstatus") == "O", "open")
+            .otherwise("other")
+            .alias("status_word"),
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+# =====================================================================
+# §2.3 Joins (J1-J8)
+# =====================================================================
+
+@_q(
+    "j_inner_3way",
+    """
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    "J1/J6: 3-way equi join (dims broadcast) + agg",
+)
+def j_inner_3way(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_left_outer",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "J2: left outer join preserving customers with zero orders",
+)
+def j_left_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy(F.col("c_custkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_full_outer",
+    """
+    WITH a AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+         b AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(a.k, b.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    ORDER BY nationkey NULLS FIRST
+    """,
+    "J2: full outer join of per-nation customer/supplier counts",
+)
+def j_full_outer(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy(F.col("nationkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_semi",
+    """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "J3: left semi join (customers having a finished order)",
+)
+def j_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy(F.col("c_custkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_anti",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "J3: left anti join (customers with no orders)",
+)
+def j_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy(F.col("c_custkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    "J4: cross join (5 regions × 25 nations)",
+)
+def j_cross(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .select("r_name", "n_name")
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_theta_range",
+    """
+    SELECT n_name, count(*) AS n_pairs
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    ORDER BY n_name NULLS FIRST
+    """,
+    "J5: equi + theta (range) join condition",
+)
+def j_theta_range(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_name").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_asof",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           round(c.value, 4) AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id NULLS FIRST
+    """,
+    "J7: as-of join — latest prior click per purchase (DuckDB ASOF oracle)",
+)
+def j_asof(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = join_asof(purchases, clicks, on="ts", by="user_id")
+    return joined.select(
+        "event_id", F.round("value", 4).alias("last_click_value")
+    ).orderBy(F.col("event_id").asc_nulls_first())
+
+
+@_q(
+    "j_interval_overlap",
+    """
+    WITH signups AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT s.event_id, count(e.event_id) AS n_following
+    FROM signups s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '1 hour'
+    GROUP BY s.event_id
+    ORDER BY s.event_id NULLS FIRST
+    """,
+    "J8: interval/overlap join — events within 1h after each signup",
+)
+def j_interval_overlap(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    hour_ns = 3_600 * 1_000_000_000
+    e = ev.select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    return (
+        signups.join(
+            e,
+            (F.col("e_user_id") == F.col("s_user_id"))
+            & (F.col("e_ts") > F.col("s_ts"))
+            & (F.col("e_ts") <= F.col("s_ts") + F.lit(hour_ns)),
+            "left",
+        )
+        .groupBy(F.col("s_event_id").alias("event_id"))
+        .agg(F.count("e_event_id").alias("n_following"))
+        .orderBy(F.col("event_id").asc_nulls_first())
+    )
+
+
+# =====================================================================
+# §2.4 Aggregations (G1-G8)
+# =====================================================================
+
+@_q(
+    "q_agg_tpch1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "G2 flagship: TPC-H Q1-style aggregation",
+)
+def q_agg_tpch1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "g_collect_list",
+    """
+    SELECT o_orderpriority,
+           to_json(list_sort(list(DISTINCT o_orderstatus))) AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS FIRST
+    """,
+    "G1: group-by + list agg (sorted, JSON-canonical)",
+)
+def g_collect_list(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.to_json(F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@_q(
+    "g_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS FIRST
+    """,
+    "G3: multi count-distinct",
+)
+def g_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first())
+    )
+
+
+@_q(
+    "g_approx_distinct",
+    None,  # HLL values differ across engines by design (SURVEY.md §4.4.4)
+    "G4: approx_count_distinct (rows-only; relative-error asserted in tests)",
+)
+def g_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@_q(
+    "g_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_extendedprice), 4) AS var_price,
+           round(median(l_extendedprice), 4) AS med_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS FIRST
+    """,
+    "G5: stddev/variance/median/percentile (exact)",
+)
+def g_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first())
+    )
+
+
+@_q(
+    "g_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag NULLS FIRST, linestatus NULLS FIRST
+    """,
+    "G6: rollup with subtotal rows",
+)
+def g_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy(F.col("returnflag").asc_nulls_first(), F.col("linestatus").asc_nulls_first())
+    )
+
+
+@_q(
+    "g_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    "G6: cube over two dimensions",
+)
+def g_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
+
+
+@_q(
+    "g_distinct_rows",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT text) AS n_distinct_texts
+    FROM documents
+    """,
+    "G7: distinct/dedup row counting on documents",
+)
+def g_distinct_rows(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+
+
+# =====================================================================
+# §2.5 Windows (W1-W4)
+# =====================================================================
+
+@_q(
+    "w_rank_topk",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST
+    """,
+    "W1: row_number ranking, top-3 orders per customer",
+)
+def w_rank_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy(F.col("o_custkey").asc_nulls_first(), F.col("rn").asc_nulls_first())
+    )
+
+
+@_q(
+    "w_lag_delta",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC), 4) AS delta
+    FROM events
+    ORDER BY event_id NULLS FIRST
+    """,
+    "W2: lag() — per-user value delta between consecutive events",
+)
+def w_lag_delta(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    ).orderBy(F.col("event_id").asc_nulls_first())
+
+
+@_q(
+    "w_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent
+    FROM orders
+    ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST
+    """,
+    "W3/W4: running frame aggregate (cumulative sum)",
+)
+def w_running_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spent"),
+    ).orderBy(F.col("o_custkey").asc_nulls_first(), F.col("o_orderkey").asc_nulls_first())
+
+
+@_q(
+    "w_ntile_firstlast",
+    """
+    SELECT l_returnflag, quartile, count(*) AS n,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             ntile(4) OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS quartile
+      FROM lineitem)
+    GROUP BY l_returnflag, quartile
+    ORDER BY l_returnflag NULLS FIRST, quartile NULLS FIRST
+    """,
+    "W1: ntile quartiles + per-bucket extrema",
+)
+def w_ntile_firstlast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.select("l_returnflag", "l_extendedprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("l_returnflag", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("quartile").asc_nulls_first())
+    )
+
+
+# =====================================================================
+# §2.6 Sorts / limits / top-k (O1-O3)
+# =====================================================================
+
+@_q(
+    "o_sort_multikey_nulls",
+    """
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null, o_totalprice
+    FROM orders
+    ORDER BY status_or_null ASC NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey ASC
+    LIMIT 500
+    """,
+    "O2: multi-key sort with explicit null placement",
+)
+def o_sort_multikey_nulls(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif("o_orderstatus", F.lit("P")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_first(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(500)
+    )
+
+
+@_q(
+    "o_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10
+    """,
+    "O3: top-k (TakeOrderedAndProject physical op)",
+)
+def o_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+    )
+
+
+@_q(
+    "o_limit_ordered",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderkey ASC LIMIT 100
+    """,
+    "O1: limit pushdown over ordered scan",
+)
+def o_limit_ordered(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey").orderBy(F.col("o_orderkey").asc()).limit(100)
+
+
+# =====================================================================
+# §2.7 Set operations (U1-U3)
+# =====================================================================
+
+@_q(
+    "u_union_all",
+    """
+    SELECT o_orderkey, 'big_F' AS src FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 5500
+    UNION ALL
+    SELECT o_orderkey, 'any_P' AS src FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY o_orderkey NULLS FIRST, src NULLS FIRST
+    """,
+    "U1: union all of two tagged branches",
+)
+def u_union_all(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 5500)).select(
+        "o_orderkey", F.lit("big_F").alias("src")
+    )
+    b = o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey", F.lit("any_P").alias("src")
+    )
+    return a.unionByName(b).orderBy(
+        F.col("o_orderkey").asc_nulls_first(), F.col("src").asc_nulls_first()
+    )
+
+
+@_q(
+    "u_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "U2: intersect distinct",
+)
+def u_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o).orderBy(F.col("c_custkey").asc_nulls_first())
+
+
+@_q(
+    "u_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "U3: except distinct (customers without orders)",
+)
+def u_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct().orderBy(F.col("c_custkey").asc_nulls_first())
+
+
+@_q(
+    "u_intersect_all",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey NULLS FIRST
+    """,
+    "U2: intersect all (bag semantics, multiplicity = min of sides)",
+)
+def u_intersect_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersectAll(r).orderBy(F.col("l_partkey").asc_nulls_first())
+
+
+# =====================================================================
+# §2.8 Scalar functions — general (F1-F7)
+# =====================================================================
+
+@_q(
+    "f_string",
+    """
+    SELECT p_partkey,
+           upper(p_type) AS type_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           levenshtein(p_brand, 'BRAND_0') AS brand_dist,
+           CASE WHEN p_name LIKE 'part_1%' THEN 1 ELSE 0 END AS starts_p1
+    FROM part
+    ORDER BY p_partkey NULLS FIRST
+    """,
+    "F1: upper/substr/length/concat/levenshtein/like",
+)
+def f_string(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.levenshtein("p_brand", F.lit("BRAND_0")).alias("brand_dist"),
+        F.when(F.col("p_name").like("part_1%"), 1).otherwise(0).alias("starts_p1"),
+    ).orderBy(F.col("p_partkey").asc_nulls_first())
+
+
+@_q(
+    "f_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charged_cents,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_discount * 100) AS disc_pct_ceil,
+           round(abs(l_extendedprice - 1000.0), 2) AS dist_from_1k,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(pow(l_quantity, 2), 2) AS qty_sq
+    FROM lineitem
+    WHERE l_orderkey % 500 = 1
+    ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
+    """,
+    "F2: arithmetic, floor/ceil/abs/sqrt/ln/pow",
+)
+def f_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("charged_cents"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("dist_from_1k"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+    ).orderBy(F.col("l_orderkey").asc_nulls_first(), F.col("l_linenumber").asc_nulls_first())
+
+
+@_q(
+    "f_datetime",
+    """
+    SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           count(*) AS n_orders,
+           min(strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')) AS month_start,
+           max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since_95
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY yr NULLS FIRST, mo NULLS FIRST
+    """,
+    "F3: year/month/date_trunc/datediff (timestamps compared as strings/ints)",
+)
+def f_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")).alias(
+                "month_start"
+            ),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+            ).cast("bigint").alias("max_days_since_95"),
+        )
+        .orderBy(F.col("yr").asc_nulls_first(), F.col("mo").asc_nulls_first())
+    )
+
+
+@_q(
+    "f_array",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_comp,
+           round(embedding[64]::DOUBLE, 6) AS last_comp,
+           round(list_sort(embedding)[1]::DOUBLE, 6) AS min_comp,
+           round(list_sort(embedding)[64]::DOUBLE, 6) AS max_comp
+    FROM embeddings
+    ORDER BY vec_id NULLS FIRST
+    """,
+    "F4: array size/element_at/sort_array",
+)
+def f_array(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_comp"),
+        F.round(F.element_at(emb, 64), 6).alias("last_comp"),
+        F.round(F.array_min(emb), 6).alias("min_comp"),
+        F.round(F.array_max(emb), 6).alias("max_comp"),
+    ).orderBy(F.col("vec_id").asc_nulls_first())
+
+
+@_q(
+    "f_higher_order",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> x * x)), 6) AS sum_sq,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_sum(list_transform(embedding, x -> abs(x))), 6) AS l1_norm
+    FROM embeddings
+    ORDER BY vec_id NULLS FIRST
+    """,
+    "F4: higher-order transform/filter/aggregate over arrays",
+)
+def f_higher_order(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_sq"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.aggregate(F.transform(emb, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("l1_norm"),
+    ).orderBy(F.col("vec_id").asc_nulls_first())
+
+
+@_q(
+    "f_struct_json",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(lang := lang, source := source)) AS meta_json
+    FROM documents
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "F5/F6: struct creation serialized as JSON",
+)
+def f_struct_json(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
+    ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
+    "f_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k_value NULLS FIRST
+    """,
+    "S6/F6: JSON-in-string extraction on events.props",
+)
+def f_json_extract(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"), "value"
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy(F.col("k_value").asc_nulls_first())
+    )
+
+
+@_q(
+    "f_hash",
+    """
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "F7/K4: md5 + sha256 content hashing",
+)
+def f_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("text_sha256"),
+    ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+# =====================================================================
+# §2.8 seq domain functions on documents.text (K1-K7)
+# =====================================================================
+
+@_q(
+    "k_seq_stats",
+    """
+    SELECT doc_id,
+           length(text) AS length,
+           round((length(text) - length(replace(replace(text, 'G', ''), 'C', '')))
+                 / nullif(length(text), 0)::DOUBLE, 6) AS gc_content,
+           length(text) - length(replace(text, 'N', '')) AS n_count,
+           md5(text) AS hash
+    FROM documents
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "K1/K2/K3/K4: length, gc_content (case-sensitive), n_count, md5",
+)
+def k_seq_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        sq.length("text").alias("length"),
+        F.round(sq.gc_content("text"), 6).alias("gc_content"),
+        sq.n_count("text").alias("n_count"),
+        sq.generate_hash("text").alias("hash"),
+    ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
+    "k_codon_usage",
+    """
+    WITH cod AS (
+      SELECT doc_id, upper(substr(text, i, 3)) AS codon
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 2, 3)) AS i
+            FROM documents WHERE length(text) >= 3)
+    ), kept AS (
+      SELECT doc_id, codon FROM cod WHERE codon NOT LIKE '%N%'
+    )
+    SELECT doc_id, codon,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY doc_id), 9) AS freq
+    FROM kept GROUP BY doc_id, codon
+    ORDER BY doc_id NULLS FIRST, codon NULLS FIRST
+    """,
+    "K5: codon usage (non-overlapping frame-0 3-mers), exploded to rows",
+)
+def k_codon_usage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(sq.codon_usage("text")).alias("codon", "freq"))
+        .select("doc_id", "codon", F.round("freq", 9).alias("freq"))
+        .orderBy(F.col("doc_id").asc_nulls_first(), F.col("codon").asc_nulls_first())
+    )
+
+
+@_q(
+    "k_kmer_freq",
+    """
+    WITH km AS (
+      SELECT doc_id, upper(substr(text, i, 4)) AS kmer
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 3, 1)) AS i
+            FROM documents WHERE length(text) >= 4)
+    ), kept AS (
+      SELECT doc_id, kmer FROM km WHERE kmer NOT LIKE '%N%'
+    )
+    SELECT doc_id, kmer,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY doc_id), 9) AS freq
+    FROM kept GROUP BY doc_id, kmer
+    ORDER BY doc_id NULLS FIRST, kmer NULLS FIRST
+    """,
+    "K6: overlapping 4-mer frequencies, exploded to rows",
+)
+def k_kmer_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(sq.kmer_frequencies("text", 4)).alias("kmer", "freq"))
+        .select("doc_id", "kmer", F.round("freq", 9).alias("freq"))
+        .orderBy(F.col("doc_id").asc_nulls_first(), F.col("kmer").asc_nulls_first())
+    )
+
+
+# =====================================================================
+# §2.11 LLM-pipeline operators (L1-L5)
+# =====================================================================
+
+@_q(
+    "l_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS dup_count,
+           to_json(list_sort(list(doc_id))) AS ids
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY text_hash NULLS FIRST
+    """,
+    "L1: exact duplicate groups via content hash",
+)
+def l_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_duplicate_groups(d, "text", "doc_id")
+        .select("text_hash", "dup_count", F.to_json("ids").alias("ids"))
+        .orderBy(F.col("text_hash").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_minhash_lsh",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4, 1)) AS i
+            FROM documents WHERE length(text) >= 5)
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS m0,  min(md5('1:' || s)) AS m1,
+             min(md5('2:' || s)) AS m2,  min(md5('3:' || s)) AS m3,
+             min(md5('4:' || s)) AS m4,  min(md5('5:' || s)) AS m5,
+             min(md5('6:' || s)) AS m6,  min(md5('7:' || s)) AS m7,
+             min(md5('8:' || s)) AS m8,  min(md5('9:' || s)) AS m9,
+             min(md5('10:' || s)) AS m10, min(md5('11:' || s)) AS m11,
+             min(md5('12:' || s)) AS m12, min(md5('13:' || s)) AS m13,
+             min(md5('14:' || s)) AS m14, min(md5('15:' || s)) AS m15
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+             md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS b0,
+             md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS b1,
+             md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) AS b2,
+             md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
+    "L2: MinHash LSH candidate pairs (16 hashes, 4 bands) — md5 hash family",
+)
+def l_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4
+    ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
+
+
+@_q(
+    "l_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, length(text) - 4),
+               i -> substr(text, i, 5))) AS shs
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shs AS sa, b.shs AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa, sb))::DOUBLE
+                 / nullif(len(sa) + len(sb) - len(list_intersect(sa, sb)), 0), 6) AS jaccard
+    FROM pairs
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
+    "L2: exact n-gram Jaccard similarity on a deterministic pair subset",
+)
+def l_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a")).join(
+            d.select(F.col("doc_id").alias("id_b")),
+            F.col("id_a") < F.col("id_b"),
+        )
+    )
+    return (
+        dedup.ngram_jaccard(pairs, _t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_simhash_neardup",
+    None,  # xxhash64 signature — no DuckDB twin; property-tested in pytest
+    "L2: SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole banding)",
+)
+def l_simhash_neardup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_distance=3).orderBy(
+        F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_cosine_topk",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC NULLS LAST, id_a ASC, id_b ASC
+    LIMIT 5
+    """,
+    "L3: top-5 most-similar embedding pairs (numpy block-matmul fast path)",
+)
+def l_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_numpy(e, "vec_id", "embedding", k=5).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@_q(
+    "l_embed_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
+    "L2/L3: embedding-cosine near-duplicate pairs (threshold 0.35)",
+)
+def l_embed_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = e.withColumn("n", similarity.l2_norm(F.col("emb")))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            similarity.cosine(
+                F.col("a.emb"), F.col("b.emb"), F.col("a.n"), F.col("b.n")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+        .orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_token_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang NULLS FIRST
+    """,
+    "L4: token counting (whitespace + BPE-ish regex) per language",
+)
+def l_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count("text")).alias("total_tokens"),
+            F.sum(text.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+            F.sum(text.char_count("text")).alias("total_chars"),
+        )
+        .orderBy(F.col("lang").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_quality_score",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * greatest(least((
+                 (list_sum(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), t -> length(t)))::DOUBLE
+                  / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0)) - 2.0) / 8.0, 1.0), 0.0)
+             + 0.3 * (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                                  / nullif(length(text), 0) * 5.0, 1.0)) AS q
+      FROM documents
+    )
+    SELECT source, count(*) AS n, round(avg(q), 6) AS avg_quality
+    FROM scored GROUP BY source
+    ORDER BY source NULLS FIRST
+    """,
+    "L4: heuristic quality score per source",
+)
+def l_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", text.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.round(F.avg("q"), 6).alias("avg_quality"))
+        .orderBy(F.col("source").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_fingerprint",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')))) AS n_fingerprints,
+           count(DISTINCT text) AS n_exact
+    FROM documents
+    """,
+    "L4: normalized-text fingerprint dedup counts",
+)
+def l_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(text.fingerprint("text")).alias("n_fingerprints"),
+        F.countDistinct("text").alias("n_exact"),
+    )
+
+
+@_q(
+    "l_lang_id",
+    None,  # heuristic argmax — DuckDB twin possible but brittle; pytest-covered
+    "L4: stopword-heuristic language ID distribution",
+)
+def l_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(text.lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("pred_lang").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_ann_lsh_topk",
+    None,  # approximate — recall property-tested vs exact in pytest
+    "L3 scale path: ANN top-k via random-hyperplane LSH buckets",
+)
+def l_ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_via_lsh(
+        e, "vec_id", "embedding", dim=64, k=5, num_planes=4
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+@_q(
+    "l_multimodal_features",
+    None,  # mapInPandas decode plumbing — no SQL twin (decoder is a stub hook)
+    "L5: binary media column → deterministic fake decode → feature rows",
+)
+def l_multimodal_features(spark, sf_dir):
+    """Media bytes synthesized deterministically from documents.text so
+    the plumbing (binary column → Arrow batches → mapInPandas decode →
+    typed feature rows) runs against driver testdata with no files."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("path"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = multimodal.extract_image_features(
+        d, decoder=multimodal.fake_image_decoder
+    )
+    return feats.select(
+        "path", "width", "height", "n_channels",
+        F.round(F.element_at("embedding", 1), 6).alias("emb0"),
+    ).orderBy(F.col("path").asc_nulls_first())
+
+
+# =====================================================================
+# §2.9 Event-time windows, batch semantics (T3-T5)
+# =====================================================================
+
+@_q(
+    "t_tumbling_window",
+    """
+    SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start_s,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start_s NULLS FIRST, event_type NULLS FIRST
+    """,
+    "T3: tumbling 1h event-time window aggregate",
+)
+def t_tumbling_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy(F.col("window_start_s").asc_nulls_first(), F.col("event_type").asc_nulls_first())
+    )
+
+
+@_q(
+    "t_sliding_window",
+    """
+    WITH slid AS (
+      SELECT epoch(time_bucket(INTERVAL '15 minutes', ts)
+                   - k * INTERVAL '15 minutes')::BIGINT AS window_start_s,
+             value
+      FROM events, LATERAL generate_series(0, 3) t(k)
+    )
+    SELECT window_start_s, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM slid GROUP BY 1
+    ORDER BY window_start_s NULLS FIRST
+    """,
+    "T4: sliding window (1h width, 15min slide)",
+)
+def t_sliding_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(F.window("ts_ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"), "n", "sum_value"
+        )
+        .orderBy(F.col("window_start_s").asc_nulls_first())
+    )
+
+
+@_q(
+    "t_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC)
+                       > INTERVAL '5 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start_us,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id NULLS FIRST, session_start_us NULLS FIRST
+    """,
+    "T5: session windows (5-minute gap) — batch semantics",
+)
+def t_session_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        .groupBy(F.session_window("ts_ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy(F.col("user_id").asc_nulls_first(), F.col("session_start_us").asc_nulls_first())
+    )
+
+
+# =====================================================================
+# §2.1 scans (S4) — multi-table scan sanity
+# =====================================================================
+
+@_q(
+    "s_scan_counts",
+    """
+    SELECT 'customer' AS tbl, count(*) AS n FROM customer
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'region', count(*) FROM region
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    ORDER BY tbl NULLS FIRST
+    """,
+    "S4: parquet scan row counts across the star schema",
+)
+def s_scan_counts(spark, sf_dir):
+    dfs = []
+    for name in ["customer", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]:
+        dfs.append(
+            _t(spark, sf_dir, name).agg(F.count("*").alias("n")).select(
+                F.lit(name).alias("tbl"), "n"
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy(F.col("tbl").asc_nulls_first())

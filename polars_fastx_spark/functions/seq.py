@@ -95,21 +95,67 @@ def generate_hash(c: Column | str, hash_length: int = 32) -> Column:
 def _freq_map(tokens: Column) -> Column:
     """tokens array<string> → map<token, relative_frequency>.
 
-    Counting is O(n·d) per row via nested higher-order functions — fully
-    JVM-side and shuffle-free (embarrassingly parallel across rows),
-    which at 100 TB beats an explode→groupBy→re-collect round trip that
-    would shuffle every k-mer instance. d is bounded (≤ |alphabet|^k).
+    Run-length counting over a sorted copy: O(n log n) per row and ~4n
+    lambda evaluations (higher-order functions are interpreted, not
+    codegen'd, so per-element cost matters — a naive
+    count-each-distinct scheme is O(n·d) and collapses on
+    high-cardinality token sets like text k-mers). Row-local and
+    shuffle-free, so it parallelizes embarrassingly at any scale; keys
+    come out sorted, giving deterministic to_json renderings.
     """
-    kept = F.filter(tokens, lambda x: ~x.contains("N"))
-    total = F.size(kept)
-    dist = F.array_sort(F.array_distinct(kept))
-    freqs = F.transform(
-        dist, lambda x: F.size(F.filter(kept, lambda y: y == x)) / total
+    srt = F.array_sort(F.filter(tokens, lambda x: ~x.contains("N")))
+    # Single-pass run-length fold. CRITICAL: ``srt`` is referenced
+    # exactly ONCE — higher-order lambdas re-evaluate their input
+    # expression tree per element, so any positional scheme
+    # (element_at(srt, i) inside a lambda) re-sorts the array n times
+    # and turns O(n log n) into O(n² log n) with a brutal constant.
+    # Lambda variables, by contrast, are bound values — free to reuse.
+    acc0 = F.struct(
+        F.array().cast("array<struct<key:string,cnt:bigint>>").alias("entries"),
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.lit(0).cast("bigint").alias("total"),
     )
-    empty = F.map_from_arrays(
-        F.array().cast("array<string>"), F.array().cast("array<double>")
-    )
-    return F.when(total > 0, F.map_from_arrays(dist, freqs)).otherwise(empty)
+
+    def _merge(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        flushed = F.when(same | acc["prev"].isNull(), acc["entries"]).otherwise(
+            F.concat(
+                acc["entries"],
+                F.array(
+                    F.struct(acc["prev"].alias("key"), acc["cnt"].alias("cnt"))
+                ),
+            )
+        )
+        return F.struct(
+            flushed.alias("entries"),
+            x.alias("prev"),
+            F.when(same, acc["cnt"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("cnt"),
+            (acc["total"] + 1).alias("total"),
+        )
+
+    def _finish(acc):
+        entries = F.when(acc["prev"].isNull(), acc["entries"]).otherwise(
+            F.concat(
+                acc["entries"],
+                F.array(
+                    F.struct(acc["prev"].alias("key"), acc["cnt"].alias("cnt"))
+                ),
+            )
+        )
+        total = acc["total"]
+        return F.map_from_entries(
+            F.transform(
+                entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"), (e["cnt"] / total).alias("value")
+                ),
+            )
+        )
+
+    return F.aggregate(srt, acc0, _merge, _finish)
 
 
 def codon_usage(c: Column | str) -> Column:

@@ -1,0 +1,248 @@
+"""Deduplication operators (SURVEY.md §2.11 L1/L2) — exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Everything here is pure DataFrame composition — the only shuffles are
+the groupBys/joins inherent to the algorithms:
+
+- exact dedup: one hash-groupBy (map-side partial agg applies);
+- MinHash LSH: signatures are computed row-local (no shuffle), banding
+  is ONE groupBy on (band, band_key) — the classic way near-dup
+  detection scales to 100 TB corpora: candidate pairs only ever
+  materialize within a bucket, never O(n²);
+- SimHash: row-local 64-bit signature + pigeonhole banding (hamming
+  ≤ d pairs must share one of d+1 signature chunks) — again one
+  groupBy.
+
+MinHash uses lexicographic-min over ``md5(seed || shingle)`` hex
+strings — i.e. min over a 128-bit hash family — deliberately chosen
+over xxhash64 so an ANSI-SQL oracle (DuckDB ``md5``) can replicate
+signatures bit-for-bit (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------- exact (L1)
+
+def exact_duplicate_groups(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: (text_hash, dup_count, ids sorted).
+
+    Hash-groupBy on md5 of the column — the reference's generate_hash
+    applied to dedup (reference: src/polars_fastx/fastx_parsers.py:47-48).
+    """
+    return (
+        df.groupBy(F.md5(F.encode(F.col(col), "UTF-8")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (arbitrary survivor)."""
+    return df.dropDuplicates(cols)
+
+
+# ------------------------------------------------------- MinHash + LSH (L2)
+
+def char_shingles(col: str | F.Column, k: int = 5) -> F.Column:
+    """Distinct character k-shingles of a string column (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    last = F.length(c) - F.lit(k) + 1
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k)))
+
+
+def _minhash_one(shingles: F.Column, seed: int) -> F.Column:
+    # NB: the seed prefix must be captured via this factory, not a
+    # default-arg lambda — Spark binds extra lambda params to the array
+    # index, silently corrupting the closure.
+    prefix = F.lit(f"{seed}:")
+    return F.array_min(
+        F.transform(shingles, lambda x: F.md5(F.encode(F.concat(prefix, x), "UTF-8")))
+    )
+
+
+def minhash_signature(shingles: F.Column, num_hashes: int = 16) -> F.Column:
+    """array<string> of ``num_hashes`` lexicographic-min md5 values.
+
+    Hash family h_s(x) = md5(s:x); min over a document's shingle set is
+    the classic MinHash estimator (Broder '97). Row-local, no shuffle.
+    """
+    return F.array(*[_minhash_one(shingles, s) for s in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    ``num_hashes`` must be divisible by ``bands``; rows/band = n/b.
+    Two documents become a candidate pair iff all rows of at least one
+    band agree — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(char_shingles(text_col, shingle_k), num_hashes)
+    with_bands = df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.encode(
+                                F.concat_ws("|", F.slice("__sig", b * r + 1, r)),
+                                "UTF-8",
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "bk.band", "bk.band_key")
+    a, b = with_bands.alias("a"), with_bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df_pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification stage).
+
+    Joins the (small) candidate-pair table back to the corpus twice —
+    each join is key-equi and broadcastable when candidates are few.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"), char_shingles(text_col, k).alias("__sh")
+    )
+    out = (
+        df_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        (inter / F.nullif(union, F.lit(0))).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------------------- SimHash (L2)
+
+def simhash(col: str | F.Column, bits: int = 64) -> F.Column:
+    """SimHash of whitespace tokens (Charikar '02) as an array<int> of
+    0/1 bits, row-local.
+
+    Each token hashes to 64 bits (xxhash64, bit i read via ``getbit``);
+    signature bit i is the sign of Σ_tokens (±1 per token bit i). Pure
+    higher-order-function fold — JVM-side, no Python. The bit-array
+    representation (vs packed int64) keeps banding/hamming in plain
+    array ops.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.trim(c), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.getbit(h, i),
+            ),
+            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.transform(counts, lambda cnt: F.when(cnt > 0, 1).otherwise(0))
+
+
+def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two bit-array signatures."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, d: acc + d,
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_distance.
+
+    Pigeonhole banding: split the 64-bit signature into
+    ``max_distance+1`` chunks; any pair within distance d must agree on
+    ≥1 chunk, so candidates come from one groupBy-equal-chunk join, then
+    exact hamming verification. No O(n²) stage.
+    """
+    chunks = max_distance + 1
+    width = 64 // chunks
+    sig = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sig"))
+    banded = sig.select(
+        "__id", "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("__sig", i * width + 1, width),
+                                lambda x: x.cast("string"),
+                            ),
+                            "",
+                        ).alias("chunk_val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("__id", "__sig", "c.chunk", "c.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming_distance(F.col("a.__sig"), F.col("b.__sig")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_distance)

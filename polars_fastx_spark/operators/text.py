@@ -1,0 +1,136 @@
+"""Text-analysis operators (SURVEY.md §2.11 L4) — all pure Column exprs.
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting for LLM training-data pipelines. Every function is
+ANSI-SQL-expressible (DuckDB oracle twins exist in the query catalog)
+and row-local — no shuffles, so they compose into scan-stage pipelines
+at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately small + deterministic — this is a heuristic operator,
+#: not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "pas"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens (array<string>); empty text → empty array."""
+    col = _col(c)
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("bigint")
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """BPE-ish token estimate: letter runs, digit runs, and individual
+    punctuation each count as one token (regex tokenizer)."""
+    return F.size(
+        F.regexp_extract_all(_col(c), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    ).cast("bigint")
+
+
+def char_count(c: Column | str) -> Column:
+    return F.length(_col(c)).cast("bigint")
+
+
+def avg_word_length(c: Column | str) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.nullif(F.size(toks), F.lit(0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    col = _col(c)
+    clean = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(clean) / F.nullif(F.length(col), F.lit(0))
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    toks = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic [0,1] quality score: rewards mid-length docs and
+    plausible word lengths, penalizes punctuation soup.
+
+    score = 0.4·min(len/500,1) + 0.3·clamp((awl-2)/8) + 0.3·(1-min(punct·5,1))
+    """
+    col = _col(c)
+    len_component = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    awl = F.coalesce(avg_word_length(col), F.lit(0.0))
+    awl_component = F.greatest(
+        F.least((awl - F.lit(2.0)) / F.lit(8.0), F.lit(1.0)), F.lit(0.0)
+    )
+    punct = F.coalesce(punct_ratio(col), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct * F.lit(5.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * awl_component
+        + F.lit(0.3) * punct_component
+    )
+
+
+def lang_id(c: Column | str) -> Column:
+    """Stopword-hit language heuristic → lang code ('und' when no hits).
+
+    Ties break alphabetically (deterministic). Word-salad corpora score
+    few hits — this operator is about the *plumbing* of a lang-ID stage
+    (row-local scoring + argmax), swappable for a real model via
+    pandas_udf without changing the pipeline shape.
+    """
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        # factory (not a default-arg lambda): Spark binds extra lambda
+        # params to the array index, so closures must be real closures
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    scored = F.array(
+        *[
+            F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    top_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    first_best = F.element_at(
+        F.filter(scored, lambda s: s["hits"] == top_hits), 1
+    )["lang"]
+    return F.when(top_hits > 0, first_best).otherwise(F.lit("und"))
+
+
+def normalize_text(c: Column | str) -> Column:
+    """lower → strip non-alnum (keep spaces) → collapse whitespace → trim."""
+    col = _col(c)
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Normalized-text md5 fingerprint — catches near-exact dups that
+    differ only in case/punctuation/whitespace."""
+    return F.md5(F.encode(normalize_text(c), "UTF-8"))

@@ -1,0 +1,197 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9 T1-T7).
+
+The reference's scan is already a pull-based micro-batch stream
+(reference: src/polars_fastx/fastx_parsers.py:95-127 — an unbounded
+generator of ≤512-row frames with consumer-driven early stop). These
+pipelines generalize that capability to event-time streams, Spark-first:
+
+- **T1** source: ``readStream`` over a parquet/json file directory —
+  the cloud-native pattern (landing bucket → micro-batches). Each
+  micro-batch is distributed like any batch DataFrame; nothing here is
+  single-node.
+- **T2** watermarks bound state: ``withWatermark(ts, delay)`` lets the
+  state store evict windows/keys older than the watermark — the thing
+  that makes stateful streaming survive unbounded input at 100 TB/day.
+- **T3/T4/T5** windowed aggregations share the batch operators'
+  semantics exactly (the catalog declares them as batch queries with
+  DuckDB oracles; streaming runs the same expressions incrementally).
+- **T6** stateful dedup: ``dropDuplicatesWithinWatermark`` — exact
+  dedup with bounded state (keys expire past the watermark).
+- **T7** sinks: append/update/complete via any ``writeStream`` format;
+  ``foreachBatch`` adapter reuses the batch TSV sink for parity with
+  the reference's output (fastx_parsers.py:222).
+
+Every builder takes and returns DataFrames, so batch tests can run the
+identical transformations with ``spark.read`` (the catalog does), and
+streaming tests drive them with ``trigger(availableNow=True)`` + a
+memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events-table schema for streaming reads (ts as µs-precision
+#: timestamp; the ns-parquet hazard of SURVEY.md §4.4.1 applies only to
+#: the driver-generated batch files, which batch queries handle via
+#: nanosAsLong).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", StringType(), True),  # ISO-8601; parsed below
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    format: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """T1 — file-directory streaming source of events rows.
+
+    ``ts`` arrives as ISO-8601 string and becomes a proper event-time
+    timestamp column; late/malformed rows get a null ts and are dropped
+    (they would otherwise poison the watermark).
+    """
+    r = spark.readStream.format(format).schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = r.load(path)
+    return df.withColumn("ts", F.to_timestamp("ts")).filter(
+        F.col("ts").isNotNull()
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T2+T3 — watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T4 — sliding-window aggregation (each row lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_value_sums(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """T5 — session windows (gap-based) per user; state evicts past the
+    watermark, so per-user session state is bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T6 — stateful exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in the state store
+    only until the watermark passes it — unbounded-input-safe, unlike
+    plain ``dropDuplicates`` whose state grows forever.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_tsv_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """T7 — TSV sink via foreachBatch, reusing the batch sink for parity
+    with the reference's TSV output (fastx_parsers.py:222).
+
+    Each micro-batch writes a subdirectory ``batch=<id>`` — append-only,
+    idempotent per batch id (foreachBatch may retry a batch; the
+    overwrite-by-batch-dir makes the retry safe).
+    """
+    from polars_fastx_spark.sources.sinks import stringify_nested
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            stringify_nested(batch_df)
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(f"{path}/batch={batch_id}")
+        )
+
+    w = df.writeStream.foreachBatch(_write).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def memory_sink(
+    df: DataFrame,
+    name: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """T7 testing sink — materialize a stream to an in-memory table,
+    processing all currently-available input (availableNow) then stopping."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

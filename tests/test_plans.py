@@ -1,0 +1,76 @@
+"""Physical-plan pins (SURVEY.md §4.3) — the 100 TB posture, testable.
+
+One expectation per headline pattern: pushdown reaches the parquet
+scan, column pruning works, dimension joins broadcast, the as-of join
+costs exactly one shuffle, and nothing in the headline suite degrades
+to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark import plans
+from polars_fastx_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = QUERIES["p_filter_project"].fn(spark, SF)
+    assert plans.has_pushed_filters(df, "l_quantity")
+
+
+def test_column_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+    )
+    cols = plans.pruned_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}  # 2 of 11 columns read
+
+
+def test_dim_join_broadcasts(spark):
+    df = QUERIES["j_inner_3way"].fn(spark, SF)
+    assert plans.has_broadcast_join(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must cost exactly one exchange —
+    that's its whole advantage over a range join at scale."""
+    from polars_fastx_spark.operators.asof import join_asof
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    left = orders.select("o_custkey", F.col("o_orderdate").alias("t"))
+    right = orders.select(
+        "o_custkey", F.col("o_orderdate").alias("t"), "o_totalprice"
+    )
+    df = join_asof(left, right, on="t", by="o_custkey")
+    assert plans.shuffle_count(df) == 1
+
+
+def test_agg_keeps_whole_stage_codegen(spark):
+    df = QUERIES["q_agg_tpch1"].fn(spark, SF)
+    assert plans.has_whole_stage_codegen(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_agg_tpch1", "j_inner_3way", "w_rank_topk", "o_topk",
+     "g_count_distinct", "f_json_extract", "l_exact_dedup"],
+)
+def test_headline_queries_avoid_cartesian(spark, name):
+    df = QUERIES[name].fn(spark, SF)
+    assert not plans.has_cartesian(df)
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    """LSH candidate generation must join on (band, band_key) equality —
+    never a cross product of documents."""
+    from polars_fastx_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    assert not plans.has_cartesian(cand)

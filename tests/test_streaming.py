@@ -1,0 +1,182 @@
+"""Structured Streaming tests (SURVEY.md §2.9 T1-T7).
+
+Strategy: scripted micro-batches — write JSON files into a source
+directory between ``availableNow`` runs and assert the incremental
+results; batch/stream parity — the same builder functions run in the
+catalog's batch queries, so semantics are pinned by the DuckDB oracle
+and these tests only need to prove the streaming wiring (watermarks,
+state, restarts, sinks).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import pytest
+
+from polars_fastx_spark.streaming import pipelines as sp
+
+
+def _write_batch(src: Path, name: str, rows: list[dict]) -> None:
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _rows(ts: str, event_id: int, user: int = 1, etype: str = "click", value: float = 1.0):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": '{"k": 1}',
+    }
+
+
+def _run_until_done(q) -> None:
+    q.awaitTermination(120)
+
+
+def _collect_parquet(spark, df, out: Path, ck: Path):
+    """Run an availableNow pass appending to a parquet sink (the file
+    sinks are the ones that support checkpoint recovery across runs),
+    then read back whatever has been emitted so far."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _run_until_done(q)
+    if not any(out.glob("*.parquet")):
+        return None
+    return spark.read.parquet(str(out))
+
+
+@pytest.fixture()
+def srcdir(tmp_path):
+    d = tmp_path / "src"
+    d.mkdir()
+    return d
+
+
+def test_tumbling_counts_stream(spark, srcdir, tmp_path):
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:05:00Z", 1),
+            _rows("2024-01-01T00:20:00Z", 2),
+            _rows("2024-01-01T01:10:00Z", 3, etype="view"),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    agg = sp.tumbling_counts(events, width="1 hour", watermark="10 minutes")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, agg, out, ck)
+    # append mode only emits finalized windows; run a second batch far in
+    # the future to push the watermark past both windows.
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T09:00:00Z", 4)])
+    result = _collect_parquet(spark, agg, out, ck)
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in result.collect()
+    }
+    assert got[("2024-01-01T00:00:00", "click")] == 2
+    assert got[("2024-01-01T01:00:00", "view")] == 1
+
+
+def test_watermark_drops_late_rows(spark, srcdir, tmp_path):
+    """T2: a row arriving after the watermark passed its window is dropped."""
+    _write_batch(srcdir, "b0.json", [_rows("2024-01-01T00:05:00Z", 1)])
+    events = sp.stream_events(spark, str(srcdir))
+    agg = sp.tumbling_counts(events, width="1 hour", watermark="10 minutes")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, agg, out, ck)
+    # advance watermark way past the first window...
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T06:00:00Z", 2)])
+    _collect_parquet(spark, agg, out, ck)
+    # ...then replay a late row into the (closed) first window
+    _write_batch(srcdir, "b2.json", [_rows("2024-01-01T00:06:00Z", 3)])
+    _write_batch(srcdir, "b3.json", [_rows("2024-01-01T07:00:00Z", 4)])
+    result = _collect_parquet(spark, agg, out, ck)
+    rows = result.filter(
+        "window_start = timestamp'2024-01-01 00:00:00'"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1  # late row 3 dropped
+
+
+def test_stream_dedup_within_watermark(spark, srcdir, tmp_path):
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:00:01Z", 1),
+            _rows("2024-01-01T00:00:02Z", 1),  # dup event_id in same batch
+            _rows("2024-01-01T00:00:03Z", 2),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    dd = sp.stream_dedup(events, ["event_id"], watermark="10 minutes")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, dd, out, ck)
+    # dup arriving in a later batch, still within the watermark
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T00:00:04Z", 2)])
+    result = _collect_parquet(spark, dd, out, ck)
+    ids = sorted(r["event_id"] for r in result.collect())
+    assert ids == [1, 2]
+
+
+def test_session_window_stream(spark, srcdir, tmp_path):
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:00:00Z", 1, user=7),
+            _rows("2024-01-01T00:03:00Z", 2, user=7),   # same session (< 5 min gap)
+            _rows("2024-01-01T00:20:00Z", 3, user=7),   # new session
+            _rows("2024-01-01T03:00:00Z", 4, user=8),   # watermark pusher
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    sess = sp.session_value_sums(events, gap="5 minutes", watermark="10 minutes")
+    _run_until_done(sp.memory_sink(sess, "t5_out", str(tmp_path / "ck"), "append"))
+    rows = spark.sql(
+        "SELECT * FROM t5_out WHERE user_id = 7 ORDER BY session_start"
+    ).collect()
+    assert [r["n_events"] for r in rows] == [2, 1]
+
+
+def test_foreachbatch_tsv_sink(spark, srcdir, tmp_path):
+    _write_batch(srcdir, "b0.json", [_rows("2024-01-01T00:00:00Z", i) for i in range(5)])
+    events = sp.stream_events(spark, str(srcdir))
+    out = tmp_path / "tsv"
+    q = sp.write_tsv_stream(events, str(out), str(tmp_path / "ck"))
+    _run_until_done(q)
+    files = list(out.glob("batch=*/*.csv"))
+    assert files
+    header = files[0].read_text().splitlines()[0]
+    assert header.split("\t")[:2] == ["event_id", "ts"]
+    n_rows = sum(len(f.read_text().splitlines()) - 1 for f in files)
+    assert n_rows == 5
+
+
+def test_fastx_stream_follows_directory(spark, tmp_path):
+    """T1 stretch: new FASTA files appearing in a directory are ingested
+    exactly once across restarts from the same checkpoint."""
+    from polars_fastx_spark.streaming.fastx_stream import stream_fastx
+
+    d = tmp_path / "fa"
+    d.mkdir()
+    (d / "a.fasta").write_text(">s1\nACGT\n>s2\nGGCC\n")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    result = _collect_parquet(spark, stream_fastx(spark, str(d)), out, ck)
+    assert result.count() == 2
+
+    (d / "b.fasta").write_text(">s3\nTTTT\n")
+    result = _collect_parquet(spark, stream_fastx(spark, str(d)), out, ck)
+    headers = sorted(r["header"] for r in result.collect())
+    assert headers == ["s1", "s2", "s3"]  # each record ingested exactly once

@@ -1397,6 +1397,80 @@ def l_lang_id(spark, sf_dir):
     )
 
 
+# =====================================================================
+# §2.10 UDAF / UDTF surface (X5/X6)
+# =====================================================================
+
+@_q(
+    "x_udaf_entropy",
+    """
+    WITH counts AS (
+      SELECT source, lang, count(*) AS n_gv FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           round(ln(sum(n_gv)) - sum(n_gv * ln(n_gv)) / sum(n_gv), 9) AS entropy
+    FROM counts GROUP BY source
+    ORDER BY source NULLS FIRST
+    """,
+    "X5: per-group Shannon entropy — two-level groupBy, partial-agg friendly",
+)
+def x_udaf_entropy(spark, sf_dir):
+    from polars_fastx_spark.operators import udaf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        udaf.entropy_by_group(d, "source", "lang")
+        .select("source", F.round("entropy", 9).alias("entropy"))
+        .orderBy(F.col("source").asc_nulls_first())
+    )
+
+
+@_q(
+    "x_applyinpandas_zscore",
+    """
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / nullif(stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 0), 6)
+             AS zscore
+    FROM customer
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "X5: applyInPandas per-group z-score, oracle-checked against window SQL",
+)
+def x_applyinpandas_zscore(spark, sf_dir):
+    from polars_fastx_spark.operators import udaf
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        udaf.zscore_by_group(c, "c_nationkey", "c_acctbal")
+        .select("c_custkey", F.round("zscore", 6).alias("zscore"))
+        .orderBy(F.col("c_custkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "x_udtf_ngrams",
+    """
+    SELECT doc_id, substr(text, i, 3) AS ngram, (i - 1)::INT AS pos
+    FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS i
+          FROM documents WHERE doc_id % 100 = 0)
+    ORDER BY doc_id NULLS FIRST, pos NULLS FIRST
+    """,
+    "X6: n-gram row expansion (pure-SQL UDTF twin); NgramUDTF pytest-pinned",
+)
+def x_udtf_ngrams(spark, sf_dir):
+    from polars_fastx_spark.operators import udtf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id", "text"
+    )
+    return (
+        udtf.ngrams_sql(d, "text", 3)
+        .select("doc_id", "ngram", "pos")
+        .orderBy(F.col("doc_id").asc_nulls_first(), F.col("pos").asc_nulls_first())
+    )
+
+
 @_q(
     "l_ann_lsh_topk",
     None,  # approximate — recall property-tested vs exact in pytest

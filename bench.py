@@ -47,14 +47,33 @@ def main() -> int:
     spark = (
         builder("polars-fastx-spark-bench", master=f"local[{cpus}]",
                 extra_conf={"spark.ui.enabled": "false",
-                            "spark.driver.memory": "8g"})
+                            "spark.driver.memory": "8g",
+                            # Scale-appropriate scan splits: the sf0.1
+                            # tables are single ~10 MB files, which at the
+                            # 128 MB default scan on ONE core. 4 MB splits
+                            # spread the scan across the executor threads —
+                            # the same work/core ratio a 100 TB run gets
+                            # for free from its many 128 MB row groups
+                            # (measured 2x suite speedup, 5x on q_agg_tpch1).
+                            "spark.sql.files.maxPartitionBytes": "4m",
+                            "spark.sql.files.openCostInBytes": "1m"})
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/Python-worker paths once (excluded from timings, like
-    # BASELINE.md's warm-session measurement).
-    spark.range(1).count()
+    # Warm the JVM once (excluded from timings, like BASELINE.md's
+    # warm-session measurement): run the same queries at sf0.001 so
+    # codegen/JIT paths compile before the timed pass — first-query cost
+    # is JVM warm-up, not plan cost, and would drown the sf0.1 signal.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for qname in SUITE.values():
+            try:
+                QUERIES[qname].fn(spark, warm_dir).collect()
+            except Exception:
+                pass
+    else:
+        spark.range(1).count()
 
     timings: dict[str, float] = {}
     for label, qname in SUITE.items():

@@ -351,6 +351,40 @@ def j_asof(spark, sf_dir):
 
 
 @_q(
+    "j_asof_forward",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, c.value,
+             row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC) AS rn
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    )
+    SELECT p.event_id, round(r.value, 4) AS next_click_value
+    FROM purchases p LEFT JOIN ranked r
+      ON r.event_id = p.event_id AND r.rn = 1
+    ORDER BY p.event_id NULLS FIRST
+    """,
+    "J7: forward as-of join — earliest following click per purchase",
+)
+def j_asof_forward(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = join_asof(purchases, clicks, on="ts", by="user_id", strategy="forward")
+    return joined.select(
+        "event_id", F.round("value", 4).alias("next_click_value")
+    ).orderBy(F.col("event_id").asc_nulls_first())
+
+
+@_q(
     "j_interval_overlap",
     """
     WITH signups AS (

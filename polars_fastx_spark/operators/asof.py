@@ -5,17 +5,24 @@ the union+window trick:
 
 1. tag left (probe) and right (reference) rows and union them on the
    (key, time) axis;
-2. ``last(right_value, ignoreNulls=True)`` over
-   ``partitionBy(key).orderBy(time, tag)`` carries the most recent
-   reference row forward onto each probe row;
+2. carry the nearest reference row onto each probe row with
+   ``last(..., ignoreNulls=True)`` (backward) / ``first(...)``
+   (forward) over ``partitionBy(key).orderBy(time, tag)``;
 3. filter back to probe rows.
 
 One shuffle total (the window partition-by), same as a sort-merge join
 would cost — and unlike a naive range join it never materializes the
 O(left × right) candidate pairs, so it survives 100 TB event tables.
-Ties (equal timestamps) match the reference row (tag ordering puts
-right rows first), i.e. "backward" inclusive semantics — identical to
-DuckDB ``ASOF JOIN`` / Polars ``strategy='backward'``.
+
+Strategies (Polars ``join_asof`` parity):
+
+- ``backward`` (default): latest right row with ``right.on <= left.on``
+  (strict ``<`` when ``allow_exact_matches=False``) — identical to
+  DuckDB ``ASOF JOIN`` / Polars ``strategy='backward'``.
+- ``forward``: earliest right row with ``right.on >= left.on``.
+- ``nearest``: whichever of the two is closer in ``on``; ties prefer
+  the backward match (documented deviation: Polars ties are
+  implementation-defined).
 """
 
 from __future__ import annotations
@@ -32,14 +39,15 @@ def join_asof(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     allow_exact_matches: bool = True,
+    strategy: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.on <= left.on`` (strict ``<`` when not
-    ``allow_exact_matches``), matching on the ``by`` key(s).
+    """Attach the as-of matching right row's columns to each left row.
 
     ``right_cols``: right columns to carry (default: all but key/time).
     Carried columns colliding with left names get ``suffix``.
     """
+    if strategy not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of strategy: {strategy!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by_cols]
@@ -47,33 +55,75 @@ def join_asof(
         c: c + suffix if c in left.columns else c for c in right_cols
     }
 
+    # the carried payload: right's `on` value + requested columns, as one
+    # struct so each window evaluates once regardless of column count.
+    payload_t = (
+        f"struct<__t:{right.schema[on].dataType.simpleString()},"
+        + ",".join(
+            f"{out_names[c]}:{right.schema[c].dataType.simpleString()}"
+            for c in right_cols
+        )
+        + ">"
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
-          for c in right_cols],
+        F.lit(None).cast(payload_t).alias("__payload"),
     )
     rhs = right.select(
         *[F.col(c) if c in by_cols + [on] else F.lit(None).cast(
             left.schema[c].dataType).alias(c) for c in left.columns],
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.struct(
+            F.col(on).alias("__t"),
+            *[F.col(c).alias(out_names[c]) for c in right_cols],
+        ).cast(payload_t).alias("__payload"),
     )
-    # right rows sort before left rows at equal timestamps iff exact
-    # matches are allowed.
-    tag_order = F.col("__is_left").asc() if allow_exact_matches else F.col(
-        "__is_left").desc()
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), tag_order)
+    unioned = lhs.unionByName(rhs)
+
+    # At equal `on`, whether a right row is visible to a left row is
+    # decided purely by sort order within the frame:
+    #   backward frame = (unbounded preceding .. current row)
+    #     exact matches allowed  -> right sorts BEFORE left
+    #   forward frame = (current row .. unbounded following)
+    #     exact matches allowed  -> right sorts AFTER left
+    # `nearest` needs both; with exact matches a tie belongs to backward,
+    # without, the row must be invisible to both.
+    bwd_tag = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
+    fwd_tag = F.col("__is_left").desc() if allow_exact_matches else F.col("__is_left").asc()
+    w_bwd = (
+        Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), bwd_tag)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lhs.unionByName(rhs).select(
-        *[c for c in left.columns],
-        F.col("__is_left"),
-        *[
-            F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
-            for c in right_cols
-        ],
+    w_fwd = (
+        Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), fwd_tag)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+    cols_out = [*left.columns, F.col("__is_left")]
+    if strategy == "backward":
+        picked = F.last("__payload", ignorenulls=True).over(w_bwd)
+        filled = unioned.select(*cols_out, picked.alias("__m"))
+    elif strategy == "forward":
+        picked = F.first("__payload", ignorenulls=True).over(w_fwd)
+        filled = unioned.select(*cols_out, picked.alias("__m"))
+    else:  # nearest
+        b = F.last("__payload", ignorenulls=True).over(w_bwd)
+        f_ = F.first("__payload", ignorenulls=True).over(w_fwd)
+        t = F.col(on)
+        picked = (
+            F.when(b.isNull(), f_)
+            .when(f_.isNull(), b)
+            # tie (equidistant) prefers backward: <=
+            .when((t - b["__t"]) <= (f_["__t"] - t), b)
+            .otherwise(f_)
+        )
+        filled = unioned.select(*cols_out, picked.alias("__m"))
+
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col("__m")[out_names[c]].alias(out_names[c]) for c in right_cols],
+        )
+    )

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The generalization of the reference's consumer-driven stateful loop
+(reference: src/polars_fastx/fastx_parsers.py:107-127 keeps running
+``n_rows`` state across batches): arbitrary per-key state carried
+across micro-batches by Spark's state store, with optional TTL-based
+eviction so state stays bounded on unbounded input.
+
+Example operator: **running per-user totals** — emits, per micro-batch
+and user, the cumulative event count/value-sum since the user was first
+seen. The same shape covers sessionization with custom logic, online
+aggregates, and feature backfills that windowed aggs can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("events_total", LongType(), True),
+        StructField("value_total", DoubleType(), True),
+        StructField("batch_events", LongType(), True),
+    ]
+)
+
+_STATE = StructType(
+    [
+        StructField("events_total", LongType(), True),
+        StructField("value_total", DoubleType(), True),
+    ]
+)
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Per-user cumulative totals, one output row per (user, micro-batch).
+
+    Append-mode stateful map (each emitted row is final for its batch):
+    state is (events_total, value_total) per user.
+
+    ``idle_timeout_ms``: evict a user's state after this much idle
+    processing time — the knob that bounds state size on unbounded key
+    spaces. Use it on continuous (processing-time) triggers only: a
+    processing-time timeout keeps the query alive waiting for clocks to
+    advance, so ``trigger(availableNow=True)`` runs would never
+    terminate. Default (None) = keep state forever (NoTimeout).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        events_n, value = state.get if state.exists else (0, 0.0)
+        batch_events = 0
+        for pdf in pdfs:
+            batch_events += len(pdf)
+            events_n += len(pdf)
+            value += float(pdf["value"].fillna(0.0).sum())
+        state.update((events_n, value))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_total": [events_n],
+                "value_total": [value],
+                "batch_events": [batch_events],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

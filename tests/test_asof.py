@@ -1,0 +1,75 @@
+"""As-of join strategies (J7) on a hand-built frame — every combination
+of strategy × allow_exact_matches has a hand-computed expectation."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_fastx_spark.operators.asof import join_asof
+
+LEFT = [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")]
+RIGHT = [(1, 10, 100.0), (1, 18, 180.0), (2, 20, 200.0)]
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(LEFT, ["k", "t", "tag"])
+    right = spark.createDataFrame(RIGHT, ["k", "t", "v"])
+    return left, right
+
+
+def _run(left, right, **kw):
+    rows = join_asof(left, right, on="t", by="k", **kw).collect()
+    return {r["tag"]: r["v"] for r in rows}
+
+
+def test_backward_exact(frames):
+    left, right = frames
+    assert _run(left, right) == {"a": 100.0, "b": 180.0, "c": None, "d": None}
+
+
+def test_backward_strict(frames):
+    left, right = frames
+    # left (1,10) no longer matches right (1,10)
+    assert _run(left, right, allow_exact_matches=False) == {
+        "a": None, "b": 180.0, "c": None, "d": None,
+    }
+
+
+def test_forward_exact(frames):
+    left, right = frames
+    assert _run(left, right, strategy="forward") == {
+        "a": 100.0,  # equal t matches
+        "b": None,   # nothing at t >= 20 for k=1
+        "c": 200.0,  # (2,20)
+        "d": None,   # k=3 has no right rows
+    }
+
+
+def test_forward_strict(frames):
+    left, right = frames
+    assert _run(left, right, strategy="forward", allow_exact_matches=False) == {
+        "a": 180.0,  # (1,10) excluded, next is (1,18)
+        "b": None, "c": 200.0, "d": None,
+    }
+
+
+def test_nearest(frames):
+    left, right = frames
+    # b at t=20: backward (18, d=2) vs nothing forward -> 180
+    # a at t=10: exact backward
+    assert _run(left, right, strategy="nearest") == {
+        "a": 100.0, "b": 180.0, "c": 200.0, "d": None,
+    }
+
+
+def test_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, 8, 8.0), (1, 12, 12.0)], ["k", "t", "v"])
+    assert _run(left, right, strategy="nearest") == {"x": 8.0}
+
+
+def test_column_collision_gets_suffix(frames):
+    left, right = frames
+    out = join_asof(left, right.withColumnRenamed("v", "tag"), on="t", by="k")
+    assert "tag_right" in out.columns and "tag" in out.columns

@@ -180,3 +180,45 @@ def test_fastx_stream_follows_directory(spark, tmp_path):
     result = _collect_parquet(spark, stream_fastx(spark, str(d)), out, ck)
     headers = sorted(r["header"] for r in result.collect())
     assert headers == ["s1", "s2", "s3"]  # each record ingested exactly once
+
+
+def test_applyinpandaswithstate_running_totals(spark, srcdir, tmp_path):
+    """Custom stateful operator: per-user totals accumulate across
+    micro-batches through the state store."""
+    from polars_fastx_spark.streaming.stateful import running_user_totals
+
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:00:00Z", 1, user=7, value=1.5),
+            _rows("2024-01-01T00:01:00Z", 2, user=7, value=2.5),
+            _rows("2024-01-01T00:02:00Z", 3, user=9, value=10.0),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    totals = running_user_totals(events)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    def run():
+        q = (
+            totals.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T00:05:00Z", 4, user=7, value=6.0)])
+    run()
+    rows = spark.read.parquet(str(out)).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(
+            (r["batch_events"], r["events_total"], r["value_total"])
+        )
+    # user 7: batch of 2 (totals 2, 4.0) then batch of 1 (totals 3, 10.0)
+    assert sorted(per_user[7]) == [(1, 3, 10.0), (2, 2, 4.0)]
+    assert per_user[9] == [(1, 1, 10.0)]

@@ -1431,6 +1431,97 @@ def l_lang_id(spark, sf_dir):
     )
 
 
+@_q(
+    "g_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p,
+           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS sum_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority NULLS FIRST
+    """,
+    "G6+: pivot (wide aggregation by category values)",
+)
+def g_pivot(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_sum").alias("sum_f"),
+    ).orderBy(F.col("o_orderpriority").asc_nulls_first())
+
+
+@_q(
+    "w_range_frame",
+    """
+    SELECT o_orderkey,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+           ) AS n_last_30d
+    FROM orders
+    ORDER BY o_orderkey NULLS FIRST
+    """,
+    "W3: value-based RANGE frame — orders per customer in trailing 30 days",
+)
+def w_range_frame(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        # o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so the
+        # cast's epoch matches DuckDB's epoch_us on the naive value
+        "od_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_us")
+        .rangeBetween(-30 * 24 * 3600 * 1_000_000, Window.currentRow)
+    )
+    return (
+        o.select("o_orderkey", F.count("*").over(w).alias("n_last_30d"))
+        .orderBy(F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "f_nulls",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal_nonneg,
+           (c_acctbal < 0) AS was_negative,
+           ifnull(CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END, 0.0)
+             AS bal_filled
+    FROM customer
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "F-null: nullif/coalesce/fillna + null-predicate handling",
+)
+def f_nulls(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bal_nonneg = F.when(F.col("c_acctbal") >= 0, F.round("c_acctbal", 2))
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        bal_nonneg.alias("bal_nonneg"),
+        (F.col("c_acctbal") < 0).alias("was_negative"),
+        F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_filled"),
+    ).orderBy(F.col("c_custkey").asc_nulls_first())
+
+
 # =====================================================================
 # §2.10 UDAF / UDTF surface (X5/X6)
 # =====================================================================

@@ -110,9 +110,11 @@ class FastxReader(DataSourceReader):
         parts: list[FastxPartition] = []
         for p in self._paths:
             splittable = (
-                not self._is_fastq
-                and not parser.is_gzip_file(p)
+                not parser.is_gzip_file(p)
                 and os.path.getsize(p) > self._split_bytes
+                # FASTQ splits only under verified 4-line framing —
+                # multi-line FASTQ can't resync safely (SURVEY.md §7.1)
+                and (not self._is_fastq or parser.probe_four_line_fastq(p))
             )
             if splittable:
                 size = os.path.getsize(p)

@@ -151,18 +151,146 @@ def parse_fastq_stream(f: BinaryIO) -> Iterator[tuple[str, str, str]]:
         yield header, seq.decode("utf-8"), b"".join(qual_chunks).decode("utf-8")
 
 
+def probe_four_line_fastq(path: str, n_records: int = 8) -> bool:
+    """True when the file's first ``n_records`` are strictly 4-line
+    framed (header/seq/plus/quality, quality length == sequence length).
+
+    Large sequencing FASTQ files are universally 4-line framed; the
+    probe gates byte-range splitting so the rare multi-line FASTQ falls
+    back to whole-file parsing instead of desyncing.
+    """
+    try:
+        with open(path, "rb") as f:
+            for _ in range(n_records):
+                lines = [f.readline().rstrip(b"\r\n") for _ in range(4)]
+                if lines[0] == b"" and all(not x for x in lines):
+                    return True  # clean EOF
+                if not (
+                    lines[0].startswith(b"@")
+                    and lines[2].startswith(b"+")
+                    and len(lines[3]) == len(lines[1])
+                ):
+                    return False
+        return True
+    except OSError:
+        return False
+
+
+def _is_record_start(lines: list[bytes], i: int, depth: int = 3) -> bool:
+    """Validated 4-line record start at ``lines[i]``: checks up to
+    ``depth`` consecutive records for @/+ framing and quality-length
+    match — the paranoid resync of SURVEY.md §7.1 ('@' and '+' are legal
+    quality characters, so a single-line check can false-positive;
+    a validated chain of length-matched records cannot in practice)."""
+    if i + 3 >= len(lines):
+        # can't see one full record from here: not an anchor (a tail
+        # fragment shorter than a record belongs to the previous range)
+        return False
+    checked = 0
+    while checked < depth and i + 3 < len(lines):
+        if not (
+            lines[i].startswith(b"@")
+            and lines[i + 2].startswith(b"+")
+            and len(lines[i + 3]) == len(lines[i + 1])
+        ):
+            return False
+        i += 4
+        checked += 1
+    return True
+
+
+def parse_fastq_range(
+    path: str, start: int, end: int
+) -> Iterator[tuple[str, str, str]]:
+    """Yield (header, sequence, quality) for 4-line FASTQ records whose
+    header line starts in byte range [start, end).
+
+    Resync: seek to ``start-1``, discard the partial line, then anchor
+    on the first line offset (among the next 4 line starts) that begins
+    a validated record chain. Adjacent ranges anchor on the same true
+    record boundaries, so every record is parsed exactly once. Callers
+    must gate with :func:`probe_four_line_fastq`.
+    """
+    with open(path, "rb") as f:
+        if start > 0:
+            f.seek(start - 1)
+            f.readline()
+        # buffer a lookahead window of (offset, line) for resync
+        pos = f.tell()
+        window: list[tuple[int, bytes]] = []
+        while len(window) < 16:
+            raw = f.readline()
+            if not raw:
+                break
+            window.append((pos, raw.rstrip(b"\r\n")))
+            pos += len(raw)
+        lines_only = [ln for _, ln in window]
+        anchor = None
+        for i in range(min(4, len(window))):
+            if window[i][0] >= end:
+                return  # next range owns everything from here
+            if _is_record_start(lines_only, i):
+                anchor = i
+                break
+        if anchor is None:
+            # No validated record start in view. For a mid-file range
+            # that means the visible lines are the tail of the previous
+            # range's last record — own nothing. From byte 0 it means
+            # the file itself is malformed.
+            if start == 0 and window:
+                raise ValueError(f"{path}: not 4-line FASTQ at byte 0")
+            return
+
+        def line_iter():
+            yield from window[anchor:]
+            p = pos
+            while True:
+                raw = f.readline()
+                if not raw:
+                    return
+                yield p, raw.rstrip(b"\r\n")
+                p += len(raw)
+
+        it = line_iter()
+        while True:
+            rec = []
+            for _ in range(4):
+                item = next(it, None)
+                if item is None:
+                    break
+                rec.append(item)
+            if not rec or (len(rec) == 1 and not rec[0][1]):
+                return  # clean EOF (possibly one trailing empty line)
+            if rec[0][0] >= end:
+                return  # next range owns this record
+            if len(rec) < 4:
+                raise ValueError(f"{path}: FASTQ truncated near byte {rec[0][0]}")
+            (_, h), (_, s), (_, plus), (_, q) = rec
+            if not h.startswith(b"@") or not plus.startswith(b"+"):
+                raise ValueError(
+                    f"{path}: FASTQ framing error near byte {rec[0][0]}"
+                )
+            yield h[1:].decode("utf-8"), s.decode("utf-8"), q.decode("utf-8")
+
+
 def parse_file(
     path: str, is_fastq: bool, start: int = 0, end: int | None = None
 ) -> Iterator[tuple]:
-    """Parse one file, or one byte-range of an uncompressed FASTA file."""
-    if is_fastq or is_gzip_file(path):
-        if start != 0 or end is not None:
-            raise ValueError("FASTQ/gzip inputs use whole-file partitions")
+    """Parse one file, or one byte-range of an uncompressed FASTX file."""
+    ranged = start != 0 or end is not None
+    if is_gzip_file(path):
+        if ranged:
+            raise ValueError("gzip inputs use whole-file partitions")
         with open_maybe_gzip(path) as f:
-            if is_fastq:
-                yield from parse_fastq_stream(f)
-            else:
-                yield from parse_fasta_stream(f)
+            yield from (parse_fastq_stream(f) if is_fastq else parse_fasta_stream(f))
         return
     size = os.path.getsize(path)
-    yield from parse_fasta_range(path, start, size if end is None else end)
+    stop = size if end is None else end
+    if is_fastq:
+        if ranged:
+            yield from parse_fastq_range(path, start, stop)
+        else:
+            with open(path, "rb") as f:
+                yield from parse_fastq_stream(f)
+        return
+    yield from parse_fasta_range(path, start, stop)

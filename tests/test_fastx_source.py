@@ -124,3 +124,63 @@ def test_sniff_errors(tmp_path):
     empty.write_text("")
     with pytest.raises(ValueError, match="empty file"):
         parser.sniff_is_fastq(str(empty))
+
+
+def test_fastq_range_parser_exhaustive_boundaries():
+    """Splittable FASTQ (SURVEY.md §7.1): for EVERY possible split point
+    S, ranges [0,S) + [S,size) together parse each record exactly once —
+    including quality lines that start with '@' and '+'."""
+    import tempfile, os
+    from polars_fastx_spark.sources import parser
+
+    records = []
+    for i in range(8):
+        seq = "ACGT" * (i + 1)
+        # qualities deliberately lead with the resync-hazard characters
+        qual = ("@" if i % 2 == 0 else "+") + "I" * (len(seq) - 1)
+        records.append((f"r{i} d", seq, qual))
+    with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as f:
+        for h, s, q in records:
+            f.write(f"@{h}\n{s}\n+\n{q}\n")
+        path = f.name
+    try:
+        assert parser.probe_four_line_fastq(path)
+        size = os.path.getsize(path)
+        whole = list(parser.parse_file(path, True))
+        assert whole == records
+        for split in range(1, size):
+            a = list(parser.parse_fastq_range(path, 0, split))
+            b = list(parser.parse_fastq_range(path, split, size))
+            assert a + b == records, f"split at byte {split}"
+    finally:
+        os.unlink(path)
+
+
+def test_fastq_split_scan_parity(spark, tmp_path):
+    """End-to-end: a split FASTQ scan returns the same rows as unsplit."""
+    from polars_fastx_spark.sources.fastx import scan_fastx
+
+    path = tmp_path / "big.fastq"
+    with open(path, "w") as f:
+        for i in range(500):
+            seq = "ACGTN" * 8
+            f.write(f"@q{i}\n{seq}\n+\n{'@' + 'J' * 39}\n")
+    df = scan_fastx(spark, str(path), split_bytes=2048)
+    assert df.rdd.getNumPartitions() > 1
+    rows = {r["header"] for r in df.collect()}
+    assert len(rows) == 500 and df.count() == 500
+
+
+def test_multiline_fastq_not_split(spark, tmp_path):
+    """Multi-line FASTQ fails the 4-line probe → whole-file partition."""
+    from polars_fastx_spark.sources import parser
+    from polars_fastx_spark.sources.fastx import scan_fastx
+
+    path = tmp_path / "ml.fastq"
+    with open(path, "w") as f:
+        for i in range(200):
+            f.write(f"@m{i}\nACGT\nACGT\n+\nIIII\nIIII\n")
+    assert not parser.probe_four_line_fastq(str(path))
+    df = scan_fastx(spark, str(path), split_bytes=1024)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 200

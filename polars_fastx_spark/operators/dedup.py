@@ -59,23 +59,40 @@ def char_shingles(col: str | F.Column, k: int = 5) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k)))
 
 
-def _minhash_one(shingles: F.Column, seed: int) -> F.Column:
-    # NB: the seed prefix must be captured via this factory, not a
-    # default-arg lambda — Spark binds extra lambda params to the array
-    # index, silently corrupting the closure.
-    prefix = F.lit(f"{seed}:")
-    return F.array_min(
-        F.transform(shingles, lambda x: F.md5(F.encode(F.concat(prefix, x), "UTF-8")))
-    )
+def _minhash_one(shingles: F.Column, seed: int, family: str) -> F.Column:
+    # NB: the seed must be captured via this factory, not a default-arg
+    # lambda — Spark binds extra lambda params to the array index,
+    # silently corrupting the closure.
+    if family == "md5":
+        prefix = F.lit(f"{seed}:")
+        return F.array_min(
+            F.transform(
+                shingles, lambda x: F.md5(F.encode(F.concat(prefix, x), "UTF-8"))
+            )
+        )
+    if family == "xxhash64":
+        seed_col = F.lit(seed)
+        return F.array_min(
+            F.transform(shingles, lambda x: F.xxhash64(seed_col, x))
+        )
+    raise ValueError(f"unknown minhash family: {family!r}")
 
 
-def minhash_signature(shingles: F.Column, num_hashes: int = 16) -> F.Column:
-    """array<string> of ``num_hashes`` lexicographic-min md5 values.
+def minhash_signature(
+    shingles: F.Column, num_hashes: int = 16, family: str = "md5"
+) -> F.Column:
+    """Array of ``num_hashes`` minimum hash values over the shingle set
+    — the classic MinHash estimator (Broder '97). Row-local, no shuffle.
 
-    Hash family h_s(x) = md5(s:x); min over a document's shingle set is
-    the classic MinHash estimator (Broder '97). Row-local, no shuffle.
+    Families:
+    - ``md5`` (default): h_s(x) = md5('s:' || x), min by hex string —
+      bit-reproducible in ANSI SQL, so the DuckDB oracle can replicate
+      signatures exactly. ~1 GB/s-class hash; fine for tests.
+    - ``xxhash64``: h_s(x) = xxhash64(s, x), min by int64 — JVM-native
+      and several times faster per shingle; the 100 TB production
+      family (no SQL oracle; property-tested instead).
     """
-    return F.array(*[_minhash_one(shingles, s) for s in range(num_hashes)])
+    return F.array(*[_minhash_one(shingles, s, family) for s in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -85,16 +102,31 @@ def minhash_lsh_candidates(
     shingle_k: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    family: str = "md5",
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
     ``num_hashes`` must be divisible by ``bands``; rows/band = n/b.
     Two documents become a candidate pair iff all rows of at least one
     band agree — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+
+    ``persist``: the banded table is self-joined, so it is persisted
+    (memory-and-disk) by default. Without this, both join sides inline
+    the full shingle→signature expression tree — signatures compute
+    twice AND whole-stage codegen compiles 2× bands copies of the tree
+    (measured ~8 s one-time JIT at 16 hashes × 4 bands). Production
+    pipelines at corpus scale should write the signature table to
+    storage instead and join from there.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(char_shingles(text_col, shingle_k), num_hashes)
+    sig = minhash_signature(
+        char_shingles(text_col, shingle_k), num_hashes, family
+    )
+    # band keys cast hash values to string before joining so both hash
+    # families share one banding path (md5 strings pass through, parity
+    # with the SQL oracle intact; xxhash64 int64s render in base 10)
     with_bands = df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).select(
         "__id",
         F.explode(
@@ -104,7 +136,13 @@ def minhash_lsh_candidates(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.encode(
-                                F.concat_ws("|", F.slice("__sig", b * r + 1, r)),
+                                F.concat_ws(
+                                    "|",
+                                    F.transform(
+                                        F.slice("__sig", b * r + 1, r),
+                                        lambda v: v.cast("string"),
+                                    ),
+                                ),
                                 "UTF-8",
                             )
                         ).alias("band_key"),
@@ -114,6 +152,8 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.band_key")
+    if persist:
+        with_bands = with_bands.persist()
     a, b = with_bands.alias("a"), with_bands.alias("b")
     return (
         a.join(

@@ -1,0 +1,102 @@
+"""Partitioning strategies for 100 TB joins/aggs (SURVEY.md §4.3).
+
+Three levers, in the order to reach for them:
+
+1. **Broadcast** (`F.broadcast`) — small dimension side: no shuffle at
+   all. Catalyst does this automatically under the size threshold; the
+   explicit hint is for when statistics lie.
+2. **Bucketing** — both fact tables pre-hashed into the same bucket
+   layout on the join key: every subsequent join/aggregation on that
+   key runs with ZERO exchanges, amortizing one write-time shuffle
+   across every downstream query. This is the canonical layout for a
+   corpus that is joined on the same key daily.
+3. **Salting** — one key dominates (power-law user, empty-string text
+   hash, null FK): split the hot key across ``n`` salted sub-keys,
+   replicate the small side's matching rows per salt, join on
+   (key, salt). AQE's skew-join handles moderate skew automatically;
+   explicit salting is for the pathological single-key case AQE splits
+   poorly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- bucketing
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: str | list[str],
+    num_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+optionally sorted) managed table.
+
+    Joins and aggregations between tables bucketed identically on the
+    join key need no exchange — the one write-time shuffle is paid
+    once, not per query. Spark's native catalog stores bucketing
+    metadata; readers get it via ``spark.table(name)``.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+# ----------------------------------------------------------------- salting
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy skew in ``left[on]``.
+
+    The big/skewed side gets a deterministic salt in ``[0, num_salts)``
+    derived from its other columns (``xxhash64`` of the whole row — no
+    RNG, so task retries are safe); the small side is replicated once
+    per salt via ``explode``. The shuffle then spreads the hot key over
+    ``num_salts`` partitions instead of one.
+
+    Output columns = left columns + right's non-key columns (like a
+    plain ``join(..., on)``).
+    """
+    left_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+        .cast("int"),
+    )
+    right_replicated = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))),
+    )
+    out = left_salted.join(right_replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_agg_count(
+    df: DataFrame, key: str, num_salts: int = 8
+) -> DataFrame:
+    """Two-phase count for a skewed groupBy key: partial counts per
+    (key, salt), then final sum per key — the hot key's rows spread over
+    ``num_salts`` reducers in phase one. (Spark's hash aggregate already
+    does map-side partials; explicit salting is for skew so extreme that
+    one reducer's final-phase input is itself the bottleneck.)"""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                         F.lit(num_salts)).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__n"))
+    return partial.groupBy(key).agg(F.sum("__n").alias("count"))

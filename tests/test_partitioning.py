@@ -1,0 +1,83 @@
+"""Bucketing and salting (SURVEY.md §4.3) — correctness AND the plans
+that justify them: a bucketed join must run with zero exchanges, a
+salted join must spread a hot key without changing results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark import plans
+from polars_fastx_spark.operators import partitioning as pt
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pt.write_bucketed(orders, "b_orders", "o_orderkey", num_buckets=8,
+                      sort_cols="o_orderkey")
+    pt.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", num_buckets=8, sort_cols="o_orderkey",
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_tables):
+    t1, t2 = bucketed_tables
+    joined = (
+        pt.read_bucketed(spark, t1)
+        .join(pt.read_bucketed(spark, t2), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    # join needs no exchange (co-bucketed); only the groupBy shuffles
+    assert plans.shuffle_count(joined) == 1
+    # and results match the plain-parquet plan
+    plain = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/lineitem.parquet").withColumnRenamed(
+                "l_orderkey", "o_orderkey"
+            ),
+            "o_orderkey",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # simulate pathological skew: 80% of rows on one key
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_linenumber") <= 4, F.lit(0)).otherwise(F.col("l_partkey"))
+    ).select("k", "l_quantity")
+    dim = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    salted = pt.salted_join(skewed, dim, "k")
+    plain = skewed.join(dim, "k")
+    assert salted.count() == plain.count()
+    a = salted.agg(F.round(F.sum(F.col("l_quantity") + F.col("v")), 2)).first()[0]
+    b = plain.agg(F.round(F.sum(F.col("l_quantity") + F.col("v")), 2)).first()[0]
+    assert a == b
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    salted = {
+        r["event_type"]: r["count"]
+        for r in pt.salted_agg_count(ev, "event_type").collect()
+    }
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert salted == plain

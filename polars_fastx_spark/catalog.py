@@ -1609,6 +1609,18 @@ def l_ann_lsh_topk(spark, sf_dir):
 
 
 @_q(
+    "l_ivf_topk",
+    None,  # approximate — recall property-tested vs exact in pytest
+    "L3 scale path: ANN top-k via IVF cells (deterministic centroids)",
+)
+def l_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, "vec_id", "embedding", k=5, num_cells=8).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+@_q(
     "l_multimodal_features",
     None,  # mapInPandas decode plumbing — no SQL twin (decoder is a stub hook)
     "L5: binary media column → deterministic fake decode → feature rows",

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -187,6 +187,92 @@ def ann_lsh_buckets(
     for bcol in bits[1:]:
         bucket = bucket * 2 + bcol
     return df.withColumn("bucket", bucket)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_cells: int = 16,
+    seed_stride: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: pick deterministic centroids, assign
+    every vector to its nearest cell.
+
+    Centroids are real data vectors sampled deterministically (every
+    ``seed_stride``-th row by ascending id — no RNG, stable across
+    runs/retries). Assignment is a broadcast join against the tiny
+    centroid table + one ``max_by`` groupBy — no O(n²) stage, no
+    iterative k-means (good-enough cells for candidate pruning; swap in
+    trained centroids without changing the pipeline shape).
+
+    Returns (assigned, centroids): ``assigned`` = df columns +
+    ``cell``; ``centroids`` = (cell, centroid_vec, centroid_norm).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    w = Window.orderBy("__id")
+    centroids = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % seed_stride == 0)
+        .limit(num_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("__id")) - 1).alias("cell"),
+            F.col("__v").alias("centroid_vec"),
+            F.col("__n").alias("centroid_norm"),
+        )
+    )
+    scored = base.join(F.broadcast(centroids)).select(
+        "__id", "__v", "__n", "cell",
+        cosine(
+            F.col("__v"), F.col("centroid_vec"),
+            F.col("__n"), F.col("centroid_norm"),
+        ).alias("__sim"),
+    )
+    assigned = (
+        scored.groupBy("__id")
+        .agg(
+            F.max_by("cell", "__sim").alias("cell"),
+            F.first("__v").alias("__v"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_cells: int = 16,
+) -> DataFrame:
+    """Approximate top-k most-similar pairs, candidates limited to
+    same-IVF-cell vectors (one equi-join on ``cell``), exact cosine
+    re-rank. The IVF analog of :func:`ann_topk_via_lsh` — candidate
+    volume Σ|cell|² instead of n²."""
+    assigned, _ = ivf_assign(df, id_col, vec_col, num_cells)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine(
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+        .limit(k)
+    )
 
 
 def ann_topk_via_lsh(

@@ -56,14 +56,24 @@ def test_agg_keeps_whole_stage_codegen(spark):
     assert plans.has_whole_stage_codegen(df)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["q_agg_tpch1", "j_inner_3way", "w_rank_topk", "o_topk",
-     "g_count_distinct", "f_json_extract", "l_exact_dedup"],
-)
-def test_headline_queries_avoid_cartesian(spark, name):
-    df = QUERIES[name].fn(spark, SF)
-    assert not plans.has_cartesian(df)
+#: queries whose SEMANTICS are a nested-loop/cross join — everything
+#: else in the catalog must plan without a cartesian product.
+ALLOWED_NESTED_LOOP = {
+    "j_cross",            # explicit cross join
+    "l_cosine_topk",      # brute-force pair generation (oracle tier)
+    "l_embed_neardup",    # id_a < id_b pair scan (exact, small side)
+    "l_ngram_jaccard",    # deterministic pair subset via inequality join
+    "l_ivf_topk",         # centroid assignment = broadcast × tiny centroid table
+}
+
+
+def test_whole_catalog_avoids_cartesian(spark):
+    offenders = []
+    for name, spec in sorted(QUERIES.items()):
+        df = spec.fn(spark, SF)
+        if plans.has_cartesian(df) and name not in ALLOWED_NESTED_LOOP:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/nested-loop plans: {offenders}"
 
 
 def test_minhash_lsh_no_cartesian(spark):

@@ -1,0 +1,71 @@
+"""Vector-similarity tiers (L3): the three implementations agree where
+they should, and the approximate ones keep useful recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _pairs(df):
+    return [(r["id_a"], r["id_b"], round(r["cosine"], 4)) for r in df.collect()]
+
+
+def test_sql_and_numpy_paths_agree(spark, emb):
+    a = _pairs(sim.cosine_topk_pairs_sql(emb, "vec_id", "embedding", k=5))
+    b = _pairs(sim.cosine_topk_numpy(emb, "vec_id", "embedding", k=5))
+    assert a == b
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    exact = set(
+        (r[0], r[1]) for r in _pairs(sim.cosine_topk_pairs_sql(emb, "vec_id", "embedding", k=5))
+    )
+    approx = sim.ivf_topk(emb, "vec_id", "embedding", k=5, num_cells=8)
+    rows = _pairs(approx)
+    assert len(rows) == 5
+    # approximate: requires only useful recall, not equality
+    assert len(exact & {(a, b) for a, b, _ in rows}) >= 1
+    # every reported cosine must be exact for its pair (re-rank is exact)
+    n = emb.count()
+    allp = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 4)
+        for r in sim.cosine_topk_pairs_sql(
+            emb, "vec_id", "embedding", k=n * (n - 1) // 2
+        ).collect()
+    }
+    for a, b, c in rows:
+        assert allp[(a, b)] == c
+
+
+def test_ivf_assignment_covers_all_vectors(spark, emb):
+    assigned, centroids = sim.ivf_assign(emb, "vec_id", "embedding", num_cells=8)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("__id").distinct().count() == n
+    cells = {r["cell"] for r in centroids.collect()}
+    used = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert used <= cells and len(cells) == 8
+
+
+def test_knn_query_side(spark, emb):
+    """cosine_topk_numpy with a distinct query side: k best matches per
+    overall ranking for external query vectors."""
+    queries = emb.limit(3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    out = sim.cosine_topk_numpy(emb, "vec_id", "embedding", k=3, query_df=queries)
+    rows = out.collect()
+    assert len(rows) == 3
+    # each query vector is a copy of an index vector -> top matches
+    # include its twin at cosine ~1
+    assert max(r["cosine"] for r in rows) > 0.9999

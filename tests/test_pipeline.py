@@ -69,3 +69,16 @@ def test_stdout_write(spark, capsys):
     lines = captured.strip().splitlines()
     assert lines[0] == "header\tlength"
     assert len(lines) == 4
+
+
+def test_cli_main_stdout(spark, tmp_path, capsys):
+    """python -m polars_fastx_spark parity: stdout TSV with selected fields."""
+    from polars_fastx_spark.__main__ import main
+
+    fa = tmp_path / "c.fasta"
+    fa.write_text(">h1 d\nGGCC\n>h2\nNNNN\n")
+    assert main([str(fa), "--fields", "header,length,gc_content,n_count"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["header", "length", "gc_content", "n_count"]
+    assert out[1].split("\t") == ["h1 d", "4", "1.0", "0"]
+    assert out[2].split("\t") == ["h2", "4", "0.0", "4"]

@@ -1742,6 +1742,43 @@ def t_session_window(spark, sf_dir):
     )
 
 
+@_q(
+    "u_unpivot",
+    """
+    SELECT o_orderkey, kind,
+           CAST(floor(amount * 100 + 0.5) AS BIGINT) AS amount_cents
+    FROM (
+      SELECT o_orderkey, 'total' AS kind, o_totalprice AS amount FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'half', o_totalprice / 2 FROM orders
+    )
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey NULLS FIRST, kind NULLS FIRST
+    """,
+    "U4: unpivot/melt — wide columns to (key, kind, amount) rows",
+)
+def u_unpivot(spark, sf_dir):
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("total"),
+            (F.col("o_totalprice") / 2).alias("half"),
+        )
+    )
+    return (
+        o.unpivot("o_orderkey", ["total", "half"], "kind", "amount")
+        # cents-as-bigint: round(double, 2) half-way behavior differs
+        # across engines (SURVEY.md §4.4.2)
+        .select(
+            "o_orderkey", "kind",
+            F.floor(F.col("amount") * 100 + 0.5).cast("bigint").alias("amount_cents"),
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_first(), F.col("kind").asc_nulls_first())
+    )
+
+
 # =====================================================================
 # §2.1 scans (S4) — multi-table scan sanity
 # =====================================================================

@@ -222,3 +222,24 @@ def test_applyinpandaswithstate_running_totals(spark, srcdir, tmp_path):
     # user 7: batch of 2 (totals 2, 4.0) then batch of 1 (totals 3, 10.0)
     assert sorted(per_user[7]) == [(1, 3, 10.0), (2, 2, 4.0)]
     assert per_user[9] == [(1, 1, 10.0)]
+
+
+def test_streaming_composes_with_seq_functions(spark, tmp_path):
+    """The seq namespace composes into streaming plans unchanged: per-
+    micro-batch GC content over a followed FASTX directory."""
+    from polars_fastx_spark.functions import seq as sq
+    from polars_fastx_spark.streaming.fastx_stream import stream_fastx
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "fa"
+    d.mkdir()
+    (d / "a.fasta").write_text(">s1\nGGCC\n>s2\nAATT\n")
+    stats = stream_fastx(spark, str(d)).select(
+        "header",
+        sq.gc_content("sequence").alias("gc"),
+        sq.generate_hash("sequence", 8).alias("h8"),
+    )
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    result = _collect_parquet(spark, stats, out, ck)
+    got = {r["header"]: (r["gc"], len(r["h8"])) for r in result.collect()}
+    assert got == {"s1": (1.0, 8), "s2": (0.0, 8)}

@@ -1174,6 +1174,31 @@ def k_kmer_freq(spark, sf_dir):
     )
 
 
+@_q(
+    "k_quality_metrics",
+    """
+    WITH ch AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) - 33 AS qv
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+            FROM documents WHERE doc_id % 20 = 0)
+    )
+    SELECT doc_id,
+           round(avg(qv), 6) AS mean_q,
+           round(avg(CASE WHEN qv >= 20 THEN 1.0 ELSE 0.0 END), 6) AS q20_frac
+    FROM ch GROUP BY doc_id
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "K+: phred quality metrics (mean score, Q20 fraction) — text as phred33",
+)
+def k_quality_metrics(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return d.select(
+        "doc_id",
+        F.round(sq.mean_quality("text"), 6).alias("mean_q"),
+        F.round(sq.q_at_least_fraction("text", 20), 6).alias("q20_frac"),
+    ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
 # =====================================================================
 # §2.11 LLM-pipeline operators (L1-L5)
 # =====================================================================

@@ -205,6 +205,35 @@ def map_as_sorted_json(m: Column | str, scale: int = 9) -> Column:
     return F.concat(F.lit("{"), F.array_join(parts, ","), F.lit("}"))
 
 
+def mean_quality(q: Column | str, offset: int = 33) -> Column:
+    """Mean phred score of a FASTQ quality string (phred+33 default).
+
+    Pure Column fold over ASCII codes — null for empty/null quality.
+    (Quality analysis is the half of the FASTQ schema the reference
+    parses but never computes on; reference fastx_parsers.py:91.)
+    """
+    col = _col(q)
+    chars = F.filter(F.split(col, ""), lambda ch: ch != "")
+    total = F.aggregate(
+        F.transform(chars, lambda ch: F.ascii(ch) - offset),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.nullif(F.length(col), F.lit(0))
+
+
+def q_at_least_fraction(q: Column | str, threshold: int = 20,
+                        offset: int = 33) -> Column:
+    """Fraction of bases with phred quality ≥ ``threshold`` (Q20/Q30
+    metrics). Null for empty/null quality."""
+    col = _col(q)
+    chars = F.filter(F.split(col, ""), lambda ch: ch != "")
+    hits = F.size(
+        F.filter(chars, lambda ch: (F.ascii(ch) - offset) >= threshold)
+    )
+    return hits / F.nullif(F.length(col), F.lit(0))
+
+
 class SeqAccessor:
     """Fluent accessor mirroring Polars' ``pl.col("sequence").seq.*``.
 
@@ -232,6 +261,12 @@ class SeqAccessor:
 
     def calculate_kmer_frequencies(self, k: int = 3) -> Column:
         return kmer_frequencies(self._c, k)
+
+    def mean_quality(self, offset: int = 33) -> Column:
+        return mean_quality(self._c, offset)
+
+    def q_at_least_fraction(self, threshold: int = 20, offset: int = 33) -> Column:
+        return q_at_least_fraction(self._c, threshold, offset)
 
 
 def seq(c: Column | str) -> SeqAccessor:

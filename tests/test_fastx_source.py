@@ -184,3 +184,20 @@ def test_multiline_fastq_not_split(spark, tmp_path):
     df = scan_fastx(spark, str(path), split_bytes=1024)
     assert df.rdd.getNumPartitions() == 1
     assert df.count() == 200
+
+
+def test_corrupt_fastq_raises_cleanly():
+    """Mid-file framing corruption surfaces as a ValueError naming the
+    file, not silent data loss."""
+    import tempfile, os
+    import pytest
+    from polars_fastx_spark.sources import parser
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as f:
+        f.write("@ok\nACGT\n+\nIIII\nnot-a-header\nACGT\n+\nIIII\n")
+        path = f.name
+    try:
+        with pytest.raises(ValueError, match="framing"):
+            list(parser.parse_file(path, True))
+    finally:
+        os.unlink(path)

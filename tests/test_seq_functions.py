@@ -130,3 +130,23 @@ def test_count_matches_multichar(spark):
     df = spark.createDataFrame([("abcabcabc",)], "s string")
     assert df.select(sq.count_matches("s", "abc").alias("c")).first()["c"] == 3
     assert df.select(sq.count_matches("s", "b").alias("c")).first()["c"] == 3
+
+
+def test_quality_metrics(spark):
+    """Phred quality metrics hand-checked: '!'=Q0, '5'=Q20, 'I'=Q40."""
+    df = spark.createDataFrame(
+        [("!!II",), ("5555",), ("",), (None,)], "q string"
+    )
+    rows = df.select(
+        "q",
+        sq.mean_quality("q").alias("mq"),
+        sq.q_at_least_fraction("q", 20).alias("q20"),
+        sq.q_at_least_fraction("q", 30).alias("q30"),
+    ).collect()
+    by_q = {r["q"]: r for r in rows}
+    assert by_q["!!II"]["mq"] == 20.0  # (0+0+40+40)/4
+    assert by_q["!!II"]["q20"] == 0.5 and by_q["!!II"]["q30"] == 0.5
+    assert by_q["5555"]["mq"] == 20.0 and by_q["5555"]["q20"] == 1.0
+    assert by_q["5555"]["q30"] == 0.0
+    assert by_q[""]["mq"] is None and by_q[""]["q20"] is None
+    assert by_q[None]["mq"] is None

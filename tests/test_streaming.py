@@ -243,3 +243,21 @@ def test_streaming_composes_with_seq_functions(spark, tmp_path):
     result = _collect_parquet(spark, stats, out, ck)
     got = {r["header"]: (r["gc"], len(r["h8"])) for r in result.collect()}
     assert got == {"s1": (1.0, 8), "s2": (0.0, 8)}
+
+
+def test_sliding_counts_stream(spark, srcdir, tmp_path):
+    """T4: each event lands in width/slide overlapping windows."""
+    _write_batch(srcdir, "b0.json", [_rows("2024-01-01T00:50:00Z", 1)])
+    events = sp.stream_events(spark, str(srcdir))
+    agg = sp.sliding_counts(events, width="1 hour", slide="30 minutes",
+                            watermark="10 minutes")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, agg, out, ck)
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T09:00:00Z", 2)])
+    result = _collect_parquet(spark, agg, out, ck)
+    starts = sorted(
+        r["window_start"].isoformat()
+        for r in result.filter("n_events = 1 AND window_start < timestamp'2024-01-01 08:00:00'").collect()
+    )
+    # 00:50 belongs to [00:00,01:00) and [00:30,01:30)
+    assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:30:00"]

@@ -1343,24 +1343,10 @@ def l_cosine_topk(spark, sf_dir):
     "L2/L3: embedding-cosine near-duplicate pairs (threshold 0.35)",
 )
 def l_embed_neardup(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    base = e.withColumn("n", similarity.l2_norm(F.col("emb")))
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            similarity.cosine(
-                F.col("a.emb"), F.col("b.emb"), F.col("a.n"), F.col("b.n")
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.35)
-        .select("id_a", "id_b")
-        .orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
-    )
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_above_numpy(
+        e, "vec_id", "embedding", threshold=0.35
+    ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
 @_q(

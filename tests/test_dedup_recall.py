@@ -9,7 +9,7 @@ import pytest
 from polars_fastx_spark.operators import dedup
 
 
-@pytest.mark.parametrize("family", ["md5", "xxhash64"])
+@pytest.mark.parametrize("family", ["md5", "xxhash64", "perm"])
 def test_exact_dups_always_candidates(spark, family):
     base = (
         "the quick brown fox jumps over the lazy dog and keeps running "
@@ -31,7 +31,7 @@ def test_exact_dups_always_candidates(spark, family):
     assert len(near) >= 4
 
 
-@pytest.mark.parametrize("family", ["md5", "xxhash64"])
+@pytest.mark.parametrize("family", ["md5", "xxhash64", "perm"])
 def test_verification_stage_filters_false_positives(spark, family):
     rows = [(1, "aaaa bbbb cccc dddd eeee"), (2, "aaaa bbbb cccc dddd eeee"),
             (3, "zzzz yyyy xxxx wwww vvvv")]

@@ -1754,6 +1754,41 @@ def t_session_window(spark, sf_dir):
 
 
 @_q(
+    "r_upsample_ffill",
+    """
+    WITH base AS (
+      SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             round(sum(value), 2) AS day_value
+      FROM events WHERE user_id % 100 = 0
+      GROUP BY user_id, day
+    ), bounds AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM base GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           round(last_value(b.day_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS day_value
+    FROM spine s LEFT JOIN base b ON b.user_id = s.user_id AND b.day = s.day
+    ORDER BY s.user_id NULLS FIRST, s.day NULLS FIRST
+    """,
+    "R: upsample to dense daily spine + forward fill (Polars upsample analog)",
+)
+def r_upsample_ffill(spark, sf_dir):
+    from polars_fastx_spark.operators.resample import upsample_ffill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 100 == 0)
+    daily = ev.groupBy(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    out = upsample_ffill(daily, "day", "user_id", ["day_value"])
+    return out.select(
+        "user_id", "day", F.round("day_value", 2).alias("day_value")
+    ).orderBy(F.col("user_id").asc_nulls_first(), F.col("day").asc_nulls_first())
+
+
+@_q(
     "u_unpivot",
     """
     SELECT o_orderkey, kind,

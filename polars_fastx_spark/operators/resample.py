@@ -1,0 +1,64 @@
+"""Time-series resampling (Polars ``upsample``/gap-fill analog).
+
+Polars exposes ``DataFrame.upsample`` + fill strategies on the frame
+the reference's scan returns; the Spark composition is:
+
+1. per-key spine: ``sequence(min(bucket), max(bucket), step)`` +
+   ``explode`` — each key's spine generates from ONE aggregated row, so
+   spine creation is a groupBy, not a cross join;
+2. left join the observed buckets onto the spine (equi-join on
+   (key, bucket) — broadcastable when the spine is small, shuffled
+   hash otherwise);
+3. forward-fill with ``last(value, ignoreNulls=True)`` over the
+   per-key ordered window — one shuffle, shared with the join when AQE
+   co-partitions.
+
+Buckets are integers (e.g. epoch days/hours) — integer spines are
+deterministic across engines, where timestamp interval arithmetic is
+where oracle parity goes to die (SURVEY.md §4.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsample_ffill(
+    df: DataFrame,
+    bucket_col: str,
+    by: str | list[str],
+    value_cols: list[str],
+    step: int = 1,
+) -> DataFrame:
+    """Dense per-key bucket spine with forward-filled values.
+
+    ``df`` must hold ONE row per (key, bucket) — pre-aggregate first.
+    Returns one row per key per bucket in [min, max] with each value
+    column forward-filled (nulls before the first observation remain
+    null, like Polars' ``fill_null(strategy='forward')``).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    spine = (
+        df.groupBy(*by_cols)
+        .agg(
+            F.min(bucket_col).alias("__lo"),
+            F.max(bucket_col).alias("__hi"),
+        )
+        .select(
+            *by_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(df, on=by_cols + [bucket_col], how="left")
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return joined.select(*by_cols, bucket_col, *filled)

@@ -73,3 +73,20 @@ def test_column_collision_gets_suffix(frames):
     left, right = frames
     out = join_asof(left, right.withColumnRenamed("v", "tag"), on="t", by="k")
     assert "tag_right" in out.columns and "tag" in out.columns
+
+
+def test_upsample_ffill_semantics(spark):
+    """Gaps fill forward; buckets before the first observation of a
+    value stay null; spine spans [min, max] per key."""
+    from polars_fastx_spark.operators.resample import upsample_ffill
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 13, 4.0), (2, 5, 9.0)],
+        ["k", "day", "v"],
+    )
+    out = upsample_ffill(df, "day", "k", ["v"])
+    rows = {(r["k"], r["day"]): r["v"] for r in out.collect()}
+    assert rows == {
+        (1, 10): 1.0, (1, 11): 1.0, (1, 12): 1.0, (1, 13): 4.0,
+        (2, 5): 9.0,
+    }

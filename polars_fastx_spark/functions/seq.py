@@ -103,59 +103,50 @@ def _freq_map(tokens: Column) -> Column:
     shuffle-free, so it parallelizes embarrassingly at any scale; keys
     come out sorted, giving deterministic to_json renderings.
     """
-    srt = F.array_sort(F.filter(tokens, lambda x: ~x.contains("N")))
-    # Single-pass run-length fold. CRITICAL: ``srt`` is referenced
-    # exactly ONCE — higher-order lambdas re-evaluate their input
-    # expression tree per element, so any positional scheme
-    # (element_at(srt, i) inside a lambda) re-sorts the array n times
-    # and turns O(n log n) into O(n² log n) with a brutal constant.
-    # Lambda variables, by contrast, are bound values — free to reuse.
-    acc0 = F.struct(
-        F.array().cast("array<struct<key:string,cnt:bigint>>").alias("entries"),
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("bigint").alias("cnt"),
-        F.lit(0).cast("bigint").alias("total"),
-    )
+    srt_expr = F.array_sort(F.filter(tokens, lambda x: ~x.contains("N")))
 
-    def _merge(acc, x):
-        same = acc["prev"].isNotNull() & (acc["prev"] == x)
-        flushed = F.when(same | acc["prev"].isNull(), acc["entries"]).otherwise(
-            F.concat(
-                acc["entries"],
-                F.array(
-                    F.struct(acc["prev"].alias("key"), acc["cnt"].alias("cnt"))
-                ),
-            )
+    # Run-length over the sorted array in O(n): boundary positions →
+    # zip starts with ends → one struct per distinct token.
+    #
+    # CRITICAL let-binding: higher-order lambdas re-evaluate their
+    # input EXPRESSION tree per element, so element_at(srt_expr, i)
+    # inside a lambda would re-sort the array n times (O(n² log n),
+    # measured ~0.2 s/row). Lambda VARIABLES are bound values — so the
+    # whole computation is wrapped in a single-element transform whose
+    # lambda receives the sorted array once; inner element_at calls
+    # against that bound variable are O(1). (A fold-based alternative
+    # avoids the binding but copies its accumulator array per element —
+    # O(n·d) — measured 2.4x slower on 4-mers at sf0.1.)
+    def _build(srt: Column) -> Column:
+        total = F.size(srt)
+        idx = F.when(total > 0, F.sequence(F.lit(1), total)).otherwise(
+            F.array().cast("array<int>")
         )
-        return F.struct(
-            flushed.alias("entries"),
-            x.alias("prev"),
-            F.when(same, acc["cnt"] + 1)
-            .otherwise(F.lit(1).cast("bigint"))
-            .alias("cnt"),
-            (acc["total"] + 1).alias("total"),
+        # when() (not boolean or) so element_at(srt, 0) is never evaluated
+        starts = F.filter(
+            idx,
+            lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                F.element_at(srt, i) != F.element_at(srt, i - 1)
+            ),
         )
+        ends = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(total + 1),
+        )
+        entries = F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(
+                F.element_at(srt, s).alias("key"),
+                ((e - s) / total).alias("value"),
+            ),
+        )
+        empty = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<double>")
+        )
+        return F.when(total > 0, F.map_from_entries(entries)).otherwise(empty)
 
-    def _finish(acc):
-        entries = F.when(acc["prev"].isNull(), acc["entries"]).otherwise(
-            F.concat(
-                acc["entries"],
-                F.array(
-                    F.struct(acc["prev"].alias("key"), acc["cnt"].alias("cnt"))
-                ),
-            )
-        )
-        total = acc["total"]
-        return F.map_from_entries(
-            F.transform(
-                entries,
-                lambda e: F.struct(
-                    e["key"].alias("key"), (e["cnt"] / total).alias("value")
-                ),
-            )
-        )
-
-    return F.aggregate(srt, acc0, _merge, _finish)
+    return F.element_at(F.transform(F.array(srt_expr), _build), 1)
 
 
 def codon_usage(c: Column | str) -> Column:

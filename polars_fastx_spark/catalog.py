@@ -1175,6 +1175,30 @@ def k_kmer_freq(spark, sf_dir):
 
 
 @_q(
+    "f_levenshtein",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 25 = 0
+    ORDER BY id_a NULLS FIRST
+    """,
+    "F1: levenshtein edit distance between adjacent docs (40-char prefixes)",
+)
+def f_levenshtein(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 40).alias("ta")
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), F.substring("text", 1, 40).alias("tb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.levenshtein("ta", "tb").alias("dist"))
+        .orderBy(F.col("id_a").asc_nulls_first())
+    )
+
+
+@_q(
     "k_quality_metrics",
     """
     WITH ch AS (

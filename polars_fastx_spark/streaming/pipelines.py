@@ -148,6 +148,41 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``within`` AFTER the
+    left row, per key.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both ends — the two requirements that let Spark evict join
+    state instead of buffering both streams forever. Column names are
+    prefixed l_/r_ (both sides share the events schema).
+    """
+    l = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts > l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+    )
+
+
 def write_tsv_stream(
     df: DataFrame,
     path: str,

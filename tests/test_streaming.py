@@ -261,3 +261,36 @@ def test_sliding_counts_stream(spark, srcdir, tmp_path):
     )
     # 00:50 belongs to [00:00,01:00) and [00:30,01:30)
     assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:30:00"]
+
+
+def test_stream_stream_join(spark, srcdir, tmp_path):
+    """Stream-stream join with bounded state: purchases joined to the
+    clicks that follow within the hour, across micro-batches."""
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:00:00Z", 1, user=7, etype="purchase"),
+            _rows("2024-01-01T00:10:00Z", 2, user=7, etype="click", value=5.0),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    purchases = events.filter("event_type = 'purchase'")
+    clicks = events.filter("event_type = 'click'")
+    joined = sp.stream_stream_join(purchases, clicks)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, joined, out, ck)
+    # a later click still lands within the window (cross-batch join state)
+    _write_batch(
+        srcdir,
+        "b1.json",
+        [
+            _rows("2024-01-01T00:40:00Z", 3, user=7, etype="click", value=9.0),
+            _rows("2024-01-01T05:00:00Z", 4, user=8, etype="click"),  # watermark pusher
+        ],
+    )
+    result = _collect_parquet(spark, joined, out, ck)
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"], r["r_value"]) for r in result.collect()
+    )
+    assert got == [(1, 2, 5.0), (1, 3, 9.0)]

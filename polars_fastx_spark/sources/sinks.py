@@ -70,3 +70,52 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_fastx(
+    df: DataFrame,
+    path: str,
+    wrap: int | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """FASTX sink: render (header, sequence[, quality]) rows back to
+    FASTA/FASTQ text — the inverse of ``scan_fastx``, which the
+    reference has no analog of (its IO is read-only).
+
+    FASTQ when a ``quality`` column exists (4-line framing), else FASTA
+    with optional ``wrap``-column sequence wrapping. Fully distributed
+    (one text file per partition, records never split across files);
+    ``compression='gzip'`` writes .gz parts.
+    """
+    is_fastq = "quality" in df.columns
+    if is_fastq:
+        rec = F.concat_ws(
+            "\n",
+            F.concat(F.lit("@"), F.col("header")),
+            F.col("sequence"),
+            F.lit("+"),
+            F.col("quality"),
+        )
+    else:
+        seq = F.col("sequence")
+        if wrap:
+            seq = F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            (F.length("sequence") - 1) / wrap, F.lit(0)
+                        ).cast("int"),
+                    ),
+                    lambda i: F.substring("sequence", i * wrap + 1, wrap),
+                ),
+                "\n",
+            )
+        rec = F.concat_ws(
+            "\n", F.concat(F.lit(">"), F.col("header")), seq
+        )
+    w = df.select(rec.alias("value")).write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

@@ -201,3 +201,36 @@ def test_corrupt_fastq_raises_cleanly():
             list(parser.parse_file(path, True))
     finally:
         os.unlink(path)
+
+
+def test_write_fastx_roundtrip_fasta(spark, tmp_path):
+    """scan -> write_fastx -> scan yields identical records (wrapped
+    and unwrapped), completing the read/write format pair."""
+    from polars_fastx_spark.sources.fastx import scan_fastx
+    from polars_fastx_spark.sources.sinks import write_fastx
+
+    src = tmp_path / "src.fasta"
+    src.write_text(">a desc\n" + "ACGT" * 50 + "\n>b\n\n>c\nNNNN\n")
+    df = scan_fastx(spark, str(src))
+    want = sorted(map(tuple, df.collect()))
+
+    for wrap in (None, 70):
+        out = tmp_path / f"out_{wrap}"
+        write_fastx(df, str(out), wrap=wrap)
+        back = scan_fastx(spark, str(out) + "/part-*.txt")
+        assert sorted(map(tuple, back.collect())) == want
+
+
+def test_write_fastx_roundtrip_fastq_gzip(spark, tmp_path):
+    from polars_fastx_spark.sources.fastx import scan_fastx
+    from polars_fastx_spark.sources.sinks import write_fastx
+
+    src = tmp_path / "src.fastq"
+    src.write_text("@q1\nACGT\n+\n@+!I\n@q2\nGGGG\n+\n++++\n")
+    df = scan_fastx(spark, str(src))
+    out = tmp_path / "out"
+    write_fastx(df, str(out), compression="gzip")
+    parts = list(out.glob("part-*.txt.gz"))
+    assert parts
+    back = scan_fastx(spark, str(out) + "/part-*.txt.gz", format="fastq")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -1291,6 +1291,66 @@ def l_minhash_lsh(spark, sf_dir):
 
 
 @_q(
+    "l_dedup_groups",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4, 1)) AS i
+            FROM documents WHERE length(text) >= 5)
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS m0,  min(md5('1:' || s)) AS m1,
+             min(md5('2:' || s)) AS m2,  min(md5('3:' || s)) AS m3,
+             min(md5('4:' || s)) AS m4,  min(md5('5:' || s)) AS m5,
+             min(md5('6:' || s)) AS m6,  min(md5('7:' || s)) AS m7,
+             min(md5('8:' || s)) AS m8,  min(md5('9:' || s)) AS m9,
+             min(md5('10:' || s)) AS m10, min(md5('11:' || s)) AS m11,
+             min(md5('12:' || s)) AS m12, min(md5('13:' || s)) AS m13,
+             min(md5('14:' || s)) AS m14, min(md5('15:' || s)) AS m15
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+             md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS b0,
+             md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS b1,
+             md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) AS b2,
+             md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    ), edges2 AS (
+      SELECT u, v FROM cand UNION SELECT v, u FROM cand
+    ), reach AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u AND r.u <> e.v
+    )
+    SELECT least(u, min(v)) AS component, count(DISTINCT v) + 1 AS group_size,
+           to_json(list_sort(list_append(list(DISTINCT v), u))) AS members
+    FROM reach GROUP BY u
+    HAVING least(u, min(v)) = u
+    ORDER BY component NULLS FIRST
+    """,
+    "L2 end-to-end: LSH candidate pairs → connected components → dup groups "
+    "(iterative label propagation vs DuckDB recursive-CTE closure)",
+)
+def l_dedup_groups(spark, sf_dir):
+    from polars_fastx_spark.operators.graph import duplicate_groups_from_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, family="md5"
+    )
+    groups = duplicate_groups_from_pairs(pairs)
+    return groups.select(
+        "component", "group_size", F.to_json("members").alias("members")
+    ).orderBy(F.col("component").asc_nulls_first())
+
+
+@_q(
     "l_ngram_jaccard",
     """
     WITH sh AS (

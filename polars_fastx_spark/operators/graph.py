@@ -1,0 +1,93 @@
+"""Connected components over a pair graph — dup-group clustering.
+
+Near-duplicate detection emits PAIRS (LSH/SimHash candidates); dedup
+pipelines need GROUPS ("keep one doc per component"). Components come
+from iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until no label changes. Each iteration is two shuffles (the
+message join + the min aggregation) over the edge list; iteration
+count is the graph diameter, which for near-dup graphs is tiny (dup
+clusters are near-cliques). The driver loop only ever collects ONE
+scalar (the converged? count) per iteration — no vertex data reaches
+the driver, so the algorithm scales with the cluster, not the driver.
+
+This is the label-propagation style of the MapReduce CC literature
+(e.g. Kang et al.'s HCC in PEGASUS); the large-star/small-star variant
+is the upgrade path if diameters ever get large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; the
+    component id is the minimum node id in the component.
+
+    Raises after ``max_iterations`` without convergence (near-dup
+    graphs converge in a handful of rounds; a non-converging input
+    signals a pathological graph better surfaced than silently
+    mislabeled).
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        bidir.select("u").distinct().select(
+            F.col("u").alias("node"), F.col("u").alias("component")
+        )
+    ).persist()
+    try:
+        for _ in range(max_iterations):
+            # neighbor labels flow along edges; keep the minimum seen
+            msgs = bidir.join(
+                labels, bidir.v == labels.node, "inner"
+            ).select(F.col("u").alias("node"), F.col("component"))
+            new_labels = (
+                labels.select("node", "component")
+                .union(msgs)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            ).persist()
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "old"), "node"
+                )
+                .filter(F.col("component") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iterations} iterations"
+        )
+    finally:
+        bidir.unpersist()
+
+
+def duplicate_groups_from_pairs(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Near-dup pairs → (component, size, member ids sorted) groups."""
+    cc = connected_components(pairs, id_a, id_b)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+    )

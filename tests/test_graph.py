@@ -1,0 +1,51 @@
+"""Connected components (dup-group clustering) — hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_fastx_spark.operators.graph import (
+    connected_components,
+    duplicate_groups_from_pairs,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4 chain: candidates never compared 1 vs 4 directly, but the
+    # component must still unify (the reason pair→group needs CC at all)
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (5, 6), (6, 7), (10, 11)])
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+
+def test_dense_clique(spark):
+    edges = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 20
+
+
+def test_groups_rollup(spark):
+    df = spark.createDataFrame([(3, 7), (7, 9), (20, 21)], ["id_a", "id_b"])
+    groups = {
+        r["component"]: (r["group_size"], list(r["members"]))
+        for r in duplicate_groups_from_pairs(df).collect()
+    }
+    assert groups == {3: (3, [3, 7, 9]), 20: (2, [20, 21])}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(df, max_iterations=2)

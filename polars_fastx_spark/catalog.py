@@ -1290,9 +1290,11 @@ def l_minhash_lsh(spark, sf_dir):
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
-@_q(
-    "l_dedup_groups",
-    """
+# Shared DuckDB CTE chain: 5-char shingles → 16-hash md5 MinHash → 4
+# bands → candidate pairs → transitive closure (reach = all reachable
+# nodes per node). Mirrors dedup.minhash_lsh_candidates(family="md5")
+# bit-exactly, then closes over the pair graph like operators/graph.py.
+_LSH_REACH_CTE = """
     WITH RECURSIVE sh AS (
       SELECT DISTINCT doc_id, substr(text, i, 5) AS s
       FROM (SELECT doc_id, text,
@@ -1328,6 +1330,13 @@ def l_minhash_lsh(spark, sf_dir):
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u AND r.u <> e.v
     )
+"""
+
+
+@_q(
+    "l_dedup_groups",
+    _LSH_REACH_CTE
+    + """
     SELECT least(u, min(v)) AS component, count(DISTINCT v) + 1 AS group_size,
            to_json(list_sort(list_append(list(DISTINCT v), u))) AS members
     FROM reach GROUP BY u
@@ -1348,6 +1357,34 @@ def l_dedup_groups(spark, sf_dir):
     return groups.select(
         "component", "group_size", F.to_json("members").alias("members")
     ).orderBy(F.col("component").asc_nulls_first())
+
+
+@_q(
+    "l_dedup_keep",
+    _LSH_REACH_CTE
+    + """
+    SELECT u AS doc_id, min(v) AS kept_as
+    FROM reach GROUP BY u
+    HAVING min(v) < u
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L2 dedup decision: every non-canonical near-dup doc mapped to the "
+    "canonical (min-id) doc of its component — the rows a keep-one dedup "
+    "pass would drop",
+)
+def l_dedup_keep(spark, sf_dir):
+    from polars_fastx_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, family="md5"
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("kept_as"))
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
 
 
 @_q(
@@ -1940,3 +1977,257 @@ def s_scan_counts(spark, sf_dir):
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out.orderBy(F.col("tbl").asc_nulls_first())
+
+
+# =====================================================================
+# Subqueries (Tier C relational surface; SURVEY.md §2.3/§2.4 host ops).
+# Spark plans correlated EXISTS/IN as semi/anti joins and uncorrelated
+# scalar subqueries as broadcast one-row joins — at 100 TB the scalar
+# aggregate is a single-row broadcast, never a driver collect.
+# =====================================================================
+
+@_q(
+    "sq_scalar_avg",
+    """
+    SELECT p_partkey, p_name,
+           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM part
+    WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    ORDER BY p_partkey NULLS FIRST
+    """,
+    "SQ1: uncorrelated scalar subquery — parts priced >1.5× the global "
+    "average; 1-row aggregate broadcast-joined, not collected",
+)
+def sq_scalar_avg(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    avg_df = p.agg(F.avg("p_retailprice").alias("_avg_price"))
+    return (
+        p.join(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > 1.5 * F.col("_avg_price"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint").alias("price_cents"),
+        )
+        .orderBy(F.col("p_partkey").asc_nulls_first())
+    )
+
+
+def _sq_views(spark, sf_dir):
+    """Session-scoped temp views for the spark.sql subquery surface."""
+    for name in ["customer", "orders", "lineitem"]:
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"pfs_{name}")
+
+
+@_q(
+    "sq_exists_corr",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "SQ2: correlated EXISTS through spark.sql — Catalyst rewrites to a "
+    "left-semi hash join (no per-row subquery execution)",
+)
+def sq_exists_corr(spark, sf_dir):
+    _sq_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM pfs_customer c
+        WHERE EXISTS (SELECT 1 FROM pfs_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        ORDER BY c_custkey ASC NULLS FIRST
+        """
+    )
+
+
+@_q(
+    "sq_not_exists_corr",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "SQ3: correlated NOT EXISTS → left-anti join (customers with no "
+    "order since 2000)",
+)
+def sq_not_exists_corr(spark, sf_dir):
+    _sq_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM pfs_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM pfs_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        ORDER BY c_custkey ASC NULLS FIRST
+        """
+    )
+
+
+@_q(
+    "sq_in_uncorr",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus NULLS FIRST
+    """,
+    "SQ4: uncorrelated IN-subquery filter → semi join on the subquery "
+    "result, then aggregate",
+)
+def sq_in_uncorr(spark, sf_dir):
+    _sq_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM pfs_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM pfs_customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus ASC NULLS FIRST
+        """
+    )
+
+
+@_q(
+    "g_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status NULLS FIRST, g_prio NULLS FIRST,
+             o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "G6: explicit GROUPING SETS with grouping() disambiguation of "
+    "rolled-up NULLs (cube/rollup's general form)",
+)
+def g_grouping_sets(spark, sf_dir):
+    _sq_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM pfs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status ASC NULLS FIRST, g_prio ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# =====================================================================
+# TPC-H-shaped multi-join workloads — plan-quality flagships. At scale:
+# dims (region/nation/supplier) broadcast; the lineitem⋈orders backbone
+# is the only shuffle pair, and AQE coalesces its partitions.
+# =====================================================================
+
+@_q(
+    "q_tpch3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate  > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey NULLS FIRST
+    LIMIT 10
+    """,
+    "TPC-H Q3 (shipping priority): segment-filtered customer broadcast "
+    "into orders⋈lineitem, top-10 revenue with deterministic tie-break",
+)
+def q_tpch3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc_nulls_first())
+        .limit(10)
+    )
+
+
+@_q(
+    "q_tpch5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name NULLS FIRST
+    """,
+    "TPC-H Q5 (local supplier volume): 6-way join; supplier/nation/"
+    "region broadcast, lineitem⋈orders⋈customer shuffle backbone",
+)
+def q_tpch5(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc_nulls_first())
+    )

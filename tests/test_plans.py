@@ -64,6 +64,7 @@ ALLOWED_NESTED_LOOP = {
     "l_embed_neardup",    # id_a < id_b pair scan (exact, small side)
     "l_ngram_jaccard",    # deterministic pair subset via inequality join
     "l_ivf_topk",         # centroid assignment = broadcast × tiny centroid table
+    "sq_scalar_avg",      # scalar subquery = 1-row broadcast build side
 }
 
 
@@ -74,6 +75,33 @@ def test_whole_catalog_avoids_cartesian(spark):
         if plans.has_cartesian(df) and name not in ALLOWED_NESTED_LOOP:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian/nested-loop plans: {offenders}"
+
+
+def test_tpch5_broadcasts_dims(spark):
+    """The 6-way Q5 join: supplier/nation/region must broadcast and the
+    lineitem⋈orders⋈customer backbone must stay hash-partitioned —
+    the plan that survives 100 TB."""
+    df = QUERIES["q_tpch5"].fn(spark, SF)
+    plan = plans.explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert not plans.has_cartesian(df)
+
+
+def test_exists_subquery_plans_as_semi_join(spark):
+    df = QUERIES["sq_exists_corr"].fn(spark, SF)
+    assert "LeftSemi" in plans.explain_str(df)
+
+
+def test_not_exists_subquery_plans_as_anti_join(spark):
+    df = QUERIES["sq_not_exists_corr"].fn(spark, SF)
+    assert "LeftAnti" in plans.explain_str(df)
+
+
+def test_scalar_subquery_is_single_row_broadcast(spark):
+    """The global-average filter must plan as a broadcast of the 1-row
+    aggregate — never a driver-side collect of the average."""
+    df = QUERIES["sq_scalar_avg"].fn(spark, SF)
+    assert "BroadcastNestedLoopJoin" in plans.explain_str(df)
 
 
 def test_minhash_lsh_no_cartesian(spark):

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_fastx_spark.functions import seq as sq
-from polars_fastx_spark.operators import dedup, multimodal, similarity, text
+from polars_fastx_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from polars_fastx_spark.operators.asof import join_asof
 
 
@@ -2230,4 +2236,84 @@ def q_tpch5(spark, sf_dir):
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# =====================================================================
+# Deterministic sampling & dataset splits (training-pipeline surface;
+# operators/sampling.py). Content-addressed md5 bucketing — pure
+# row-wise maps, zero shuffles, bit-exact against any engine's md5.
+# =====================================================================
+
+@_q(
+    "l_det_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(doc_id || ':s1'), 1, 4) < '2666'
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L-sampling: content-addressed 15% sample — same ids survive every "
+    "run and any repartitioning; filter-only plan (no shuffle, no RNG)",
+)
+def l_det_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.deterministic_sample(d, "doc_id", 0.15, salt="s1")
+        .select("doc_id", "lang")
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_split_assign",
+    """
+    SELECT CASE WHEN k < 'cccd' THEN 'train'
+                WHEN k < 'e666' THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n
+    FROM (SELECT substring(md5(doc_id || ':split'), 1, 4) AS k FROM documents)
+    GROUP BY split
+    ORDER BY split NULLS FIRST
+    """,
+    "L-sampling: permanent 80/10/10 train/valid/test carve of the md5 "
+    "bucket space — disjoint + exhaustive, an id never changes split",
+)
+def l_split_assign(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.assign_splits(d, "doc_id", salt="split")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("split").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_stratified_take",
+    """
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substring(md5(doc_id || ':'), 1, 4) ASC,
+                            doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 40
+    ORDER BY lang NULLS FIRST, doc_id NULLS FIRST
+    """,
+    "L-sampling: deterministic stratified sample — exactly ≤40 docs per "
+    "lang by md5-key rank; one shuffle on the stratum key only",
+)
+def l_stratified_take(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_take(d, "lang", "doc_id", 40)
+        .select("lang", "doc_id")
+        .orderBy(
+            F.col("lang").asc_nulls_first(), F.col("doc_id").asc_nulls_first()
+        )
     )

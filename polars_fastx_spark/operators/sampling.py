@@ -1,0 +1,134 @@
+"""Deterministic sampling & dataset splits — training-pipeline ops.
+
+A 100 TB training corpus can't use `df.sample()` for held-out splits:
+RNG sampling is neither stable across reruns/repartitions nor joinable
+(you can't later ask "which split was doc X in?"). The standard trick
+is CONTENT-ADDRESSED bucketing — hash a stable id into a fixed bucket
+space and carve the space into ranges. Every operator here is a pure
+map over the rows (zero shuffles, zero state), so it costs one scan at
+any scale and the assignment of a given id never changes.
+
+Buckets come from the first 4 hex chars of `md5(id || ':' || salt)` —
+a 16-bit space (65536 buckets). Fixed-width lowercase hex compares
+lexicographically exactly like the number it encodes, and every engine
+produces the identical md5 hex string, which is what makes these ops
+oracle-checkable bit-for-bit against DuckDB (unlike `F.hash`, whose
+Murmur3 seed/variant is engine-private).
+
+Reference parity: the reference has no sampling surface (its frames
+inherit Polars', which is RNG-based); this is north-star extension
+surface per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hex digits of the bucket key; 4 → 65536 buckets. Enough resolution
+#: for per-mille split weights while keeping thresholds human-readable.
+_HEX_WIDTH = 4
+_BUCKETS = 16 ** _HEX_WIDTH
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def bucket_key(id_col: Column | str, salt: str = "") -> Column:
+    """Fixed-width hex bucket key in [0000, ffff] for a stable id.
+
+    The salt namespaces independent carvings (e.g. a dedup sample vs a
+    train/test split) so they don't correlate.
+    """
+    s = _col(id_col).cast("string")
+    return F.substring(F.md5(F.concat(s, F.lit(":" + salt))), 1, _HEX_WIDTH)
+
+
+def bucket_id(id_col: Column | str, salt: str = "") -> Column:
+    """The bucket as an int in [0, 65536) — for modulo-style carving."""
+    return F.conv(bucket_key(id_col, salt), 16, 10).cast("int")
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Upper-bound bucket key (exclusive) covering ``fraction`` of the
+    space, as a fixed-width hex literal comparable to bucket_key().
+
+    Only meaningful for fraction < 1: the full space has no 4-char
+    exclusive upper bound ("10000" is 5 chars and compares lexically
+    BELOW most keys), so callers must special-case fraction >= 1.
+    """
+    n = min(max(int(round(fraction * _BUCKETS)), 0), _BUCKETS - 1)
+    return format(n, f"0{_HEX_WIDTH}x")
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Stable ``fraction``-sample: keeps a row iff its bucket falls in
+    the first ``fraction`` of the space. Same ids survive every run,
+    any partitioning, any engine. Samples nest: every id kept at
+    fraction f is also kept at any f' > f (same salt)."""
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
+    return df.filter(bucket_key(id_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str | None]]:
+    """(split_name, exclusive upper hex bound) pairs covering the whole
+    bucket space in dict order. The last split's bound is ``None``
+    ("rest of the space") — it absorbs rounding slack and the top
+    bucket, which has no 4-char exclusive upper bound."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive number")
+    bounds, cum = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bounds.append((name, _hex_threshold(cum)))
+    bounds.append((names[-1], None))
+    return bounds
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'valid'/'test' by default) from
+    the id's bucket. Disjoint, exhaustive, and permanent for an id."""
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    key = bucket_key(id_col, salt)
+    bounds = split_thresholds(weights)
+    expr = None
+    for name, hi in bounds[:-1]:
+        cond = key < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(split_col, last if expr is None else expr.otherwise(last))
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ≤n rows per stratum, chosen by bucket-key order — a
+    deterministic stratified sample (rank over md5, not RNG). One
+    shuffle on the stratum key; strata process independently, so skew
+    is bounded by the largest stratum, not the table."""
+    w = Window.partitionBy(strata_col).orderBy(
+        bucket_key(id_col, salt).asc(), _col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

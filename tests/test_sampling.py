@@ -1,0 +1,110 @@
+"""Deterministic sampling & splits (operators/sampling.py).
+
+Properties under test (the reasons this exists instead of df.sample):
+stability across runs AND repartitionings, nesting of sample fractions,
+disjoint+exhaustive split assignment, exact per-stratum caps, and the
+top-of-bucket-space edge cases (fraction 0/1, the 'ffff' bucket).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001):
+    return spark.table("documents").select("doc_id", "lang").cache()
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_sample_stable_across_runs_and_partitionings(docs):
+    a = _ids(sampling.deterministic_sample(docs, "doc_id", 0.2, salt="x"))
+    b = _ids(sampling.deterministic_sample(docs, "doc_id", 0.2, salt="x"))
+    c = _ids(
+        sampling.deterministic_sample(
+            docs.repartition(17, "lang"), "doc_id", 0.2, salt="x"
+        )
+    )
+    assert a == b == c
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20% of 60 docs, loose band
+
+
+def test_samples_nest_and_salts_decorrelate(docs):
+    small = _ids(sampling.deterministic_sample(docs, "doc_id", 0.1, salt="x"))
+    big = _ids(sampling.deterministic_sample(docs, "doc_id", 0.5, salt="x"))
+    assert small <= big  # same salt → nested
+    other = _ids(sampling.deterministic_sample(docs, "doc_id", 0.5, salt="y"))
+    assert other != big  # different salt → a different carve
+
+
+def test_sample_edge_fractions(docs):
+    assert sampling.deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    assert sampling.deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+    # near-1 fractions must not hit the 5-char "10000" lexicographic trap
+    n = sampling.deterministic_sample(docs, "doc_id", 0.9999).count()
+    assert n >= docs.count() - 1
+
+
+def test_assign_splits_disjoint_exhaustive(docs):
+    out = sampling.assign_splits(docs, "doc_id", salt="s").cache()
+    assert out.filter(F.col("split").isNull()).count() == 0
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "valid", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts.get("valid", 0)
+    # membership is a pure function of the id: re-derive and compare
+    again = sampling.assign_splits(docs, "doc_id", salt="s")
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_assign_splits_custom_weights_and_top_bucket(spark):
+    # ids dense enough that some md5 bucket lands >= 'e666'; a single
+    # 100% split must claim every row (the .otherwise() path)
+    df = spark.range(200).withColumnRenamed("id", "k")
+    one = sampling.assign_splits(df, "k", weights={"all": 1.0})
+    assert one.filter(F.col("split") == "all").count() == 200
+    two = sampling.assign_splits(df, "k", weights={"a": 3, "b": 1})
+    counts = {r.split: r.n for r in
+              two.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] + counts["b"] == 200 and counts["a"] > counts["b"]
+
+
+def test_stratified_take_caps_and_determinism(docs):
+    out = sampling.stratified_take(docs, "lang", "doc_id", 5).cache()
+    per = out.groupBy("lang").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") > 5).count() == 0
+    # strata smaller than the cap keep all their rows
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in per.collect()}
+    for lang, n in sizes.items():
+        assert kept[lang] == min(n, 5)
+    assert _ids(out) == _ids(sampling.stratified_take(docs, "lang", "doc_id", 5))
+
+
+def test_sample_plan_is_filter_only(docs, spark):
+    """The sample must stay a scan+filter — no exchange, no RNG node."""
+    df = sampling.deterministic_sample(
+        spark.read.parquet(
+            str(spark.conf.get("spark.pfx.testdata", "/root/testdata/sf0.001"))
+            + "/documents.parquet"
+        ),
+        "doc_id",
+        0.25,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Sample" not in plan  # not Spark's RNG sampler

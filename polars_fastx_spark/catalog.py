@@ -40,6 +40,7 @@ from polars_fastx_spark.operators import (
     sampling,
     similarity,
     text,
+    timeseries,
 )
 from polars_fastx_spark.operators.asof import join_asof
 
@@ -2494,4 +2495,92 @@ def q_tpch18(spark, sf_dir):
             F.col("totalprice").desc(), F.col("o_orderkey").asc_nulls_first()
         )
         .limit(50)
+    )
+
+
+# =====================================================================
+# Time-series depth: per-entity EWMA (applyInPandas recursion) and the
+# TimescaleDB-style hierarchical rollup (operators/timeseries.py).
+# =====================================================================
+
+@_q(
+    "t_ewma",
+    """
+    SELECT event_id, user_id, round(ew, 6) AS ewma
+    FROM (
+        SELECT event_id, user_id,
+               list_reduce(
+                   list(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   (acc, x) -> 0.9 * acc + 0.1 * x) AS ew
+        FROM events)
+    ORDER BY user_id NULLS FIRST, event_id NULLS FIRST
+    """,
+    "T-series: per-user EWMA (α=0.1, adjust=False recursion) via "
+    "applyInPandas — one shuffle on user_id, vectorized pandas ewm per "
+    "group; oracle folds the same recursion with DuckDB list_reduce "
+    "(bit-identical in double precision, round(6) belt-and-braces)",
+)
+def t_ewma(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    out = timeseries.ewma(
+        e, "value", ["ts", "event_id"], "user_id", alpha=0.1
+    )
+    return (
+        out.select(
+            "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+        )
+        .orderBy(
+            F.col("user_id").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "t_rollup_hier",
+    """
+    WITH base AS (
+        SELECT epoch_us(ts) AS us, event_type, value FROM events
+    )
+    SELECT resolution, bucket_us, event_type, n,
+           round(sum_value, 2) AS sum_value
+    FROM (
+        SELECT 'minute' AS resolution, us - us % 60000000 AS bucket_us,
+               event_type, count(*)::BIGINT AS n, sum(value) AS sum_value
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT 'hour', us - us % 3600000000, event_type,
+               count(*)::BIGINT, sum(value)
+        FROM base GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', us - us % 86400000000, event_type,
+               count(*)::BIGINT, sum(value)
+        FROM base GROUP BY 2, 3
+    )
+    ORDER BY resolution NULLS FIRST, bucket_us NULLS FIRST,
+             event_type NULLS FIRST
+    """,
+    "T-series: minute→hour→day continuous-aggregate rollup — raw fact "
+    "aggregated once at minute grain, coarser grains re-aggregate the "
+    "previous level (decomposable count/sum), so 100 TB is scanned once "
+    "for all resolutions; oracle recomputes each grain from raw",
+)
+def t_rollup_hier(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    out = timeseries.hierarchical_rollup(
+        e, "ts_us", ["event_type"], "value"
+    )
+    return (
+        out.select(
+            "resolution", "bucket_us", "event_type", "n",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("resolution").asc_nulls_first(),
+            F.col("bucket_us").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
     )

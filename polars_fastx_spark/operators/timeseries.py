@@ -1,0 +1,126 @@
+"""Time-series operators: per-entity EWMA and hypertable-style rollups.
+
+The reference's frames inherit Polars' time-series surface
+(`ewm_mean`, `group_by_dynamic`); re-expressed for Spark:
+
+- **EWMA** is an order-dependent recursion (y_t = (1-α)·y_{t-1} + α·x_t),
+  which no built-in Spark aggregate expresses — the canonical mapping is
+  `applyInPandas` per entity: one shuffle on the entity key, then a
+  vectorized pandas `ewm` inside each group. Scale bound: one ENTITY's
+  history must fit in one task (the usual per-user/per-device contract),
+  not the whole table. pandas' adjust=False recursion is bit-identical
+  to the naive double loop (verified), so DuckDB's `list_reduce` fold
+  serves as a bit-exact oracle.
+
+- **Hierarchical rollup** is the TimescaleDB continuous-aggregate
+  trick: aggregate the raw fact ONCE at the finest bucket, then derive
+  each coarser resolution by re-aggregating the previous level. At
+  100 TB the raw fact is scanned once instead of once per resolution;
+  levels shrink geometrically, so every re-agg after the first is
+  near-free. Buckets are epoch-µs integers truncated by width — integer
+  arithmetic survives engine-parity where interval math does not
+  (SURVEY.md §4.4.1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    by: str | list[str],
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average of ``value_col``.
+
+    Rows are ordered inside each key by ``order_cols`` (include a
+    unique tie-break, e.g. the event id). Emits every input row plus
+    ``out_col``; y_0 = x_0, y_t = (1-α)·y_{t-1} + α·x_t (pandas
+    ``adjust=False`` semantics).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, DoubleType())]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(*by_cols).applyInPandas(_one, schema=out_schema)
+
+
+def time_bucket(ts_us, width_us: int):
+    """Truncate an epoch-µs column to its bucket start (integer math)."""
+    c = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    return c - (c % F.lit(width_us))
+
+
+#: resolution name → bucket width in µs (finest first).
+DEFAULT_RESOLUTIONS: dict[str, int] = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    ts_us_col: str,
+    keys: list[str],
+    value_col: str,
+    resolutions: dict[str, int] | None = None,
+) -> DataFrame:
+    """Multi-resolution (count, sum) rollup with one raw-fact pass.
+
+    ``resolutions`` maps name → width-µs, finest first; every width must
+    divide the next (minute|hour|day do). Level 1 aggregates ``df``;
+    each later level re-aggregates the level before it — count and sum
+    are the decomposable aggregates this staging is exact for (avg/quantile
+    callers derive from them).
+
+    Returns ``resolution, bucket_us, *keys, n, sum_value``.
+    """
+    resolutions = resolutions or DEFAULT_RESOLUTIONS
+    names = list(resolutions)
+    widths = [resolutions[n] for n in names]
+    for fine, coarse in zip(widths, widths[1:]):
+        if coarse % fine:
+            raise ValueError(
+                f"widths must nest: {coarse} not a multiple of {fine}"
+            )
+
+    level = (
+        df.groupBy(
+            time_bucket(ts_us_col, widths[0]).alias("bucket_us"), *keys
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )
+    out = level.select(F.lit(names[0]).alias("resolution"), "*")
+    for name, width in zip(names[1:], widths[1:]):
+        level = (
+            level.groupBy(
+                time_bucket("bucket_us", width).alias("bucket_us"), *keys
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        out = out.unionByName(
+            level.select(F.lit(name).alias("resolution"), "*")
+        )
+    return out

@@ -1,0 +1,83 @@
+"""EWMA + hierarchical rollup (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import timeseries
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf001):
+    return spark.table("events")
+
+
+def test_ewma_matches_reference_recursion(spark, events):
+    out = timeseries.ewma(
+        events, "value", ["ts", "event_id"], "user_id", alpha=0.2
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in out.select("event_id", "ewma").collect()
+    }
+    rows = sorted(
+        events.select("user_id", "ts", "event_id", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    acc, prev_user = None, object()
+    for r in rows:
+        if r.user_id != prev_user:
+            acc, prev_user = r.value, r.user_id
+        else:
+            acc = 0.8 * acc + 0.2 * r.value
+        assert math.isclose(got[r.event_id], acc, rel_tol=1e-12), r.event_id
+    assert len(got) == len(rows)
+
+
+def test_ewma_single_row_groups(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0)], "k int, t int, v double"
+    )
+    out = timeseries.ewma(df, "v", ["t"], "k", alpha=0.5)
+    vals = {r.k: r.ewma for r in out.collect()}
+    assert vals == {1: 10.0, 2: 20.0}  # y_0 = x_0
+
+
+def test_rollup_levels_agree_with_direct_aggregation(spark, events):
+    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    out = timeseries.hierarchical_rollup(
+        e, "ts_us", ["event_type"], "value"
+    ).cache()
+    # each resolution partitions the events: total n conserved
+    total = e.count()
+    per_res = {
+        r.resolution: r.n
+        for r in out.groupBy("resolution").agg(F.sum("n").alias("n")).collect()
+    }
+    assert per_res == {"minute": total, "hour": total, "day": total}
+    # staged day level == day aggregated straight from the raw fact
+    day_direct = {
+        (r.b, r.event_type): (r.n, round(r.s, 6))
+        for r in e.groupBy(
+            timeseries.time_bucket("ts_us", 86_400_000_000).alias("b"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    day_staged = {
+        (r.bucket_us, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in out.filter(F.col("resolution") == "day").collect()
+    }
+    assert day_staged == day_direct
+
+
+def test_rollup_rejects_non_nesting_widths(spark, events):
+    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    with pytest.raises(ValueError, match="nest"):
+        timeseries.hierarchical_rollup(
+            e, "ts_us", [], "value", {"a": 7, "b": 10}
+        )

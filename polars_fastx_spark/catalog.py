@@ -2584,3 +2584,58 @@ def t_rollup_hier(spark, sf_dir):
             F.col("event_type").asc_nulls_first(),
         )
     )
+
+
+@_q(
+    "q_funnel",
+    """
+    WITH signup AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT DISTINCT s.user_id
+        FROM signup s
+        JOIN events e ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND epoch_us(e.ts) >  s.t0
+         AND epoch_us(e.ts) <= s.t0 + 604800000000
+    )
+    SELECT (SELECT count(*) FROM signup)::BIGINT AS n_signup,
+           (SELECT count(*) FROM conv)::BIGINT   AS n_converted,
+           round((SELECT count(*) FROM conv) * 1.0
+                 / (SELECT count(*) FROM signup), 6) AS conversion
+    """,
+    "Product-analytics funnel: first signup → purchase within 7 days, "
+    "per user. Equi-join on user_id carries the time-range predicate "
+    "(never a cross join); left_semi stops at the first qualifying "
+    "purchase so state per user is O(1); two single-row aggregates "
+    "cross-joined for the scalar report",
+)
+def q_funnel(spark, sf_dir):
+    week_us = 7 * 86_400_000_000
+    e = _events(spark, sf_dir)
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_us").alias("p_ts")
+    )
+    conv = signup.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("t0"))
+        & (F.col("p_ts") <= F.col("t0") + F.lit(week_us)),
+        "left_semi",
+    )
+    a = signup.agg(F.count("*").alias("n_signup"))
+    b = conv.agg(F.count("*").alias("n_converted"))
+    return a.crossJoin(b).select(
+        "n_signup",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_signup"), 6).alias(
+            "conversion"
+        ),
+    )

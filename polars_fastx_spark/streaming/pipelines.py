@@ -230,3 +230,26 @@ def memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "event_type",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static equi-join enrichment (dimension lookup).
+
+    The static side's VALUES are re-read per micro-batch, but its file
+    LISTING is pinned when the plan is built — an in-place parquet
+    rewrite of the dim therefore needs a query restart (cheap from the
+    checkpoint with availableNow; exactly-once is preserved) or a
+    catalog table + ``REFRESH TABLE``.
+    ``broadcast_dim`` keeps the join shuffle-free: the stream
+    side never moves, each executor holds the dim — the only join
+    shape that scales to an unbounded stream against 1000 executors.
+    Left join: stream rows without a dim match survive with nulls
+    (an enrichment must never drop fact rows).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=key, how="left")

@@ -294,3 +294,39 @@ def test_stream_stream_join(spark, srcdir, tmp_path):
         (r["l_event_id"], r["r_event_id"], r["r_value"]) for r in result.collect()
     )
     assert got == [(1, 2, 5.0), (1, 3, 9.0)]
+
+
+def test_stream_static_enrich_sees_dim_updates(spark, srcdir, tmp_path):
+    dim_path = tmp_path / "dim"
+    spark.createDataFrame(
+        [("click", "engage"), ("purchase", "convert")], "event_type string, category string"
+    ).write.mode("overwrite").parquet(str(dim_path))
+
+    stream = sp.stream_events(spark, str(srcdir))
+    enriched = sp.stream_static_enrich(
+        stream, spark.read.parquet(str(dim_path))
+    ).select("event_id", "event_type", "category")
+
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _write_batch(srcdir, "b1.json", [
+        _rows("2024-01-01 10:00:00", 1, etype="click"),
+        _rows("2024-01-01 10:01:00", 2, etype="signup"),
+    ])
+    got = _collect_parquet(spark, enriched, out, ck)
+    cats = {r.event_id: r.category for r in got.collect()}
+    assert cats == {1: "engage", 2: None}  # left join keeps unmatched facts
+
+    # rewrite the dim; a checkpoint-restart (new plan, same ck) must see
+    # the new mapping — the static file listing is pinned per plan
+    spark.createDataFrame(
+        [("click", "engage"), ("signup", "acquire")], "event_type string, category string"
+    ).write.mode("overwrite").parquet(str(dim_path))
+    _write_batch(srcdir, "b2.json", [
+        _rows("2024-01-01 10:02:00", 3, etype="signup"),
+    ])
+    enriched = sp.stream_static_enrich(
+        sp.stream_events(spark, str(srcdir)), spark.read.parquet(str(dim_path))
+    ).select("event_id", "event_type", "category")
+    got = _collect_parquet(spark, enriched, out, ck)
+    cats = {r.event_id: r.category for r in got.collect()}
+    assert cats[3] == "acquire" and cats[1] == "engage"

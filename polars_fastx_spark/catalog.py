@@ -2639,3 +2639,56 @@ def q_funnel(spark, sf_dir):
             "conversion"
         ),
     )
+
+
+@_q(
+    "l_corpus_pipeline",
+    """
+    WITH kept AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id) AS rk
+        FROM documents
+        WHERE n_chars >= 100
+    ),
+    assigned AS (
+        SELECT CASE WHEN substring(md5(doc_id || ':corpus'), 1, 4) < 'cccd'
+                    THEN 'train'
+                    WHEN substring(md5(doc_id || ':corpus'), 1, 4) < 'e666'
+                    THEN 'valid'
+                    ELSE 'test' END AS split,
+               lang, n_chars
+        FROM kept WHERE rk = 1
+    )
+    SELECT split, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split NULLS FIRST, lang NULLS FIRST
+    """,
+    "Flagship training-corpus pipeline: length gate (pushed to the "
+    "scan) → exact dedup keeping the lowest doc_id per content hash "
+    "(one shuffle on md5(text)) → permanent split assignment (pure map) "
+    "→ per-split/lang report. The three stages compose operators from "
+    "text/dedup/sampling; at 100 TB the only data movements are the "
+    "dedup shuffle and the final small aggregation",
+)
+def l_corpus_pipeline(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    kept = (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    assigned = sampling.assign_splits(kept, "doc_id", salt="corpus")
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(
+            F.col("split").asc_nulls_first(), F.col("lang").asc_nulls_first()
+        )
+    )

@@ -14,9 +14,12 @@ The reference's frames inherit Polars' time-series surface
 
 - **Hierarchical rollup** is the TimescaleDB continuous-aggregate
   trick: aggregate the raw fact ONCE at the finest bucket, then derive
-  each coarser resolution by re-aggregating the previous level. At
-  100 TB the raw fact is scanned once instead of once per resolution;
-  levels shrink geometrically, so every re-agg after the first is
+  each coarser resolution by re-aggregating the previous level. The
+  union references the minute level three times in the logical plan,
+  but AQE's exchange reuse materializes its shuffle once (pinned by
+  ``tests/test_plans.py::test_rollup_reuses_fact_exchange``) — at
+  100 TB the raw fact is scanned once, not once per resolution, and
+  levels shrink geometrically so every re-agg after the first is
   near-free. Buckets are epoch-µs integers truncated by width — integer
   arithmetic survives engine-parity where interval math does not
   (SURVEY.md §4.4.1).

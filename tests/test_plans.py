@@ -65,6 +65,7 @@ ALLOWED_NESTED_LOOP = {
     "l_ngram_jaccard",    # deterministic pair subset via inequality join
     "l_ivf_topk",         # centroid assignment = broadcast × tiny centroid table
     "sq_scalar_avg",      # scalar subquery = 1-row broadcast build side
+    "q_funnel",           # final report = 1-row × 1-row scalar cross join
 }
 
 
@@ -112,3 +113,44 @@ def test_minhash_lsh_no_cartesian(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     cand = minhash_lsh_candidates(docs, "doc_id", "text")
     assert not plans.has_cartesian(cand)
+
+
+def _relation_count(df, marker_col: str) -> int:
+    """Leaf relations in the optimized logical plan whose schema has
+    ``marker_col`` (relation leaves print columns, not file paths)."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    return sum(
+        1
+        for ln in s.splitlines()
+        if "Relation" in ln and f"{marker_col}#" in ln
+    )
+
+
+def test_tpch6_all_predicates_reach_scan(spark):
+    df = QUERIES["q_tpch6"].fn(spark, SF)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert plans.has_pushed_filters(df, col), col
+
+
+def test_tpch18_single_fact_scan(spark):
+    """The IN-subquery rewrite must reference lineitem ONCE — the
+    textbook HAVING-subquery form reads the fact twice."""
+    df = QUERIES["q_tpch18"].fn(spark, SF)
+    assert _relation_count(df, "l_partkey") == 1
+
+
+def test_rollup_reuses_fact_exchange(spark):
+    """Hierarchical staging references the minute level three times in
+    the logical plan; at runtime AQE must collapse those into one
+    materialized fact pass (ReusedExchange for the hour and day
+    branches) — the property that makes multi-resolution rollup a
+    single 100 TB scan."""
+    df = QUERIES["t_rollup_hier"].fn(spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("ReusedExchange") >= 2

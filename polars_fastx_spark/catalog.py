@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_fastx_spark.functions import seq as sq
+from polars_fastx_spark.functions import sketches
 from polars_fastx_spark.operators import (
     dedup,
     multimodal,
@@ -2691,4 +2692,51 @@ def l_corpus_pipeline(spark, sf_dir):
         .orderBy(
             F.col("split").asc_nulls_first(), F.col("lang").asc_nulls_first()
         )
+    )
+
+
+# =====================================================================
+# Mergeable-sketch tier (functions/sketches.py) — DataSketches HLL /
+# approx_top_k as built-in JVM aggregates; the pre-aggregate-then-merge
+# pattern that replaces raw recomputation at 100 TB.
+# =====================================================================
+
+@_q(
+    "x_sketch_topk",
+    """
+    SELECT row_number() OVER (ORDER BY cnt DESC) AS rank, cnt
+    FROM (
+        SELECT count(*)::BIGINT AS cnt
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY cnt DESC LIMIT 10
+    )
+    ORDER BY rank NULLS FIRST
+    """,
+    "Sketch tier: approx_top_k heavy hitters in exact mode "
+    "(maxItemsTracked ≥ NDV) — output is the rank→count spectrum, the "
+    "deterministic part under boundary ties; item membership at the "
+    "tie line is sketch-order-dependent so it stays out of the hash",
+)
+def x_sketch_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.top_k_counts(li, "l_partkey", 10).orderBy(
+        F.col("rank").asc_nulls_first()
+    )
+
+
+@_q(
+    "x_sketch_hll",
+    None,  # DataSketches HLL estimate ≠ DuckDB's HLL → rows-only
+    "Sketch tier: per-event_type distinct users from UNIONED per-day "
+    "HLL partials — the persist-sketches-merge-later pattern; "
+    "merge==direct equality and <5% error pinned in tests/test_sketches.py",
+)
+def x_sketch_hll(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    partials = sketches.hll_partials(
+        e, ["event_type"], "user_id", F.expr("ts div 86400000000000")
+    )
+    return (
+        sketches.hll_merge(partials, ["event_type"])
+        .orderBy(F.col("event_type").asc_nulls_first())
     )

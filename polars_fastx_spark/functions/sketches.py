@@ -1,0 +1,86 @@
+"""Mergeable sketches — the petabyte-scale approximate-analytics tier.
+
+At 100 TB you don't recompute distincts/quantiles/top-k over raw data
+per report; you pre-aggregate a SKETCH per partition (day, shard),
+persist those few-KB binaries, and MERGE them at query time. Spark 4
+ships the Apache DataSketches family as built-in JVM aggregates —
+`hll_sketch_agg`/`hll_union_agg` (distinct), `kll_sketch_agg_double` +
+merge/quantile (ranks), `approx_top_k_accumulate`/`_combine`/
+`_estimate` (heavy hitters) — so the whole tier stays inside
+whole-stage codegen with zero Python.
+
+Merge-correctness (sketch-of-union == union-of-sketches) and published
+error bounds are pinned in tests/test_sketches.py; estimates are not
+DuckDB-oracle-comparable (different sketch implementations), except
+top-k run in exact mode (maxItemsTracked ≥ NDV), where the estimated
+counts coincide with exact group counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_counts(
+    df: DataFrame, col: str, k: int, max_tracked: int = 10_000
+) -> DataFrame:
+    """Heavy-hitter counts via ``approx_top_k``: rank + count only.
+
+    Membership at the boundary is tie-ambiguous (rank-k ties), so the
+    deterministic — and oracle-checkable, when ``max_tracked`` ≥ the
+    column's NDV (exact mode) — output is the sorted count spectrum,
+    not the items.
+    """
+    est = df.agg(
+        F.expr(f"approx_top_k({col}, {k}, {max_tracked})").alias("tk")
+    )
+    return (
+        est.select(F.explode("tk").alias("e"))
+        .select(F.col("e.count").alias("cnt"))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc()))
+            .alias("rank"),
+            "cnt",
+        )
+    )
+
+
+def hll_partials(
+    df: DataFrame, keys: list[str], id_col: str, shard_col: Column | str
+) -> DataFrame:
+    """Stage 1: one HLL sketch per (keys, shard) — the few-KB binary a
+    100 TB pipeline persists per day/partition instead of raw ids."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    return df.groupBy(*keys, shard.alias("_shard")).agg(
+        F.hll_sketch_agg(id_col).alias("hll")
+    )
+
+
+def hll_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Stage 2: union the shard sketches per key and estimate NDV.
+    Register-wise max is order-independent, so the merged estimate is
+    bit-identical to sketching the whole table directly."""
+    return partials.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("ndv_est")
+    )
+
+
+def kll_quantiles(
+    df: DataFrame, value_col: str, probs: list[float], keys: list[str] | None = None
+) -> DataFrame:
+    """KLL rank sketch → quantile estimates at ``probs`` per key.
+
+    Normalized rank error for the default sketch is ~1.7% — the
+    quantile at p is exact for some p' with |p - p'| ≤ ε (an error in
+    RANK space, not value space), pinned in tests.
+    """
+    keys = keys or []
+    qcols = [
+        F.expr(
+            f"kll_sketch_get_quantile_double(kll_sketch_agg_double({value_col}), {p})"
+        ).alias(f"q{int(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(*keys).agg(*qcols)

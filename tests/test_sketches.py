@@ -1,0 +1,87 @@
+"""Mergeable-sketch tier (functions/sketches.py): merge-correctness
+and published error bounds, since estimates can't hash-match a DuckDB
+oracle built on different sketch implementations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.functions import sketches
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf001):
+    return spark.table("lineitem")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf001):
+    return spark.table("events")
+
+
+def test_topk_exact_mode_matches_group_counts(spark, lineitem):
+    """maxItemsTracked ≥ NDV ⇒ the sketch degenerates to exact counts."""
+    got = [r.cnt for r in sketches.top_k_counts(lineitem, "l_partkey", 10).collect()]
+    exact = [
+        r.cnt
+        for r in lineitem.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc())
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_hll_union_of_shards_equals_direct_sketch(spark, events):
+    """Register-wise max is order/partition-independent: estimating
+    from merged daily partials must equal sketching the table whole."""
+    day = F.expr("ts div 86400000000000")  # ns → day bucket
+    partials = sketches.hll_partials(events, ["event_type"], "user_id", day)
+    merged = {
+        r.event_type: r.ndv_est
+        for r in sketches.hll_merge(partials, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.ndv
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("ndv"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_within_error_bound(spark, events):
+    """Default lgConfigK=12 HLL: relative error well under 5% at the
+    cardinalities in play."""
+    est = {
+        r.event_type: r.ndv_est
+        for r in sketches.hll_merge(
+            sketches.hll_partials(
+                events, ["event_type"], "user_id", F.lit(0)
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.ndv
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ndv"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v < 0.05, (k, est[k], v)
+
+
+def test_kll_quantile_within_rank_error(spark, lineitem):
+    """KLL guarantees ~1.7% normalized RANK error: the returned q50 must
+    sit between the exact 45th and 55th percentiles (generous 5%)."""
+    got = sketches.kll_quantiles(lineitem, "l_extendedprice", [0.5]).collect()[0].q50
+    lo, hi = (
+        lineitem.agg(
+            F.expr("percentile(l_extendedprice, 0.45)"),
+            F.expr("percentile(l_extendedprice, 0.55)"),
+        ).collect()[0]
+    )
+    assert lo <= got <= hi

@@ -1,0 +1,76 @@
+"""Partition-overwrite MERGE (operators/upsert.py): only touched
+partitions rewrite, latest version per key wins, replay is idempotent."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import upsert
+
+
+def _state(spark, path):
+    return {
+        (r.k, r.day): (r.v, r.ver)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _files(path):
+    return set(glob.glob(f"{path}/day=*/*.parquet"))
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ver int, day int")
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    _mk(spark, [
+        (1, "a", 1, 1), (2, "b", 1, 1),
+        (3, "c", 1, 2),
+        (4, "d", 1, 3),
+    ]).write.partitionBy("day").parquet(path)
+    before_untouched = {f for f in _files(path) if "day=1" not in f}
+
+    touched = upsert.upsert_partitioned(
+        spark, path,
+        _mk(spark, [(1, "a2", 2, 1), (9, "new", 1, 1)]),
+        key_cols=["k"], partition_col="day", order_col="ver",
+    )
+    assert touched == [1]
+    after = _state(spark, path)
+    assert after[(1, 1)] == ("a2", 2)       # updated
+    assert after[(9, 1)] == ("new", 1)      # inserted
+    assert after[(2, 1)] == ("b", 1)        # untouched key survives
+    assert after[(3, 2)] == ("c", 1) and after[(4, 3)] == ("d", 1)
+    # day=2 / day=3 files byte-identical (never read, never written)
+    assert {f for f in _files(path) if "day=1" not in f} == before_untouched
+
+
+def test_upsert_replay_is_idempotent_and_update_beats_tie(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    _mk(spark, [(1, "old", 5, 1)]).write.partitionBy("day").parquet(path)
+    batch = _mk(spark, [(1, "tie", 5, 1)])  # same version as stored
+    upsert.upsert_partitioned(spark, path, batch, ["k"], "day", "ver")
+    assert _state(spark, path)[(1, 1)] == ("tie", 5)  # update wins ties
+    upsert.upsert_partitioned(spark, path, batch, ["k"], "day", "ver")
+    state = _state(spark, path)
+    assert state == {(1, 1): ("tie", 5)}  # replay: same state, no dups
+
+
+def test_upsert_multi_partition_batch(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    _mk(spark, [(1, "a", 1, 1), (2, "b", 1, 2)]).write.partitionBy(
+        "day"
+    ).parquet(path)
+    touched = upsert.upsert_partitioned(
+        spark, path,
+        _mk(spark, [(1, "a2", 2, 1), (2, "b2", 2, 2), (3, "c", 1, 2)]),
+        ["k"], "day", "ver",
+    )
+    assert sorted(touched) == [1, 2]
+    assert _state(spark, path) == {
+        (1, 1): ("a2", 2), (2, 2): ("b2", 2), (3, 2): ("c", 1),
+    }

@@ -44,6 +44,7 @@ from polars_fastx_spark.operators import (
     timeseries,
 )
 from polars_fastx_spark.operators.asof import join_asof
+from polars_fastx_spark.operators.scd import scd2_from_log
 
 
 @dataclass
@@ -2739,4 +2740,51 @@ def x_sketch_hll(spark, sf_dir):
     return (
         sketches.hll_merge(partials, ["event_type"])
         .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+@_q(
+    "q_scd2",
+    """
+    WITH marked AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+               lag(event_type) OVER w AS prev_attr,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    versions AS (
+        SELECT user_id, event_type, event_id, t
+        FROM marked
+        WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, t AS valid_from,
+           lead(t) OVER v AS valid_to, event_id,
+           lead(t) OVER v IS NULL AS is_current
+    FROM versions
+    WINDOW v AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)
+    ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST,
+             event_id NULLS FIRST
+    """,
+    "SCD2 dimension history from the event log: per-user event_type "
+    "versions with [valid_from, valid_to) intervals — lag() change "
+    "detection + lead() close-out share one shuffle on user_id; no "
+    "self-join, no driver state (operators/scd.py)",
+)
+def q_scd2(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    out = scd2_from_log(
+        e, ["user_id"], "ts_us", ["event_type"], ["event_id"]
+    )
+    return (
+        out.select(
+            "user_id", "event_type",
+            F.col("valid_from"), F.col("valid_to"), "event_id",
+            "is_current",
+        )
+        .orderBy(
+            F.col("user_id").asc_nulls_first(),
+            F.col("valid_from").asc_nulls_first(),
+            F.col("event_id").asc_nulls_first(),
+        )
     )

@@ -2788,3 +2788,95 @@ def q_scd2(spark, sf_dir):
             F.col("event_id").asc_nulls_first(),
         )
     )
+
+
+# =====================================================================
+# Binned range join + document chunking (operators/rangejoin.py,
+# operators/text.py:chunk_text).
+# =====================================================================
+
+@_q(
+    "j_binned_range",
+    """
+    WITH iv AS (
+        SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS lo,
+               epoch(o_orderdate)::BIGINT + 2592000 AS hi
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey, count(l_orderkey)::BIGINT AS n_shipped
+    FROM iv LEFT JOIN lineitem
+      ON epoch(l_shipdate)::BIGINT >= lo
+     AND epoch(l_shipdate)::BIGINT <  hi
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey NULLS FIRST
+    """,
+    "Keyless range join, binned: lineitems shipped inside each order's "
+    "30-day window — intervals explode to 7-day epoch-second bins, "
+    "points carry one bin, equi-join on the bin then exact predicate; "
+    "never a nested-loop join (pinned). Oracle is the naive O(N·M) "
+    "range join; left-join zeros recovered by re-joining interval keys",
+)
+def j_binned_range(spark, sf_dir):
+    from polars_fastx_spark.operators.rangejoin import point_in_interval_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("lo"),
+            (F.unix_timestamp("o_orderdate") + 2_592_000).alias("hi"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.unix_timestamp("l_shipdate").alias("p")
+    )
+    matched = (
+        point_in_interval_join(li, "p", o, "lo", "hi", bin_width=604_800)
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_shipped"))
+    )
+    # LEFT-join semantics: windows with zero shipments still report
+    return (
+        o.select("o_orderkey")
+        .join(matched, "o_orderkey", "left")
+        .select(
+            "o_orderkey", F.coalesce("n_shipped", F.lit(0)).alias("n_shipped")
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_chunk_text",
+    """
+    SELECT doc_id, (o - 1) // 180 AS chunk_idx,
+           md5(substring(text, o, 200)) AS chunk_md5,
+           length(substring(text, o, 200))::BIGINT AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text), 1) + 1, 180))::BIGINT
+                   AS o
+        FROM documents
+    )
+    ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST
+    """,
+    "Training-pipeline chunking: 200-char windows, 20-char overlap "
+    "(stride 180) via explode(sequence()) — zero shuffles, zero "
+    "Python; chunk content verified by md5",
+)
+def l_chunk_text(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.chunk_text(d, "text", size=200, overlap=20)
+    return (
+        out.select(
+            "doc_id",
+            "chunk_idx",
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+        )
+        .orderBy(
+            F.col("doc_id").asc_nulls_first(),
+            F.col("chunk_idx").asc_nulls_first(),
+        )
+    )

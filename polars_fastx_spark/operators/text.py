@@ -134,3 +134,37 @@ def fingerprint(c: Column | str) -> Column:
     """Normalized-text md5 fingerprint — catches near-exact dups that
     differ only in case/punctuation/whitespace."""
     return F.md5(F.encode(normalize_text(c), "UTF-8"))
+
+
+def chunk_text(
+    df,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+):
+    """Split documents into fixed-size character windows with overlap —
+    the context-length chunking step of a training pipeline.
+
+    Pure explode over a generated offset sequence: zero shuffles, zero
+    Python, linear output size (len/(size-overlap) chunks per doc). A
+    chunk starts every ``size - overlap`` chars; the final chunk may be
+    short; empty text yields one empty chunk (so no document silently
+    disappears). 0-based ``chunk_idx``.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    c = _col(text_col)
+    return (
+        df.withColumn(
+            "_off",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1)), F.lit(step))
+            ),
+        )
+        .withColumn(chunk_col, F.substring(c, F.col("_off").cast("int"), size))
+        .withColumn(idx_col, ((F.col("_off") - 1) / step).cast("bigint"))
+        .drop("_off")
+    )

@@ -1,0 +1,73 @@
+"""Binned range join + text chunking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark import plans
+from polars_fastx_spark.operators import text
+from polars_fastx_spark.operators.rangejoin import point_in_interval_join
+
+
+def test_binned_join_matches_naive_theta_join(spark):
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(range(0, 500, 7))], "pid int, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, 50), (2, 49, 49), (3, 100, 101), (4, 95, 400), (5, 480, 1000)],
+        "iid int, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in point_in_interval_join(pts, "p", ivs, "lo", "hi", 64).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (F.col("lo") <= F.col("p")) & (F.col("p") < F.col("hi"))
+        ).collect()
+    }
+    assert got == naive and got  # non-empty, identical pair sets
+
+
+def test_binned_join_boundary_semantics(spark):
+    pts = spark.createDataFrame([(1, 64), (2, 128)], "pid int, p long")
+    ivs = spark.createDataFrame(
+        [(10, 64, 128)], "iid int, lo long, hi long"
+    )  # lo and hi both on bin boundaries (width 64)
+    got = {(r.pid, r.iid) for r in
+           point_in_interval_join(pts, "p", ivs, "lo", "hi", 64).collect()}
+    assert got == {(1, 10)}  # lo inclusive, hi exclusive
+
+
+def test_binned_join_is_not_nested_loop(spark):
+    pts = spark.createDataFrame([(1, 5)], "pid int, p long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "iid int, lo long, hi long")
+    df = point_in_interval_join(pts, "p", ivs, "lo", "hi", 8)
+    assert not plans.has_cartesian(df)
+
+
+def test_chunk_reconstruction(spark):
+    s = "".join(chr(97 + i % 26) for i in range(1000))
+    df = spark.createDataFrame([(1, s), (2, ""), (3, "xy")], "id int, text string")
+    out = text.chunk_text(df, "text", size=200, overlap=20)
+    rows = sorted(
+        ((r.id, r.chunk_idx, r.chunk) for r in out.collect())
+    )
+    by_doc = {}
+    for i, idx, ch in rows:
+        by_doc.setdefault(i, []).append((idx, ch))
+    # overlap-stripped concatenation reproduces the document
+    rebuilt = by_doc[1][0][1] + "".join(ch[20:] for _, ch in by_doc[1][1:])
+    assert rebuilt == s
+    assert [ch for _, ch in by_doc[2]] == [""]   # empty doc → one empty chunk
+    assert [ch for _, ch in by_doc[3]] == ["xy"]
+    # stride 180 over 1000 chars → offsets 1,181,...,901 → 6 chunks
+    assert [idx for idx, _ in by_doc[1]] == list(range(6))
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], "id int, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_text(df, "text", size=10, overlap=10)

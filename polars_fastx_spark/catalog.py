@@ -2880,3 +2880,64 @@ def l_chunk_text(spark, sf_dir):
             F.col("chunk_idx").asc_nulls_first(),
         )
     )
+
+
+@_q(
+    "l_redact_pii",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       'mail u' || doc_id || '@example.com or +1 555-000-'
+                       || doc_id || ' ip 10.0.0.' || (doc_id % 256) || ' :: '
+                       || substring(text, 1, 80),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g')
+           ) AS scrubbed_md5
+    FROM documents
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L4: PII scrubbing — emails/phones/IPv4 replaced with typed "
+    "markers; patterns restricted to the Java-regex ∩ RE2 dialect so "
+    "the same expressions run on both engines; synthetic PII is "
+    "injected per doc so the redaction is actually exercised",
+)
+def l_redact_pii(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("mail u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-000-"), F.col("doc_id").cast("string"),
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" :: "), F.substring("text", 1, 80),
+    )
+    return (
+        d.select(
+            "doc_id", F.md5(text.redact_pii(synth)).alias("scrubbed_md5")
+        )
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_pack_ffd",
+    None,  # sequential first-fit — no SQL form; invariants in tests
+    "Training-pipeline packing: partition-local first-fit-decreasing "
+    "into 2000-char budgets via mapInPandas; bin ids namespaced by "
+    "spark_partition_id, no global coordination (operators/packing.py)",
+)
+def l_pack_ffd(spark, sf_dir):
+    from polars_fastx_spark.operators.packing import pack_ffd
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_ffd(d, "doc_id", "n_chars", budget=2000, partitions=8)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("bin_fill").alias("fill"),
+        )
+        .orderBy(F.col("bin_id").asc_nulls_first())
+    )

@@ -1,0 +1,79 @@
+"""Sequence packing — fill fixed token budgets with whole documents.
+
+Training pipelines pack variable-length documents into fixed context
+windows to avoid padding waste. Optimal bin packing is NP-hard and
+inherently sequential, so the scalable design is PARTITION-LOCAL
+first-fit-decreasing: shuffle docs by a stable hash of the id (any
+partitioning works — packing quality, not correctness, depends on it),
+run FFD inside each partition via ``mapInPandas`` (one Arrow batch in,
+one out), and namespace bin ids by ``spark_partition_id``. No global
+coordination, no driver state; waste vs. global FFD is small because
+every partition sees a representative length mix at scale.
+
+A document longer than the budget gets a singleton bin (it must be
+truncated/split upstream — see ``text.chunk_text``); packing never
+drops or cuts rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def pack_ffd(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign each doc a ``bin_id`` so per-bin total length ≤ budget
+    (oversize docs bin alone). Returns (id, length, bin_id, bin_fill);
+    bin_fill is the bin's final total, repeated on each member row."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField(len_col, df.schema[len_col].dataType),
+            StructField("bin_id", LongType()),
+            StructField("bin_fill", LongType()),
+        ]
+    )
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            [len_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[int] = []  # remaining capacity per open bin
+        assign = []
+        for ln in pdf[len_col].to_numpy():
+            ln = int(ln)
+            for b, rem in enumerate(bins):
+                if rem >= ln:
+                    bins[b] = rem - ln
+                    assign.append(b)
+                    break
+            else:
+                bins.append(max(budget - ln, 0))
+                assign.append(len(bins) - 1)
+        pdf = pdf[[id_col, len_col]].copy()
+        # partition-namespaced global bin id
+        pdf["bin_id"] = [pid * 10_000_000 + b for b in assign]
+        sizes = pdf.groupby("bin_id")[len_col].sum().to_dict()
+        pdf["bin_fill"] = pdf["bin_id"].map(sizes).astype("int64")
+        yield pdf
+
+    base = df.select(id_col, len_col)
+    if partitions:
+        base = base.repartition(partitions, id_col)
+    return base.mapInPandas(_pack, schema=out_schema)

@@ -168,3 +168,22 @@ def chunk_text(
         .withColumn(idx_col, ((F.col("_off") - 1) / step).cast("bigint"))
         .drop("_off")
     )
+
+
+#: PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
+#: no backrefs, no lookaround, so oracle parity holds.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "IPV4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(c: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace email/phone/IPv4 literals with ``[KIND]`` markers —
+    the scrubbing pass before text enters a training corpus. Chained
+    ``regexp_replace`` stays JVM-side and shuffle-free."""
+    col = _col(c)
+    for kind in kinds or list(PII_PATTERNS):
+        col = F.regexp_replace(col, PII_PATTERNS[kind], f"[{kind}]")
+    return col

@@ -119,3 +119,35 @@ def write_fastx(
     if compression:
         w = w.option("compression", compression)
     w.text(path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) evenly-sized files; returns the file
+    count. The operational fix for streaming/append sinks that accrete
+    thousands of tiny files (each file costs a task + a NameNode/list
+    entry at 100 TB). Round-robin repartition gives uniform sizes;
+    ``out_path`` must differ from ``in_path`` (no in-place rewrite —
+    swap directories atomically at the orchestration layer).
+    """
+    import math
+    import os
+
+    if os.path.abspath(in_path) == os.path.abspath(out_path):
+        raise ValueError("compaction must write to a different path")
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(in_path).repartition(n).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return n

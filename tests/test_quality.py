@@ -1,0 +1,65 @@
+"""Data-quality expectations (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_fastx_spark import plans
+from polars_fastx_spark.operators import quality as Q
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ok", 5.0),
+            (2, "ok", 50.0),   # out of range
+            (2, "bad", None),  # dup id, bad status, null value
+            (4, None, 2.0),    # null status
+        ],
+        "id int, status string, v double",
+    )
+
+
+def test_check_counts_violations_per_rule(spark):
+    got = {
+        r.rule: r.n_violations
+        for r in Q.check(
+            _df(spark),
+            [
+                Q.not_null("status"),
+                Q.unique("id"),
+                Q.accepted_values("status", ["ok"]),
+                Q.in_range("v", 0, 10),
+                Q.matches("status", "^[a-z]+$"),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "not_null:status": 1,
+        "unique:id": 1,
+        "accepted_values:status": 2,  # 'bad' + null
+        "in_range:v": 2,              # 50.0 + null
+        "matches:status": 1,          # null fails; 'bad' matches ^[a-z]+$
+    }
+
+
+def test_rules_compile_to_single_scan(spark):
+    df = _df(spark)
+    checked = Q.check(
+        df, [Q.not_null("status"), Q.in_range("v", 0, 10), Q.unique("id")]
+    )
+    # all rules fold into ONE aggregate over ONE read of the input —
+    # the optimized logical plan has exactly one leaf
+    s = checked._jdf.queryExecution().optimizedPlan().toString()
+    leaves = [
+        ln for ln in s.splitlines()
+        if "LogicalRDD" in ln or "Relation" in ln or "LocalRelation" in ln
+    ]
+    assert len(leaves) == 1, leaves
+
+
+def test_enforce_raises_with_failing_rules_only(spark):
+    df = _df(spark)
+    Q.enforce(df, [Q.not_null("id")])  # passes
+    with pytest.raises(AssertionError, match="unique:id"):
+        Q.enforce(df, [Q.unique("id")])

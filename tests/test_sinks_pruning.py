@@ -34,3 +34,24 @@ def test_partitioned_write_roundtrip_all_rows(spark, tmp_path):
     a = {r["event_id"] for r in back.select("event_id").collect()}
     b = {r["event_id"] for r in ev.select("event_id").collect()}
     assert a == b
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from polars_fastx_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(10_000).repartition(40).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 40
+    total = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_parquet(spark, src, dst, target_file_bytes=total // 3)
+    files = glob.glob(f"{dst}/*.parquet")
+    assert len(files) == n <= 5
+    a = {r.id for r in spark.read.parquet(dst).collect()}
+    assert a == set(range(10_000))  # lossless
+
+    import pytest
+    with pytest.raises(ValueError, match="different path"):
+        compact_parquet(spark, src, src)

@@ -2991,3 +2991,121 @@ def q_expectations(spark, sf_dir):
     return orders_checks.unionByName(li_checks).orderBy(
         F.col("rule").asc_nulls_first()
     )
+
+
+@_q(
+    "q_scd2_lookup",
+    """
+    WITH marked AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+               lag(event_type) OVER w AS prev_attr, lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    dim AS (
+        SELECT user_id, event_type AS status, t AS valid_from,
+               lead(t) OVER (PARTITION BY user_id ORDER BY t ASC, event_id ASC)
+                   AS valid_to
+        FROM marked
+        WHERE prev_ts IS NULL OR prev_attr IS DISTINCT FROM event_type
+    ),
+    probe AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, d.status
+    FROM probe p JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.t
+     AND (d.valid_to IS NULL OR p.t < d.valid_to)
+    ORDER BY p.event_id NULLS FIRST
+    """,
+    "Effective-dated lookup: each purchase joined to the SCD2 status "
+    "version VALID at its event time — equi-join on user_id carries "
+    "the interval predicate, so the plan is a plain hash join (each "
+    "probe matches exactly one tiled interval)",
+)
+def q_scd2_lookup(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    dim = scd2_from_log(
+        e, ["user_id"], "ts_us", ["event_type"], ["event_id"]
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts_us").alias("t")
+    )
+    return (
+        probe.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("t"))
+            & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "status")
+        .orderBy(F.col("event_id").asc_nulls_first())
+    )
+
+
+@_q(
+    "g_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 60000 THEN 21
+                ELSE floor(o_totalprice / 3000)::BIGINT + 1 END AS bucket,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket NULLS FIRST
+    """,
+    "G: fixed-width histogram — explicit floor bucketing (identical "
+    "expression both engines; width_bucket's internal float order is "
+    "engine-private), two-phase partial agg, ≤22-row result at any scale",
+)
+def g_histogram(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 0, F.lit(0))
+        .when(F.col("o_totalprice") >= 60000, F.lit(21))
+        .otherwise(F.floor(F.col("o_totalprice") / 3000) + 1)
+        .cast("bigint")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_pagerank",
+    None,  # iterative power method — no single-query SQL form;
+           # verified against dense numpy power iteration in tests
+    "Iterative PageRank over the customer→supplier purchase graph: "
+    "per round one equi-join + one agg shuffling on node id, dangling "
+    "mass redistributed (sum(rank)==1 invariant), lineage cut by "
+    "localCheckpoint — the DataFrame-loop pattern for iterative "
+    "algorithms (operators/graph.py)",
+)
+def l_pagerank(spark, sf_dir):
+    from polars_fastx_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=6)
+    return (
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc_nulls_first())
+        .limit(20)
+    )

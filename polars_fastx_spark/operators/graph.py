@@ -91,3 +91,71 @@ def duplicate_groups_from_pairs(
             F.array_sort(F.collect_list("node")).alias("members"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank by power iteration over a distributed edge list.
+
+    Per iteration: one equi-join (ranks ⋈ edges on src) + one
+    aggregation (sum contributions by dst) — both shuffle on node id,
+    so pre-partitioning edges by ``src`` lets every round reuse the
+    same layout. Dangling-node mass (out-degree 0) is redistributed
+    uniformly, keeping ``sum(rank) == 1`` exactly — the invariant the
+    tests pin. Ranks persist each round and the lineage is cut via
+    localCheckpoint every ``checkpoint_every`` iterations (an
+    unbounded iterative plan otherwise re-executes from the source and
+    eventually overwhelms the planner). Only 1-row aggregates
+    (dangling mass) reach the driver.
+    """
+    sc = edges.sparkSession
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    ).persist()
+    n = nodes.count()
+    deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("out_deg")
+    )
+    # edge list annotated with the sender's out-degree, reused all rounds
+    ed = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("to"))
+        .join(deg, "node")
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contribs = (
+            ranks.join(ed, "node")
+            .groupBy(F.col("to").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(deg, "node", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        ).persist()
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks

@@ -49,3 +49,30 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(30)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="no convergence"):
         connected_components(df, max_iterations=2)
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    from polars_fastx_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+         ("c", "e")],  # e is dangling (no out-edges)
+        "src string, dst string",
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=12).collect()}
+
+    import numpy as np
+    nodes = sorted(got)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    out = {"a": 2, "b": 1, "c": 2, "d": 1, "e": 0}
+    M = np.zeros((n, n))
+    for s, t in [("a","b"),("a","c"),("b","c"),("c","a"),("d","c"),("c","e")]:
+        M[idx[t], idx[s]] = 1.0 / out[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        dangling = r[idx["e"]]
+        r = (1 - d) / n + d * (M @ r) + d * dangling / n
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved

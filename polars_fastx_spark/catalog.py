@@ -3109,3 +3109,31 @@ def l_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), F.col("node").asc_nulls_first())
         .limit(20)
     )
+
+
+@_q(
+    "l_word_repetition",
+    """
+    SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_word_ratio
+    FROM (
+        SELECT doc_id, w, count(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'),
+                                      t -> t <> '')) AS w
+            FROM documents
+        )
+        GROUP BY doc_id, w
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L4: Gopher-style repetition filter — top-word share per doc via "
+    "explode + two-level agg; shuffle key (doc, word) bounds skew by "
+    "document length, not corpus size",
+)
+def l_word_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.word_repetition(d, "doc_id", "text").orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )

@@ -92,3 +92,16 @@ def enforce(df: DataFrame, rules: list[Rule]) -> None:
     ]
     if bad:
         raise AssertionError(f"data-quality expectations failed: {bad}")
+
+
+def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Attach free pipeline metrics: ``df.observe`` evaluates the given
+    aggregates DURING the next action on ``df`` — no second scan, no
+    extra job. Returns (df, observation); read ``observation.get``
+    after the action completes. The zero-cost alternative to re-running
+    check() when a pipeline already writes its output anyway.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs

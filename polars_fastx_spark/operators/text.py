@@ -187,3 +187,24 @@ def redact_pii(c: Column | str, kinds: list[str] | None = None) -> Column:
     for kind in kinds or list(PII_PATTERNS):
         col = F.regexp_replace(col, PII_PATTERNS[kind], f"[{kind}]")
     return col
+
+
+def word_repetition(df, id_col: str, text_col: str):
+    """Gopher-style repetition signal: share of the document's words
+    taken by its single most frequent word. High values flag boilerplate
+    / keyword-stuffed docs for corpus filtering. Explode → two-level
+    aggregate; the shuffle key is (id, word), so skew is bounded by the
+    longest document, not the corpus."""
+    w = F.explode(F.split(_col(text_col), r"\s+")).alias("w")
+    return (
+        df.select(_col(id_col).alias(id_col), w)
+        .filter(F.col("w") != "")
+        .groupBy(id_col, "w")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("count") / F.sum("count"), 6).alias(
+                "top_word_ratio"
+            )
+        )
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from polars_fastx_spark import plans
 from polars_fastx_spark.operators import quality as Q
@@ -63,3 +64,20 @@ def test_enforce_raises_with_failing_rules_only(spark):
     Q.enforce(df, [Q.not_null("id")])  # passes
     with pytest.raises(AssertionError, match="unique:id"):
         Q.enforce(df, [Q.unique("id")])
+
+
+def test_observed_metrics_collected_during_single_action(spark, tmp_path):
+    df = _df(spark)
+    obs_df, obs = Q.observed(
+        df,
+        "writer",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_status": F.sum(F.when(F.col("status").isNull(), 1).otherwise(0)),
+            "v_sum": F.sum("v"),
+        },
+    )
+    obs_df.write.mode("overwrite").parquet(str(tmp_path / "out"))  # ONE action
+    got = obs.get
+    assert got["n_rows"] == 4 and got["null_status"] == 1
+    assert abs(got["v_sum"] - 57.0) < 1e-9

@@ -3137,3 +3137,69 @@ def l_word_repetition(spark, sf_dir):
     return text.word_repetition(d, "doc_id", "text").orderBy(
         F.col("doc_id").asc_nulls_first()
     )
+
+
+@_q(
+    "l_centroids",
+    """
+    SELECT label, list(round(v, 6) ORDER BY pos) AS centroid
+    FROM (
+        SELECT label, pos, avg(val) AS v
+        FROM (
+            SELECT label, unnest(embedding)::DOUBLE AS val,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    )
+    GROUP BY label
+    ORDER BY label NULLS FIRST
+    """,
+    "Vector centroids per label: posexplode → (key,pos) avg → ordered "
+    "re-assembly — all JVM built-ins, two shuffles with map-side "
+    "partials (operators/vectors.py); the IVF-centroid/class-prototype "
+    "building block",
+)
+def l_centroids(spark, sf_dir):
+    from polars_fastx_spark.operators.vectors import group_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    return group_centroids(e, ["label"], "embedding", decimals=6).orderBy(
+        F.col("label").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_chunk_tokens",
+    """
+    SELECT doc_id, (s - 1) // 48 AS chunk_idx,
+           md5(array_to_string(list_slice(toks, s, s + 63), ' '))
+               AS chunk_md5
+    FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, 48))::BIGINT AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        )
+    )
+    ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST
+    """,
+    "Token-space chunking: 64-token windows, stride 48 (16 overlap), "
+    "re-joined with spaces; explode(sequence()) over the token array — "
+    "zero shuffles, md5-verified content parity",
+)
+def l_chunk_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.chunk_tokens(d, "text", size=64, overlap=16)
+    return (
+        out.select(
+            "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_md5")
+        )
+        .orderBy(
+            F.col("doc_id").asc_nulls_first(),
+            F.col("chunk_idx").asc_nulls_first(),
+        )
+    )

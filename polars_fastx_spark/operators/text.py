@@ -208,3 +208,43 @@ def word_repetition(df, id_col: str, text_col: str):
             )
         )
     )
+
+
+def chunk_tokens(
+    df,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+):
+    """Token-window chunking: whitespace-tokenize, then emit
+    ``size``-token windows every ``size - overlap`` tokens, re-joined
+    with single spaces (training-context chunking in token space).
+    Same explode(sequence()) shape as chunk_text — zero shuffles; an
+    empty/whitespace-only doc yields one empty chunk."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    toks = tokens(_col(text_col))
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn(
+            "_start",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    F.lit(step),
+                )
+            ),
+        )
+        .withColumn(
+            chunk_col,
+            F.array_join(
+                F.slice("_toks", F.col("_start") + 1, size), " "
+            ),
+        )
+        .withColumn(idx_col, (F.col("_start") / step).cast("bigint"))
+        .drop("_toks", "_start")
+    )

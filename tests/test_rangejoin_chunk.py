@@ -71,3 +71,34 @@ def test_chunk_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "abc")], "id int, text string")
     with pytest.raises(ValueError, match="overlap"):
         text.chunk_text(df, "text", size=10, overlap=10)
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "  "), (3, "a b")], "id int, text string"
+    )
+    out = text.chunk_tokens(df, "text", size=10, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, []).append((r.chunk_idx, r.chunk))
+    c1 = [ch.split(" ") for _, ch in sorted(by_doc[1])]
+    assert all(len(c) == 10 for c in c1[:-1])
+    assert c1[0][:2] == ["w0", "w1"] and c1[1][:2] == ["w8", "w9"]  # stride 8
+    # reconstruction: strip the 2-token overlap from each later chunk
+    rebuilt = c1[0] + [t for c in c1[1:] for t in c[2:]]
+    assert rebuilt == words.split(" ")
+    assert sorted(by_doc[2]) == [(0, "")]   # whitespace-only doc kept
+    assert sorted(by_doc[3]) == [(0, "a b")]
+
+
+def test_group_centroids_elementwise_mean(spark):
+    from polars_fastx_spark.operators.vectors import group_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        "label int, embedding array<double>",
+    )
+    got = {r.label: r.centroid for r in
+           group_centroids(df, ["label"], "embedding").collect()}
+    assert got == {0: [2.0, 4.0], 1: [10.0, 0.0]}

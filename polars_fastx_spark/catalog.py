@@ -3203,3 +3203,24 @@ def l_chunk_tokens(spark, sf_dir):
             F.col("chunk_idx").asc_nulls_first(),
         )
     )
+
+
+@_q(
+    "l_kmeans",
+    None,  # iterative Lloyd's — no SQL form; cluster recovery,
+           # determinism pinned in tests
+    "IVF training: k-means as a DataFrame loop — content-addressed "
+    "md5 seeding (no RNG), per round a broadcast k×dim centroid table "
+    "+ min_by assignment + group_centroids recompute; only k rows ever "
+    "reach the driver (operators/vectors.py)",
+)
+def l_kmeans(spark, sf_dir):
+    from polars_fastx_spark.operators.vectors import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(e, "vec_id", "embedding", k=4, iterations=4)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("cluster").asc_nulls_first())
+    )

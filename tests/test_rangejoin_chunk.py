@@ -102,3 +102,23 @@ def test_group_centroids_elementwise_mean(spark):
     got = {r.label: r.centroid for r in
            group_centroids(df, ["label"], "embedding").collect()}
     assert got == {0: [2.0, 4.0], 1: [10.0, 0.0]}
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    from polars_fastx_spark.operators.vectors import kmeans
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [0.0 + (i % 5) * 0.01, 0.0]))          # cluster at ~0
+        rows.append((100 + i, [10.0 + (i % 5) * 0.01, 10.0]))  # cluster at ~10
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, "vec_id", "embedding", k=2, iterations=5)
+    labels = {r.vec_id: r.cluster for r in assigned.collect()}
+    lo = {labels[i] for i in range(30)}
+    hi = {labels[100 + i] for i in range(30)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi  # perfectly separated
+    means = sorted(round(c[0]) for c in cents)
+    assert means == [0, 10]
+    # determinism: content-addressed seeding → identical rerun
+    assigned2, cents2 = kmeans(df, "vec_id", "embedding", k=2, iterations=5)
+    assert cents == cents2

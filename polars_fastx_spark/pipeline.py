@@ -82,3 +82,55 @@ def fasta_stats(
     df = scan_fastx(spark, input_file)
     out = fasta_stats_frame(df, min_length, max_length, fields, kmer_length)
     write_tsv(out, output_file)
+
+
+def corpus_clean(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    min_chars: int = 100,
+    max_top_word_ratio: float = 0.2,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """End-to-end training-corpus job: the L-tier operators composed
+    into one write. Stages (and their data movement at scale):
+
+    1. scan + PII redaction + length gate — shuffle-free map/filter,
+       the length predicate pushed to the parquet scan;
+    2. repetition gate (Gopher top-word share) — one (doc, word)
+       shuffle, skew bounded by document length;
+    3. exact dedup keeping the lowest doc_id per content hash — one
+       shuffle on md5(text);
+    4. deterministic train/valid/test assignment — pure map;
+    5. write partitioned by (split, lang) so downstream training jobs
+       partition-prune their split without reading the rest.
+
+    Returns the written frame (re-read from ``out_path``).
+    """
+    from pyspark.sql import Window, functions as F
+
+    from polars_fastx_spark.operators import sampling
+    from polars_fastx_spark.operators.text import redact_pii, word_repetition
+
+    docs = (
+        spark.read.parquet(docs_path)
+        .filter(F.col("n_chars") >= min_chars)
+        .withColumn("text", redact_pii("text"))
+    )
+    rep = word_repetition(docs, "doc_id", "text").filter(
+        F.col("top_word_ratio") <= max_top_word_ratio
+    )
+    docs = docs.join(rep.select("doc_id"), "doc_id", "left_semi")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    docs = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    docs = sampling.assign_splits(
+        docs, "doc_id", weights=split_weights, salt="corpus"
+    )
+    docs.write.mode("overwrite").partitionBy("split", "lang").parquet(
+        out_path
+    )
+    return spark.read.parquet(out_path)

@@ -82,3 +82,31 @@ def test_cli_main_stdout(spark, tmp_path, capsys):
     assert out[0].split("\t") == ["header", "length", "gc_content", "n_count"]
     assert out[1].split("\t") == ["h1 d", "4", "1.0", "0"]
     assert out[2].split("\t") == ["h2", "4", "0.0", "4"]
+
+
+def test_corpus_clean_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.pipeline import corpus_clean
+
+    out = str(tmp_path / "corpus")
+    got = corpus_clean(
+        spark, "/root/testdata/sf0.001/documents.parquet", out,
+        min_chars=100, max_top_word_ratio=0.5,
+    )
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert 0 < got.count() <= src.count()
+    # every surviving doc has a split, unique doc_id, and gated length
+    assert got.filter(F.col("split").isNull()).count() == 0
+    assert got.select("doc_id").distinct().count() == got.count()
+    assert got.filter(F.col("n_chars") < 100).count() == 0
+    # partition layout: split=*/lang=* directories exist for pruning
+    import glob
+    assert glob.glob(f"{out}/split=*/lang=*")
+    # partition pruning proof: the split predicate lands in
+    # PartitionFilters (directory-level skip), not a data filter
+    one = spark.read.parquet(out).filter(F.col("split") == "train")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("split" in ln for ln in pf), plan[:800]
+    assert one.count() > 0

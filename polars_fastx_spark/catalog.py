@@ -3224,3 +3224,35 @@ def l_kmeans(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("cluster").asc_nulls_first())
     )
+
+
+@_q(
+    "w_percent_rank",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER
+               (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC,
+                c_custkey ASC), 6) AS pr,
+           round(cume_dist() OVER
+               (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC,
+                c_custkey ASC), 6) AS cd
+    FROM customer
+    ORDER BY c_custkey NULLS FIRST
+    """,
+    "W: percent_rank + cume_dist per segment — relative standing "
+    "without a self-join; unique (acctbal, custkey) ordering keeps "
+    "both engines' tie semantics identical",
+)
+def w_percent_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy(F.col("c_custkey").asc_nulls_first())
+    )

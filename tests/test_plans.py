@@ -154,3 +154,39 @@ def test_rollup_reuses_fact_exchange(spark):
         .split("== Initial Plan ==")[0]
     )
     assert final.count("ReusedExchange") >= 2
+
+
+#: queries allowed to cross into Python — Arrow-batched ONLY
+#: (FlatMapGroupsInPandas / MapInPandas / ArrowEvalPython / pandas
+#: grouped-agg); every other catalog query must stay fully JVM-side.
+ALLOWED_ARROW_PYTHON = {
+    "t_ewma",                 # applyInPandas EWMA recursion
+    "l_pack_ffd",             # mapInPandas FFD packing
+    "x_applyinpandas_zscore", # applyInPandas
+    "x_udaf_entropy",         # pandas grouped-agg UDAF
+    "l_multimodal_features",  # mapInPandas decode stub
+    "l_embed_neardup",        # numpy block-matmul
+    "l_cosine_topk",          # numpy top-k
+    "l_ann_lsh_topk",         # numpy re-rank
+    "l_ivf_topk",             # numpy cells
+    "l_kmeans",               # pandas centroid loop
+    "x_udtf_ngrams",          # Python UDTF (arrow-optimized)
+}
+
+
+def test_no_row_at_a_time_python_in_catalog(spark):
+    """BatchEvalPython (row-at-a-time Python UDF) must appear NOWHERE:
+    the 10-100x penalty it carries is the one regression this engine
+    bans outright. Arrow-batched Python is allowed only on the
+    explicit allowlist above."""
+    offenders, rogue_python = [], []
+    for name, spec in sorted(QUERIES.items()):
+        plan = plans.explain_str(QUERIES[name].fn(spark, SF))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if name not in ALLOWED_ARROW_PYTHON and (
+            "InPandas" in plan or "ArrowEvalPython" in plan or "EvalPython" in plan
+        ):
+            rogue_python.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs: {offenders}"
+    assert not rogue_python, f"undeclared Python stages: {rogue_python}"

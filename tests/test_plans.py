@@ -66,6 +66,7 @@ ALLOWED_NESTED_LOOP = {
     "l_ivf_topk",         # centroid assignment = broadcast × tiny centroid table
     "sq_scalar_avg",      # scalar subquery = 1-row broadcast build side
     "q_funnel",           # final report = 1-row × 1-row scalar cross join
+    "l_kmeans",           # assignment = broadcast × k-row centroid table
 }
 
 

@@ -3103,7 +3103,7 @@ def l_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    ranks = pagerank(edges, iterations=6)
+    ranks = pagerank(edges, iterations=4)
     return (
         ranks.select("node", F.round("rank", 9).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node").asc_nulls_first())
@@ -3218,7 +3218,7 @@ def l_kmeans(spark, sf_dir):
     from polars_fastx_spark.operators.vectors import kmeans
 
     e = _t(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans(e, "vec_id", "embedding", k=4, iterations=4)
+    assigned, _ = kmeans(e, "vec_id", "embedding", k=4, iterations=3)
     return (
         assigned.groupBy("cluster")
         .agg(F.count("*").alias("n"))

@@ -122,3 +122,18 @@ def test_kmeans_recovers_separated_clusters(spark):
     # determinism: content-addressed seeding → identical rerun
     assigned2, cents2 = kmeans(df, "vec_id", "embedding", k=2, iterations=5)
     assert cents == cents2
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    from polars_fastx_spark.operators.vectors import kmeans
+
+    # 3 centroids over 2 distinct points: one cluster must starve and
+    # retain its seed instead of crashing or collapsing to NaN
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = kmeans(df, "vec_id", "embedding", k=3, iterations=3)
+    assert len(cents) == 3
+    assert all(all(x == x for x in c) for c in cents)  # no NaNs
+    assert assigned.count() == 3

@@ -98,3 +98,52 @@ def running_user_totals(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("event_id", LongType(), True),
+        StructField("ewma", DoubleType(), True),
+    ]
+)
+
+_EWMA_STATE = StructType([StructField("acc", DoubleType(), True)])
+
+
+def streaming_ewma(events: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.ewma``: the per-user
+    recursion y_t = (1-α)·y_{t-1} + α·x_t carried across micro-batches
+    in the state store (one double per user). Within a batch rows fold
+    in (ts, event_id) order; across batches the accumulator resumes
+    where the last batch ended — so for in-order delivery the emitted
+    series is IDENTICAL to the batch operator's (pinned in tests).
+    Out-of-order rows fold in arrival order (state can't rewind); put a
+    watermarked sort upstream if the source can reorder.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        acc = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for eid, x in zip(pdf["event_id"], pdf["value"]):
+                x = float(x)
+                acc = x if acc is None else (1.0 - alpha) * acc + alpha * x
+                out.append((int(eid), acc))
+        state.update((acc,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "event_id": [e for e, _ in out],
+                "ewma": [v for _, v in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

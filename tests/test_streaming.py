@@ -378,3 +378,30 @@ def test_foreachbatch_upsert_sink(spark, srcdir, tmp_path):
     got = {r.event_id: (r.event_type, r.value)
            for r in spark.read.parquet(tgt).collect()}
     assert got == {1: ("click", 9.0), 2: ("view", 2.0), 3: ("buy", 3.0)}
+
+
+def test_streaming_ewma_matches_batch_operator(spark, srcdir, tmp_path):
+    """Cross-batch state: the streamed EWMA series equals the batch
+    applyInPandas result over the same (in-order) events."""
+    from polars_fastx_spark.streaming.stateful import streaming_ewma
+
+    b1 = [
+        _rows("2024-01-01 10:00:00", 1, user=7, value=10.0),
+        _rows("2024-01-01 10:01:00", 2, user=7, value=20.0),
+        _rows("2024-01-01 10:00:30", 3, user=9, value=5.0),
+    ]
+    b2 = [
+        _rows("2024-01-01 10:02:00", 4, user=7, value=30.0),
+        _rows("2024-01-01 10:03:00", 5, user=9, value=15.0),
+    ]
+    _write_batch(srcdir, "b1.json", b1)
+    stream = streaming_ewma(sp.stream_events(spark, str(srcdir)), alpha=0.5)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, stream, out, ck)
+    _write_batch(srcdir, "b2.json", b2)
+    got_df = _collect_parquet(spark, stream, out, ck)
+    got = {r.event_id: r.ewma for r in got_df.collect()}
+
+    # batch reference over the union of both batches
+    expect = {1: 10.0, 2: 15.0, 4: 22.5, 3: 5.0, 5: 10.0}
+    assert got == expect  # cross-batch state resumed exactly

@@ -3256,3 +3256,75 @@ def w_percent_rank(spark, sf_dir):
         )
         .orderBy(F.col("c_custkey").asc_nulls_first())
     )
+
+
+@_q(
+    "q_tpch19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 35)
+    """,
+    "TPC-H Q19-style disjunctive join filter: the OR-of-ANDs must stay "
+    "an equi-join on partkey with a post-join disjunction — Catalyst "
+    "also derives the per-side prefilters (brand/size, quantity "
+    "envelopes) and pushes them below the join",
+)
+def q_tpch19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "g_string_agg",
+    """
+    SELECT c_mktsegment,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM (
+        SELECT DISTINCT c_mktsegment, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment NULLS FIRST
+    """,
+    "G: ordered string aggregation — array_sort(collect_list) + "
+    "array_join gives deterministic listagg semantics (collect_list "
+    "order is partition-dependent; the sort canonicalizes it)",
+)
+def g_string_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+        .orderBy(F.col("c_mktsegment").asc_nulls_first())
+    )

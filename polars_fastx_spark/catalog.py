@@ -3328,3 +3328,46 @@ def g_string_agg(spark, sf_dir):
         )
         .orderBy(F.col("c_mktsegment").asc_nulls_first())
     )
+
+
+@_q(
+    "j_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+                THEN round(c.value, 4) END AS last_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id NULLS FIRST
+    """,
+    "J7: as-of with tolerance (polars merge_asof parity) — matches "
+    "farther than 10 min back are nulled post-pick, zero extra "
+    "shuffles; oracle nulls the same matches on the DuckDB ASOF result",
+)
+def j_asof_tolerance(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    out = join_asof(
+        purchases,
+        clicks,
+        on="ts_us",
+        by="user_id",
+        tolerance=600_000_000,  # 10 min in µs
+    )
+    return (
+        out.select(
+            "event_id", F.round("value", 4).alias("last_click_value")
+        )
+        .orderBy(F.col("event_id").asc_nulls_first())
+    )

@@ -262,3 +262,33 @@ class SeqAccessor:
 
 def seq(c: Column | str) -> SeqAccessor:
     return SeqAccessor(c)
+
+
+def per_cycle_quality(df, quality_col: str = "quality", offset: int = 33):
+    """FastQC-style per-cycle quality: mean/min/max phred score at each
+    read position across all reads — the plot that catches cycle-end
+    chemistry decay. posexplode over the quality string's bytes, then
+    one aggregation keyed on position: reads of any length mix freely
+    (short reads simply stop contributing), and the shuffle key is the
+    position, so parallelism is the read length — combine with a
+    sampled input at very large scale. Returns
+    (cycle 1-based, n, mean_q, min_q, max_q).
+    """
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    ex = df.select(
+        F.posexplode(
+            F.transform(
+                F.split(q, ""), lambda ch: F.ascii(ch) - offset
+            )
+        ).alias("pos", "phred")
+    ).filter(F.col("phred").isNotNull())
+    return (
+        ex.groupBy((F.col("pos") + 1).alias("cycle"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("phred"), 4).alias("mean_q"),
+            F.min("phred").alias("min_q"),
+            F.max("phred").alias("max_q"),
+        )
+        .orderBy(F.col("cycle").asc_nulls_first())
+    )

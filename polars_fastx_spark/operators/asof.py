@@ -40,11 +40,16 @@ def join_asof(
     suffix: str = "_right",
     allow_exact_matches: bool = True,
     strategy: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Attach the as-of matching right row's columns to each left row.
 
     ``right_cols``: right columns to carry (default: all but key/time).
     Carried columns colliding with left names get ``suffix``.
+    ``tolerance`` (polars ``merge_asof`` parity): a match farther than
+    this from the left row's ``on`` value is nulled out — requires a
+    NUMERIC ``on`` column (convert timestamps to epoch ints first).
+    Applied as a post-pick null-out, so it adds zero shuffles.
     """
     if strategy not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of strategy: {strategy!r}")
@@ -120,10 +125,16 @@ def join_asof(
         )
         filled = unioned.select(*cols_out, picked.alias("__m"))
 
+    m = F.col("__m")
+    if tolerance is not None:
+        m = F.when(
+            F.abs(F.col(on) - F.col("__m")["__t"]) <= F.lit(tolerance),
+            F.col("__m"),
+        )
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(
             *[c for c in left.columns],
-            *[F.col("__m")[out_names[c]].alias(out_names[c]) for c in right_cols],
+            *[m[out_names[c]].alias(out_names[c]) for c in right_cols],
         )
     )

@@ -90,3 +90,21 @@ def test_upsample_ffill_semantics(spark):
         (1, 10): 1.0, (1, 11): 1.0, (1, 12): 1.0, (1, 13): 4.0,
         (2, 5): 9.0,
     }
+
+
+def test_asof_tolerance_nulls_distant_matches(spark):
+    from polars_fastx_spark.operators.asof import join_asof
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 1000)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 200, "b")], "k int, t long, v string"
+    )
+    out = join_asof(left, right, on="t", by="k", tolerance=10)
+    got = {r.t: r.v for r in out.collect()}
+    # 100-90=10 within; 205-200=5 within; 1000-200=800 → nulled
+    assert got == {100: "a", 205: "b", 1000: None}
+    # without tolerance the distant match survives
+    out2 = join_asof(left, right, on="t", by="k")
+    assert {r.t: r.v for r in out2.collect()}[1000] == "b"

@@ -150,3 +150,19 @@ def test_quality_metrics(spark):
     assert by_q["5555"]["q30"] == 0.0
     assert by_q[""]["mq"] is None and by_q[""]["q20"] is None
     assert by_q[None]["mq"] is None
+
+
+def test_per_cycle_quality_matches_hand_computation(spark):
+    from polars_fastx_spark.functions.seq import per_cycle_quality
+
+    # reads of uneven length; phred+33: 'I'=40, '#'=2, '5'=20
+    df = spark.createDataFrame(
+        [("II#",), ("5I",)], "quality string"
+    )
+    rows = {r.cycle: (r.n, r.mean_q, r.min_q, r.max_q)
+            for r in per_cycle_quality(df).collect()}
+    assert rows == {
+        1: (2, 30.0, 20, 40),   # 40, 20
+        2: (2, 40.0, 40, 40),   # 40, 40
+        3: (1, 2.0, 2, 2),      # short read stops contributing
+    }

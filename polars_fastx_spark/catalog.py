@@ -3371,3 +3371,34 @@ def j_asof_tolerance(spark, sf_dir):
         )
         .orderBy(F.col("event_id").asc_nulls_first())
     )
+
+
+@_q(
+    "g_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           round(stddev_samp(l_quantity), 6) AS sd_q
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS FIRST
+    """,
+    "G: bivariate stats — corr/covar_samp/stddev_samp per return flag; "
+    "single-pass decomposable moments, map-side partials",
+)
+def g_corr_covar(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qp"
+            ),
+            F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 4
+            ).alias("covar_qp"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_q"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first())
+    )

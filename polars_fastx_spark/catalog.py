@@ -3402,3 +3402,73 @@ def g_corr_covar(spark, sf_dir):
         )
         .orderBy(F.col("l_returnflag").asc_nulls_first())
     )
+
+
+@_q(
+    "t_interpolate",
+    """
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+               min(value) AS v
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, b
+    ),
+    bounds AS (
+        SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(range(lo, hi + 1))::BIGINT AS b FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.b, o.v
+        FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+    ),
+    w AS (
+        SELECT user_id, b, v,
+               last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER wb AS pb,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER wf AS nb,
+               first_value(v IGNORE NULLS) OVER wf AS nv
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, b,
+           CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                            WHEN pv IS NOT NULL AND nv IS NOT NULL
+                            THEN pv + (nv - pv) * ((b - pb) / (nb - pb))
+                            END) * 1000000) AS BIGINT) AS v_u6
+    FROM w
+    ORDER BY user_id NULLS FIRST, b NULLS FIRST
+    """,
+    "T-series: linear-interpolation gap fill (Polars interpolate "
+    "analog) over an hourly per-user spine — spine from one aggregated "
+    "row per key, interpolation via two frame-bounded window passes "
+    "sharing one shuffle",
+)
+def t_interpolate(spark, sf_dir):
+    from polars_fastx_spark.operators.resample import upsample_interpolate
+
+    e = _events(spark, sf_dir)
+    obs = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(
+            "user_id", F.expr("ts_us div 3600000000").alias("b")
+        )
+        .agg(F.min("value").alias("v"))
+    )
+    out = upsample_interpolate(obs, "b", "user_id", "v")
+    return (
+        out.select(
+            "user_id",
+            "b",
+            F.floor(F.col("v") * 1_000_000).cast("bigint").alias("v_u6"),
+        )
+        .orderBy(
+            F.col("user_id").asc_nulls_first(), F.col("b").asc_nulls_first()
+        )
+    )

@@ -62,3 +62,56 @@ def upsample_ffill(
         F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
     ]
     return joined.select(*by_cols, bucket_col, *filled)
+
+
+def upsample_interpolate(
+    df: DataFrame,
+    bucket_col: str,
+    by: str | list[str],
+    value_col: str,
+    step: int = 1,
+) -> DataFrame:
+    """Dense per-key spine with LINEAR interpolation (Polars
+    ``interpolate`` analog): a gap bucket between two observations
+    gets y0 + (y1-y0)·(t-t0)/(t1-t0); buckets before the first or
+    after the last observation stay null. Same single-shuffle shape as
+    forward-fill — the two window passes (last-known-behind,
+    first-known-ahead) share the per-key ordering.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    spine = (
+        df.groupBy(*by_cols)
+        .agg(
+            F.min(bucket_col).alias("__lo"),
+            F.max(bucket_col).alias("__hi"),
+        )
+        .select(
+            *by_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    joined = spine.join(df, on=by_cols + [bucket_col], how="left")
+    wb = (
+        Window.partitionBy(*by_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v, b = F.col(value_col), F.col(bucket_col)
+    known = F.when(v.isNotNull(), F.struct(b.alias("t"), v.alias("y")))
+    prev = F.last(known, ignorenulls=True).over(wb)
+    nxt = F.first(known, ignorenulls=True).over(wf)
+    interp = prev["y"] + (nxt["y"] - prev["y"]) * (
+        (b - prev["t"]).cast("double") / (nxt["t"] - prev["t"]).cast("double")
+    )
+    out = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(prev.isNotNull() & nxt.isNotNull(), interp)
+    )
+    return joined.select(*by_cols, b.alias(bucket_col), out.alias(value_col))

@@ -108,3 +108,20 @@ def test_asof_tolerance_nulls_distant_matches(spark):
     # without tolerance the distant match survives
     out2 = join_asof(left, right, on="t", by="k")
     assert {r.t: r.v for r in out2.collect()}[1000] == "b"
+
+
+def test_upsample_interpolate_semantics(spark):
+    from polars_fastx_spark.operators.resample import upsample_interpolate
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 4, 18.0), (1, 6, None), (1, 8, 2.0),
+         (2, 5, 7.0)],
+        "k int, day int, v double",
+    )
+    out = upsample_interpolate(df, "day", "k", "v")
+    got = {(r.k, r.day): r.v for r in out.collect()}
+    assert got[(1, 1)] == 12.0 and got[(1, 2)] == 14.0 and got[(1, 3)] == 16.0
+    assert got[(1, 5)] == 14.0  # between 18 (day 4) and 2 (day 8)
+    assert got[(1, 6)] == 10.0  # explicit null row interpolates too
+    assert got[(1, 4)] == 18.0 and got[(1, 8)] == 2.0  # observations kept
+    assert got[(2, 5)] == 7.0  # single-point key: no gaps, value kept

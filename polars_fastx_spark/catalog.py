@@ -3472,3 +3472,41 @@ def t_interpolate(spark, sf_dir):
             F.col("user_id").asc_nulls_first(), F.col("b").asc_nulls_first()
         )
     )
+
+
+@_q(
+    "u_union_evolve",
+    """
+    SELECT doc_id, lang, n_chars, quality
+    FROM (
+        SELECT doc_id, lang, n_chars, NULL::DOUBLE AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, NULL::BIGINT AS n_chars,
+               round(n_chars / 1000.0, 6) AS quality
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "U: schema-evolution concat — two snapshot generations (one gained "
+    "a quality column, one predates it) union BY NAME with null "
+    "padding; plan-level concat, zero shuffles "
+    "(operators/partitioning.py:concat_evolve)",
+)
+def u_union_evolve(spark, sf_dir):
+    from polars_fastx_spark.operators.partitioning import concat_evolve
+
+    d = _t(spark, sf_dir, "documents")
+    old_gen = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    new_gen = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("n_chars") / 1000.0, 6).alias("quality"),
+    )
+    return (
+        concat_evolve([old_gen, new_gen])
+        .select("doc_id", "lang", "n_chars", "quality")
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )

@@ -100,3 +100,19 @@ def salted_agg_count(
     )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__n"))
     return partial.groupBy(key).agg(F.sum("__n").alias("count"))
+
+
+def concat_evolve(dfs: list[DataFrame]) -> DataFrame:
+    """Concatenate frames whose schemas evolved over time: columns are
+    matched BY NAME and columns missing from a frame are null-padded
+    (``unionByName(allowMissingColumns=True)`` fold) — appending a new
+    corpus snapshot that gained columns never requires rewriting old
+    snapshots. Column order follows the first frame, then first
+    appearance. Unions are plan-level concatenation: zero shuffles.
+    """
+    if not dfs:
+        raise ValueError("concat_evolve needs at least one frame")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

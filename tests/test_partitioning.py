@@ -81,3 +81,15 @@ def test_salted_agg_matches_plain(spark):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert salted == plain
+
+
+def test_concat_evolve_pads_missing_columns(spark):
+    from polars_fastx_spark.operators.partitioning import concat_evolve
+
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([(2, 3.5)], "id int, extra double")
+    got = {r.id: (r.s, r.extra) for r in concat_evolve([a, b]).collect()}
+    assert got == {1: ("x", None), 2: (None, 3.5)}
+    import pytest
+    with pytest.raises(ValueError):
+        concat_evolve([])

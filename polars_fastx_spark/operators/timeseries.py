@@ -127,3 +127,40 @@ def hierarchical_rollup(
             level.select(F.lit(name).alias("resolution"), "*")
         )
     return out
+
+
+def backfill_rollup_day(
+    spark,
+    events_df: DataFrame,
+    out_path: str,
+    day_us: int,
+    keys: list[str],
+    ts_us_col: str,
+    value_col: str,
+) -> None:
+    """Recompute ONE day's rollup partition and swap it in place.
+
+    The late-data answer for materialized rollups: when stragglers
+    land for an old day, re-aggregate just that day from the fact
+    (partition-pruned scan if the fact is day-partitioned; otherwise a
+    pushed-down range filter) and dynamic-partition-overwrite the
+    single `day=` directory — every other day's files are untouched,
+    and replaying the same backfill is idempotent.
+    """
+    day_len = 86_400_000_000
+    one_day = events_df.filter(
+        (F.col(ts_us_col) >= day_us) & (F.col(ts_us_col) < day_us + day_len)
+    )
+    agg = (
+        one_day.groupBy(
+            time_bucket(ts_us_col, 3_600_000_000).alias("bucket_us"), *keys
+        )
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("sum_value"))
+        .withColumn("day", F.lit(day_us))
+    )
+    (
+        agg.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out_path)
+    )

@@ -81,3 +81,51 @@ def test_rollup_rejects_non_nesting_widths(spark, events):
         timeseries.hierarchical_rollup(
             e, "ts_us", [], "value", {"a": 7, "b": 10}
         )
+
+
+def test_backfill_rollup_day_touches_one_partition(spark, events, tmp_path):
+    import glob
+
+    from polars_fastx_spark.operators.timeseries import (
+        backfill_rollup_day, time_bucket,
+    )
+
+    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    out = str(tmp_path / "rollup")
+    day_len = 86_400_000_000
+    # seed: full two-resolution... (hourly) rollup partitioned by day
+    base = (
+        e.groupBy(
+            time_bucket("ts_us", 3_600_000_000).alias("bucket_us"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .withColumn("day", (F.col("bucket_us") - F.col("bucket_us") % day_len))
+    )
+    base.write.partitionBy("day").parquet(out)
+    days = sorted({r.day for r in base.select("day").distinct().collect()})
+    target = days[1]
+    other_files = {f for f in glob.glob(f"{out}/day=*/*.parquet")
+                   if f"day={target}" not in f}
+
+    backfill_rollup_day(
+        spark, e, out, target, ["event_type"], "ts_us", "value"
+    )
+    # untouched partitions byte-identical; target partition still correct
+    assert {f for f in glob.glob(f"{out}/day=*/*.parquet")
+            if f"day={target}" not in f} == other_files
+    got = (
+        spark.read.parquet(out).filter(F.col("day") == target)
+        .agg(F.sum("n").alias("n")).collect()[0].n
+    )
+    expect = e.filter(
+        (F.col("ts_us") >= target) & (F.col("ts_us") < target + day_len)
+    ).count()
+    assert got == expect
+    # replay: same state (idempotent)
+    backfill_rollup_day(spark, e, out, target, ["event_type"], "ts_us", "value")
+    got2 = (
+        spark.read.parquet(out).filter(F.col("day") == target)
+        .agg(F.sum("n").alias("n")).collect()[0].n
+    )
+    assert got2 == expect

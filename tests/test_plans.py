@@ -191,3 +191,17 @@ def test_no_row_at_a_time_python_in_catalog(spark):
             rogue_python.append(name)
     assert not offenders, f"row-at-a-time Python UDFs: {offenders}"
     assert not rogue_python, f"undeclared Python stages: {rogue_python}"
+
+
+def test_catalog_builders_never_collect():
+    """No catalog query builder may materialize rows on the driver —
+    driver-side loops don't scale. (Iterative OPERATORS may move ≤k
+    rows/scalars per round; that lives in operators/, documented, not
+    here.)"""
+    import inspect
+
+    import polars_fastx_spark.catalog as cat
+
+    src = inspect.getsource(cat)
+    assert ".collect()" not in src
+    assert ".toPandas()" not in src

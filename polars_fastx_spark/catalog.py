@@ -3510,3 +3510,48 @@ def u_union_evolve(spark, sf_dir):
         .select("doc_id", "lang", "n_chars", "quality")
         .orderBy(F.col("doc_id").asc_nulls_first())
     )
+
+
+@_q(
+    "t_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+        SELECT user_id, event_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY t ASC,
+                                event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - 1 AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*)::BIGINT AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id NULLS FIRST, session_id NULLS FIRST
+    """,
+    "T-series: gap-based sessionization as a COLUMN (30-min gap) — "
+    "lag→flag→running-sum sharing ONE shuffle on user_id; the batch "
+    "complement to session_window that keeps every event row "
+    "addressable by its session",
+)
+def t_sessionize(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    out = timeseries.sessionize(
+        e, "ts_us", "user_id", gap=1_800_000_000, tiebreak_cols=["event_id"]
+    )
+    return (
+        out.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(
+            F.col("user_id").asc_nulls_first(),
+            F.col("session_id").asc_nulls_first(),
+        )
+    )

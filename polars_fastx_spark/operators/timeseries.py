@@ -28,7 +28,7 @@ The reference's frames inherit Polars' time-series surface
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -163,4 +163,35 @@ def backfill_rollup_day(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(out_path)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: str | list[str],
+    gap: int,
+    session_col: str = "session_id",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a per-key session id: a new session starts when the gap
+    from the previous event exceeds ``gap`` (same units as ``ts_col``;
+    use integer epochs). The classic lag→flag→cumulative-sum: both
+    windows share one shuffle on the key, no self-join. Session ids
+    are 0-based and ordered by time within each key."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*by_cols).orderBy(*order)
+    new_flag = (
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | ((F.col(ts_col) - F.lag(ts_col).over(w)) > gap),
+            1,
+        ).otherwise(0)
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        session_col, (F.sum(new_flag).over(wc) - 1).cast("bigint")
     )

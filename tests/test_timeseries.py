@@ -129,3 +129,19 @@ def test_backfill_rollup_day_touches_one_partition(spark, events, tmp_path):
         .agg(F.sum("n").alias("n")).collect()[0].n
     )
     assert got2 == expect
+
+
+def test_sessionize_gap_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 1), (1, 10, 2), (1, 100, 3), (1, 105, 4), (2, 0, 5)],
+        "k int, t long, eid int",
+    )
+    out = timeseries.sessionize(df, "t", "k", gap=30, tiebreak_cols=["eid"])
+    got = {r.eid: r.session_id for r in out.collect()}
+    # gap 0→10 within; 10→100 exceeds 30 → new session; 100→105 within
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    # exactly-at-gap stays in the session (strict > starts a new one)
+    df2 = spark.createDataFrame([(1, 0, 1), (1, 30, 2)], "k int, t long, eid int")
+    got2 = {r.eid: r.session_id
+            for r in timeseries.sessionize(df2, "t", "k", 30, tiebreak_cols=["eid"]).collect()}
+    assert got2 == {1: 0, 2: 0}

@@ -3555,3 +3555,50 @@ def t_sessionize(spark, sf_dir):
             F.col("session_id").asc_nulls_first(),
         )
     )
+
+
+@_q(
+    "p_zorder_key",
+    # oracle generated from the same term list as the Spark expression
+    None,
+    "placeholder — replaced below with a generated-SQL oracle",
+)
+def _p_zorder_placeholder(spark, sf_dir):  # pragma: no cover
+    raise NotImplementedError
+
+
+def _register_zorder():
+    from polars_fastx_spark.operators.partitioning import (
+        zorder_key, zorder_sql,
+    )
+
+    oracle = f"""
+    SELECT p_partkey,
+           {zorder_sql('(p_size % 65536)', '(p_partkey % 65536)')} AS zkey
+    FROM part
+    ORDER BY p_partkey NULLS FIRST
+    """
+
+    def p_zorder_key(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        return (
+            p.select(
+                "p_partkey",
+                zorder_key(
+                    F.col("p_size") % 65536, F.col("p_partkey") % 65536
+                ).alias("zkey"),
+            )
+            .orderBy(F.col("p_partkey").asc_nulls_first())
+        )
+
+    QUERIES["p_zorder_key"] = QuerySpec(
+        p_zorder_key,
+        oracle,
+        "P/layout: Morton Z-order interleave key — the cluster-by "
+        "expression for two-dimensional file skipping; pure integer "
+        "codegen, bit-identical across engines (oracle generated from "
+        "the same term list)",
+    )
+
+
+_register_zorder()

@@ -116,3 +116,34 @@ def concat_evolve(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton/Z-order interleave of two non-negative ints (``bits``
+    each) — sort/range-partition by this before writing and both
+    dimensions cluster into files TOGETHER, so parquet min/max file
+    skipping works for predicates on either column (the poor-man's
+    Z-ORDER BY of table formats). Pure integer expression: stays in
+    codegen, oracle-reproducible bit-for-bit in any engine.
+    """
+    a = F.col(c1) if isinstance(c1, str) else c1
+    b = F.col(c2) if isinstance(c2, str) else c2
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        out = (
+            out
+            + (F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i))
+            + (F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+        )
+    return out.cast("bigint")
+
+
+def zorder_sql(c1: str, c2: str, bits: int = 16) -> str:
+    """The identical Morton expression as engine-neutral SQL — the
+    DuckDB oracle twin of :func:`zorder_key` (same shift/mask/add
+    terms, so results match bit-for-bit)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

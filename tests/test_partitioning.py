@@ -93,3 +93,25 @@ def test_concat_evolve_pads_missing_columns(spark):
     import pytest
     with pytest.raises(ValueError):
         concat_evolve([])
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from polars_fastx_spark.operators.partitioning import zorder_key
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 7, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.select("x", "y", zorder_key("x", "y").alias("z")).collect()}
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x, y in rows:
+        assert got[(x, y)] == ref(x, y), (x, y)
+    # locality: points in the same small quadrant sort together —
+    # the whole reason to cluster files by this key
+    assert got[(0, 0)] < got[(1, 1)] < got[(255, 7)] < got[(65535, 65535)]

@@ -405,3 +405,34 @@ def test_streaming_ewma_matches_batch_operator(spark, srcdir, tmp_path):
     # batch reference over the union of both batches
     expect = {1: 10.0, 2: 15.0, 4: 22.5, 3: 5.0, 5: 10.0}
     assert got == expect  # cross-batch state resumed exactly
+
+
+def test_update_mode_reemits_growing_windows(spark, srcdir, tmp_path):
+    """Update output mode: a window re-emits each batch it grows in —
+    the dashboard-refresh semantics (vs append's emit-once-final)."""
+    events = sp.stream_events(spark, str(srcdir))
+    agg = sp.tumbling_counts(events, width="1 hour", watermark="10 minutes")
+
+    out = tmp_path / "upd"
+
+    def sink(batch, bid):
+        if batch.count():
+            batch.write.mode("append").parquet(str(out))
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(srcdir, "b0.json", [_rows("2024-01-01T00:05:00Z", 1)])
+    run()
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T00:20:00Z", 2)])
+    run()
+    # the same window was emitted twice: once at n=1, re-emitted at n=2
+    rows = spark.read.parquet(str(out)).collect()
+    counts = sorted(r.n_events for r in rows)
+    assert counts == [1, 2]

@@ -3557,17 +3557,9 @@ def t_sessionize(spark, sf_dir):
     )
 
 
-@_q(
-    "p_zorder_key",
-    # oracle generated from the same term list as the Spark expression
-    None,
-    "placeholder — replaced below with a generated-SQL oracle",
-)
-def _p_zorder_placeholder(spark, sf_dir):  # pragma: no cover
-    raise NotImplementedError
-
-
 def _register_zorder():
+    # oracle SQL is GENERATED from the same term list as the Spark
+    # expression, so registration happens programmatically, not via @_q
     from polars_fastx_spark.operators.partitioning import (
         zorder_key, zorder_sql,
     )

@@ -3594,3 +3594,38 @@ def _register_zorder():
 
 
 _register_zorder()
+
+
+@_q(
+    "q_tpch13",
+    """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC NULLS LAST
+    """,
+    "TPC-H Q13 (customer distribution): left join keeps zero-order "
+    "customers, filtered ON-clause (not WHERE — WHERE would break the "
+    "outer join), two-level aggregation; the outer histogram is tiny "
+    "at any scale",
+)
+def q_tpch13(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc_nulls_last())
+    )

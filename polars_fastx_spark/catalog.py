@@ -3629,3 +3629,32 @@ def q_tpch13(spark, sf_dir):
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc_nulls_last())
     )
+
+
+@_q(
+    "l_stratified_sample",
+    """
+    SELECT lang, count(*)::BIGINT AS n
+    FROM documents
+    WHERE CASE
+        WHEN lang = 'en' THEN substring(md5(doc_id || ':rebal'), 1, 4) < '199a'
+        WHEN lang = 'de' THEN substring(md5(doc_id || ':rebal'), 1, 4) < '8000'
+        ELSE TRUE END
+    GROUP BY lang
+    ORDER BY lang NULLS FIRST
+    """,
+    "L-sampling: per-stratum rebalance — downsample en to 10%, de to "
+    "50%, keep the rest whole; a pure filter over the md5 bucket space "
+    "(deterministic sampleBy), zero shuffles before the report agg",
+)
+def l_stratified_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        d, "lang", "doc_id", {"en": 0.1, "de": 0.5}, default=1.0,
+        salt="rebal",
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("lang").asc_nulls_first())
+    )

@@ -132,3 +132,32 @@ def stratified_take(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum fraction sampling (the deterministic ``sampleBy``):
+    each stratum keeps its own slice of the bucket space, so rebalancing
+    a skewed corpus (e.g. downsample English, keep all low-resource
+    languages) is a pure filter — zero shuffles, stable across reruns,
+    and nested per stratum like deterministic_sample."""
+    key = bucket_key(id_col, salt)
+    expr = F.lit(default >= 1.0)
+    if 0.0 < default < 1.0:
+        expr = key < F.lit(_hex_threshold(default))
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col).eqNullSafe(F.lit(stratum))
+        if frac >= 1.0:
+            keep = F.lit(True)
+        elif frac <= 0.0:
+            keep = F.lit(False)
+        else:
+            keep = key < F.lit(_hex_threshold(frac))
+        expr = F.when(cond, keep).otherwise(expr)
+    return df.filter(expr)

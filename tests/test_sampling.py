@@ -108,3 +108,18 @@ def test_sample_plan_is_filter_only(docs, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Sample" not in plan  # not Spark's RNG sampler
+
+
+def test_stratified_sample_per_stratum_fractions(docs):
+    out = sampling.stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.0}, default=1.0, salt="s"
+    )
+    kept = {r.lang for r in out.select("lang").distinct().collect()}
+    assert "en" not in kept and len(kept) >= 1  # en fully dropped, rest whole
+    n_other = docs.filter(F.col("lang") != "en").count()
+    assert out.count() == n_other
+    # fraction nests with the plain sampler at the same salt
+    en = docs.filter(F.col("lang") == "en")
+    a = _ids(sampling.stratified_sample(en, "lang", "doc_id", {"en": 0.3}, salt="s"))
+    b = _ids(sampling.deterministic_sample(en, "doc_id", 0.3, salt="s"))
+    assert a == b

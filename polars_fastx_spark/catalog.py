@@ -3658,3 +3658,36 @@ def l_stratified_sample(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("lang").asc_nulls_first())
     )
+
+
+@_q(
+    "f_bitwise",
+    """
+    SELECT p_partkey,
+           (p_partkey & p_size)::BIGINT AS b_and,
+           (p_partkey | p_size)::BIGINT AS b_or,
+           xor(p_partkey, p_size::BIGINT)::BIGINT AS b_xor,
+           (p_size::BIGINT << 3)::BIGINT AS b_shl,
+           (p_partkey >> 2)::BIGINT AS b_shr,
+           bit_count(p_partkey)::BIGINT AS b_pop
+    FROM part
+    ORDER BY p_partkey NULLS FIRST
+    """,
+    "F: bitwise family — and/or/xor/shifts/popcount (the primitives "
+    "under the Z-order and SimHash operators), pure codegen",
+)
+def f_bitwise(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    pk, sz = F.col("p_partkey"), F.col("p_size").cast("long")
+    return (
+        p.select(
+            "p_partkey",
+            pk.bitwiseAND(sz).cast("bigint").alias("b_and"),
+            pk.bitwiseOR(sz).cast("bigint").alias("b_or"),
+            pk.bitwiseXOR(sz).cast("bigint").alias("b_xor"),
+            F.shiftleft(sz, 3).cast("bigint").alias("b_shl"),
+            F.shiftright(pk, 2).cast("bigint").alias("b_shr"),
+            F.bit_count(pk).cast("bigint").alias("b_pop"),
+        )
+        .orderBy(F.col("p_partkey").asc_nulls_first())
+    )

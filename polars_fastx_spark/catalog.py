@@ -524,14 +524,27 @@ def g_count_distinct(spark, sf_dir):
 
 @_q(
     "g_approx_distinct",
-    None,  # HLL values differ across engines by design (SURVEY.md §4.4.4)
-    "G4: approx_count_distinct (rows-only; relative-error asserted in tests)",
+    """
+    SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+    FROM lineitem
+    """,
+    "G4: approx_count_distinct — HLL values differ across engines, so the "
+    "oracle-checkable contract is (exact count, approx-within-5%% flag); the "
+    "oracle asserts the flag TRUE, making the sketch's error bound the thing "
+    "the hash check verifies (relative error also pinned in tests)",
 )
 def g_approx_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_partkey").alias("_approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
@@ -922,8 +935,8 @@ def f_string(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charged_cents,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_discount * 100) AS disc_pct_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            round(abs(l_extendedprice - 1000.0), 2) AS dist_from_1k,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice + 1), 6) AS price_ln,
@@ -1434,13 +1447,41 @@ def l_ngram_jaccard(spark, sf_dir):
 
 @_q(
     "l_simhash_neardup",
-    None,  # xxhash64 signature — no DuckDB twin; property-tested in pytest
-    "L2: SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole banding)",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), bitsum AS (
+      SELECT doc_id, i.i AS bit_idx,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(md5(tok), (i.i // 4)::INT + 1, 1)) - 1)
+                            // (1 << (3 - (i.i % 4)))) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c
+      FROM tok, (SELECT unnest(generate_series(0, 63)) AS i) i
+      GROUP BY doc_id, i.i
+    ), sig AS (
+      SELECT doc_id,
+             list(CASE WHEN c > 0 THEN 1 ELSE 0 END ORDER BY bit_idx) AS sig
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(list_sum([abs(a.sig[i] - b.sig[i])
+                            for i in generate_series(1, 64)]) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
+    "L2: SimHash near-duplicate pairs (hamming ≤ 3 via pigeonhole banding; "
+    "md5 bit family so the oracle brute-forces identical signatures — the "
+    "banding is exact, so banded == all-pairs)",
 )
 def l_simhash_neardup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(d, "doc_id", "text", max_distance=3).orderBy(
-        F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first()
+    return (
+        dedup.simhash_near_duplicates(d, "doc_id", "text", max_distance=3, family="md5")
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
     )
 
 

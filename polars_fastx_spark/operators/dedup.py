@@ -248,31 +248,81 @@ def ngram_jaccard(
 
 # ------------------------------------------------------------- SimHash (L2)
 
-def simhash(col: str | F.Column, bits: int = 64) -> F.Column:
+def _md5_bits64(token: F.Column) -> F.Column:
+    """64-bit hash of a token as an array<int> of bits, via md5 hex.
+
+    Nibble-by-nibble: ``conv`` each of the first 16 hex chars to 0–15,
+    expand to 4 bits with integer arithmetic. ``token`` must be a bound
+    lambda variable so the md5 is computed once per token, not once per
+    bit (outer computed expressions are inlined per element — see
+    minhash's seed-factory note above).
+    """
+    h = F.md5(F.encode(token, "UTF-8"))
+    # h is recomputed per nibble (16×/token) — acceptable for the
+    # correctness tier; the production family stays xxhash64.
+    nibbles = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda j: F.conv(F.substring(h, j, F.lit(1)), 16, 10).cast("int"),
+    )
+    return F.flatten(
+        F.transform(
+            nibbles,
+            lambda n: F.array(
+                (F.floor(n / 8).cast("int") % 2),
+                (F.floor(n / 4).cast("int") % 2),
+                (F.floor(n / 2).cast("int") % 2),
+                (n % 2),
+            ),
+        )
+    )
+
+
+def simhash(col: str | F.Column, bits: int = 64, family: str = "xxhash64") -> F.Column:
     """SimHash of whitespace tokens (Charikar '02) as an array<int> of
     0/1 bits, row-local.
 
-    Each token hashes to 64 bits (xxhash64, bit i read via ``getbit``);
-    signature bit i is the sign of Σ_tokens (±1 per token bit i). Pure
-    higher-order-function fold — JVM-side, no Python. The bit-array
-    representation (vs packed int64) keeps banding/hamming in plain
-    array ops.
+    Each token hashes to 64 bits; signature bit i is the sign of
+    Σ_tokens (±1 per token bit i). Pure higher-order-function fold —
+    JVM-side, no Python. The bit-array representation (vs packed int64)
+    keeps banding/hamming in plain array ops.
+
+    Families (mirrors :func:`minhash_signature`):
+    - ``xxhash64`` (default, production): one JVM hash per token, bit i
+      read via ``getbit``.
+    - ``md5``: token bits from the md5 hex digest (first 64 bits) — the
+      CORRECTNESS tier, bit-replicable in ANSI SQL so the DuckDB oracle
+      can brute-force the identical signatures (SURVEY.md §5.1).
+      Requires ``bits == 64``.
     """
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.trim(c), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.getbit(h, i),
+    if family == "md5":
+        if bits != 64:
+            raise ValueError("md5 simhash family is fixed at 64 bits")
+        token_bits = F.transform(tokens, _md5_bits64)
+        counts = F.aggregate(
+            token_bits,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, tb: F.zip_with(
+                acc, tb, lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1)
             ),
-            lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
-        ),
-    )
+        )
+    elif family == "xxhash64":
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+        counts = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda i: F.getbit(h, i),
+                ),
+                lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
+            ),
+        )
+    else:
+        raise ValueError(f"unknown simhash family: {family!r}")
     return F.transform(counts, lambda cnt: F.when(cnt > 0, 1).otherwise(0))
 
 
@@ -286,18 +336,26 @@ def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_distance.
 
     Pigeonhole banding: split the 64-bit signature into
     ``max_distance+1`` chunks; any pair within distance d must agree on
     ≥1 chunk, so candidates come from one groupBy-equal-chunk join, then
-    exact hamming verification. No O(n²) stage.
+    exact hamming verification. No O(n²) stage. The banding is EXACT
+    (not approximate): results equal brute-force all-pairs hamming,
+    which is how the DuckDB oracle checks the ``md5`` family.
     """
     chunks = max_distance + 1
     width = 64 // chunks
-    sig = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sig"))
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col, family=family).alias("__sig")
+    )
     banded = sig.select(
         "__id", "__sig",
         F.explode(

@@ -6,12 +6,17 @@ Three tiers, all returning the same logical result shape:
    every step is ANSI-expressible, used for correctness checks. Norms
    are precomputed ONCE per side (the naive per-pair recompute is what
    made the vanilla baseline 37 s — BASELINE.md q_vec_knn).
-2. ``cosine_topk_numpy`` — Arrow-batched block matrix multiply
-   (mapInPandas + numpy): the small side is collected (bounded!),
-   L2-normalized, and broadcast; each Arrow batch of the big side does
-   one BLAS ``block @ matrixᵀ``. This is the single-node fast path and
-   the distributed pattern for exact k-NN at scale: no shuffle at all,
-   broadcast + map-side top-k, then one small global top-k.
+2. ``cosine_topk_numpy`` — fully distributed blocked matrix multiply:
+   both sides are hash-blocked into bounded chunks (content-addressed
+   ``pmod(xxhash64(id), num_blocks)``, ≤ ``block_rows`` rows each),
+   block pairs meet in a join of the two tiny block tables, and each
+   (query-block × index-block) cell runs ONE BLAS gemm inside
+   mapInPandas, emitting only its local top-k under the total order
+   (-cosine, id_a, id_b); a global top-k of the per-cell winners
+   finishes. NOTHING is collected to the driver — the memory bound per
+   task is two blocks (~2·block_rows·dim·8 B), independent of n, so the
+   same plan runs at 100 TB (exact all-pairs stays O(n²) dot products
+   by definition — beyond ~millions of vectors use tier 3).
 3. ``ann_lsh_buckets`` — random-hyperplane LSH bucketing: the scale
    path when even one pass of exact dot products is too much. Vectors
    land in sign-pattern buckets; candidate pairs only form within a
@@ -23,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -80,66 +85,146 @@ def cosine_topk_pairs_sql(
     )
 
 
+#: rows per hash block — two blocks at 64 dims ≈ 4 MB of float64 per
+#: task, independent of table size.
+_BLOCK_ROWS = 4096
+
+
+def _hash_blocks(
+    df: DataFrame, id_col: str, vec_col: str, block_rows: int
+) -> tuple[DataFrame, int]:
+    """Pack (id, vec) rows into ≤ ``block_rows``-row blocks keyed by
+    ``pmod(xxhash64(id), num_blocks)`` — content-addressed, RNG-free,
+    stable across runs/partitionings (the same scheme as
+    ``sampling.py``'s permanent splits).
+
+    One count() job sizes the block table (at warehouse scale, table
+    stats would replace it); one groupBy packs each block into a single
+    row of (ids-sorted) structs. Expected block size n/num_blocks with
+    binomial concentration — no block materially exceeds ``block_rows``.
+    """
+    n = df.count()
+    num_blocks = max(1, -(-n // block_rows))
+    rec = F.struct(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    blocks = (
+        df.select(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks)
+            ).alias("block"),
+            rec.alias("rec"),
+        )
+        .groupBy("block")
+        .agg(F.sort_array(F.collect_list("rec")).alias("rows"))
+    )
+    return blocks, num_blocks
+
+
+def _block_matrices(cell) -> tuple:
+    """(ids ndarray, row-L2-normalized matrix) from one packed block."""
+    import numpy as np
+
+    ids = np.asarray([r["id"] for r in cell])
+    mat = np.asarray([r["v"] for r in cell], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors similar to nothing
+    return ids, mat / norms[:, None]
+
+
+def _emit_topk(ida, idb, sims, k):
+    """Local top-k under the TOTAL order (-cosine, id_a, id_b): take the
+    k-th cosine by argpartition, keep everything ≥ it (ties included),
+    sort that small tail exactly. Any pair in the GLOBAL top-k is by
+    construction in its own cell's local top-k under the same order, so
+    global orderBy-limit over cell winners is exact."""
+    import numpy as np
+
+    if len(sims) > k:
+        kth = -np.partition(-sims, k - 1)[k - 1]
+        keep = sims >= kth
+        ida, idb, sims = ida[keep], idb[keep], sims[keep]
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], ida[i], idb[i]))[:k]
+    return ida[order], idb[order], sims[order]
+
+
 def cosine_topk_numpy(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
     query_df: DataFrame | None = None,
+    block_rows: int = _BLOCK_ROWS,
 ) -> DataFrame:
-    """Exact top-k pairs via Arrow-batched numpy block matmul.
+    """Exact top-k pairs via DISTRIBUTED blocked numpy matmul — no
+    driver collect anywhere (asserted by tests/test_plans.py).
 
     ``query_df`` defaults to ``df`` (all-pairs self-similarity, emitting
-    id_a < id_b). The reference side (``df``) is collected to the driver
-    and broadcast — it must be the SMALL side (an index of millions of
-    64-dim float32 vectors is a few GB; beyond that use
-    :func:`ann_lsh_buckets`). The big side streams through mapInPandas:
-    zero shuffle, one BLAS gemm per Arrow batch, per-batch top-k, then a
-    global top-k of batch winners (tiny).
+    id_a < id_b; ids must be unique). Both sides are hash-packed into
+    ≤ ``block_rows``-row blocks; the block tables join (self: upper
+    triangle ``ablock <= bblock``; query mode: full cross), and each
+    joined row — two bounded matrices — runs one BLAS gemm in
+    mapInPandas, emitting its exact local top-k under
+    (-cosine, id_a, id_b). A global TakeOrdered of ≤ k·#cells winners
+    finishes. Per-task memory is O(block_rows·dim), independent of n.
+
+    Ids keep their Spark type in the output (int, string, ...); numpy
+    compares them with the same ordering Spark's ``<`` uses.
     """
-    import numpy as np
-
-    spark = df.sparkSession
-    ref_rows = df.select(id_col, vec_col).collect()
-    ref_ids = np.array([r[0] for r in ref_rows], dtype=np.int64)
-    ref = np.array([r[1] for r in ref_rows], dtype=np.float64)
-    norms = np.linalg.norm(ref, axis=1)
-    norms[norms == 0.0] = np.inf  # zero vectors similar to nothing
-    ref_normed = ref / norms[:, None]
-    b_ids = spark.sparkContext.broadcast(ref_ids)
-    b_mat = spark.sparkContext.broadcast(ref_normed)
+    spark = df.sparkSession  # noqa: F841  (kept: documents session affinity)
+    id_type = df.schema[id_col].dataType.simpleString()
     self_pairs = query_df is None
-    q = (query_df or df).select(id_col, vec_col)
+    iblocks, _ = _hash_blocks(df, id_col, vec_col, block_rows)
+    iblocks = iblocks.persist()
+    qblocks = (
+        iblocks
+        if self_pairs
+        else _hash_blocks(query_df, id_col, vec_col, block_rows)[0]
+    )
+    paired = (
+        qblocks.select(
+            F.col("block").alias("ablock"), F.col("rows").alias("arows")
+        ).join(
+            iblocks.select(
+                F.col("block").alias("bblock"), F.col("rows").alias("brows")
+            ),
+            F.col("ablock") <= F.col("bblock") if self_pairs else F.lit(True),
+        )
+    )
 
-    def block_topk(batches):
+    def cell_topk(batches):
+        import numpy as np
         import pandas as pd
 
-        ids = b_ids.value
-        mat = b_mat.value
-        pos = {v: i for i, v in enumerate(ids)} if self_pairs else None
         for pdf in batches:
-            qids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-            qm = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
-            qn = np.linalg.norm(qm, axis=1)
-            qn[qn == 0.0] = np.inf
-            sims = (qm / qn[:, None]) @ mat.T
-            if self_pairs:
-                # keep only id_a < id_b half-matrix
-                for row_i, qid in enumerate(qids):
-                    sims[row_i, ids <= qid] = -np.inf
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out_a, out_b, out_s = [], [], []
-            for row_i in range(sims.shape[0]):
-                for j in idx[row_i]:
-                    s = sims[row_i, j]
-                    if s != -np.inf:
-                        out_a.append(qids[row_i])
-                        out_b.append(ids[j])
-                        out_s.append(float(s))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_s})
+            for _, row in pdf.iterrows():
+                aids, amat = _block_matrices(row["arows"])
+                bids, bmat = _block_matrices(row["brows"])
+                sims = amat @ bmat.T
+                if self_pairs:
+                    if row["ablock"] == row["bblock"]:
+                        mask = aids[:, None] < bids[None, :]
+                    else:
+                        # disjoint hash blocks: every cross pair once;
+                        # orient so id_a < id_b
+                        mask = np.ones_like(sims, dtype=bool)
+                    ri, ci = np.nonzero(mask)
+                    ida, idb = aids[ri], bids[ci]
+                    flip = ~(ida < idb)
+                    ida[flip], idb[flip] = idb[flip], ida[flip]
+                else:
+                    ri, ci = np.nonzero(np.ones_like(sims, dtype=bool))
+                    ida, idb = aids[ri], bids[ci]
+                s = sims[ri, ci]
+                ida, idb, s = _emit_topk(ida, idb, s, k)
+                yield pd.DataFrame(
+                    {"id_a": ida, "id_b": idb, "cosine": s.astype(np.float64)}
+                )
 
-    cand = q.mapInPandas(block_topk, "id_a long, id_b long, cosine double")
+    cand = paired.mapInPandas(
+        cell_topk, f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
     return cand.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(k)
 
 
@@ -194,50 +279,46 @@ def cosine_pairs_above_numpy(
     id_col: str,
     vec_col: str,
     threshold: float,
+    block_rows: int = _BLOCK_ROWS,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, via the same
-    broadcast block-matmul as :func:`cosine_topk_numpy`.
-
-    Replaces the O(n²) interpreted-expression nested-loop join for
-    threshold search: one BLAS gemm per Arrow batch against the
-    broadcast normalized index (measured ~30 s → ~1 s at 2000×64 dims).
-    Same constraint: the index side must fit on the driver; beyond
-    that, prune candidates with :func:`ann_lsh_buckets` / IVF cells
-    first.
+    distributed blocked matmul as :func:`cosine_topk_numpy` — no driver
+    collect; each (block × block) cell is one BLAS gemm + a threshold
+    filter, so output volume is the only thing that grows with match
+    density. Replaces the O(n²) interpreted-expression nested-loop join
+    (measured ~30 s → ~1 s at 2000×64 dims). For corpora where even one
+    exact pass is too much, prune candidates with
+    :func:`ann_lsh_buckets` / IVF cells first.
     """
-    import numpy as np
+    id_type = df.schema[id_col].dataType.simpleString()
+    blocks, _ = _hash_blocks(df, id_col, vec_col, block_rows)
+    blocks = blocks.persist()
+    paired = blocks.select(
+        F.col("block").alias("ablock"), F.col("rows").alias("arows")
+    ).join(
+        blocks.select(F.col("block").alias("bblock"), F.col("rows").alias("brows")),
+        F.col("ablock") <= F.col("bblock"),
+    )
 
-    spark = df.sparkSession
-    ref_rows = df.select(id_col, vec_col).collect()
-    ref_ids = np.array([r[0] for r in ref_rows], dtype=np.int64)
-    ref = np.array([r[1] for r in ref_rows], dtype=np.float64)
-    norms = np.linalg.norm(ref, axis=1)
-    norms[norms == 0.0] = np.inf
-    ref_normed = ref / norms[:, None]
-    b_ids = spark.sparkContext.broadcast(ref_ids)
-    b_mat = spark.sparkContext.broadcast(ref_normed)
-
-    def block_pairs(batches):
+    def cell_pairs(batches):
+        import numpy as np
         import pandas as pd
 
-        ids = b_ids.value
-        mat = b_mat.value
         for pdf in batches:
-            qids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
-            qm = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
-            qn = np.linalg.norm(qm, axis=1)
-            qn[qn == 0.0] = np.inf
-            sims = (qm / qn[:, None]) @ mat.T
-            rows, cols = np.where(
-                (sims >= threshold) & (qids[:, None] < ids[None, :])
-            )
-            yield pd.DataFrame(
-                {"id_a": qids[rows], "id_b": ids[cols]}
-            )
+            for _, row in pdf.iterrows():
+                aids, amat = _block_matrices(row["arows"])
+                bids, bmat = _block_matrices(row["brows"])
+                sims = amat @ bmat.T
+                hit = sims >= threshold
+                if row["ablock"] == row["bblock"]:
+                    hit &= aids[:, None] < bids[None, :]
+                ri, ci = np.nonzero(hit)
+                ida, idb = aids[ri], bids[ci]
+                flip = ~(ida < idb)
+                ida[flip], idb[flip] = idb[flip], ida[flip]
+                yield pd.DataFrame({"id_a": ida, "id_b": idb})
 
-    return df.select(id_col, vec_col).mapInPandas(
-        block_pairs, "id_a long, id_b long"
-    )
+    return paired.mapInPandas(cell_pairs, f"id_a {id_type}, id_b {id_type}")
 
 
 def ivf_assign(
@@ -245,32 +326,35 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     num_cells: int = 16,
-    seed_stride: int = 7,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: pick deterministic centroids, assign
     every vector to its nearest cell.
 
-    Centroids are real data vectors sampled deterministically (every
-    ``seed_stride``-th row by ascending id — no RNG, stable across
-    runs/retries). Assignment is a broadcast join against the tiny
-    centroid table + one ``max_by`` groupBy — no O(n²) stage, no
-    iterative k-means (good-enough cells for candidate pruning; swap in
-    trained centroids without changing the pipeline shape).
+    Centroids are the ``num_cells`` data vectors with the smallest
+    ``md5(id)`` — the same content-addressed, RNG-free seeding as
+    ``kmeans`` (vectors.py): an ``orderBy(hash).limit(k)`` plans as
+    TakeOrderedAndProject (per-partition top-k, one tiny merge — NO
+    global sort, no single-task window), stable across runs, retries,
+    and partitionings. The hash itself is the cell id — cell ids are
+    only equi-join keys, so no 0..k-1 renumbering (which would need a
+    global row_number) is required. Assignment is a broadcast join
+    against the tiny centroid table + one ``max_by`` groupBy — no O(n²)
+    stage, no iterative k-means (good-enough cells for candidate
+    pruning; swap in trained centroids without changing the shape).
 
-    Returns (assigned, centroids): ``assigned`` = df columns +
-    ``cell``; ``centroids`` = (cell, centroid_vec, centroid_norm).
+    Returns (assigned, centroids): ``assigned`` = (__id, __v, __n,
+    cell); ``centroids`` = (cell, centroid_vec, centroid_norm).
     """
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__n", l2_norm(F.col("__v")))
-    w = Window.orderBy("__id")
     centroids = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") - 1) % seed_stride == 0)
+        base.withColumn("cell", F.md5(F.col("__id").cast("string")))
+        .orderBy("cell")
         .limit(num_cells)
         .select(
-            (F.row_number().over(Window.orderBy("__id")) - 1).alias("cell"),
+            "cell",
             F.col("__v").alias("centroid_vec"),
             F.col("__n").alias("centroid_norm"),
         )

@@ -205,3 +205,26 @@ def test_catalog_builders_never_collect():
     src = inspect.getsource(cat)
     assert ".collect()" not in src
     assert ".toPandas()" not in src
+
+
+def test_similarity_never_collects():
+    """The exact-kNN tier must be fully distributed: blocked gemm, not
+    a driver-collected broadcast index (a driver OOM at 100 TB). Only
+    count() (block sizing) may touch the driver."""
+    import inspect
+
+    from polars_fastx_spark.operators import similarity
+
+    src = inspect.getsource(similarity)
+    assert ".collect()" not in src
+    assert ".toPandas()" not in src
+    assert "broadcast(" not in src.replace("F.broadcast(", "")  # no sc.broadcast
+
+
+def test_ivf_has_no_global_window(spark):
+    """IVF centroid seeding must be TakeOrdered (per-partition top-k),
+    never a single-partition global window over the whole table."""
+    df = QUERIES["l_ivf_topk"].fn(spark, SF)
+    plan = plans.explain_str(df)
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

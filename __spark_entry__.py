@@ -45,8 +45,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_agg_tpch1"].fn(spark, "/root/testdata/sf0.001")
 
 
+def _coverage_order(names: list[str]) -> list[str]:
+    """Order queries so the driver's per-round sample (~50) lands on
+    queries that do NOT yet have a green row in any committed
+    CORRECTNESS_r*.json — never-checked (or red/err) queries first, in
+    catalog order, then the already-green ones. Across rounds this
+    converges to a green driver row for every catalog query.
+    """
+    import json
+
+    green: set[str] = set()
+    for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except Exception:
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                green.add(name)
+    return [n for n in names if n not in green] + [n for n in names if n in green]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    never-driver-checked first (see :func:`_coverage_order`)."""
     from polars_fastx_spark.catalog import QUERIES
 
     def _wrap(fn):
@@ -56,7 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(spec.fn) for name, spec in QUERIES.items()}
+    return {
+        name: _wrap(QUERIES[name].fn)
+        for name in _coverage_order(list(QUERIES))
+    }
 
 
 def oracle_sql() -> dict[str, str]:

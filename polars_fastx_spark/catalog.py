@@ -1804,23 +1804,39 @@ def l_ivf_topk(spark, sf_dir):
 
 @_q(
     "l_multimodal_features",
-    None,  # mapInPandas decode plumbing — no SQL twin (decoder is a stub hook)
-    "L5: binary media column → deterministic fake decode → feature rows",
+    """
+    SELECT 'mem://doc/' || doc_id AS path,
+           4 AS width, 4 AS height, 3 AS n_channels,
+           round(((list_avg([ascii(substr(rpad(text, 48, '.'), i, 1))
+                             for i in generate_series(1, 46, 3)])
+                   / 255.0)::FLOAT)::DOUBLE,
+                 6) AS emb0
+    FROM documents
+    ORDER BY path NULLS FIRST
+    """,
+    "L5: binary media column → REAL builtin decode (PPM P6) → feature "
+    "rows; the oracle recomputes channel-0 mean from the same bytes",
 )
 def l_multimodal_features(spark, sf_dir):
-    """Media bytes synthesized deterministically from documents.text so
-    the plumbing (binary column → Arrow batches → mapInPandas decode →
-    typed feature rows) runs against driver testdata with no files."""
+    """4×4 P6 (PPM) images synthesized deterministically from
+    documents.text (header + 48 raster bytes), decoded by the REAL
+    builtin decoder — the full pipeline (binary column → Arrow batches
+    → mapInPandas decode → typed feature rows) with no injected fake.
+    emb0 = channel-0 mean/255, recomputed byte-for-byte by the oracle.
+    """
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("path"),
-        F.encode("text", "UTF-8").alias("content"),
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+            F.encode(F.rpad(F.col("text"), 48, "."), "UTF-8"),
+        ).alias("content"),
     )
-    feats = multimodal.extract_image_features(
-        d, decoder=multimodal.fake_image_decoder
-    )
+    feats = multimodal.extract_image_features(d)  # default = real decoder
+    # embedding is array<float>; round on DOUBLE after the float32
+    # quantization (the oracle applies the same ::FLOAT::DOUBLE hop)
     return feats.select(
         "path", "width", "height", "n_channels",
-        F.round(F.element_at("embedding", 1), 6).alias("emb0"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("emb0"),
     ).orderBy(F.col("path").asc_nulls_first())
 
 

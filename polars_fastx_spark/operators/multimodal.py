@@ -1,13 +1,16 @@
 """Multimodal columns (SURVEY.md §2.11 L5) — binary media + typed metadata.
 
 Image/audio/video are opaque ``binary`` columns plus a typed metadata
-struct. The Spark-side plumbing here is real and tested: schemas,
+struct. The Spark-side plumbing is real and tested: schemas,
 ``spark.read.format("binaryFile")`` ingestion, Arrow-batched
 ``mapInPandas`` transforms with correct batch shapes and partitioning.
-The actual codecs are STUBBED behind ``decoder=`` hooks (the image and
-audio libraries are not in this container): the default decoder raises
-``NotImplementedError``; tests inject a deterministic fake. Swapping in
-Pillow/torchaudio later changes one callable, not the pipeline.
+
+The DEFAULT decoder is real for three formats decodable with the
+standard library alone — BMP (uncompressed 24/32-bit), PNM (P5/P6
+binary gray/RGB), and PNG (8-bit gray/GA/RGB/RGBA, non-interlaced,
+via ``zlib``) — emitting shape + per-channel mean/std features. Every
+other codec stays an injection point: pass ``decoder=`` (e.g. Pillow's
+``Image.open``) and the pipeline shape is unchanged.
 """
 
 from __future__ import annotations
@@ -65,14 +68,156 @@ def read_media(spark: SparkSession, path: str, media_type: str = "image") -> Dat
     )
 
 
-def default_image_decoder(content: bytes) -> dict[str, Any]:
-    """STUB — no image codec in this environment.
+def _pixel_features(arr, width: int, height: int, channels: int) -> dict[str, Any]:
+    """Shape + 8-float embedding: per-channel means then stds (both
+    /255, zero-padded to 4 channels each) — deterministic, codec-free."""
+    import numpy as np
 
-    Replace with e.g. PIL: ``img = Image.open(io.BytesIO(content))``.
-    """
+    px = np.asarray(arr, dtype=np.float64).reshape(-1, channels)
+    means = px.mean(axis=0) / 255.0 if len(px) else np.zeros(channels)
+    stds = px.std(axis=0) / 255.0 if len(px) else np.zeros(channels)
+    pad = [0.0] * (4 - channels)
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": channels,
+        "embedding": [float(x) for x in means] + pad + [float(x) for x in stds] + pad,
+    }
+
+
+def decode_pnm(content: bytes) -> dict[str, Any]:
+    """Binary PNM: P5 (gray, 1ch) / P6 (RGB, 3ch), maxval ≤ 255."""
+    import numpy as np
+
+    magic = content[:2]
+    channels = {b"P5": 1, b"P6": 3}[magic]
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(content[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte before the raster
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("PNM maxval > 255 (16-bit) not supported")
+    n = width * height * channels
+    raster = np.frombuffer(content, dtype=np.uint8, count=n, offset=i)
+    return _pixel_features(raster, width, height, channels)
+
+
+def decode_bmp(content: bytes) -> dict[str, Any]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP; rows are 4-byte aligned,
+    stored bottom-up (top-down when height < 0) — row order does not
+    change mean/std features, but cropping the padding matters."""
+    import struct
+
+    import numpy as np
+
+    pixel_off = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp, compression = (
+        struct.unpack_from("<H", content, 28)[0],
+        struct.unpack_from("<I", content, 30)[0],
+    )
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    channels = bpp // 8
+    height = abs(height)
+    stride = (width * channels + 3) // 4 * 4
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * height, offset=pixel_off
+    ).reshape(height, stride)[:, : width * channels]
+    return _pixel_features(rows, width, height, channels)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → channels
+
+
+def decode_png(content: bytes) -> dict[str, Any]:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) with
+    stdlib zlib; scanline filters 0-4 un-applied per the spec."""
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, color, _, _, interlace = data[8:13]
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            meta = (width, height, _PNG_CHANNELS[color])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    width, height, channels = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        cur = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + a
+            elif f == 2:
+                v = line[x] + b
+            elif f == 3:
+                v = line[x] + (a + b) // 2
+            elif f == 4:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                v = line[x] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            cur[x] = v & 0xFF
+        out[y] = cur
+    return _pixel_features(out, width, height, channels)
+
+
+def default_image_decoder(content: bytes) -> dict[str, Any]:
+    """Dependency-free decode for BMP / PNM (P5, P6) / PNG (8-bit,
+    non-interlaced). Other codecs (JPEG, WebP, ...) need a real image
+    library — inject ``decoder=`` (e.g. a Pillow-backed callable with
+    this same signature) without touching the pipeline."""
+    if content[:2] in (b"P5", b"P6"):
+        return decode_pnm(content)
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
     raise NotImplementedError(
-        "image decoding requires an image library (e.g. Pillow); "
-        "inject decoder=... with a real or fake implementation"
+        "unsupported image format (builtin: BMP, PNM P5/P6, PNG-8); "
+        "inject decoder=... for other codecs"
     )
 
 

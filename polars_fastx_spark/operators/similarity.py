@@ -99,35 +99,102 @@ def _hash_blocks(
     ``sampling.py``'s permanent splits).
 
     One count() job sizes the block table (at warehouse scale, table
-    stats would replace it); one groupBy packs each block into a single
-    row of (ids-sorted) structs. Expected block size n/num_blocks with
-    binomial concentration — no block materially exceeds ``block_rows``.
+    stats would replace it); one repartition-by-block routes each
+    block's rows to one partition, where an Arrow-batched packer folds
+    them into a single (block, ids, vecs) row — deliberately NOT a JVM
+    ``collect_list(struct(...))`` aggregate, whose object-hash-agg path
+    measured ~2.5 s of warm-up against ~0.3 s for this packer. Expected
+    block size n/num_blocks with binomial concentration — no block
+    materially exceeds ``block_rows``.
     """
     n = df.count()
     num_blocks = max(1, -(-n // block_rows))
-    rec = F.struct(
+    id_type = df.schema[id_col].dataType.simpleString()
+    routed = df.select(
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks)
+        ).alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    blocks = (
-        df.select(
-            F.pmod(
-                F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks)
-            ).alias("block"),
-            rec.alias("rec"),
-        )
-        .groupBy("block")
-        .agg(F.sort_array(F.collect_list("rec")).alias("rows"))
+    ).repartition(num_blocks, "block")
+
+    def pack(batches):
+        import pandas as pd
+
+        # a partition holds the complete rows of ~1 hash block (hash
+        # collisions put a couple of blocks in one partition; memory
+        # stays ~partition size ≈ block_rows rows)
+        accum: dict = {}
+        for pdf in batches:
+            for blk, g in pdf.groupby("block"):
+                accum.setdefault(blk, []).append(g)
+        for blk, parts in accum.items():
+            g = pd.concat(parts) if len(parts) > 1 else parts[0]
+            yield pd.DataFrame(
+                {
+                    "block": [blk],
+                    "ids": [g["id"].tolist()],
+                    "vecs": [g["v"].tolist()],
+                }
+            )
+
+    blocks = routed.mapInPandas(
+        pack, f"block bigint, ids array<{id_type}>, vecs array<array<double>>"
     )
     return blocks, num_blocks
 
 
-def _block_matrices(cell) -> tuple:
+def _block_pairs(
+    qblocks: DataFrame,
+    qnb: int,
+    iblocks: DataFrame,
+    inb: int,
+    self_pairs: bool,
+) -> DataFrame:
+    """Join every query block with every index block — upper triangle
+    for the self-pairs case — through an EQUI join against a tiny
+    distributed (ablock, bblock) pair table.
+
+    The naive ``a.join(b, a.block <= b.block)`` would plan as a
+    BroadcastNestedLoopJoin and broadcast one side — which is the WHOLE
+    packed dataset, a guaranteed OOM at scale. Joining block ids first
+    (bare ints, no payload) and attaching each side's payload by
+    equi-key keeps both payload joins hash/broadcast-partitioned; data
+    replication is the Σ-per-block-pair inherent to exact all-pairs,
+    never a monolithic broadcast.
+    """
+    spark = qblocks.sparkSession
+    pair_ids = spark.range(qnb).select(F.col("id").alias("ablock")).crossJoin(
+        spark.range(inb).select(F.col("id").alias("bblock"))
+    )
+    if self_pairs:
+        pair_ids = pair_ids.filter(F.col("ablock") <= F.col("bblock"))
+    return (
+        pair_ids.join(
+            qblocks.select(
+                F.col("block").alias("ablock"),
+                F.col("ids").alias("aids"),
+                F.col("vecs").alias("avecs"),
+            ),
+            "ablock",
+        )
+        .join(
+            iblocks.select(
+                F.col("block").alias("bblock"),
+                F.col("ids").alias("bids"),
+                F.col("vecs").alias("bvecs"),
+            ),
+            "bblock",
+        )
+    )
+
+
+def _block_matrices(ids_cell, vecs_cell) -> tuple:
     """(ids ndarray, row-L2-normalized matrix) from one packed block."""
     import numpy as np
 
-    ids = np.asarray([r["id"] for r in cell])
-    mat = np.asarray([r["v"] for r in cell], dtype=np.float64)
+    ids = np.asarray(ids_cell)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_cell])
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = np.inf  # zero vectors similar to nothing
     return ids, mat / norms[:, None]
@@ -172,26 +239,16 @@ def cosine_topk_numpy(
     Ids keep their Spark type in the output (int, string, ...); numpy
     compares them with the same ordering Spark's ``<`` uses.
     """
-    spark = df.sparkSession  # noqa: F841  (kept: documents session affinity)
     id_type = df.schema[id_col].dataType.simpleString()
     self_pairs = query_df is None
-    iblocks, _ = _hash_blocks(df, id_col, vec_col, block_rows)
+    iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows)
     iblocks = iblocks.persist()
-    qblocks = (
-        iblocks
+    qblocks, qnb = (
+        (iblocks, inb)
         if self_pairs
-        else _hash_blocks(query_df, id_col, vec_col, block_rows)[0]
+        else _hash_blocks(query_df, id_col, vec_col, block_rows)
     )
-    paired = (
-        qblocks.select(
-            F.col("block").alias("ablock"), F.col("rows").alias("arows")
-        ).join(
-            iblocks.select(
-                F.col("block").alias("bblock"), F.col("rows").alias("brows")
-            ),
-            F.col("ablock") <= F.col("bblock") if self_pairs else F.lit(True),
-        )
-    )
+    paired = _block_pairs(qblocks, qnb, iblocks, inb, self_pairs)
 
     def cell_topk(batches):
         import numpy as np
@@ -199,8 +256,8 @@ def cosine_topk_numpy(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                aids, amat = _block_matrices(row["arows"])
-                bids, bmat = _block_matrices(row["brows"])
+                aids, amat = _block_matrices(row["aids"], row["avecs"])
+                bids, bmat = _block_matrices(row["bids"], row["bvecs"])
                 sims = amat @ bmat.T
                 if self_pairs:
                     if row["ablock"] == row["bblock"]:
@@ -291,14 +348,9 @@ def cosine_pairs_above_numpy(
     :func:`ann_lsh_buckets` / IVF cells first.
     """
     id_type = df.schema[id_col].dataType.simpleString()
-    blocks, _ = _hash_blocks(df, id_col, vec_col, block_rows)
+    blocks, nb = _hash_blocks(df, id_col, vec_col, block_rows)
     blocks = blocks.persist()
-    paired = blocks.select(
-        F.col("block").alias("ablock"), F.col("rows").alias("arows")
-    ).join(
-        blocks.select(F.col("block").alias("bblock"), F.col("rows").alias("brows")),
-        F.col("ablock") <= F.col("bblock"),
-    )
+    paired = _block_pairs(blocks, nb, blocks, nb, self_pairs=True)
 
     def cell_pairs(batches):
         import numpy as np
@@ -306,8 +358,8 @@ def cosine_pairs_above_numpy(
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                aids, amat = _block_matrices(row["arows"])
-                bids, bmat = _block_matrices(row["brows"])
+                aids, amat = _block_matrices(row["aids"], row["avecs"])
+                bids, bmat = _block_matrices(row["bids"], row["bvecs"])
                 sims = amat @ bmat.T
                 hit = sims >= threshold
                 if row["ablock"] == row["bblock"]:

@@ -72,7 +72,20 @@ def salted_join(
 
     Output columns = left columns + right's non-key columns (like a
     plain ``join(..., on)``).
+
+    Only join types where the RIGHT side never emits unmatched rows are
+    sound: the right side is replicated ``num_salts`` times, so a
+    right/full outer join would emit each unmatched right row once per
+    salt.
     """
+    sound = {"inner", "left", "left_outer", "left_semi", "left_anti",
+             "semi", "anti", "leftouter", "leftsemi", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in sound}:
+        raise ValueError(
+            f"salted_join is unsound for how={how!r}: the replicated right "
+            "side would duplicate unmatched right rows (use inner/left/"
+            "left_semi/left_anti)"
+        )
     left_salted = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))

@@ -156,6 +156,31 @@ class FastxReader(DataSourceReader):
         return True
 
     def read(self, partition: FastxPartition) -> Iterator[tuple]:
+        if partition.start == 0:
+            # Executor-side fail-fast for mixed directories: the schema
+            # was sniffed from the FIRST file only; a directory mixing
+            # FASTA and FASTQ would otherwise hit a confusing framing
+            # error mid-parse (or silently drop quality). One-record
+            # sniff per file, distributed — no driver cost. Empty files
+            # (e.g. empty writer parts) have nothing to validate.
+            with parser.open_maybe_gzip(partition.path) as f:
+                first = next((ln.strip()[:1] for ln in f if ln.strip()), None)
+            if first is None:
+                return iter(())
+            if first not in (b">", b"@"):
+                raise ValueError(
+                    f"{partition.path}: not FASTA/FASTQ (first record "
+                    f"starts with {first!r}, expected '>' or '@')"
+                )
+            actual_fastq = first == b"@"
+            if actual_fastq != self._is_fastq:
+                want = "FASTQ" if self._is_fastq else "FASTA"
+                got = "FASTQ" if actual_fastq else "FASTA"
+                raise ValueError(
+                    f"{partition.path}: sniffed {got} but this scan's schema "
+                    f"is {want} (from the first file or format=...) — "
+                    "mixed FASTA/FASTQ directories need separate scans"
+                )
         rows = parser.parse_file(
             partition.path, self._is_fastq, partition.start, partition.end
         )

@@ -88,8 +88,33 @@ def write_fastx(
     (one text file per partition, records never split across files);
     ``compression='gzip'`` writes .gz parts.
     """
+    # concat_ws SKIPS nulls — a null sequence/quality would emit a
+    # 3-line FASTQ record and corrupt the file for every downstream
+    # reader (FASTQ is parsed BY LENGTH: quality must have exactly
+    # len(sequence) chars). Nulls coalesce to '' / phred-0 padding;
+    # a non-null quality of the WRONG length is unwritable data and
+    # fails the job up front instead of corrupting the sink.
     is_fastq = "quality" in df.columns
+    df = df.withColumn("header", F.coalesce(F.col("header"), F.lit("")))
+    df = df.withColumn("sequence", F.coalesce(F.col("sequence"), F.lit("")))
     if is_fastq:
+        df = df.withColumn(
+            "quality",
+            F.coalesce(F.col("quality"), F.repeat(F.lit("!"), F.length("sequence"))),
+        ).withColumn(
+            "quality",
+            F.when(
+                F.length("quality") == F.length("sequence"), F.col("quality")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("write_fastx: quality length != sequence length "
+                              "for header "),
+                        F.col("header"),
+                    )
+                )
+            ),
+        )
         rec = F.concat_ws(
             "\n",
             F.concat(F.lit("@"), F.col("header")),

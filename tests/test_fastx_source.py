@@ -234,3 +234,41 @@ def test_write_fastx_roundtrip_fastq_gzip(spark, tmp_path):
     assert parts
     back = scan_fastx(spark, str(out) + "/part-*.txt.gz", format="fastq")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_mixed_directory_fails_fast(spark, tmp_path):
+    """A directory mixing FASTA and FASTQ must raise a clear
+    mixed-directory error, not a mid-parse framing failure."""
+    (tmp_path / "a.fasta").write_text(">r1\nACGT\n")
+    (tmp_path / "b.fastq").write_text("@r2\nACGT\n+\nIIII\n")
+    from polars_fastx_spark.sources.fastx import scan_fastx
+
+    with pytest.raises(Exception, match="mixed FASTA/FASTQ"):
+        scan_fastx(spark, str(tmp_path)).collect()
+
+
+def test_write_fastx_null_quality_keeps_framing(spark, tmp_path):
+    """Null quality must pad to phred-0 of sequence length (FASTQ is
+    parsed BY LENGTH, so '' would desync the stream); a non-null
+    quality of the wrong length must fail the write up front."""
+    from polars_fastx_spark.sources.fastx import scan_fastx
+    from polars_fastx_spark.sources.sinks import write_fastx
+
+    df = spark.createDataFrame(
+        [("q1", "ACGT", None), ("q2", None, None)],
+        "header string, sequence string, quality string",
+    )
+    out = tmp_path / "out"
+    write_fastx(df, str(out), mode="overwrite")
+    text = "".join(p.read_text() for p in sorted(out.glob("part-*.txt")))
+    assert len(text.splitlines()) == 8  # two records, 4 lines each
+    back = scan_fastx(spark, str(out) + "/part-*.txt", format="fastq")
+    rows = {r["header"]: r for r in back.collect()}
+    assert rows["q1"]["sequence"] == "ACGT" and rows["q1"]["quality"] == "!!!!"
+    assert rows["q2"]["sequence"] == "" and rows["q2"]["quality"] == ""
+
+    bad = spark.createDataFrame(
+        [("qx", "ACGT", "II")], "header string, sequence string, quality string"
+    )
+    with pytest.raises(Exception, match="quality length"):
+        write_fastx(bad, str(tmp_path / "bad"), mode="overwrite")

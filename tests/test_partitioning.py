@@ -115,3 +115,16 @@ def test_zorder_key_matches_python_reference(spark):
     # locality: points in the same small quadrant sort together —
     # the whole reason to cluster files by this key
     assert got[(0, 0)] < got[(1, 1)] < got[(255, 7)] < got[(65535, 65535)]
+
+
+def test_salted_join_rejects_right_replicating_types(spark):
+    """Right/full outer would emit each unmatched right row once per
+    salt — salted_join must refuse instead of silently duplicating."""
+    import pytest
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsound"):
+            pt.salted_join(df, df, "k", how=how)
+    # sound types still work
+    assert pt.salted_join(df, df, "k", how="left_semi").count() == 5

@@ -436,3 +436,64 @@ def test_update_mode_reemits_growing_windows(spark, srcdir, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     counts = sorted(r.n_events for r in rows)
     assert counts == [1, 2]
+
+
+def test_session_window_late_data_golden_states(spark, srcdir, tmp_path):
+    """T5 golden state transitions (SURVEY §7.5): a late-but-in-watermark
+    event BRIDGES two open sessions into one; a too-late event is
+    dropped and never re-opens a closed session.
+
+    Scripted micro-batches against one checkpoint; after each pass the
+    cumulative append-sink contents are compared to the expected session
+    state."""
+    events = sp.stream_events(spark, str(srcdir))
+    sess = sp.session_value_sums(events, gap="5 minutes", watermark="10 minutes")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    def emitted():
+        df = _collect_parquet(spark, sess, out, ck)
+        if df is None:
+            return []
+        return sorted(
+            (str(r["session_start"]), str(r["session_end"]), r["user_id"],
+             r["n_events"], r["sum_value"])
+            for r in df.collect()
+        )
+
+    # pass 1: user 7 at 00:00 and 00:06 -> TWO open sessions (6 min gap)
+    _write_batch(srcdir, "b0.json", [
+        _rows("2024-01-01T00:00:00Z", 1, user=7),
+        _rows("2024-01-01T00:06:00Z", 2, user=7),
+        _rows("2024-01-01T00:07:00Z", 3, user=8),
+    ])
+    assert emitted() == []  # watermark far behind: nothing finalized
+
+    # pass 2: LATE event 00:03 (within watermark) bridges both sessions
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T00:03:00Z", 4, user=7)])
+    assert emitted() == []  # still open; merge happens in state
+
+    # pass 3: watermark pusher 01:00 -> watermark reaches 00:50,
+    # finalizing the merged session and user 8's
+    _write_batch(srcdir, "b2.json", [_rows("2024-01-01T01:00:00Z", 5, user=7)])
+    emitted()  # whether emission lands this pass or next is trigger detail
+
+    # pass 4: too-late 00:02 (behind the 00:50 watermark) must be
+    # DROPPED; 02:00 pusher closes user 7's 01:00 session
+    _write_batch(srcdir, "b3.json", [
+        _rows("2024-01-01T00:02:00Z", 6, user=7),
+        _rows("2024-01-01T02:00:00Z", 7, user=9),
+    ])
+    got4 = emitted()
+    merged = ("2024-01-01 00:00:00", "2024-01-01 00:11:00", 7, 3, 3.0)
+    assert merged in got4, got4  # ONE session of 3 events, end = last+gap
+    assert ("2024-01-01 00:07:00", "2024-01-01 00:12:00", 8, 1, 1.0) in got4
+    # the closed window was not re-opened or duplicated by the late row
+    early7 = [g for g in got4 if g[2] == 7 and g[0] < "2024-01-01 01:00:00"]
+    assert early7 == [merged], early7
+
+    # pass 5: flush — user 7's 01:00 session closes with exactly one event
+    _write_batch(srcdir, "b4.json", [_rows("2024-01-01T03:00:00Z", 8, user=9)])
+    got5 = emitted()
+    assert ("2024-01-01 01:00:00", "2024-01-01 01:05:00", 7, 1, 1.0) in got5, got5
+    # grand total for user 7 = 4 events: the too-late row contributed NOWHERE
+    assert sum(g[3] for g in got5 if g[2] == 7) == 4

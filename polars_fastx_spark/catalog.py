@@ -42,6 +42,7 @@ from polars_fastx_spark.operators import (
     similarity,
     text,
     timeseries,
+    vectors,
 )
 from polars_fastx_spark.operators.asof import join_asof
 from polars_fastx_spark.operators.scd import scd2_from_log
@@ -1838,6 +1839,108 @@ def l_multimodal_features(spark, sf_dir):
         "path", "width", "height", "n_channels",
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("emb0"),
     ).orderBy(F.col("path").asc_nulls_first())
+
+
+@_q(
+    "l_decontaminate",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[i:i+4], ' ')
+                for i in generate_series(1, greatest(len(toks) - 4, 0))]
+             )) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit_ngrams
+      FROM corp WHERE g IN (SELECT g FROM bench)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           coalesce(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+           coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    ORDER BY d.doc_id NULLS FIRST
+    """,
+    "L4+: benchmark decontamination — flag corpus docs sharing any word "
+    "5-gram with the held-out set (broadcast benchmark n-gram set)",
+)
+def l_decontaminate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return text.decontaminate(corpus, benchmark, "doc_id", "text", n=5).orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_unigram_quality",
+    """
+    WITH w AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    model AS (SELECT w, count(*) AS wn FROM w GROUP BY w),
+    tot AS (SELECT count(*)::DOUBLE AS tot FROM w)
+    SELECT doc_id, count(*)::BIGINT AS n_words,
+           round(avg(ln(wn / tot)), 6) AS avg_logprob
+    FROM w JOIN model USING (w), tot
+    GROUP BY doc_id
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L4+: unigram-LM perplexity proxy — corpus-trained word "
+    "log-probabilities, per-doc mean (quality-tail filter)",
+)
+def l_unigram_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_logprob_score(d, "doc_id", "text").orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_quantize_int8",
+    """
+    WITH s AS (
+      SELECT i.i AS i, max(abs(embedding[i.i]::DOUBLE)) AS s
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      GROUP BY i.i
+    ),
+    sv AS (
+      SELECT list(CASE WHEN s = 0 THEN 1.0 ELSE s END ORDER BY i) AS scales
+      FROM s
+    )
+    SELECT vec_id,
+           [greatest(-127, least(127,
+              floor(embedding[i]::DOUBLE / scales[i] * 127.0 + 0.5)::INT))
+            for i in generate_series(1, 64)] AS qvec,
+           round(list_max(
+             [abs(embedding[i]::DOUBLE
+                  - greatest(-127, least(127,
+                      floor(embedding[i]::DOUBLE / scales[i] * 127.0
+                            + 0.5)::INT)) * scales[i] / 127.0)
+              for i in generate_series(1, 64)]), 6) AS max_abs_err
+    FROM embeddings, sv
+    ORDER BY vec_id NULLS FIRST
+    """,
+    "L3+: symmetric per-dimension int8 embedding quantization with "
+    "per-vector reconstruction bound (the 4x ANN memory lever)",
+)
+def l_quantize_int8(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = vectors.quantize_int8(e, "vec_id", "embedding")
+    return out.select(
+        "vec_id", "qvec", F.round("max_abs_err", 6).alias("max_abs_err")
+    ).orderBy(F.col("vec_id").asc_nulls_first())
 
 
 # =====================================================================

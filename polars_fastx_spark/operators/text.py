@@ -248,3 +248,95 @@ def chunk_tokens(
         .withColumn(idx_col, (F.col("_start") / step).cast("bigint"))
         .drop("_toks", "_start")
     )
+
+
+def word_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Distinct word n-grams (space-joined, array<string>); documents
+    shorter than ``n`` words yield an empty array. Row-local."""
+    toks = tokens(c)
+    last = F.size(toks) - F.lit(n) + 1
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def decontaminate(
+    corpus,
+    benchmark,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+):
+    """Benchmark decontamination (the n-gram overlap check every
+    training corpus needs before a model ships): flag corpus documents
+    sharing any word ``n``-gram with the benchmark/eval set.
+
+    The benchmark side reduces to its DISTINCT n-gram set — in real
+    pipelines a few MB even for large eval suites — and broadcasts;
+    the corpus side explodes its n-grams and left-semi-joins per
+    (doc, gram), then one groupBy counts hits per doc. No state on the
+    driver, corpus side streams: the plan scales to 100 TB with the
+    benchmark as the build side.
+
+    Returns (id_col, n_hit_ngrams, contaminated) for EVERY corpus doc.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        _col(id_col).alias(id_col), F.explode(word_ngrams(text_col, n)).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def unigram_logprob_score(
+    df,
+    id_col: str,
+    text_col: str,
+):
+    """Perplexity-proxy quality score: build the corpus's own unigram
+    LM (word → count/total), then score each document by its mean word
+    log-probability. Low scores flag gibberish / rare-token spam; high
+    scores flag boilerplate (both filterable tails).
+
+    Two aggregations: word counts (map-side partials apply) and the
+    per-doc mean over an equi-join of doc words to the model — the
+    join key is the word, so the scale bound is vocabulary size, and
+    AQE's skew handling covers stop-word keys. No driver state.
+
+    Returns (id_col, n_words, avg_logprob) with avg_logprob rounded to
+    6 (IEEE ln differences across engines sit far below 1e-6).
+    """
+    words = df.select(
+        _col(id_col).alias(id_col),
+        F.explode(tokens(text_col)).alias("w"),
+    )
+    model = words.groupBy("w").agg(F.count("*").alias("wn"))
+    total = words.agg(F.count("*").cast("double").alias("__tot"))  # 1 row
+    return (
+        words.join(model, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("wn") / F.col("__tot"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -119,3 +119,63 @@ def kmeans(
         # a cluster that lost all members keeps its previous centroid
         cents = [new.get(i, cents[i]) for i in range(k)]
     return assigned, cents
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization — the 4× memory lever
+    that lets an ANN index hold 4× more vectors per executor.
+
+    Pass 1 (posexplode → per-position max(abs), map-side partials)
+    computes each dimension's scale; the dim-length scale array folds
+    into ONE row and broadcasts — never touches the driver. Pass 2
+    quantizes element-wise: q = floor(v/s·127 + 0.5) clamped to
+    [-127, 127] (explicit half-up rounding, so any engine reproduces it
+    bit-for-bit). A zero dimension keeps scale 1 to avoid 0/0.
+
+    Returns (id_col, qvec array<int>, max_abs_err double) — the error
+    column is the per-vector reconstruction bound ‖v − q·s/127‖∞.
+    """
+    ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+    scales = (
+        ex.groupBy("pos")
+        .agg(F.greatest(F.max(F.abs(F.col("col"))), F.lit(0.0)).alias("s"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: F.when(st["s"] == 0.0, F.lit(1.0)).otherwise(st["s"]),
+            ).alias("__scales")
+        )
+    )
+    q = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("__scales"),
+        lambda v, s: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(v / s * 127.0 + 0.5).cast("int")),
+        ),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__scales"),
+                lambda v, s: F.struct(v.alias("v"), s.alias("s")),
+            ),
+            F.col("qvec"),
+            lambda vs, qq: F.abs(vs["v"] - qq * vs["s"] / 127.0),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return (
+        df.select(F.col(id_col).alias(id_col), vec_col)
+        .crossJoin(F.broadcast(scales))
+        .withColumn("qvec", q)
+        .withColumn("max_abs_err", err)
+        .select(id_col, "qvec", "max_abs_err")
+    )

@@ -1,0 +1,77 @@
+"""Decontamination, unigram-LM scoring, int8 quantization (L3+/L4+):
+hand-checkable micro-fixtures, plus invariants on driver testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import text as tx
+from polars_fastx_spark.operators import vectors as vec
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # hits
+            (2, "a completely different sentence with no overlap here"),
+            (3, "short doc"),  # < 3 words -> no 3-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps yesterday")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.decontaminate(corpus, benchmark, "doc_id", "text", n=3).collect()
+    }
+    assert len(out) == 3  # EVERY corpus doc gets a verdict row
+    # shared 3-grams: "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[1]["n_hit_ngrams"] == 3 and out[1]["contaminated"]
+    assert out[2]["n_hit_ngrams"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_hit_ngrams"] == 0 and not out[3]["contaminated"]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: 4 words total; p(a)=2/4, p(b)=1/4, p(c)=1/4
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in tx.unigram_logprob_score(df, "doc_id", "text").collect()
+    }
+    want1 = (math.log(0.5) + math.log(0.25)) / 2
+    want2 = want1  # symmetric
+    assert rows[1]["n_words"] == 2
+    assert rows[1]["avg_logprob"] == pytest.approx(round(want1, 6), abs=1e-9)
+    assert rows[2]["avg_logprob"] == pytest.approx(round(want2, 6), abs=1e-9)
+
+
+def test_quantize_int8_bounds_and_fidelity(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = vec.quantize_int8(emb, "vec_id", "embedding")
+    n = emb.count()
+    assert out.count() == n
+    stats = out.select(
+        F.min(F.array_min("qvec")).alias("qmin"),
+        F.max(F.array_max("qvec")).alias("qmax"),
+        F.max("max_abs_err").alias("emax"),
+    ).first()
+    assert -127 <= stats["qmin"] and stats["qmax"] <= 127
+    # per-dim error bound: half a quantization step of the LARGEST scale
+    max_scale = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")))
+        .agg(F.max(F.abs("col")))
+        .first()[0]
+    )
+    assert stats["emax"] <= max_scale / 254.0 + 1e-12
+    # a saturated dimension must exist: some vector attains each dim's
+    # absmax, quantizing to exactly ±127
+    assert stats["qmax"] == 127 or stats["qmin"] == -127

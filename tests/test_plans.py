@@ -67,6 +67,8 @@ ALLOWED_NESTED_LOOP = {
     "sq_scalar_avg",      # scalar subquery = 1-row broadcast build side
     "q_funnel",           # final report = 1-row × 1-row scalar cross join
     "l_kmeans",           # assignment = broadcast × k-row centroid table
+    "l_unigram_quality",  # corpus total = 1-row broadcast cross join
+    "l_quantize_int8",    # dim-scale array = 1-row broadcast cross join
 }
 
 

@@ -85,13 +85,26 @@ def cosine_topk_pairs_sql(
     )
 
 
-#: rows per hash block — two blocks at 64 dims ≈ 4 MB of float64 per
-#: task, independent of table size.
-_BLOCK_ROWS = 4096
+#: cap on rows per hash block — two blocks at 64 dims ≈ 4 MB of
+#: float64 per task, independent of table size.
+_MAX_BLOCK_ROWS = 4096
+#: floor — below this, per-cell overhead dominates the gemm.
+_MIN_BLOCK_ROWS = 256
+
+
+def _resolve_block_rows(df: DataFrame, n: int, block_rows: int | None) -> int:
+    """Auto block size: small tables split into ~2 gemm cells per core
+    (wall-clock = parallel cells); big tables cap at _MAX_BLOCK_ROWS so
+    per-task memory stays bounded and cross-block replication (the
+    inherent nb× data blow-up of exact all-pairs) is minimized."""
+    if block_rows is not None:
+        return block_rows
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    return max(_MIN_BLOCK_ROWS, min(_MAX_BLOCK_ROWS, -(-n // (2 * par))))
 
 
 def _hash_blocks(
-    df: DataFrame, id_col: str, vec_col: str, block_rows: int
+    df: DataFrame, id_col: str, vec_col: str, block_rows: int | None
 ) -> tuple[DataFrame, int]:
     """Pack (id, vec) rows into ≤ ``block_rows``-row blocks keyed by
     ``pmod(xxhash64(id), num_blocks)`` — content-addressed, RNG-free,
@@ -108,6 +121,7 @@ def _hash_blocks(
     materially exceeds ``block_rows``.
     """
     n = df.count()
+    block_rows = _resolve_block_rows(df, n, block_rows)
     num_blocks = max(1, -(-n // block_rows))
     id_type = df.schema[id_col].dataType.simpleString()
     routed = df.select(
@@ -163,6 +177,18 @@ def _block_pairs(
     replication is the Σ-per-block-pair inherent to exact all-pairs,
     never a monolithic broadcast.
     """
+    if self_pairs and qnb == 1 and inb == 1:
+        # single-block fast path: the one (0, 0) cell needs no pair
+        # table, no second payload join, and no persist — one linear
+        # pipeline (pack → gemm → TakeOrdered)
+        return qblocks.select(
+            F.col("block").alias("ablock"),
+            F.col("ids").alias("aids"),
+            F.col("vecs").alias("avecs"),
+            F.col("block").alias("bblock"),
+            F.col("ids").alias("bids"),
+            F.col("vecs").alias("bvecs"),
+        )
     spark = qblocks.sparkSession
     pair_ids = spark.range(qnb).select(F.col("id").alias("ablock")).crossJoin(
         spark.range(inb).select(F.col("id").alias("bblock"))
@@ -222,7 +248,7 @@ def cosine_topk_numpy(
     vec_col: str,
     k: int = 5,
     query_df: DataFrame | None = None,
-    block_rows: int = _BLOCK_ROWS,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k pairs via DISTRIBUTED blocked numpy matmul — no
     driver collect anywhere (asserted by tests/test_plans.py).
@@ -242,7 +268,8 @@ def cosine_topk_numpy(
     id_type = df.schema[id_col].dataType.simpleString()
     self_pairs = query_df is None
     iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows)
-    iblocks = iblocks.persist()
+    if self_pairs and inb > 1:
+        iblocks = iblocks.persist()  # self-join references it twice
     qblocks, qnb = (
         (iblocks, inb)
         if self_pairs
@@ -336,7 +363,7 @@ def cosine_pairs_above_numpy(
     id_col: str,
     vec_col: str,
     threshold: float,
-    block_rows: int = _BLOCK_ROWS,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, via the same
     distributed blocked matmul as :func:`cosine_topk_numpy` — no driver
@@ -349,7 +376,8 @@ def cosine_pairs_above_numpy(
     """
     id_type = df.schema[id_col].dataType.simpleString()
     blocks, nb = _hash_blocks(df, id_col, vec_col, block_rows)
-    blocks = blocks.persist()
+    if nb > 1:
+        blocks = blocks.persist()  # self-join references it twice
     paired = _block_pairs(blocks, nb, blocks, nb, self_pairs=True)
 
     def cell_pairs(batches):

@@ -1908,6 +1908,41 @@ def l_unigram_quality(spark, sf_dir):
 
 
 @_q(
+    "l_bm25",
+    """
+    WITH w AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
+    st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    h AS (SELECT doc_id, w FROM w WHERE w IN ('data', 'table', 'join')),
+    dfq AS (SELECT w, count(DISTINCT doc_id)::DOUBLE AS dfq FROM h GROUP BY w),
+    tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM h GROUP BY doc_id, w)
+    SELECT doc_id,
+           round(sum(ln(1 + (n - dfq + 0.5) / (dfq + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), st
+    GROUP BY doc_id
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L4+: Okapi BM25 lexical retrieval scores for a fixed query — the "
+    "RAG retrieval primitive (corpus stats as 1-row broadcast)",
+)
+def l_bm25(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        text.bm25_scores(d, "doc_id", "text", ["data", "table", "join"])
+        .select("doc_id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
+
+
+@_q(
     "l_quantize_int8",
     """
     WITH s AS (

@@ -340,3 +340,54 @@ def unigram_logprob_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bm25_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 scores for one query over the corpus — the lexical
+    retrieval half of a RAG pipeline, pure DataFrame ops.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Corpus stats (N, avgdl) fold to a 1-row broadcast; per-term doc
+    frequencies are a ≤|query|-row broadcast; the only corpus-wide
+    shuffles are the per-doc length and per-(doc, term) tf aggregates —
+    both with map-side partials. Emits (id, bm25) for every document
+    containing ≥1 query term.
+    """
+    terms = [t for t in query_terms]
+    words = df.select(
+        _col(id_col).alias(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    doclen = words.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )  # 1 row
+    hits = words.filter(F.col("w").isin(terms))
+    dfreq = (
+        hits.distinct().groupBy("w").agg(F.count("*").cast("double").alias("__df"))
+    )  # ≤ |query| rows
+    tf = hits.groupBy(id_col, "w").agg(F.count("*").cast("double").alias("__tf"))
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    part = idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(part).alias("bm25"))
+    )

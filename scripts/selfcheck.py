@@ -11,7 +11,10 @@ caught f_math's BIGINT-vs-DOUBLE dtype drift in round 1, which the
 deliberately harsher than `scripts/oracle_check.py`.
 
 Usage:
-    python scripts/selfcheck.py [sf_dir] [out.json]
+    python scripts/selfcheck.py [sf_dir] [out.json] [--only q1,q2,...]
+
+With --only, runs just the named queries and merges their rows into the
+existing out.json instead of rewriting it wholesale.
 
 Writes one CORRECTNESS-shaped JSON (default SELFCHECK.json at the repo
 root) and prints a per-query line; exit 1 if any gate fails.
@@ -72,6 +75,11 @@ def value_hash(pdf) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     out_path = Path(args[1]) if len(args) > 1 else _REPO / "SELFCHECK.json"
 
@@ -93,9 +101,15 @@ def main() -> int:
     con = duck_connect(sf_dir)
 
     results: dict[str, dict] = {}
+    if only is not None:
+        unknown = only - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        if out_path.exists():
+            results = json.loads(out_path.read_text())
     failures = 0
     t_all = time.time()
-    for name in sorted(QUERIES):
+    for name in sorted(only if only is not None else QUERIES):
         spec = QUERIES[name]
         row = {
             "rows_match": None,

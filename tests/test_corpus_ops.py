@@ -75,3 +75,27 @@ def test_quantize_int8_bounds_and_fidelity(spark):
     # a saturated dimension must exist: some vector attains each dim's
     # absmax, quantizing to exactly ±127
     assert stats["qmax"] == 127 or stats["qmin"] == -127
+
+
+def test_bm25_hand_computed(spark):
+    import math as m
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["bm25"]
+        for r in tx.bm25_scores(df, "doc_id", "text", ["cat", "dog"]).collect()
+    }
+    assert set(rows) == {1, 2}  # doc 3 has no query terms
+    n, avgdl, k1, b = 3.0, 8.0 / 3.0, 1.2, 0.75
+
+    def score(tf, dfq, dl):
+        idf = m.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = score(2, 1, 3) + score(1, 2, 3)  # cat×2, dog×1
+    want2 = score(1, 2, 2)                   # dog×1
+    assert rows[1] == pytest.approx(want1, abs=1e-9)
+    assert rows[2] == pytest.approx(want2, abs=1e-9)

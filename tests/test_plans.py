@@ -69,6 +69,7 @@ ALLOWED_NESTED_LOOP = {
     "l_kmeans",           # assignment = broadcast × k-row centroid table
     "l_unigram_quality",  # corpus total = 1-row broadcast cross join
     "l_quantize_int8",    # dim-scale array = 1-row broadcast cross join
+    "l_bm25",             # corpus stats = 1-row broadcast cross join
 }
 
 

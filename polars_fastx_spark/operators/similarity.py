@@ -99,6 +99,12 @@ def _resolve_block_rows(df: DataFrame, n: int, block_rows: int | None) -> int:
     inherent nb× data blow-up of exact all-pairs) is minimized."""
     if block_rows is not None:
         return block_rows
+    if n <= _MAX_BLOCK_ROWS:
+        # one block: the per-task memory bound still holds and the
+        # single-cell fast path drops the persist + pair join (measured
+        # no slower than multi-block at 2k×64 — per-cell overhead
+        # dominates any parallel-gemm win at this size)
+        return _MAX_BLOCK_ROWS
     par = max(1, df.sparkSession.sparkContext.defaultParallelism)
     return max(_MIN_BLOCK_ROWS, min(_MAX_BLOCK_ROWS, -(-n // (2 * par))))
 

@@ -69,3 +69,26 @@ def test_knn_query_side(spark, emb):
     # each query vector is a copy of an index vector -> top matches
     # include its twin at cosine ~1
     assert max(r["cosine"] for r in rows) > 0.9999
+
+
+def test_string_ids_roundtrip(spark, emb):
+    """Ids keep their Spark type: string ids through the blocked-gemm
+    path (incl. the numpy orient/flip) match the SQL brute-force twin,
+    multi-block and single-block alike."""
+    sdf = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%05d", "vec_id")).alias("sid"),
+        "embedding",
+    )
+    want = _pairs(sim.cosine_topk_pairs_sql(sdf, "sid", "embedding", k=5))
+    got_multi = _pairs(
+        sim.cosine_topk_numpy(sdf, "sid", "embedding", k=5, block_rows=64)
+    )
+    got_single = _pairs(sim.cosine_topk_numpy(sdf, "sid", "embedding", k=5))
+    assert got_multi == want and got_single == want
+    assert all(isinstance(a, str) and a < b for a, b, _ in got_multi)
+
+    thr = sim.cosine_pairs_above_numpy(
+        sdf, "sid", "embedding", threshold=0.3, block_rows=64
+    )
+    rows = [(r["id_a"], r["id_b"]) for r in thr.collect()]
+    assert rows and all(a < b for a, b in rows)

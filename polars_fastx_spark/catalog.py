@@ -4468,3 +4468,50 @@ def q_tpch22(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_q(
+    "l_audio_features",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             [(ascii(substr(rpad(text, 64, '.'), i, 1)) - 128) / 128.0
+              for i in generate_series(1, 64)] AS x
+      FROM documents
+    )
+    SELECT 'mem://wav/' || doc_id AS path,
+           8000 AS sample_rate, 1 AS n_channels, 64::BIGINT AS n_samples,
+           round(((64 / 8000.0)::FLOAT)::DOUBLE, 6) AS duration_s,
+           round((sqrt(list_avg([v * v for v in x]))::FLOAT)::DOUBLE, 6) AS rms0,
+           round((list_max([abs(v) for v in x])::FLOAT)::DOUBLE, 6) AS peak0
+    FROM s
+    """,
+    "L5 audio: binary WAV column → REAL builtin PCM decode → typed "
+    "feature rows; the oracle recomputes RMS/peak from the same bytes",
+)
+def l_audio_features(spark, sf_dir):
+    """8-bit mono 8 kHz WAVs synthesized deterministically from
+    documents.text (constant 44-byte RIFF header + 64 sample bytes),
+    decoded by the REAL builtin WAV parser — binary column → Arrow
+    batches → mapInPandas decode → typed rows, no injected fake.
+    rms0/peak0 are recomputed byte-for-byte by the oracle."""
+    import struct as _struct
+
+    hdr = (
+        b"RIFF" + _struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + _struct.pack("<I", 64)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("mem://wav/"), F.col("doc_id")).alias("path"),
+        F.concat(
+            F.lit(hdr), F.encode(F.rpad(F.col("text"), 64, "."), "UTF-8")
+        ).alias("content"),
+    )
+    feats = multimodal.extract_audio_features(d)  # default = real decoder
+    return feats.select(
+        "path", "sample_rate", "n_channels", "n_samples",
+        F.round(F.col("duration_s").cast("double"), 6).alias("duration_s"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("rms0"),
+        F.round(F.element_at("embedding", 5).cast("double"), 6).alias("peak0"),
+    )

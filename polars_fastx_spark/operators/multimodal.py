@@ -311,3 +311,108 @@ def frame_sample(
         ]
     )
     return df.select("path", "content").mapInPandas(split_frames, schema)
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", FloatType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def decode_wav(content: bytes) -> dict[str, Any]:
+    """RIFF/WAVE PCM decode with the standard library + numpy alone:
+    integer PCM (8-bit unsigned, 16/32-bit signed) and 32-bit IEEE
+    float, any channel count. Samples normalize to [-1, 1]; features
+    are per-channel RMS then per-channel peak (each zero-padded to 4),
+    mirroring the image tier's mean/std embedding layout."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        ln = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", content, pos + 8)
+        elif cid == b"data":
+            data = content[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    n = len(x) // channels
+    x = x[: n * channels].reshape(n, channels)
+    rms = np.sqrt((x * x).mean(axis=0)) if n else np.zeros(channels)
+    peak = np.abs(x).max(axis=0) if n else np.zeros(channels)
+    pad = [0.0] * (4 - channels) if channels < 4 else []
+    emb = [float(v) for v in rms[:4]] + pad + [float(v) for v in peak[:4]] + pad
+    return {
+        "sample_rate": int(sample_rate),
+        "n_channels": int(channels),
+        "n_samples": int(n),
+        "duration_s": (n / sample_rate) if sample_rate else None,
+        "embedding": emb,
+    }
+
+
+def default_audio_decoder(content: bytes) -> dict[str, Any]:
+    """Dependency-free decode for PCM/float WAV. Compressed codecs
+    (MP3, FLAC, Opus, ...) need a real audio library — inject
+    ``decoder=`` with this same signature, pipeline unchanged."""
+    if content[:4] == b"RIFF":
+        return decode_wav(content)
+    raise NotImplementedError(
+        "unsupported audio format (builtin: RIFF/WAVE PCM u8/i16/i32/f32);"
+        " inject decoder=... for compressed codecs"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], dict[str, Any]] = default_audio_decoder,
+) -> DataFrame:
+    """Audio twin of :func:`extract_image_features`: Arrow-batched
+    mapInPandas over (path, content) emitting typed feature rows."""
+
+    def decode_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "path": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_s": [], "embedding": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                feats = decoder(bytes(content) if content is not None else b"")
+                out["path"].append(path)
+                out["sample_rate"].append(feats.get("sample_rate"))
+                out["n_channels"].append(feats.get("n_channels"))
+                out["n_samples"].append(feats.get("n_samples"))
+                out["duration_s"].append(feats.get("duration_s"))
+                out["embedding"].append(feats.get("embedding"))
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(
+        decode_batches, AUDIO_FEATURES_SCHEMA
+    )

@@ -174,3 +174,71 @@ def test_frame_sample_explodes_rows(spark):
     assert len(frames) == 10
     assert sorted(r["frame_idx"] for r in frames) == list(range(10))
     assert b"".join(bytes(r["frame"]) for r in sorted(frames, key=lambda r: r["frame_idx"])) == bytes(range(100))
+
+
+# ---------------------------------------------------------------- audio
+
+def _wav_bytes(samples: np.ndarray, rate: int, sampwidth: int) -> bytes:
+    """Golden WAV via the stdlib wave writer (int PCM only)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    nch = 1 if samples.ndim == 1 else samples.shape[1]
+    w.setnchannels(nch)
+    w.setsampwidth(sampwidth)
+    w.setframerate(rate)
+    w.writeframes(samples.astype(f"<i{sampwidth}" if sampwidth > 1 else "u1").tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+def test_decode_wav_16bit_stereo():
+    t = np.arange(64)
+    samples = np.stack([(1000 * np.sin(t / 3)).astype(np.int16),
+                        np.full(64, 16384, np.int16)], axis=1)
+    feats = mm.decode_wav(_wav_bytes(samples, 44100, 2))
+    assert (feats["sample_rate"], feats["n_channels"], feats["n_samples"]) == (
+        44100, 2, 64)
+    x = samples.astype(np.float64) / 32768.0
+    want_rms = np.sqrt((x * x).mean(axis=0))
+    assert feats["embedding"][0] == pytest.approx(want_rms[0], abs=1e-12)
+    assert feats["embedding"][1] == pytest.approx(want_rms[1], abs=1e-12)
+    assert feats["embedding"][4] == pytest.approx(np.abs(x[:, 0]).max(), abs=1e-12)
+    assert feats["duration_s"] == pytest.approx(64 / 44100)
+
+
+def test_decode_wav_8bit_and_float32():
+    u8 = mm.decode_wav(_wav_bytes(np.array([128, 255, 0, 128], np.uint8), 8000, 1))
+    assert u8["n_channels"] == 1 and u8["n_samples"] == 4
+    assert u8["embedding"][4] == pytest.approx(1.0)  # peak at sample 0 or 255
+
+    # float32 WAV: hand-built header (wave module can't write format 3)
+    data = np.array([0.5, -0.25, 0.0, 1.0], "<f4").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    f32 = mm.decode_wav(wav)
+    assert f32["embedding"][4] == pytest.approx(1.0)
+    assert f32["embedding"][0] == pytest.approx(
+        np.sqrt(np.mean(np.array([0.5, -0.25, 0.0, 1.0]) ** 2)), abs=1e-12)
+
+
+def test_audio_decoder_dispatch_and_unknown():
+    with pytest.raises(NotImplementedError):
+        mm.default_audio_decoder(b"\xffOggS not audio we know")
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_extract_audio_features_end_to_end(spark):
+    rows = [
+        ("a.wav", _wav_bytes(np.full(32, 100, np.uint8), 8000, 1)),
+        ("b.wav", _wav_bytes(np.zeros((16, 2), np.int16), 22050, 2)),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {r["path"]: r for r in mm.extract_audio_features(df).collect()}
+    assert got["a.wav"]["n_samples"] == 32 and got["a.wav"]["sample_rate"] == 8000
+    assert got["b.wav"]["n_channels"] == 2 and got["b.wav"]["n_samples"] == 16
+    assert got["b.wav"]["embedding"][0] == 0.0  # silent stereo → zero RMS

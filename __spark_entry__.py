@@ -45,12 +45,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_agg_tpch1"].fn(spark, "/root/testdata/sf0.001")
 
 
+#: never-checked queries whose driver verification carries the most
+#: information this round — sampled ahead of the rest of the unchecked
+#: block (which keeps catalog order). Red/err rows from prior rounds
+#: (f_math, the two ex-no_oracle ones) lead; then the round-2 additions.
+_PRIORITY = [
+    "g_approx_distinct", "f_math", "l_simhash_neardup",
+    "q_tpch2", "q_tpch4", "q_tpch7", "q_tpch8", "q_tpch9", "q_tpch11",
+    "q_tpch12", "q_tpch16", "q_tpch17", "q_tpch20", "q_tpch21", "q_tpch22",
+    "l_bm25", "l_audio_features", "l_cosine_topk", "l_embed_neardup",
+]
+
+
 def _coverage_order(names: list[str]) -> list[str]:
     """Order queries so the driver's per-round sample (~50) lands on
     queries that do NOT yet have a green row in any committed
-    CORRECTNESS_r*.json — never-checked (or red/err) queries first, in
-    catalog order, then the already-green ones. Across rounds this
-    converges to a green driver row for every catalog query.
+    CORRECTNESS_r*.json — never-checked (or red/err) queries first
+    (priority list, then catalog order), then the already-green ones.
+    Across rounds this converges to a green driver row for every
+    catalog query.
     """
     import json
 
@@ -69,7 +82,10 @@ def _coverage_order(names: list[str]) -> list[str]:
                 and not row.get("err")
             ):
                 green.add(name)
-    return [n for n in names if n not in green] + [n for n in names if n in green]
+    prio = {n: i for i, n in enumerate(_PRIORITY)}
+    unchecked = [n for n in names if n not in green]
+    unchecked.sort(key=lambda n: prio.get(n, len(prio)))  # stable: catalog order within tiers
+    return unchecked + [n for n in names if n in green]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

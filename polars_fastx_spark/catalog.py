@@ -12,9 +12,11 @@ in BOTH the Spark builder and the oracle SQL:
   out;
 - float aggregates wrapped in round() (2 money, 4 similarity, 6 ratios,
   9 frequencies);
-- ``events.ts`` is bigint **nanoseconds** on the Spark side
-  (nanosAsLong) and TIMESTAMP on the DuckDB side — all comparisons go
-  through epoch **microseconds** (both truncate ns→µs identically);
+- ``events.ts`` is bigint **nanoseconds** on the Spark side (either
+  nanosAsLong or canonicalized from TIMESTAMP(MICROS) by
+  ``normalize_events_ts``) and TIMESTAMP on the DuckDB side — all
+  comparisons go through epoch **microseconds** (both truncate ns→µs
+  identically);
 - timestamps never appear raw in results: strings (date_format) or
   epoch ints only;
 - DuckDB integer sums are HUGEINT → ::BIGINT casts in oracle SQL;
@@ -88,8 +90,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as bigint ns (nanosAsLong) + derived µs column."""
-    return _t(spark, sf_dir, "events").withColumn(
+    """events with ts canonicalized to bigint ns + derived µs column.
+
+    ``normalize_events_ts`` absorbs the testdata's two generations of
+    ``ts`` encoding (INT64 ns-as-bigint vs TIMESTAMP(MICROS)); every
+    catalog query sees the same integer clock either way.
+    """
+    from .session import normalize_events_ts
+
+    return normalize_events_ts(_t(spark, sf_dir, "events")).withColumn(
         "ts_us", F.expr("ts div 1000")
     )
 
@@ -2945,7 +2954,7 @@ def x_sketch_topk(spark, sf_dir):
     "merge==direct equality and <5% error pinned in tests/test_sketches.py",
 )
 def x_sketch_hll(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     partials = sketches.hll_partials(
         e, ["event_type"], "user_id", F.expr("ts div 86400000000000")
     )

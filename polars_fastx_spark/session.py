@@ -3,10 +3,12 @@
 Defaults are chosen for oracle parity (SURVEY.md §4.4) and 100 TB posture
 (SURVEY.md §4.3):
 
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table
-  carries TIMESTAMP(NANOS) which Spark 4 otherwise refuses to read; with
-  this flag ``ts`` arrives as bigint ns-since-epoch and queries derive
-  ``timestamp_micros(ts div 1000)``.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events files that
+  carry INT64 TIMESTAMP(NANOS) (one generation of the driver testdata
+  did) would otherwise make Spark 4 refuse the read; with the flag that
+  generation arrives as bigint ns-since-epoch. Current testdata ships
+  plain TIMESTAMP(MICROS); ``normalize_events_ts`` canonicalizes either
+  shape to the engine's bigint-ns clock so queries are generation-proof.
 - ANSI mode stays on (Spark 4 default) — overflow/div-by-zero raise like
   the DuckDB oracle; expressions that may divide by zero must guard with
   ``nullif``/``try_divide`` explicitly (e.g. gc_content of an empty
@@ -79,6 +81,25 @@ def stop_spark() -> None:
         active.stop()
 
 
+def normalize_events_ts(df):
+    """Canonicalize ``events.ts`` to bigint nanoseconds since epoch.
+
+    The driver testdata has shipped ``ts`` both as INT64 TIMESTAMP(NANOS)
+    (arrives as bigint ns under ``nanosAsLong``) and as TIMESTAMP(MICROS)
+    (arrives as timestamp_ntz). Everything downstream — interval joins,
+    time buckets, the µs-derived ``ts_us`` — assumes one integer clock,
+    so map whichever shape arrives onto bigint ns. Session timezone is
+    pinned to UTC, making the ntz→utc cast an identity relabeling.
+    """
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+        return df
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = (
                     "region", "nation", "customer", "supplier", "part",
@@ -94,6 +115,8 @@ def load_tables(spark: SparkSession, sf_dir: str,
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if name == "events":
+                df = normalize_events_ts(df)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -171,6 +171,7 @@ ALLOWED_ARROW_PYTHON = {
     "x_applyinpandas_zscore", # applyInPandas
     "x_udaf_entropy",         # pandas grouped-agg UDAF
     "l_multimodal_features",  # mapInPandas builtin decode
+    "l_audio_features",       # mapInPandas WAV decode
     "l_embed_neardup",        # numpy block-matmul
     "l_cosine_topk",          # numpy top-k
     "l_ann_lsh_topk",         # numpy re-rank

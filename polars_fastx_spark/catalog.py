@@ -1625,9 +1625,48 @@ def l_fingerprint(spark, sf_dir):
     )
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of text.lang_id, generated from the SAME STOPWORDS
+    constant so the two can never drift. Tokenization parity:
+    split-on-\\s+ with empties dropped (Java regex ∩ RE2 dialect), lower
+    before matching; argmax tie-break = alphabetical lang (Spark folds
+    the scored array in sorted(STOPWORDS) order and takes the first
+    maximum — identical to ORDER BY hits DESC, lang ASC)."""
+    rows = ", ".join(
+        "('%s', [%s])"
+        % (lang, ", ".join("'%s'" % w for w in words))
+        for lang, words in sorted(text.STOPWORDS.items())
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(tk, t -> list_contains(sw, t))) AS hits
+      FROM toks CROSS JOIN (VALUES {rows}) AS langs(lang, sw)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang ASC) AS rn,
+             max(hits) OVER (PARTITION BY doc_id) AS mx
+      FROM scored
+    )
+    SELECT CASE WHEN mx > 0 THEN lang ELSE 'und' END AS pred_lang,
+           count(*) AS n
+    FROM ranked WHERE rn = 1
+    GROUP BY 1
+    ORDER BY pred_lang NULLS FIRST
+    """
+
+
 @_q(
     "l_lang_id",
-    None,  # heuristic argmax — DuckDB twin possible but brittle; pytest-covered
+    _lang_id_oracle(),
     "L4: stopword-heuristic language ID distribution",
 )
 def l_lang_id(spark, sf_dir):
@@ -1805,10 +1844,51 @@ def x_udtf_ngrams(spark, sf_dir):
     )
 
 
+def _ann_lsh_oracle(dim: int = 64, k: int = 5, num_planes: int = 4,
+                    seed: int = 42) -> str:
+    """DuckDB twin of similarity.ann_topk_via_lsh — the hyperplanes are
+    pure functions of (seed, plane, dim index) computed driver-side, so
+    the oracle embeds the SAME IEEE doubles (via repr round-trip) and
+    replays bucket-sign assignment + in-bucket cosine top-k in SQL.
+    Sign flips would need a dot product within ~1e-16 of zero; the
+    distinct random embeddings rule that out."""
+    import math
+
+    planes = [
+        [repr(math.sin(float(seed) + 1.0 + p * 1013.0 + i * 9.17))
+         for i in range(dim)]
+        for p in range(num_planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(c)}]) >= 0 "
+        f"THEN 1 ELSE 0 END) * {2 ** (num_planes - 1 - p)}"
+        for p, c in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             ({bucket}) AS bucket
+      FROM embeddings
+    ),
+    n AS (SELECT id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+    pairs AS (
+      SELECT a.id AS id_a, c.id AS id_b,
+             list_dot_product(a.v, c.v) / nullif(a.nrm * c.nrm, 0.0)
+               AS cosine
+      FROM n a JOIN n c ON a.bucket = c.bucket AND a.id < c.id
+    )
+    SELECT id_a, id_b, round(cosine, 4) AS cosine
+    FROM pairs ORDER BY cosine DESC, id_a, id_b LIMIT {k}
+    """
+
+
 @_q(
     "l_ann_lsh_topk",
-    None,  # approximate — recall property-tested vs exact in pytest
-    "L3 scale path: ANN top-k via random-hyperplane LSH buckets",
+    _ann_lsh_oracle(),
+    "L3 scale path: ANN top-k via random-hyperplane LSH buckets; "
+    "oracle replays the deterministic hyperplane signs + in-bucket "
+    "cosine re-rank in SQL (recall-vs-exact additionally "
+    "property-tested in pytest)",
 )
 def l_ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -1817,10 +1897,44 @@ def l_ann_lsh_topk(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+_IVF_ORACLE = """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT md5(id::VARCHAR) AS cell, v AS cvec, nrm AS cnrm
+      FROM base ORDER BY cell LIMIT 8
+    ),
+    assigned AS (
+      SELECT b.id, b.v, b.nrm,
+             arg_max(c.cell,
+                     list_dot_product(b.v, c.cvec)
+                       / nullif(b.nrm * c.cnrm, 0.0)) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.id, b.v, b.nrm
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, c.id AS id_b,
+             list_dot_product(a.v, c.v) / nullif(a.nrm * c.nrm, 0.0)
+               AS cosine
+      FROM assigned a JOIN assigned c
+        ON a.cell = c.cell AND a.id < c.id
+    )
+    SELECT id_a, id_b, round(cosine, 4) AS cosine
+    FROM pairs ORDER BY cosine DESC, id_a, id_b LIMIT 5
+    """
+
+
 @_q(
     "l_ivf_topk",
-    None,  # approximate — recall property-tested vs exact in pytest
-    "L3 scale path: ANN top-k via IVF cells (deterministic centroids)",
+    _IVF_ORACLE,
+    "L3 scale path: ANN top-k via IVF cells (deterministic "
+    "md5-smallest-k centroids); oracle replays seeding, nearest-cell "
+    "assignment (arg_max cosine — no ties in the distinct random "
+    "embeddings), and in-cell exact re-rank in SQL",
 )
 def l_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -3301,15 +3415,66 @@ def g_histogram(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iterations: int = 4, damping: float = 0.85) -> str:
+    """DuckDB twin of operators/graph.py:pagerank — the fixed iteration
+    count lets the power method unroll into chained CTEs (one
+    contribs-agg + one dangling-mass agg + one rank rebuild per round),
+    the exact dataflow the Spark loop runs. Float parity: the Python
+    loop computes ``base = (1-d)/n + d*dm/n`` driver-side, so the SQL
+    inlines ``repr(1-d)`` (the same IEEE double, not DECIMAL 0.15) and
+    groups terms identically; remaining sum-order noise is ~1e-16,
+    far inside the round(7) declared in the query."""
+    base_num = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src AS node, count(*)::DOUBLE AS out_deg
+            FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, d.out_deg
+           FROM edges e JOIN deg d ON e.src = d.node),
+    r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(iterations):
+        p, nxt = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f""",
+    c{i + 1} AS (SELECT ed.dst AS node, sum(r.rank / ed.out_deg) AS contrib
+           FROM {p} r JOIN ed ON r.node = ed.src GROUP BY ed.dst),
+    d{i + 1} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+           FROM {p} r ANTI JOIN deg ON r.node = deg.node),
+    {nxt} AS (SELECT nodes.node,
+             (({base_num}::DOUBLE/(SELECT n FROM nn)
+               + {d}::DOUBLE*(SELECT dm FROM d{i + 1})/(SELECT n FROM nn))
+              + {d}::DOUBLE*coalesce(c{i + 1}.contrib, 0.0)) AS rank
+           FROM nodes LEFT JOIN c{i + 1} USING (node))"""
+        )
+    parts.append(
+        f"""
+    SELECT node, round(rank, 7) AS rank FROM r{iterations}
+    ORDER BY rank DESC, node ASC LIMIT 20
+    """
+    )
+    return "".join(parts)
+
+
 @_q(
     "l_pagerank",
-    None,  # iterative power method — no single-query SQL form;
-           # verified against dense numpy power iteration in tests
+    _pagerank_oracle(),
     "Iterative PageRank over the customer→supplier purchase graph: "
     "per round one equi-join + one agg shuffling on node id, dangling "
     "mass redistributed (sum(rank)==1 invariant), lineage cut by "
     "localCheckpoint — the DataFrame-loop pattern for iterative "
-    "algorithms (operators/graph.py)",
+    "algorithms (operators/graph.py). Oracle = the same 4 rounds "
+    "unrolled as chained CTEs; round(7) absorbs sum-order noise.",
 )
 def l_pagerank(spark, sf_dir):
     from polars_fastx_spark.operators.graph import pagerank
@@ -3326,7 +3491,7 @@ def l_pagerank(spark, sf_dir):
     )
     ranks = pagerank(edges, iterations=4)
     return (
-        ranks.select("node", F.round("rank", 9).alias("rank"))
+        ranks.select("node", F.round("rank", 7).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node").asc_nulls_first())
         .limit(20)
     )
@@ -3426,14 +3591,63 @@ def l_chunk_tokens(spark, sf_dir):
     )
 
 
+def _kmeans_oracle(k: int = 4, iterations: int = 3) -> str:
+    """DuckDB twin of operators/vectors.py:kmeans — fixed iterations
+    unroll Lloyd's into chained CTEs. Seeding = k smallest
+    md5(id::VARCHAR) (identical both engines); assignment = argmin of
+    Euclidean distance (monotonic with the Spark fold's squared-L2, so
+    the argmin agrees; testdata has no duplicate vectors, so no exact
+    ties to break); recompute = per-dim avg via parallel unnest.
+    Output is cluster SIZES only — assignment flips would need two
+    centroids equidistant to a point within ~1e-15, which the distinct
+    random embeddings rule out."""
+    sql = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent0 AS (
+      SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)))::INT - 1
+               AS cid,
+             v AS cvec
+      FROM base
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) <= {k}
+    )"""
+    for i in range(1, iterations + 1):
+        p = f"cent{i - 1}"
+        sql += f""",
+    a{i} AS (
+      SELECT b.vec_id, b.v,
+             arg_min(c.cid, list_distance(b.v, c.cvec)) AS cluster
+      FROM base b CROSS JOIN {p} c
+      GROUP BY b.vec_id, b.v
+    ),
+    m{i} AS (
+      SELECT cluster, pos, avg(val) AS mv
+      FROM (SELECT cluster, unnest(v) AS val,
+                   unnest(range(len(v))) AS pos FROM a{i})
+      GROUP BY cluster, pos
+    ),
+    n{i} AS (SELECT cluster AS cid, list(mv ORDER BY pos) AS cvec
+             FROM m{i} GROUP BY cluster),
+    cent{i} AS (
+      SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+      FROM {p} p LEFT JOIN n{i} n USING (cid)
+    )"""
+    sql += f"""
+    SELECT cluster, count(*) AS n FROM a{iterations}
+    GROUP BY cluster ORDER BY cluster NULLS FIRST
+    """
+    return sql
+
+
 @_q(
     "l_kmeans",
-    None,  # iterative Lloyd's — no SQL form; cluster recovery,
-           # determinism pinned in tests
+    _kmeans_oracle(),
     "IVF training: k-means as a DataFrame loop — content-addressed "
     "md5 seeding (no RNG), per round a broadcast k×dim centroid table "
     "+ min_by assignment + group_centroids recompute; only k rows ever "
-    "reach the driver (operators/vectors.py)",
+    "reach the driver (operators/vectors.py). Oracle = the same 3 "
+    "Lloyd's rounds unrolled as chained CTEs.",
 )
 def l_kmeans(spark, sf_dir):
     from polars_fastx_spark.operators.vectors import kmeans

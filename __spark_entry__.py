@@ -51,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (f_math, the two ex-no_oracle ones) lead; then the round-2 additions.
 _PRIORITY = [
     "g_approx_distinct", "f_math", "l_simhash_neardup",
+    "l_lang_id", "l_pagerank", "l_kmeans", "l_ann_lsh_topk", "l_ivf_topk",
+    "l_line_dedup",
     "q_tpch2", "q_tpch4", "q_tpch7", "q_tpch8", "q_tpch9", "q_tpch11",
     "q_tpch12", "q_tpch16", "q_tpch17", "q_tpch20", "q_tpch21", "q_tpch22",
     "l_bm25", "l_audio_features", "l_cosine_topk", "l_embed_neardup",

@@ -3591,6 +3591,70 @@ def l_chunk_tokens(spark, sf_dir):
     )
 
 
+@_q(
+    "l_line_dedup",
+    """
+    WITH segs AS (
+      SELECT doc_id, ((s - 1) // 6)::INT AS pos,
+             array_to_string(list_slice(toks, s, s + 5), ' ') AS seg
+      FROM (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, 6))::BIGINT AS s
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        )
+      )
+    ),
+    dup AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.pos, s.seg, d.seg IS NOT NULL AS isdup
+      FROM segs s LEFT JOIN dup d USING (seg)
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (NOT isdup) AS n_kept,
+           md5(coalesce(
+             string_agg(seg, ' ' ORDER BY pos) FILTER (NOT isdup),
+             '')) AS kept_md5
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "LLM-pipeline line/segment dedup (CCNet/RefinedWeb-style "
+    "boilerplate removal): drop every copy of any segment found in "
+    ">=2 distinct docs, reassemble survivors in order — two corpus "
+    "shuffles (segment-key agg + doc rebuild), dup set rides a "
+    "broadcastable left join (operators/text.py:line_dedup). This "
+    "corpus has no newlines, so segments = non-overlapping 6-token "
+    "windows from the same chunk_tokens family; md5-verified "
+    "reassembled content.",
+)
+def l_line_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    segs = text.chunk_tokens(d, "text", size=6).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("pos"),
+        F.col("chunk").alias("seg"),
+    )
+    out = text.line_dedup(
+        segs, id_col="doc_id", seg_col="seg", pos_col="pos",
+        min_docs=2, joiner=" ",
+    )
+    return (
+        out.select(
+            "doc_id", "n_segments", "n_kept",
+            F.md5(F.encode("text_kept", "UTF-8")).alias("kept_md5"),
+        )
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
+
+
 def _kmeans_oracle(k: int = 4, iterations: int = 3) -> str:
     """DuckDB twin of operators/vectors.py:kmeans — fixed iterations
     unroll Lloyd's into chained CTEs. Seeding = k smallest

@@ -391,3 +391,74 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum(part).alias("bm25"))
     )
+
+
+def segment_lines(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = r"\n",
+    seg_col: str = "seg",
+    pos_col: str = "seg_idx",
+):
+    """Split documents into delimiter-separated segments with a 0-based
+    position — the segmentation front end of :func:`line_dedup` for
+    corpora with real line structure (web pages, code). For corpora
+    without newlines, any (id, pos, seg) frame works — e.g.
+    ``chunk_tokens`` windows. Pure posexplode: zero shuffles."""
+    return df.select(
+        _col(id_col).alias(id_col),
+        F.posexplode(F.split(_col(text_col), delim)).alias(pos_col, seg_col),
+    )
+
+
+def line_dedup(
+    segments,
+    id_col: str = "doc_id",
+    seg_col: str = "seg",
+    pos_col: str = "seg_idx",
+    min_docs: int = 2,
+    joiner: str = "\n",
+):
+    """Cross-corpus line/segment dedup (CCNet / RefinedWeb-style
+    boilerplate removal): drop EVERY copy of any segment whose exact
+    text appears in >= ``min_docs`` distinct documents, then reassemble
+    each document from its surviving segments in original order.
+
+    Dataflow (scale-first): segments keyed by ``md5(seg)`` (compact
+    shuffle key) → two-phase count-distinct-docs per key → the
+    duplicated-key set (usually small — boilerplate) broadcast back as
+    a left join + null flag → ONE groupBy(doc) rebuilds order with
+    array_sort(collect_list(struct(pos, seg))), where collect_list's
+    null-skipping drops the flagged copies. Two corpus-wide shuffles
+    (key agg, doc reassembly); the join stays broadcast while the dup
+    set is small, degrading to a hash join on the same key otherwise
+    (AQE decides).
+
+    Returns (id, n_segments, n_kept, text_kept); a fully-deduped doc
+    keeps a row with ``text_kept = ''`` so nothing silently disappears.
+    """
+    segs = segments.withColumn(
+        "_k", F.md5(F.encode(F.col(seg_col), "UTF-8"))
+    )
+    dup = (
+        segs.groupBy("_k")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_k", F.lit(True).alias("_dup"))
+    )
+    flagged = segs.join(dup, "_k", "left")
+    kept_struct = F.when(
+        F.col("_dup").isNull(), F.struct(F.col(pos_col), F.col(seg_col))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s[seg_col],
+            ),
+            joiner,
+        ).alias("text_kept"),
+    )

@@ -99,3 +99,45 @@ def test_bm25_hand_computed(spark):
     want2 = score(1, 2, 2)                   # dog×1
     assert rows[1] == pytest.approx(want1, abs=1e-9)
     assert rows[2] == pytest.approx(want2, abs=1e-9)
+
+
+def test_line_dedup_drops_cross_doc_lines_keeps_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha text\nCOPYRIGHT FOOTER"),
+            (2, "COOKIE BANNER\nunique beta text\nCOPYRIGHT FOOTER"),
+            (3, "only original content here\nsecond original line"),
+            (4, "COOKIE BANNER"),  # fully-deduped doc must keep a row
+            (5, "repeated inside\nrepeated inside\nunique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    segs = tx.segment_lines(docs, "doc_id", "text")
+    out = {r["doc_id"]: r for r in tx.line_dedup(segs).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5}
+    # banner+footer in 3 and 2 docs respectively -> every copy dropped
+    assert out[1]["n_kept"] == 1 and out[1]["text_kept"] == "unique alpha text"
+    assert out[2]["n_kept"] == 1 and out[2]["text_kept"] == "unique beta text"
+    # untouched doc reassembles to its original text, order preserved
+    assert out[3]["n_segments"] == 2 and out[3]["text_kept"] == (
+        "only original content here\nsecond original line"
+    )
+    # fully deduped -> empty text, not a missing row
+    assert out[4]["n_kept"] == 0 and out[4]["text_kept"] == ""
+    # within-ONE-doc repetition is NOT cross-doc duplication (countDistinct)
+    assert out[5]["n_kept"] == 3 and out[5]["text_kept"] == (
+        "repeated inside\nrepeated inside\nunique gamma"
+    )
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared\na1"), (2, "shared\nb1"), (3, "shared\nc1")],
+        "doc_id long, text string",
+    )
+    segs = tx.segment_lines(docs, "doc_id", "text")
+    loose = {r["doc_id"]: r for r in tx.line_dedup(segs, min_docs=4).collect()}
+    assert all(loose[i]["n_kept"] == 2 for i in (1, 2, 3))  # below threshold
+    tight = {r["doc_id"]: r for r in tx.line_dedup(segs, min_docs=3).collect()}
+    assert all(tight[i]["n_kept"] == 1 for i in (1, 2, 3))

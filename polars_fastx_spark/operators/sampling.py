@@ -161,3 +161,42 @@ def stratified_sample(
             keep = key < F.lit(_hex_threshold(frac))
         expr = F.when(cond, keep).otherwise(expr)
     return df.filter(expr)
+
+
+def group_aware_splits(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: every document in a
+    near-dup component buckets on its component's canonical (min-id)
+    member, so no near-duplicate pair can straddle splits — the
+    contamination a plain per-id carve silently allows. Documents
+    outside any component bucket on their own id (identical to
+    :func:`assign_splits` for them).
+
+    ``pairs`` is any near-dup pair frame (MinHash LSH, SimHash,
+    embedding cosine — operators/dedup.py). Cost on top of
+    assign_splits: the connected-components label table (only docs
+    that HAVE a near-dup — tiny vs the corpus) joined back once; AQE
+    broadcasts it while small. Keeps ``rep_col`` so callers can count
+    groups or audit leakage.
+    """
+    from .graph import connected_components
+
+    cc = connected_components(pairs, id_a, id_b).select(
+        F.col("node").alias("__gs_node"),
+        F.col("component").alias("__gs_comp"),
+    )
+    with_rep = (
+        df.join(cc, _col(id_col) == F.col("__gs_node"), "left")
+        .withColumn(rep_col, F.coalesce(F.col("__gs_comp"), _col(id_col)))
+        .drop("__gs_node", "__gs_comp")
+    )
+    return assign_splits(with_rep, rep_col, weights, salt, split_col)

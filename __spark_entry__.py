@@ -47,15 +47,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: never-checked queries whose driver verification carries the most
 #: information this round — sampled ahead of the rest of the unchecked
-#: block (which keeps catalog order). Red/err rows from prior rounds
-#: (f_math, the two ex-no_oracle ones) lead; then the round-2 additions.
+#: block (which keeps catalog order). The r2 red row (l_quantize_int8,
+#: now JSON-canonicalized) leads; then the 37 queries with no driver
+#: row in any CORRECTNESS_r*.json; round-3 additions get appended as
+#: they land.
 _PRIORITY = [
-    "g_approx_distinct", "f_math", "l_simhash_neardup",
-    "l_lang_id", "l_pagerank", "l_kmeans", "l_ann_lsh_topk", "l_ivf_topk",
-    "l_line_dedup",
-    "q_tpch2", "q_tpch4", "q_tpch7", "q_tpch8", "q_tpch9", "q_tpch11",
-    "q_tpch12", "q_tpch16", "q_tpch17", "q_tpch20", "q_tpch21", "q_tpch22",
-    "l_bm25", "l_audio_features", "l_cosine_topk", "l_embed_neardup",
+    "l_quantize_int8",
+    "q_tpch5", "q_tpch6", "q_tpch10", "q_tpch13", "q_tpch14", "q_tpch18",
+    "q_tpch19",
+    "l_det_sample", "l_split_assign", "l_stratified_take",
+    "l_stratified_sample",
+    "t_ewma", "t_rollup_hier", "t_interpolate", "t_sessionize",
+    "q_funnel", "l_corpus_pipeline", "x_sketch_topk",
+    "q_scd2", "q_scd2_lookup",
+    "j_binned_range", "j_asof_tolerance",
+    "l_chunk_text", "l_chunk_tokens", "l_redact_pii",
+    "q_expectations", "g_histogram", "g_string_agg", "g_corr_covar",
+    "l_word_repetition", "l_centroids", "w_percent_rank",
+    "u_union_evolve", "p_zorder_key", "f_bitwise",
+    "l_pack_ffd", "x_sketch_hll",
 ]
 
 

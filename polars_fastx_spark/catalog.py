@@ -2095,9 +2095,9 @@ def l_bm25(spark, sf_dir):
       FROM s
     )
     SELECT vec_id,
-           [greatest(-127, least(127,
+           to_json([greatest(-127, least(127,
               floor(embedding[i]::DOUBLE / scales[i] * 127.0 + 0.5)::INT))
-            for i in generate_series(1, 64)] AS qvec,
+            for i in generate_series(1, 64)])::VARCHAR AS qvec,
            round(list_max(
              [abs(embedding[i]::DOUBLE
                   - greatest(-127, least(127,
@@ -2113,8 +2113,12 @@ def l_bm25(spark, sf_dir):
 def l_quantize_int8(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = vectors.quantize_int8(e, "vec_id", "embedding")
+    # qvec rendered as canonical JSON text (§4.4.7): the driver's pandas
+    # canonicalizer cannot sort list-valued cells (r2 red row).
     return out.select(
-        "vec_id", "qvec", F.round("max_abs_err", 6).alias("max_abs_err")
+        "vec_id",
+        F.to_json("qvec").alias("qvec"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
     ).orderBy(F.col("vec_id").asc_nulls_first())
 
 

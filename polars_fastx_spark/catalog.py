@@ -40,6 +40,7 @@ from polars_fastx_spark.functions import sketches
 from polars_fastx_spark.operators import (
     dedup,
     multimodal,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -1437,6 +1438,43 @@ def l_dedup_keep(spark, sf_dir):
 
 
 @_q(
+    "l_group_splits",
+    _LSH_REACH_CTE
+    + """
+    , comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    ), rep AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), keyed AS (
+      SELECT doc_id, rep,
+             substr(md5(rep::VARCHAR || ':'), 1, 4) AS key
+      FROM rep
+    )
+    SELECT doc_id, rep,
+           CASE WHEN key < 'cccd' THEN 'train'
+                WHEN key < 'e666' THEN 'valid'
+                ELSE 'test' END AS split
+    FROM keyed
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L2+: leakage-safe train/valid/test splits — every doc in a near-dup "
+    "LSH component buckets on its component's canonical min-id member, so "
+    "no near-duplicate pair straddles splits (oracle: recursive-CTE "
+    "closure + md5 bucket replay)",
+)
+def l_group_splits(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, family="md5"
+    )
+    out = sampling.group_aware_splits(d, "doc_id", pairs)
+    return out.select("doc_id", "rep", "split").orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )
+
+
+@_q(
     "l_ngram_jaccard",
     """
     WITH sh AS (
@@ -2080,6 +2118,80 @@ def l_bm25(spark, sf_dir):
         .select("doc_id", F.round("bm25", 6).alias("bm25"))
         .orderBy(F.col("doc_id").asc_nulls_first())
     )
+
+
+@_q(
+    "l_rrf_hybrid",
+    """
+    WITH w AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
+    st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    h AS (SELECT doc_id, w FROM w WHERE w IN ('data', 'table', 'join')),
+    dfq AS (SELECT w, count(DISTINCT doc_id)::DOUBLE AS dfq FROM h GROUP BY w),
+    tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM h GROUP BY doc_id, w),
+    bm AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n - dfq + 0.5) / (dfq + 0.5)) * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id), st
+      GROUP BY doc_id
+    ),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+            FROM bm),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT vec_id AS doc_id,
+                  round(list_cosine_similarity(embedding::DOUBLE[], q), 6) AS s
+           FROM embeddings, qv),
+    csr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+            FROM cs),
+    contrib AS (
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM bmr WHERE r <= 50
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + r) AS c FROM csr WHERE r <= 50
+    )
+    SELECT doc_id, round(sum(c), 6) AS rrf, count(*) AS n_sources
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id ASC NULLS FIRST
+    """,
+    "L4+/RAG: Reciprocal Rank Fusion of BM25 lexical top-50 with "
+    "embedding-cosine semantic top-50 (query vector = embedding of doc 0; "
+    "RRF k=60, Cormack et al. SIGIR'09) — hybrid retrieval without score "
+    "calibration",
+)
+def l_rrf_hybrid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    bm = text.bm25_scores(d, "doc_id", "text", ["data", "table", "join"]).select(
+        "doc_id", F.round("bm25", 6).alias("score")
+    )
+    # semantic retriever: cosine vs a fixed query vector (1-row broadcast)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    v = F.col("embedding").cast("array<double>")
+    sem = e.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            similarity.cosine(
+                v, F.col("qv"), similarity.l2_norm(v), similarity.l2_norm(F.col("qv"))
+            ),
+            6,
+        ).alias("score"),
+    )
+    fused = retrieval.rrf_fuse(
+        [(bm, "score"), (sem, "score")], "doc_id", top_n=50, k=60
+    )
+    return fused.select(
+        "doc_id", F.round("rrf", 6).alias("rrf"), "n_sources"
+    ).orderBy(F.col("rrf").desc(), F.col("doc_id").asc_nulls_first())
 
 
 @_q(

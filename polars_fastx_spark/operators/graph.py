@@ -29,6 +29,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the minimum node id in the component.
@@ -36,7 +37,13 @@ def connected_components(
     Raises after ``max_iterations`` without convergence (near-dup
     graphs converge in a handful of rounds; a non-converging input
     signals a pathological graph better surfaced than silently
-    mislabeled).
+    mislabeled). Min-label propagation needs iterations ≥ the diameter
+    of the largest component — raise ``max_iterations`` for long
+    chains. Each round references the previous label table twice
+    (messages + union), so without lineage cuts the logical plan
+    doubles per iteration; ``localCheckpoint`` every
+    ``checkpoint_every`` rounds keeps the plan bounded (same lever as
+    :func:`pagerank`).
     """
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -50,7 +57,7 @@ def connected_components(
         )
     ).persist()
     try:
-        for _ in range(max_iterations):
+        for i in range(max_iterations):
             # neighbor labels flow along edges; keep the minimum seen
             msgs = bidir.join(
                 labels, bidir.v == labels.node, "inner"
@@ -61,6 +68,8 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
             ).persist()
+            if (i + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.join(
                     labels.withColumnRenamed("component", "old"), "node"

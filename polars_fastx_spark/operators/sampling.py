@@ -173,6 +173,7 @@ def group_aware_splits(
     id_a: str = "id_a",
     id_b: str = "id_b",
     rep_col: str = "rep",
+    max_iterations: int = 20,
 ) -> DataFrame:
     """Leakage-safe train/valid/test assignment: every document in a
     near-dup component buckets on its component's canonical (min-id)
@@ -187,10 +188,15 @@ def group_aware_splits(
     that HAVE a near-dup — tiny vs the corpus) joined back once; AQE
     broadcasts it while small. Keeps ``rep_col`` so callers can count
     groups or audit leakage.
+
+    ``max_iterations`` bounds the label-propagation rounds; it must be
+    ≥ the diameter of the largest near-dup component (a long chain in a
+    huge corpus may need more than the default 20 — raise it rather
+    than letting connected_components fail).
     """
     from .graph import connected_components
 
-    cc = connected_components(pairs, id_a, id_b).select(
+    cc = connected_components(pairs, id_a, id_b, max_iterations).select(
         F.col("node").alias("__gs_node"),
         F.col("component").alias("__gs_comp"),
     )

@@ -123,3 +123,56 @@ def test_stratified_sample_per_stratum_fractions(docs):
     a = _ids(sampling.stratified_sample(en, "lang", "doc_id", {"en": 0.3}, salt="s"))
     b = _ids(sampling.deterministic_sample(en, "doc_id", 0.3, salt="s"))
     assert a == b
+
+
+def test_group_aware_splits_no_pair_straddles(docs, spark):
+    """Every member of a near-dup component lands in the SAME split
+    (the leakage guarantee), and docs outside any component match
+    assign_splits exactly."""
+    pairs = spark.createDataFrame(
+        # two components: {1,2,3} (chain) and {10, 11}; rest untouched
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = sampling.group_aware_splits(docs, "doc_id", pairs).cache()
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    rep_of = {r.doc_id: r.rep for r in out.collect()}
+    assert split_of[1] == split_of[2] == split_of[3]
+    assert split_of[10] == split_of[11]
+    assert rep_of[1] == rep_of[2] == rep_of[3] == 1
+    assert rep_of[10] == rep_of[11] == 10
+    # out-of-component docs: identical to the plain per-id carve
+    plain = {r.doc_id: r.split for r in
+             sampling.assign_splits(docs, "doc_id").collect()}
+    in_comp = {1, 2, 3, 10, 11}
+    for doc_id, split in split_of.items():
+        if doc_id not in in_comp:
+            assert split == plain[doc_id], doc_id
+    # disjoint + exhaustive: one split per doc, all docs present
+    assert set(split_of) == _ids(docs)
+
+
+def test_group_aware_splits_stable_across_runs(docs, spark):
+    pairs = spark.createDataFrame([(4, 5), (5, 6)], "id_a long, id_b long")
+    a = {(r.doc_id, r.split) for r in
+         sampling.group_aware_splits(docs, "doc_id", pairs).collect()}
+    b = {(r.doc_id, r.split) for r in
+         sampling.group_aware_splits(
+             docs.repartition(7), "doc_id", pairs).collect()}
+    assert a == b
+
+
+def test_group_aware_splits_max_iterations_passthrough(docs, spark):
+    """A long chain needs iterations ~ diameter; the knob must reach
+    connected_components (ADVICE r2)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        sampling.group_aware_splits(
+            docs, "doc_id", chain, max_iterations=2
+        ).collect()
+    out = sampling.group_aware_splits(
+        docs, "doc_id", chain, max_iterations=40
+    )
+    reps = {r.rep for r in out.filter(F.col("doc_id") <= 30).collect()}
+    assert reps == {0}

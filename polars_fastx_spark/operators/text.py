@@ -400,16 +400,26 @@ def segment_lines(
     delim: str = r"\n",
     seg_col: str = "seg",
     pos_col: str = "seg_idx",
+    drop_empty: bool = True,
 ):
     """Split documents into delimiter-separated segments with a 0-based
     position — the segmentation front end of :func:`line_dedup` for
     corpora with real line structure (web pages, code). For corpora
     without newlines, any (id, pos, seg) frame works — e.g.
-    ``chunk_tokens`` windows. Pure posexplode: zero shuffles."""
-    return df.select(
+    ``chunk_tokens`` windows. Pure posexplode: zero shuffles.
+
+    ``drop_empty`` (default) removes zero-length segments — blank and
+    trailing lines — AFTER position assignment, so surviving positions
+    keep their original indices. Without it, '' becomes a segment
+    shared by every doc with a blank line and gets deduped corpus-wide
+    as boilerplate (and inflates n_segments)."""
+    segs = df.select(
         _col(id_col).alias(id_col),
         F.posexplode(F.split(_col(text_col), delim)).alias(pos_col, seg_col),
     )
+    if drop_empty:
+        segs = segs.filter(F.col(seg_col) != "")
+    return segs
 
 
 def line_dedup(
@@ -437,6 +447,10 @@ def line_dedup(
 
     Returns (id, n_segments, n_kept, text_kept); a fully-deduped doc
     keeps a row with ``text_kept = ''`` so nothing silently disappears.
+    Null segments count toward neither ``n_segments`` nor ``n_kept``
+    (``array_join`` would silently drop them from ``text_kept``, so
+    counting them would let n_kept exceed the reassembled content —
+    the doc's row itself survives either way).
     """
     segs = segments.withColumn(
         "_k", F.md5(F.encode(F.col(seg_col), "UTF-8"))
@@ -449,10 +463,11 @@ def line_dedup(
     )
     flagged = segs.join(dup, "_k", "left")
     kept_struct = F.when(
-        F.col("_dup").isNull(), F.struct(F.col(pos_col), F.col(seg_col))
+        F.col("_dup").isNull() & F.col(seg_col).isNotNull(),
+        F.struct(F.col(pos_col), F.col(seg_col)),
     )
     return flagged.groupBy(id_col).agg(
-        F.count("*").alias("n_segments"),
+        F.count(seg_col).alias("n_segments"),
         F.count(kept_struct).alias("n_kept"),
         F.array_join(
             F.transform(

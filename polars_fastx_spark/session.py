@@ -88,15 +88,24 @@ def normalize_events_ts(df):
     (arrives as bigint ns under ``nanosAsLong``) and as TIMESTAMP(MICROS)
     (arrives as timestamp_ntz). Everything downstream — interval joins,
     time buckets, the µs-derived ``ts_us`` — assumes one integer clock,
-    so map whichever shape arrives onto bigint ns. Session timezone is
-    pinned to UTC, making the ntz→utc cast an identity relabeling.
+    so map whichever shape arrives onto bigint ns. The ntz wall-clock
+    is UTC by construction, so the epoch offset is computed with an
+    ntz-anchored ``timestampdiff`` — no session-timezone dependence
+    (a caller-provided session with a non-UTC zone would silently
+    shift a ``cast(.. as timestamp)``-based conversion).
     """
     from pyspark.sql import functions as F
 
     if dict(df.dtypes).get("ts") in ("bigint", "long"):
         return df
     return df.withColumn(
-        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " CAST(ts AS TIMESTAMP_NTZ))"
+        )
+        * F.lit(1000),
     )
 
 

@@ -141,3 +141,30 @@ def test_line_dedup_min_docs_threshold(spark):
     assert all(loose[i]["n_kept"] == 2 for i in (1, 2, 3))  # below threshold
     tight = {r["doc_id"]: r for r in tx.line_dedup(segs, min_docs=3).collect()}
     assert all(tight[i]["n_kept"] == 1 for i in (1, 2, 3))
+
+
+def test_segment_lines_drops_blank_and_trailing(spark):
+    """Blank/trailing lines must not become corpus-wide dedupable ''
+    boilerplate (ADVICE r2); positions keep original indices."""
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb\n"), (2, "c\n\n")], "doc_id long, text string"
+    )
+    segs = tx.segment_lines(docs, "doc_id", "text")
+    got = {(r["doc_id"], r["seg_idx"], r["seg"]) for r in segs.collect()}
+    assert got == {(1, 0, "a"), (1, 2, "b"), (2, 0, "c")}
+    # opt-out keeps the raw split
+    raw = tx.segment_lines(docs, "doc_id", "text", drop_empty=False)
+    assert raw.count() == 7
+
+
+def test_line_dedup_null_segs_consistent(spark):
+    """Null segs count toward neither n_segments nor n_kept, matching
+    what array_join actually reassembles (ADVICE r2)."""
+    segs = spark.createDataFrame(
+        [(1, 0, "x"), (1, 1, None), (1, 2, "y")],
+        "doc_id long, seg_idx int, seg string",
+    )
+    out = tx.line_dedup(segs).collect()[0]
+    assert out["n_segments"] == 2
+    assert out["n_kept"] == 2
+    assert out["text_kept"] == "x\ny"

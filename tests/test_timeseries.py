@@ -145,3 +145,22 @@ def test_sessionize_gap_semantics(spark):
     got2 = {r.eid: r.session_id
             for r in timeseries.sessionize(df2, "t", "k", 30, tiebreak_cols=["eid"]).collect()}
     assert got2 == {1: 0, 2: 0}
+
+
+def test_normalize_events_ts_is_timezone_independent(spark):
+    """The ntz→ns conversion must not depend on the session timezone
+    (ADVICE r2: a caller session with a non-UTC zone would shift ts)."""
+    from polars_fastx_spark.session import normalize_events_ts
+
+    df = spark.createDataFrame(
+        [("2024-03-01 12:00:00",)], "raw string"
+    ).select(F.col("raw").cast("timestamp_ntz").alias("ts"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = normalize_events_ts(df).collect()[0]["ts"]
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo = normalize_events_ts(df).collect()[0]["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == tokyo == 1709294400 * 1_000_000_000

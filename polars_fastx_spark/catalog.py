@@ -3395,6 +3395,60 @@ def l_pack_ffd(spark, sf_dir):
 
 
 @_q(
+    "l_pack_ffd_1p",
+    r"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ),
+    sim AS (
+      SELECT 0::BIGINT AS rn,
+             CAST([] AS BIGINT[]) AS rems,
+             CAST([] AS BIGINT[]) AS binof
+      UNION ALL
+      SELECT d.rn,
+             CASE WHEN f.fit IS NULL
+                  THEN list_append(s.rems, greatest(2000 - d.n_chars, 0))
+                  ELSE list_transform(generate_series(1, len(s.rems)),
+                         i -> CASE WHEN i = f.fit
+                                   THEN s.rems[i] - d.n_chars
+                                   ELSE s.rems[i] END)
+             END AS rems,
+             list_append(s.binof, coalesce(f.fit, len(s.rems) + 1)) AS binof
+      FROM sim s
+      JOIN docs d ON d.rn = s.rn + 1,
+      LATERAL (SELECT [i FOR i IN generate_series(1, len(s.rems))
+                       IF s.rems[i] >= d.n_chars][1] AS fit) f
+    ),
+    final AS (SELECT binof FROM sim ORDER BY rn DESC LIMIT 1),
+    assign AS (
+      SELECT binof[d.rn::INT] - 1 AS bin_id, d.doc_id, d.n_chars
+      FROM final, docs d
+    )
+    SELECT bin_id, count(*) AS n_docs, sum(n_chars)::BIGINT AS fill
+    FROM assign GROUP BY bin_id
+    ORDER BY bin_id NULLS FIRST
+    """,
+    "Training-pipeline packing, VALUE-CHECKED variant: single-partition "
+    "first-fit-decreasing is fully deterministic, so the whole fold "
+    "replays as a DuckDB recursive CTE carrying the open-bin capacity "
+    "list. The scale query (l_pack_ffd) runs the same fold "
+    "partition-local over 8 partitions (rows-only check by design).",
+)
+def l_pack_ffd_1p(spark, sf_dir):
+    from polars_fastx_spark.operators.packing import pack_ffd
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_ffd(d, "doc_id", "n_chars", budget=2000, partitions=1)
+    return (
+        packed.groupBy("bin_id")
+        .agg(F.count("*").alias("n_docs"), F.max("bin_fill").alias("fill"))
+        .orderBy(F.col("bin_id").asc_nulls_first())
+    )
+
+
+@_q(
     "q_expectations",
     """
     SELECT rule, n_violations FROM (

@@ -1340,6 +1340,70 @@ def l_minhash_lsh(spark, sf_dir):
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
+def _perm_minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB oracle for the PRODUCTION one-pass permutation MinHash
+    fold (family='perm_md5'): replays the LCG-derived (a, b) constants
+    — RNG-free by construction (operators/dedup.py:_perm_constants) —
+    over the md5-60-bit base hash, then the identical 4-band LSH."""
+    from polars_fastx_spark.operators.dedup import _PERM_P, _perm_constants
+
+    consts = _perm_constants(num_hashes)
+    mins = ",\n             ".join(
+        f"min(({a}*h+{b}) % {_PERM_P}) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    r = num_hashes // bands
+    band_keys = ",\n             ".join(
+        "md5("
+        + " || '|' || ".join(f"m{b * r + j}::VARCHAR" for j in range(r))
+        + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4, 1)) AS i
+            FROM documents WHERE length(text) >= 5)
+    ), base AS (
+      SELECT doc_id,
+             list_reduce([strpos('0123456789abcdef', x) - 1
+                          for x in string_split(substr(md5(s), 1, 15), '')],
+                         (a, b) -> a * 16 + b) % {_PERM_P} AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM base GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+             {band_keys}
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.doc_id < b.doc_id AND ({band_match})
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """
+
+
+@_q(
+    "l_minhash_perm",
+    _perm_minhash_oracle(),
+    "L2: MinHash LSH candidate pairs through the PRODUCTION one-pass "
+    "permutation fold (16 permutations folded over ONE base hash per "
+    "shingle — the 10x signature-cost lever) with an oracle-replayable "
+    "md5 base hash; complements l_minhash_lsh's n-pass md5 family",
+)
+def l_minhash_perm(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
+        family="perm_md5",
+    ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
+
+
 # Shared DuckDB CTE chain: 5-char shingles → 16-hash md5 MinHash → 4
 # bands → candidate pairs → transitive closure (reach = all reachable
 # nodes per node). Mirrors dedup.minhash_lsh_candidates(family="md5")

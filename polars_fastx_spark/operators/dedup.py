@@ -120,14 +120,32 @@ def minhash_signature(
       families re-evaluates it; measured 43 s → ~4 s for 5000 docs ×
       16 hashes). Deterministic (a, b) from a fixed LCG; recall
       property-tested.
+    - ``perm_md5``: the same one-pass permutation fold with the base
+      hash swapped from xxhash64 to the first 60 bits of md5 —
+      bit-replayable in DuckDB (xxhash64 is not), so the PRODUCTION
+      fold structure carries a value-level CORRECTNESS row
+      (l_minhash_perm) while ``perm`` keeps the faster JVM hash.
     """
-    if family == "perm":
+    if family in ("perm", "perm_md5"):
         consts = _perm_constants(num_hashes)
         a_arr = F.array(*[F.lit(a) for a, _ in consts])
         b_arr = F.array(*[F.lit(b) for _, b in consts])
-        base = F.transform(
-            shingles, lambda x: F.pmod(F.xxhash64(x), F.lit(_PERM_P))
-        )
+        if family == "perm":
+            base = F.transform(
+                shingles, lambda x: F.pmod(F.xxhash64(x), F.lit(_PERM_P))
+            )
+        else:
+            # 15 hex chars = 60 bits < 2^63: conv()'s string→bigint stays
+            # exact and ANSI-overflow-safe
+            base = F.transform(
+                shingles,
+                lambda x: F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.encode(x, "UTF-8")), 1, 15), 16, 10
+                    ).cast("bigint"),
+                    F.lit(_PERM_P),
+                ),
+            )
         init = F.array_repeat(F.lit(_PERM_P).cast("bigint"), num_hashes)
         folded = F.aggregate(
             base,

@@ -221,6 +221,38 @@ def default_image_decoder(content: bytes) -> dict[str, Any]:
     )
 
 
+def pillow_image_decoder(content: bytes) -> dict[str, Any]:
+    """JPEG/WebP/GIF/... decode through Pillow — the worked example of
+    the ``decoder=`` injection seam. Same signature and feature
+    contract as :func:`default_image_decoder` (shape + the
+    _pixel_features mean/std embedding), so
+    ``extract_image_features(df, decoder=pillow_image_decoder)`` is the
+    whole integration; the Spark-side plumbing (schema, Arrow batching,
+    partitioning) is identical. Import-gated: this container ships no
+    image libraries, so the decode raises NotImplementedError unless
+    Pillow is installed (tests skip accordingly)."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised via tests' skipif
+        raise NotImplementedError(
+            "pillow_image_decoder requires Pillow (pip install Pillow)"
+        ) from e
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(content)) as im:
+        if im.mode not in ("L", "RGB", "RGBA"):
+            im = im.convert("RGB")
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        height, width = arr.shape
+        channels = 1
+    else:
+        height, width, channels = arr.shape
+    return _pixel_features(arr, width, height, channels)
+
+
 def fake_image_decoder(content: bytes) -> dict[str, Any]:
     """Deterministic fake decoder for tests: derives shape + a tiny
     'embedding' from the bytes' md5 — stable across runs/machines."""

@@ -242,3 +242,49 @@ def test_extract_audio_features_end_to_end(spark):
     assert got["a.wav"]["n_samples"] == 32 and got["a.wav"]["sample_rate"] == 8000
     assert got["b.wav"]["n_channels"] == 2 and got["b.wav"]["n_samples"] == 16
     assert got["b.wav"]["embedding"][0] == 0.0  # silent stereo → zero RMS
+
+
+def _has_pillow() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_pillow_decoder_gated_without_pillow():
+    """The injection example must fail loudly (not crash obscurely)
+    when Pillow is absent — the container ships no image libs."""
+    if _has_pillow():
+        pytest.skip("Pillow installed; gating branch unreachable")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.pillow_image_decoder(b"\xff\xd8\xff\xe0 not really a jpeg")
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed")
+def test_pillow_decoder_parity_with_builtin_on_bmp():
+    """Golden parity: Pillow and the dependency-free decoder must agree
+    on shape and features for a format both can read."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    data = make_bmp(px, 4, 5)
+    _check(mm.pillow_image_decoder(data), mm.default_image_decoder(data))
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed")
+def test_pillow_decoder_jpeg_end_to_end(spark, tmp_path):
+    """JPEG through the full extract_image_features pipeline with the
+    injected decoder — plumbing identical to the builtin path."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(px).save(p, "JPEG")
+    df = mm.read_media(spark, str(tmp_path))
+    row = mm.extract_image_features(
+        df, decoder=mm.pillow_image_decoder
+    ).collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (6, 8, 3)
+    assert len(row["embedding"]) == 8

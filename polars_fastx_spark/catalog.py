@@ -2046,6 +2046,90 @@ def l_ivf_topk(spark, sf_dir):
 
 
 @_q(
+    "l_semdedup",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT md5(id::VARCHAR) AS cell, v AS cvec, nrm AS cnrm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    assigned AS (
+      SELECT b.id, b.v, b.nrm,
+             arg_max(c.cell,
+                     list_dot_product(b.v, c.cvec)
+                       / nullif(b.nrm * c.cnrm, 0.0)) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.id, b.v, b.nrm
+    )
+    SELECT a.id AS vec_id, min(b.id) AS dup_of
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND b.id < a.id
+     AND list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0) >= 0.35
+    GROUP BY a.id
+    ORDER BY vec_id NULLS FIRST
+    """,
+    "L2/L3 scale path: SemDeDup-style celled embedding dedup — IVF "
+    "coarse clusters (md5-seeded, broadcast assignment) bound the pair "
+    "scan to within-cell candidates; drops every vector with a "
+    "smaller-id neighbor at cosine >= 0.35 in its cell. The "
+    "linear-scaling alternative to l_embed_neardup's exact all-pairs.",
+)
+def l_semdedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        e, "vec_id", "embedding", threshold=0.35, num_cells=16
+    ).orderBy(F.col("vec_id").asc_nulls_first())
+
+
+@_q(
+    "l_knn_per_query",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    s AS (
+      SELECT q.vec_id AS id_q, i.vec_id AS id_i,
+             list_dot_product(q.v, i.v) / nullif(q.nrm * i.nrm, 0.0) AS c
+      FROM base q JOIN base i ON i.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ),
+    r AS (
+      SELECT id_q, id_i, c,
+             row_number() OVER (PARTITION BY id_q
+                                ORDER BY c DESC, id_i ASC) AS rk
+      FROM s
+    )
+    SELECT id_q, id_i, round(c, 4) AS cosine
+    FROM r WHERE rk <= 3
+    ORDER BY id_q NULLS FIRST, cosine DESC, id_i
+    """,
+    "L3 batch search mode: exact 3 nearest neighbors PER QUERY vector "
+    "(5 queries drawn from the indexed table, self-matches excluded) — "
+    "distributed blocked gemm per (query-block, index-block) cell, "
+    "per-query window over <= k*blocks bounded candidates",
+)
+def l_knn_per_query(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk_per_query(
+        e, "vec_id", "embedding", q, k=3, exclude_self=True
+    )
+    return out.select(
+        "id_q", "id_i", F.round("cosine", 4).alias("cosine")
+    ).orderBy(
+        F.col("id_q").asc_nulls_first(), F.col("cosine").desc(), F.col("id_i")
+    )
+
+
+@_q(
     "l_multimodal_features",
     """
     SELECT 'mem://doc/' || doc_id AS path,

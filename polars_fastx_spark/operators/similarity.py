@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -549,6 +549,117 @@ def ivf_topk(
         )
         .orderBy(F.col("cosine").desc(), "id_a", "id_b")
         .limit(k)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    num_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style embedding near-dup DROP decision at scale
+    (Abbas et al. 2023): coarse-cluster the embeddings (IVF cells —
+    deterministic md5-smallest-k seeding, broadcast assignment), then
+    compare ONLY within-cell pairs and drop every vector that has a
+    smaller-id neighbor at cosine ≥ ``threshold`` in its cell.
+
+    Returns (id, dup_of) for dropped vectors — ``dup_of`` is the
+    smallest qualifying neighbor, so the decision is deterministic and
+    re-runnable. Candidate volume is Σ|cell|² instead of n² (the
+    brute-force twin is ``cosine_pairs_above_numpy`` + component
+    closure); cells cap pair growth the way SemDeDup's k-means
+    clusters do, trading recall across cell boundaries for linear
+    scaling in corpus size.
+    """
+    assigned, _ = ivf_assign(df, id_col, vec_col, num_cells)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = cosine(
+        F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col("b.__id") < F.col("a.__id"),
+            ],
+        )
+        .filter(sim >= F.lit(threshold))
+        .groupBy(F.col("a.__id").alias(id_col))
+        .agg(F.min(F.col("b.__id")).alias("dup_of"))
+    )
+
+
+def cosine_topk_per_query(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 3,
+    block_rows: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact k nearest neighbors for EVERY query vector (batch search
+    mode — ``cosine_topk_numpy`` returns the global top-k pairs; this
+    returns k rows per query). Same distributed shape: both sides
+    hash-packed into blocks, every (query-block, index-block) cell runs
+    one gemm and emits its per-query local top-k, then a window
+    partitioned by query id keeps the global k — the window input is
+    ≤ k·#index-blocks rows per query, bounded regardless of n.
+
+    ``exclude_self`` drops id_q == id_i matches (queries drawn from the
+    indexed table). Ties break by (-cosine, id_i) — deterministic.
+    Returns (id_q, id_i, cosine).
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+    iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows)
+    qblocks, qnb = _hash_blocks(query_df, id_col, vec_col, block_rows)
+    paired = _block_pairs(qblocks, qnb, iblocks, inb, self_pairs=False)
+
+    def cell_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                qids, qmat = _block_matrices(row["aids"], row["avecs"])
+                iids, imat = _block_matrices(row["bids"], row["bvecs"])
+                sims = qmat @ imat.T
+                out_q, out_i, out_s = [], [], []
+                for qi in range(len(qids)):
+                    s, ids_i = sims[qi], iids
+                    if exclude_self:
+                        keep = ids_i != qids[qi]
+                        s, ids_i = s[keep], ids_i[keep]
+                    if not len(s):
+                        continue
+                    qa = np.repeat(qids[qi], len(s))
+                    qa, ids_i, s = _emit_topk(qa, ids_i, s, k)
+                    out_q.append(qa)
+                    out_i.append(ids_i)
+                    out_s.append(s)
+                if not out_q:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_q": np.concatenate(out_q),
+                        "id_i": np.concatenate(out_i),
+                        "cosine": np.concatenate(out_s).astype(np.float64),
+                    }
+                )
+
+    cand = paired.mapInPandas(
+        cell_topk, f"id_q {id_type}, id_i {id_type}, cosine double"
+    )
+    w = Window.partitionBy("id_q").orderBy(
+        F.col("cosine").desc(), F.col("id_i").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 

@@ -64,6 +64,8 @@ ALLOWED_NESTED_LOOP = {
     "l_embed_neardup",    # id_a < id_b pair scan (exact, small side)
     "l_ngram_jaccard",    # deterministic pair subset via inequality join
     "l_ivf_topk",         # centroid assignment = broadcast × tiny centroid table
+    "l_semdedup",         # centroid assignment = broadcast × tiny centroid table
+    "l_knn_per_query",    # block-pair table = cross of bare block ids (ints)
     "sq_scalar_avg",      # scalar subquery = 1-row broadcast build side
     "q_funnel",           # final report = 1-row × 1-row scalar cross join
     "l_kmeans",           # assignment = broadcast × k-row centroid table
@@ -169,6 +171,8 @@ def test_rollup_reuses_fact_exchange(spark):
 ALLOWED_ARROW_PYTHON = {
     "t_ewma",                 # applyInPandas EWMA recursion
     "l_pack_ffd",             # mapInPandas FFD packing
+    "l_pack_ffd_1p",          # mapInPandas FFD packing (oracle variant)
+    "l_knn_per_query",        # numpy per-query top-k cells
     "x_applyinpandas_zscore", # applyInPandas
     "x_udaf_entropy",         # pandas grouped-agg UDAF
     "l_multimodal_features",  # mapInPandas builtin decode

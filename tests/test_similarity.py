@@ -92,3 +92,60 @@ def test_string_ids_roundtrip(spark, emb):
     )
     rows = [(r["id_a"], r["id_b"]) for r in thr.collect()]
     assert rows and all(a < b for a, b in rows)
+
+
+def test_per_query_topk_matches_bruteforce(spark, emb):
+    """Batch search: per-query exact top-3 equals a numpy brute force,
+    including with multi-block packing forced."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = mat @ mat.T
+
+    def brute(qid, k=3):
+        qi = int(np.where(ids == qid)[0][0])
+        cands = [(round(-sims[qi, j], 9), int(ids[j])) for j in range(len(ids))
+                 if ids[j] != qid]
+        return [(qid, i, round(-s, 4)) for s, i in sorted(cands)[:k]]
+
+    q = emb.filter(F.col("vec_id") < 5)
+    for br in (None, 37):  # auto single-block AND forced multi-block
+        out = sim.cosine_topk_per_query(
+            emb, "vec_id", "embedding", q, k=3, block_rows=br
+        )
+        got = sorted(
+            (r["id_q"], r["id_i"], round(r["cosine"], 4)) for r in out.collect()
+        )
+        want = sorted(t for qid in range(5) for t in brute(qid))
+        assert got == want, f"block_rows={br}"
+
+
+def test_semdedup_drop_decision(spark, emb):
+    """Every dropped vector really has a smaller-id within-cell
+    neighbor at >= threshold, dup_of is the minimum one, and no
+    qualifying vector is missed."""
+    assigned, _ = sim.ivf_assign(emb, "vec_id", "embedding", num_cells=8)
+    import numpy as np
+
+    rows = assigned.collect()
+    cell_of = {r["__id"]: r["cell"] for r in rows}
+    v = {r["__id"]: np.asarray(r["__v"]) / r["__n"] for r in rows}
+    want = {}
+    for i in cell_of:
+        dups = [
+            j for j in cell_of
+            if j < i and cell_of[j] == cell_of[i]
+            and float(v[i] @ v[j]) >= 0.35
+        ]
+        if dups:
+            want[i] = min(dups)
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in sim.semdedup(
+            emb, "vec_id", "embedding", threshold=0.35, num_cells=8
+        ).collect()
+    }
+    assert got == want

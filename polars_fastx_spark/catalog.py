@@ -1539,6 +1539,37 @@ def l_group_splits(spark, sf_dir):
 
 
 @_q(
+    "l_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ((list_reduce([strpos('0123456789abcdef', x) - 1
+                            for x in string_split(
+                              substr(md5(doc_id::VARCHAR || ':q'), 1, 13), '')],
+                           (a, b) -> a * 16 + b) + 1)::DOUBLE
+              / 4503599627370497.0) / n_chars::DOUBLE AS priority_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, priority_key
+    FROM keyed
+    ORDER BY priority_key ASC, doc_id ASC
+    LIMIT 200
+    """,
+    "L6+: deterministic weight-proportional sample (priority sampling, "
+    "Duffield-Lund-Thorup) — 200 docs weighted by n_chars via "
+    "content-addressed uniforms; add+divide-only key arithmetic makes "
+    "the ranking bit-identical across engines (DSIR-style "
+    "quality-weighted selection)",
+)
+def l_weighted_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return sampling.weighted_take(
+        d.select("doc_id", "n_chars"), "doc_id", "n_chars", n=200, salt="q"
+    ).orderBy(F.col("priority_key").asc(), F.col("doc_id").asc())
+
+
+@_q(
     "l_ngram_jaccard",
     """
     WITH sh AS (

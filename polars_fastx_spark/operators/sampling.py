@@ -163,6 +163,51 @@ def stratified_sample(
     return df.filter(expr)
 
 
+def weighted_take(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    n: int,
+    salt: str = "",
+    key_col: str = "priority_key",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``n`` rows without
+    replacement — priority sampling (Duffield–Lund–Thorup, JACM '07):
+    each row gets priority ``w / u`` for a content-addressed uniform
+    ``u``, and the n largest priorities win. Heavier rows win
+    proportionally more often; re-running, repartitioning, or changing
+    engines cannot change the sample (u comes from md5(id||':'||salt),
+    not RNG). The quality-weighted data-selection primitive (DSIR-style
+    upsampling of high-quality documents).
+
+    Implemented as the n SMALLEST ``u / w`` keys — one
+    ``orderBy().limit(n)`` = TakeOrderedAndProject (per-partition top-n
+    + tiny merge, no global sort). The uniform is
+    ``(h53 + 1) / (2^52 + 1)`` with h53 = first 13 md5 hex chars, so
+    key arithmetic is add + divide ONLY — both IEEE-correctly-rounded,
+    which makes the ranking bit-identical in any engine (a ``ln``/
+    ``pow``-based Efraimidis–Spirakis key is not: libm rounding is
+    engine-private). Rows with weight ≤ 0 or null never qualify.
+    """
+    w = _col(weight_col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(_col(id_col).cast("string"), F.lit(":" + salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(float((1 << 52) + 1))
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, u / w)
+        .orderBy(F.col(key_col).asc(), _col(id_col).asc())
+        .limit(n)
+    )
+
+
 def group_aware_splits(
     df: DataFrame,
     id_col: str,

@@ -176,3 +176,38 @@ def test_group_aware_splits_max_iterations_passthrough(docs, spark):
     )
     reps = {r.rep for r in out.filter(F.col("doc_id") <= 30).collect()}
     assert reps == {0}
+
+
+def test_weighted_take_deterministic_and_filtered(docs, spark):
+    base = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)]
+        + [(900, 0.0), (901, -2.0), (902, None)],
+        "doc_id long, w double",
+    )
+    a = sampling.weighted_take(base, "doc_id", "w", 50, salt="s")
+    b = sampling.weighted_take(base.repartition(9), "doc_id", "w", 50, salt="s")
+    ra = [(r.doc_id, r.priority_key) for r in a.collect()]
+    rb = [(r.doc_id, r.priority_key) for r in b.collect()]
+    assert ra == rb and len(ra) == 50
+    picked = {i for i, _ in ra}
+    assert picked.isdisjoint({900, 901, 902})  # non-positive/null weights out
+
+
+def test_weighted_take_weight_proportional(spark):
+    """A 50x-heavier item must be sampled far more often across salts."""
+    base = spark.createDataFrame(
+        [(0, 50.0)] + [(i, 1.0) for i in range(1, 101)],
+        "doc_id long, w double",
+    )
+    hits = sum(
+        any(r.doc_id == 0 for r in
+            sampling.weighted_take(base, "doc_id", "w", 10, salt=str(s)).collect())
+        for s in range(20)
+    )
+    assert hits >= 15  # inclusion prob ~ n*w/W ≈ 10*50/150 → capped near 1
+
+
+def test_weighted_take_plans_as_take_ordered(docs, spark):
+    df = sampling.weighted_take(docs, "doc_id", F.lit(1.0), 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -2265,6 +2265,112 @@ def l_unigram_quality(spark, sf_dir):
 
 
 @_q(
+    "l_vocab",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> t <> '')) AS word
+      FROM documents
+    ),
+    c AS (SELECT word, count(*) AS count FROM w
+          GROUP BY word HAVING count(*) >= 5)
+    SELECT word, count,
+           (row_number() OVER (ORDER BY count DESC, word ASC) - 1)::BIGINT
+             AS word_id
+    FROM c
+    ORDER BY word_id
+    """,
+    "L4+: frequency-ranked vocabulary build (word -> contiguous id by "
+    "count desc, word asc; min_count=5) — the tokenizer-vocab/embedding "
+    "-table primitive; ranking window is vocabulary-bounded (Heaps' "
+    "law), not corpus-bounded",
+)
+def l_vocab(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.vocab_build(d, "doc_id", "text", min_count=5).orderBy(
+        F.col("word_id").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_tfidf",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    t -> t <> '')) AS word
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf
+           FROM w GROUP BY doc_id, word),
+    dfq AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+    s AS (
+      SELECT doc_id, word, tf * (ln((n + 1) / (df + 1)) + 1) AS tfidf
+      FROM tf JOIN dfq USING (word), n
+    ),
+    r AS (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word ASC) AS rk
+      FROM s
+    )
+    SELECT doc_id, word, round(tfidf, 6) AS tfidf
+    FROM r WHERE rk <= 3
+    ORDER BY doc_id NULLS FIRST, tfidf DESC, word
+    """,
+    "L4+: per-document top-3 terms by smoothed TF-IDF "
+    "(tf * (ln((N+1)/(df+1))+1)) — keyword extraction / sparse "
+    "retrieval; per-doc window bounded by doc vocabulary",
+)
+def l_tfidf(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(d, "doc_id", "text", top=3)
+    return out.select(
+        "doc_id", "word", F.round("tfidf", 6).alias("tfidf")
+    ).orderBy(
+        F.col("doc_id").asc_nulls_first(), F.col("tfidf").desc(), F.col("word")
+    )
+
+
+@_q(
+    "l_bigram_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+            FROM toks WHERE len(ts) >= 2)
+    ),
+    pc AS (SELECT w1, w2, count(*)::DOUBLE AS cp FROM bg GROUP BY w1, w2),
+    hc AS (SELECT w1, count(*)::DOUBLE AS ch FROM bg GROUP BY w1),
+    sc AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             round(avg(ln(cp / ch)), 6) AS avg_logprob
+      FROM bg JOIN pc USING (w1, w2) JOIN hc USING (w1)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_logprob
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY d.doc_id NULLS FIRST
+    """,
+    "L4+: bigram-LM quality score — corpus-trained p(w2|w1), per-doc "
+    "mean bigram log-probability (catches word-salad unigram stats "
+    "miss); <2-word docs keep a row with n_bigrams=0",
+)
+def l_bigram_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_logprob_score(d, "doc_id", "text").orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )
+
+
+@_q(
     "l_bm25",
     """
     WITH w AS (

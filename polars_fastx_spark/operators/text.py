@@ -9,7 +9,7 @@ at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window, functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Deliberately small + deterministic — this is a heuristic operator,
@@ -339,6 +339,108 @@ def unigram_logprob_score(
                 F.avg(F.log(F.col("wn") / F.col("__tot"))), 6
             ).alias("avg_logprob"),
         )
+    )
+
+
+def vocab_build(df, id_col: str, text_col: str, min_count: int = 1):
+    """Frequency-ranked vocabulary: (word, count, word_id) with
+    contiguous ids 0.. by (count desc, word asc) — the deterministic
+    tokenizer-vocab primitive (BPE seeding, embedding tables, id-mapped
+    corpora all start here).
+
+    One corpus shuffle (word counts, map-side partials). The ranking
+    window is global but runs over the VOCABULARY, which is sublinear
+    in corpus size (Heaps' law) — at 100 TB a vocab is millions of
+    rows, a single bounded sort task, not a corpus-wide window. Raise
+    ``min_count`` to cut the long tail before ranking.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("word").asc())
+    return counts.withColumn(
+        "word_id", (F.row_number().over(w) - 1).cast("bigint")
+    )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, top: int = 3):
+    """Per-document top-``top`` terms by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, sklearn-style smoothing) — the
+    keyword-extraction / sparse-retrieval primitive.
+
+    Shuffles: (doc, word) tf counts, word doc-frequencies (both
+    map-side combinable), N as a 1-row broadcast; the final top-k
+    window is per-document (bounded by doc vocabulary, not corpus).
+    Ties break by word ascending — fully deterministic output
+    (id, word, tfidf).
+    """
+    words = df.select(
+        _col(id_col).alias(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("__df"))
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))  # 1 row
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("__tf")
+            * (F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top)
+        .select(id_col, "word", "tfidf")
+    )
+
+
+def bigram_logprob_score(df, id_col: str, text_col: str):
+    """Bigram-LM quality score: train p(w₂|w₁) = c(w₁w₂)/c(w₁·) on the
+    corpus itself, score each doc by its mean bigram log-probability —
+    the next step up from :func:`unigram_logprob_score` (catches
+    word-salad that unigram stats miss: real words in impossible
+    orders).
+
+    Bigrams come from one posexplode + a lag window per doc (bounded
+    by doc length); the model is two word-keyed aggregations joined
+    back — vocabulary-bounded shuffle keys, AQE covers stop-word skew.
+    Docs with < 2 words keep a row (n_bigrams=0, null score).
+    Returns (id, n_bigrams, avg_logprob) rounded to 6.
+    """
+    pos_words = df.select(
+        _col(id_col).alias(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "w2"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = pos_words.withColumn("w1", F.lag("w2").over(w)).filter(
+        F.col("w1").isNotNull()
+    )
+    pair_c = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("__cp"))
+    head_c = bigrams.groupBy("w1").agg(F.count("*").alias("__ch"))
+    scored = (
+        bigrams.join(pair_c, ["w1", "w2"])
+        .join(head_c, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("__cp") / F.col("__ch"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    # docs with <2 words have no bigram rows — restore them
+    return (
+        df.select(_col(id_col).alias(id_col))
+        .join(scored, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
     )
 
 

@@ -168,3 +168,47 @@ def test_line_dedup_null_segs_consistent(spark):
     assert out["n_segments"] == 2
     assert out["n_kept"] == 2
     assert out["text_kept"] == "x\ny"
+
+
+def test_vocab_build_ranking_and_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c b a a")], "doc_id long, text string"
+    )
+    got = {r["word"]: (r["count"], r["word_id"]) for r in
+           tx.vocab_build(docs, "doc_id", "text").collect()}
+    # counts: a=3, b=3, c=4 -> c rank 0; a before b on tie (word asc)
+    assert got == {"c": (4, 0), "a": (3, 1), "b": (3, 2)}
+    cut = {r["word"] for r in
+           tx.vocab_build(docs, "doc_id", "text", min_count=4).collect()}
+    assert cut == {"c"}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string"
+    )
+    rows = tx.tfidf_top_terms(docs, "doc_id", "text", top=2).collect()
+    got = {(r["doc_id"], r["word"]): r["tfidf"] for r in rows}
+    idf = lambda df: math.log(3.0 / (df + 1)) + 1  # N=2 -> (N+1)=3
+    assert got[(1, "x")] == pytest.approx(2 * idf(1))
+    assert got[(1, "y")] == pytest.approx(1 * idf(2))
+    assert got[(2, "z")] == pytest.approx(1 * idf(1))
+    assert got[(2, "y")] == pytest.approx(1 * idf(2))
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], "doc_id long, text string"
+    )
+    # bigrams: doc1 = ab, ba, ab; doc2 = ab. c(ab)=3, c(ba)=1, c(a.)=3, c(b.)=1
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in
+           tx.bigram_logprob_score(docs, "doc_id", "text").collect()}
+    p_ab, p_ba = 3 / 3, 1 / 1  # p(b|a)=1, p(a|b)=1
+    assert got[1] == (3, pytest.approx(round(
+        (math.log(p_ab) * 2 + math.log(p_ba)) / 3, 6)))
+    assert got[2] == (1, pytest.approx(round(math.log(p_ab), 6)))
+    assert got[3] == (0, None)  # <2 words keeps a row, null score

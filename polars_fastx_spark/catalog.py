@@ -1539,6 +1539,91 @@ def l_group_splits(spark, sf_dir):
 
 
 @_q(
+    "l_source_mix",
+    """
+    WITH lt AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+    q AS (
+      SELECT lang, n_total,
+             (200 // (SELECT count(*) FROM lt))::BIGINT AS quota
+      FROM lt
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(doc_id::VARCHAR || ':mix'), 1, 4) ASC,
+                        doc_id ASC) AS rk
+      FROM documents
+    ),
+    k AS (
+      SELECT r.lang, count(*) AS n_kept
+      FROM r JOIN q USING (lang) WHERE rk <= quota
+      GROUP BY r.lang
+    )
+    SELECT q.lang, q.n_total, q.quota, k.n_kept
+    FROM q JOIN k USING (lang)
+    ORDER BY lang NULLS FIRST
+    """,
+    "L6+: composition rebalancing — uniform-target language mix under a "
+    "200-doc budget: per-group quotas computed IN-PLAN (no driver "
+    "arithmetic), deterministic md5-ranked quota take per group "
+    "(operators/sampling.py:quota_take), report (lang, n_total, quota, "
+    "n_kept)",
+)
+def l_source_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    langs = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    nlang = langs.agg(F.count("*").cast("bigint").alias("__nl"))  # 1 row
+    quota_df = langs.crossJoin(F.broadcast(nlang)).select(
+        "lang",
+        "n_total",
+        F.floor(F.lit(200) / F.col("__nl")).cast("bigint").alias("quota"),
+    )
+    kept = sampling.quota_take(
+        d, "lang", "doc_id", quota_df.select("lang", "quota"), salt="mix"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .join(quota_df, "lang")
+        .select("lang", "n_total", "quota", "n_kept")
+        .orderBy(F.col("lang").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_novel_docs",
+    """
+    WITH seen AS (
+      SELECT text FROM documents
+      WHERE substr(md5(doc_id::VARCHAR || ':seen'), 1, 4) < '3333'
+    ),
+    sh AS (SELECT DISTINCT md5(seen.text) AS h FROM seen)
+    SELECT d.doc_id
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM sh WHERE sh.h = md5(d.text))
+    ORDER BY d.doc_id NULLS FIRST
+    """,
+    "L1+: incremental ingestion dedup — content-hash LEFT ANTI join of "
+    "the incoming corpus against an already-seen set (deterministic 20%% "
+    "md5 carve standing in for 'previous training runs'); only "
+    "novel-content docs survive",
+)
+def l_novel_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    seen = sampling.deterministic_sample(d, "doc_id", 0.2, salt="seen")
+    seen_hashes = seen.select(
+        F.md5(F.encode("text", "UTF-8")).alias("__h")
+    ).distinct()
+    novel = d.join(
+        seen_hashes,
+        F.md5(F.encode(F.col("text"), "UTF-8")) == F.col("__h"),
+        "left_anti",
+    )
+    return novel.select("doc_id").orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
     "l_weighted_sample",
     """
     WITH keyed AS (

@@ -163,6 +163,35 @@ def stratified_sample(
     return df.filter(expr)
 
 
+def quota_take(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota_df: DataFrame,
+    salt: str = "",
+    quota_col: str = "quota",
+) -> DataFrame:
+    """Per-group quota sampling — the composition-rebalancing primitive
+    (hit a target domain/language mix by taking at most ``quota`` docs
+    per group, deterministically). ``quota_df`` is a tiny
+    (stratum, quota) table — typically computed from target mix weights
+    in the same plan, never on the driver. Rows are ranked inside each
+    stratum by content-addressed bucket key (same md5 scheme as
+    :func:`stratified_take`, so results are permanent for an id) and
+    kept while rank ≤ quota. One shuffle on the stratum key; the quota
+    table rides a broadcast join.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        bucket_key(id_col, salt).asc(), _col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(quota_df), strata_col)
+        .filter(F.col("_rk") <= F.col(quota_col))
+        .drop("_rk", quota_col)
+    )
+
+
 def weighted_take(
     df: DataFrame,
     id_col: str,

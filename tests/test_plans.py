@@ -74,6 +74,7 @@ ALLOWED_NESTED_LOOP = {
     "l_bm25",             # corpus stats = 1-row broadcast cross join
     "l_rrf_hybrid",       # BM25 stats + query vector = 1-row broadcast cross joins
     "l_tfidf",            # doc-count N = 1-row broadcast cross join
+    "l_source_mix",       # lang-count = 1-row broadcast cross join
     "q_tpch11",           # HAVING-fraction scalar = 1-row broadcast cross join
     "q_tpch22",           # avg-acctbal scalar = 1-row broadcast cross join
 }

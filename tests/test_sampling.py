@@ -211,3 +211,22 @@ def test_weighted_take_plans_as_take_ordered(docs, spark):
     df = sampling.weighted_take(docs, "doc_id", F.lit(1.0), 10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quota_take_respects_per_group_quotas(docs, spark):
+    quotas = spark.createDataFrame(
+        [("en", 3), ("de", 1)], "lang string, quota long"
+    )
+    out = sampling.quota_take(docs, "lang", "doc_id", quotas, salt="q").cache()
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per.get("en", 0) == min(sizes.get("en", 0), 3)
+    assert per.get("de", 0) == min(sizes.get("de", 0), 1)
+    assert set(per) <= {"en", "de"}  # unlisted groups take nothing
+    # deterministic across partitionings
+    again = sampling.quota_take(
+        docs.repartition(5), "lang", "doc_id", quotas, salt="q"
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}

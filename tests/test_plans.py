@@ -241,3 +241,30 @@ def test_ivf_has_no_global_window(spark):
     plan = plans.explain_str(df)
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_hybrid_cuts_sources_before_ranking(spark):
+    """Each retriever must be cut to top-N via TakeOrderedAndProject
+    BEFORE the rank window — the windows then run over ≤ N rows per
+    source, never the corpus."""
+    df = QUERIES["l_rrf_hybrid"].fn(spark, SF)
+    plan = plans.explain_str(df)
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_quota_take_broadcasts_quota_table(spark):
+    """The (stratum, quota) table is tiny and must ride a broadcast
+    join, not shuffle the corpus."""
+    from polars_fastx_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    quotas = spark.createDataFrame([("en", 5)], "lang string, quota long")
+    df = sampling.quota_take(docs, "lang", "doc_id", quotas)
+    assert "BroadcastHashJoin" in plans.explain_str(df)
+
+
+def test_semdedup_broadcasts_centroids(spark):
+    """Cell assignment must broadcast the tiny centroid table — the
+    corpus side never shuffles for it."""
+    df = QUERIES["l_semdedup"].fn(spark, SF)
+    assert "BroadcastNestedLoopJoin" in plans.explain_str(df)

@@ -29,7 +29,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component id is the minimum node id in the component.
@@ -37,13 +37,16 @@ def connected_components(
     Raises after ``max_iterations`` without convergence (near-dup
     graphs converge in a handful of rounds; a non-converging input
     signals a pathological graph better surfaced than silently
-    mislabeled). Min-label propagation needs iterations ≥ the diameter
-    of the largest component — raise ``max_iterations`` for long
-    chains. Each round references the previous label table twice
-    (messages + union), so without lineage cuts the logical plan
-    doubles per iteration; ``localCheckpoint`` every
-    ``checkpoint_every`` rounds keeps the plan bounded (same lever as
-    :func:`pagerank`).
+    mislabeled). Convergence is O(log diameter): each round combines
+    one neighbor-min propagation with one pointer-doubling self-join
+    (component ← label(component)), so the default 20 iterations cover
+    any component a real corpus can produce (diameter up to ~2^19).
+    Each round references the previous label table ~4 times
+    (messages + union + the doubling self-join), so the logical plan
+    grows 4^rounds without lineage cuts; ``localCheckpoint`` every
+    round (``checkpoint_every=1``) keeps it bounded — cheap, since the
+    label table is materialized for the convergence count anyway and
+    pointer doubling keeps total rounds logarithmic.
     """
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -62,11 +65,32 @@ def connected_components(
             msgs = bidir.join(
                 labels, bidir.v == labels.node, "inner"
             ).select(F.col("u").alias("node"), F.col("component"))
-            new_labels = (
+            propagated = (
                 labels.select("node", "component")
                 .union(msgs)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
+            )
+            # pointer doubling (path compression): component ←
+            # label(component). One extra self-join per round turns
+            # O(diameter) convergence into O(log diameter) — a
+            # million-node near-dup chain converges in ~20 rounds
+            # instead of a million. Every component value is itself a
+            # node id, so the lookup is an equi-join on the label
+            # table; left+coalesce keeps already-minimal labels.
+            parent = propagated.select(
+                F.col("node").alias("__pn"), F.col("component").alias("__pc")
+            )
+            new_labels = (
+                propagated.join(
+                    parent, propagated.component == F.col("__pn"), "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("__pc"), F.col("component")).alias(
+                        "component"
+                    ),
+                )
             ).persist()
             if (i + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=True)

@@ -263,10 +263,11 @@ def group_aware_splits(
     broadcasts it while small. Keeps ``rep_col`` so callers can count
     groups or audit leakage.
 
-    ``max_iterations`` bounds the label-propagation rounds; it must be
-    ≥ the diameter of the largest near-dup component (a long chain in a
-    huge corpus may need more than the default 20 — raise it rather
-    than letting connected_components fail).
+    ``max_iterations`` bounds the label-propagation rounds; with
+    pointer doubling convergence is O(log diameter), so the default 20
+    covers components with diameter up to ~2^19 — raise it only for
+    truly pathological graphs rather than letting connected_components
+    fail.
     """
     from .graph import connected_components
 

@@ -76,3 +76,17 @@ def test_pagerank_matches_dense_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 400-edge chain (diameter 400) must converge
+    well inside the default 20 rounds — O(log d), not O(d)."""
+    from polars_fastx_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "id_a long, id_b long"
+    )
+    cc = connected_components(chain, max_iterations=20)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {0}
+    assert cc.count() == 401

@@ -11,6 +11,9 @@ binary gray/RGB), and PNG (8-bit gray/GA/RGB/RGBA, non-interlaced,
 via ``zlib``) — emitting shape + per-channel mean/std features. Every
 other codec stays an injection point: pass ``decoder=`` (e.g. Pillow's
 ``Image.open``) and the pipeline shape is unchanged.
+
+Reference parity: the reference is FASTX-only; the multimodal tier is
+north-star extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

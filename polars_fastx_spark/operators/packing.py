@@ -13,6 +13,9 @@ every partition sees a representative length mix at scale.
 A document longer than the budget gets a singleton bin (it must be
 truncated/split upstream — see ``text.chunk_text``); packing never
 drops or cuts rows.
+
+Reference parity: the reference has no packing surface; north-star
+extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

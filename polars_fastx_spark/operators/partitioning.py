@@ -16,6 +16,9 @@ Three levers, in the order to reach for them:
    (key, salt). AQE's skew-join handles moderate skew automatically;
    explicit salting is for the pathological single-key case AQE splits
    poorly.
+
+Reference parity: single-node engine, no partitioning surface;
+north-star extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

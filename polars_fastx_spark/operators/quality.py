@@ -5,6 +5,9 @@ becomes a conditional count, so checking 50 rules on 100 TB costs the
 same single scan as checking one. No row explosion, no per-rule jobs.
 Violations report as (rule, n_violations); a gate helper raises when
 any rule fails, for use at pipeline boundaries.
+
+Reference parity: the reference has no expectations surface; north-star
+extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

@@ -15,6 +15,9 @@ interval) against bucket selectivity; pick it near the typical
 interval length. Works on any integer dimension — callers convert
 timestamps to epoch seconds/µs first (integer bins survive engine
 parity where interval arithmetic does not, SURVEY.md §4.4.1).
+
+Reference parity: no join surface in the reference (joins come from the
+host frame, SURVEY.md §2.3); north-star extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

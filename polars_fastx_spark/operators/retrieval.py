@@ -12,6 +12,9 @@ Scale shape: each retriever is cut to its top-N FIRST via
 one tiny merge; no global sort) — so the only global window ever runs
 over ≤ N rows per source. Candidate union and the fusion groupBy move
 ≤ ``sources × N`` rows total, independent of corpus size.
+
+Reference parity: the reference has no retrieval surface; this is
+north-star extension surface per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

@@ -7,6 +7,9 @@ same (key, order) partitioning — change detection via ``lag``, interval
 close-out via ``lead`` — so the whole build costs ONE shuffle on the
 key and both window passes reuse it. No self-join, no driver state;
 at 100 TB the cost is the one sort-shuffle any per-key history op pays.
+
+Reference parity: no temporal-table surface in the reference;
+north-star extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

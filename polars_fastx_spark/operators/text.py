@@ -5,6 +5,10 @@ fingerprinting for LLM training-data pipelines. Every function is
 ANSI-SQL-expressible (DuckDB oracle twins exist in the query catalog)
 and row-local — no shuffles, so they compose into scan-stage pipelines
 at any scale.
+
+Reference parity: the reference has no text-analysis surface beyond the
+seq functions (/root/reference/src/polars_fastx/fastx_parsers.py:11-67);
+this is north-star extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

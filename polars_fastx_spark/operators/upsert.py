@@ -17,6 +17,10 @@ isolation — readers racing the overwrite can see a partition mid-swap;
 and a key may not MOVE between partitions (the old partition would
 keep a stale copy). Both are the standard contracts of
 partition-overwrite pipelines.
+
+Reference parity: no write/merge surface in the reference (TSV sink
+only, /root/reference/src/polars_fastx/fastx_parsers.py:222);
+north-star extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

@@ -6,6 +6,9 @@ distributed shape is posexplode → two-level aggregate keyed on
 (group, position) → re-assemble ordered — every step a built-in JVM
 operator, so centroids over 100 TB of embeddings are just two shuffles
 (partial aggregation does the heavy lifting map-side) and no Python.
+
+Reference parity: the reference has no vector surface; north-star
+extension per /root/repo/BASELINE.json:6.
 """
 
 from __future__ import annotations

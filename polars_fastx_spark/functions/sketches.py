@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 
 def top_k_counts(
-    df: DataFrame, col: str, k: int, max_tracked: int = 10_000
+    df: DataFrame, col: str, k: int, max_tracked: int = 1_000_000
 ) -> DataFrame:
     """Heavy-hitter counts via ``approx_top_k``: rank + count only.
 
@@ -31,6 +31,14 @@ def top_k_counts(
     deterministic — and oracle-checkable, when ``max_tracked`` ≥ the
     column's NDV (exact mode) — output is the sorted count spectrum,
     not the items.
+
+    SIZE ``max_tracked`` ≥ NDV: Spark's ``approx_top_k`` does NOT
+    degrade gracefully past its tracking budget — once the column's
+    distinct count exceeds ``maxItemsTracked`` the aggregate returns an
+    EMPTY array, not approximate counts (observed on 4.1: 20k NDV with
+    10k tracked → []). The default tracks 1M items (~16 MB of sketch
+    per partial — fine for one aggregate); raise it for
+    higher-cardinality columns or pre-aggregate first.
     """
     est = df.agg(
         F.expr(f"approx_top_k({col}, {k}, {max_tracked})").alias("tk")

@@ -268,3 +268,12 @@ def test_semdedup_broadcasts_centroids(spark):
     corpus side never shuffles for it."""
     df = QUERIES["l_semdedup"].fn(spark, SF)
     assert "BroadcastNestedLoopJoin" in plans.explain_str(df)
+
+
+def test_rank_topk_group_limits_before_shuffle(spark):
+    """The rank<=3 filter must plan as WindowGroupLimit with a Partial
+    pass BEFORE the exchange — only the per-key top-3 rows shuffle,
+    which is what keeps ranked top-k viable on a 100 TB fact."""
+    df = QUERIES["w_rank_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from polars_fastx_spark.operators import sampling, text
@@ -84,3 +86,79 @@ def test_split_assignment_proportions_and_stability(spark):
     small = {r.k for r in sampling.deterministic_sample(neg, "k", 0.07).collect()}
     big = {r.k for r in sampling.deterministic_sample(neg, "k", 0.14).collect()}
     assert small <= big
+
+
+def test_weighted_take_random_matches_reference(spark):
+    """Priority-sampling keys replicated bit-for-bit in plain Python
+    (md5 → 52-bit uniform → u/w) over adversarial weights."""
+    import hashlib
+
+    rng = random.Random(SEED + 1)
+    rows = [
+        (i, rng.choice([0.0, -1.0, 1e-9, 1.0, 2.5, 1e9, float(rng.randint(1, 99))]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [(r.id, r.priority_key) for r in
+           sampling.weighted_take(df, "id", "w", 40, salt="rd").collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}:rd".encode()).hexdigest()[:13], 16)
+        return (h + 1) / float((1 << 52) + 1) / w
+
+    ref = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (t[1], t[0]),
+    )[:40]
+    assert got == ref
+
+
+def test_rrf_fuse_random_matches_reference(spark):
+    from polars_fastx_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(SEED + 2)
+    a = [(i, float(rng.randint(0, 20))) for i in rng.sample(range(300), 120)]
+    b = [(i, float(rng.randint(0, 20))) for i in rng.sample(range(300), 150)]
+    da = spark.createDataFrame(a, "id long, s double")
+    db = spark.createDataFrame(b, "id long, s double")
+    got = {r.id: (round(r.rrf, 12), r.n_sources) for r in
+           rrf_fuse([(da, "s"), (db, "s")], "id", top_n=60, k=60).collect()}
+
+    ref: dict = {}
+    for rows in (a, b):
+        ranked = sorted(rows, key=lambda t: (-t[1], t[0]))[:60]
+        for rank, (i, _) in enumerate(ranked, start=1):
+            c, n = ref.get(i, (0.0, 0))
+            ref[i] = (c + 1.0 / (60 + rank), n + 1)
+    assert got == {i: (round(c, 12), n) for i, (c, n) in ref.items()}
+
+
+def test_bigram_score_random_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    rng = random.Random(SEED + 3)
+    vocab = ["a", "b", "cc", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in
+           text.bigram_logprob_score(df, "doc_id", "text").collect()}
+
+    grams, heads, per_doc = Counter(), Counter(), {}
+    for i, t in docs:
+        ws = t.split()
+        bg = list(zip(ws, ws[1:]))
+        per_doc[i] = bg
+        grams.update(bg)
+        heads.update(w1 for w1, _ in bg)
+    for i, bg in per_doc.items():
+        if not bg:
+            assert got[i] == (0, None), i
+            continue
+        want = round(
+            sum(math.log(grams[g] / heads[g[0]]) for g in bg) / len(bg), 6
+        )
+        assert got[i][0] == len(bg) and got[i][1] == pytest.approx(want), i

@@ -4959,7 +4959,8 @@ def q_tpch8(spark, sf_dir):
 @_q(
     "q_tpch9",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           (round(sum(amount::DECIMAL(18, 6)), 2))::DOUBLE AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount)
@@ -4975,7 +4976,11 @@ def q_tpch8(spark, sf_dir):
     """,
     "TPC-H Q9 (product-type profit, adapted: ps_supplycost -> 0.6 * "
     "p_retailprice): LIKE-filtered part family, supplier-nation x "
-    "order-year profit rollup",
+    "order-year profit rollup. The per-row amount casts to "
+    "DECIMAL(18,6) before summing: decimal addition is exact and "
+    "associative, so the group sum is engine- and order-independent "
+    "(a double sum's last-ulp noise flipped a cent at round(.,2) on a "
+    "boundary group — §4.4 discipline)",
 )
 def q_tpch9(spark, sf_dir):
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
@@ -4998,7 +5003,11 @@ def q_tpch9(spark, sf_dir):
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(F.col("amount").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
     )
 
 

@@ -497,3 +497,55 @@ def test_session_window_late_data_golden_states(spark, srcdir, tmp_path):
     assert ("2024-01-01 01:00:00", "2024-01-01 01:05:00", 7, 1, 1.0) in got5, got5
     # grand total for user 7 = 4 events: the too-late row contributed NOWHERE
     assert sum(g[3] for g in got5 if g[2] == 7) == 4
+
+
+def test_stateful_op_runs_on_rocksdb_state_store(spark, srcdir, tmp_path):
+    """The 100 TB state lever: the same stateful operator must run
+    unchanged on the RocksDB state store provider (bounded executor
+    memory, state spills to disk) — the provider a large cluster needs
+    instead of the default HDFS-backed in-memory map."""
+    from polars_fastx_spark.streaming.stateful import running_user_totals
+
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:00:00Z", 1, user=3, value=2.0),
+            _rows("2024-01-01T00:01:00Z", 2, user=3, value=3.0),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    totals = running_user_totals(events)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        # a per-query writeStream option is silently ignored for the
+        # provider — it must be a session conf when the query STARTS
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        q = (
+            totals.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = spark.read.parquet(str(out)).collect()
+    assert [(r["user_id"], r["events_total"], r["value_total"]) for r in rows] == [
+        (3, 2, 5.0)
+    ]
+    # prove RocksDB actually backed the state: its checkpoint layout
+    # (zip/sst/changelog artifacts), not the HDFS provider's .delta
+    state = [str(p) for p in (ck / "state").rglob("*") if p.is_file()]
+    assert not [p for p in state if p.endswith(".delta")]
+    assert [p for p in state if ".zip" in p or ".sst" in p or "rocksdb" in p.lower()]

@@ -69,6 +69,28 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _dsum(col, scale: int = 2):
+    """Order-independent money sum (§4.4): the summand casts to
+    DECIMAL(18,6) — exact for the testdata's 2-decimal money columns —
+    so decimal accumulation is associative and the group total is
+    identical in any engine and any partitioning. A double sum's
+    last-ulp noise DECIDES the cent whenever the true total ends at an
+    exact half (.xx5 — common for money), which is how q_tpch9 went
+    red at sf0.001. Rendered back as double after rounding."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
+
+
+def _davg(col, scale: int = 4):
+    """Order-independent mean: exact decimal sum ÷ count, rounded on a
+    double that is bit-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+        scale,
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Catalog-table relation, memoized per session.
 
@@ -185,7 +207,7 @@ def p_cast_case(spark, sf_dir):
     """
     SELECT r_name, n_name,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -207,7 +229,7 @@ def j_inner_3way(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _dsum("o_totalprice").alias("total_price"),
         )
         .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
     )
@@ -217,7 +239,8 @@ def j_inner_3way(spark, sf_dir):
     "j_left_outer",
     """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+           round(coalesce(sum(o_totalprice::DECIMAL(18,6)), 0), 2)::DOUBLE
+             AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
     ORDER BY c_custkey NULLS FIRST
@@ -232,7 +255,15 @@ def j_left_outer(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+                    F.lit(0).cast("decimal(18,6)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_spent"),
         )
         .orderBy(F.col("c_custkey").asc_nulls_first())
     )
@@ -472,18 +503,23 @@ def j_interval_overlap(spark, sf_dir):
     "q_agg_tpch1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty,
+           round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE
+             AS sum_base_price,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)
+             ::DOUBLE AS sum_disc_price,
+           round((sum(l_quantity::DECIMAL(18,6)))::DOUBLE / count(*), 4)
+             AS avg_qty,
+           round((sum(l_extendedprice::DECIMAL(18,6)))::DOUBLE / count(*), 4)
+             AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    "G2 flagship: TPC-H Q1-style aggregation",
+    "G2 flagship: TPC-H Q1-style aggregation (money sums accumulate as "
+    "exact DECIMAL — order- and engine-independent, see _dsum)",
 )
 def q_agg_tpch1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -491,13 +527,13 @@ def q_agg_tpch1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy(
@@ -608,7 +644,7 @@ def g_stats(spark, sf_dir):
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -620,7 +656,7 @@ def g_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(_dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -727,9 +763,10 @@ def w_lag_delta(spark, sf_dir):
     "w_running_sum",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           round(sum(o_totalprice::DECIMAL(18,6)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spent
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+             AS running_spent
     FROM orders
     ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST
     """,
@@ -745,7 +782,9 @@ def w_running_sum(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spent"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("running_spent"),
     ).orderBy(F.col("o_custkey").asc_nulls_first(), F.col("o_orderkey").asc_nulls_first())
 
 
@@ -1104,7 +1143,7 @@ def f_struct_json(spark, sf_dir):
     """
     SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1
     ORDER BY k_value NULLS FIRST
@@ -1118,7 +1157,7 @@ def f_json_extract(spark, sf_dir):
             F.get_json_object("props", "$.k").cast("int").alias("k_value"), "value"
         )
         .groupBy("k_value")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
         .orderBy(F.col("k_value").asc_nulls_first())
     )
 
@@ -1904,7 +1943,8 @@ def l_lang_id(spark, sf_dir):
            count(*) FILTER (o_orderstatus = 'F') AS n_f,
            count(*) FILTER (o_orderstatus = 'O') AS n_o,
            count(*) FILTER (o_orderstatus = 'P') AS n_p,
-           round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS sum_f
+           round(sum(o_totalprice::DECIMAL(18,6))
+                 FILTER (o_orderstatus = 'F'), 2)::DOUBLE AS sum_f
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority NULLS FIRST
@@ -1918,7 +1958,7 @@ def g_pivot(spark, sf_dir):
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum"),
+            _dsum("o_totalprice").alias("sum"),
         )
     )
     return wide.select(
@@ -2614,7 +2654,7 @@ def l_quantize_int8(spark, sf_dir):
     SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start_s,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start_s NULLS FIRST, event_type NULLS FIRST
@@ -2626,7 +2666,7 @@ def t_tumbling_window(spark, sf_dir):
     return (
         ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
         .groupBy(F.window("ts_ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
             "event_type",
@@ -2646,7 +2686,7 @@ def t_tumbling_window(spark, sf_dir):
              value
       FROM events, LATERAL generate_series(0, 3) t(k)
     )
-    SELECT window_start_s, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT window_start_s, count(*) AS n, round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM slid GROUP BY 1
     ORDER BY window_start_s NULLS FIRST
     """,
@@ -2657,7 +2697,7 @@ def t_sliding_window(spark, sf_dir):
     return (
         ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
         .groupBy(F.window("ts_ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_s"), "n", "sum_value"
         )
@@ -2682,7 +2722,7 @@ def t_sliding_window(spark, sf_dir):
       FROM ordered
     )
     SELECT user_id, epoch_us(min(ts))::BIGINT AS session_start_us,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
     FROM sessions GROUP BY user_id, session_id
     ORDER BY user_id NULLS FIRST, session_start_us NULLS FIRST
     """,
@@ -2693,7 +2733,7 @@ def t_session_window(spark, sf_dir):
     return (
         ev.withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
         .groupBy(F.session_window("ts_ts", "5 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("sum_value"))
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
@@ -2709,7 +2749,7 @@ def t_session_window(spark, sf_dir):
     """
     WITH base AS (
       SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day,
-             round(sum(value), 2) AS day_value
+             round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS day_value
       FROM events WHERE user_id % 100 = 0
       GROUP BY user_id, day
     ), bounds AS (
@@ -2732,7 +2772,7 @@ def r_upsample_ffill(spark, sf_dir):
     ev = _events(spark, sf_dir).filter(F.col("user_id") % 100 == 0)
     daily = ev.groupBy(
         "user_id", F.expr("ts_us div 86400000000").alias("day")
-    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    ).agg(_dsum("value").alias("day_value"))
     out = upsample_ffill(daily, "day", "user_id", ["day_value"])
     return out.select(
         "user_id", "day", F.round("day_value", 2).alias("day_value")
@@ -2901,7 +2941,7 @@ def sq_not_exists_corr(spark, sf_dir):
     "sq_in_uncorr",
     """
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total_price
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer
                         WHERE c_mktsegment = 'BUILDING')
@@ -2916,7 +2956,7 @@ def sq_in_uncorr(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total_price
         FROM pfs_orders
         WHERE o_custkey IN (SELECT c_custkey FROM pfs_customer
                             WHERE c_mktsegment = 'BUILDING')
@@ -2933,7 +2973,7 @@ def sq_in_uncorr(spark, sf_dir):
            CAST(grouping(o_orderstatus) AS INT) AS g_status,
            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
@@ -2951,7 +2991,7 @@ def g_grouping_sets(spark, sf_dir):
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total_price
         FROM pfs_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -2971,7 +3011,7 @@ def g_grouping_sets(spark, sf_dir):
     "q_tpch3",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -2999,8 +3039,8 @@ def q_tpch3(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -3018,7 +3058,7 @@ def q_tpch3(spark, sf_dir):
     "q_tpch5",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -3055,8 +3095,8 @@ def q_tpch5(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc_nulls_first())
@@ -3153,7 +3193,8 @@ def l_stratified_take(spark, sf_dir):
 @_q(
     "q_tpch6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,6)), 2)::DOUBLE
+             AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -3175,8 +3216,9 @@ def q_tpch6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-            .alias("revenue")
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
         )
     )
 
@@ -3185,7 +3227,7 @@ def q_tpch6(spark, sf_dir):
     "q_tpch10",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
@@ -3216,8 +3258,8 @@ def q_tpch10(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -3236,10 +3278,12 @@ def q_tpch10(spark, sf_dir):
     "q_tpch14",
     """
     SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+             100.0 * (sum(CASE WHEN p_type = 'PROMO'
+                              THEN (l_extendedprice * (1 - l_discount))
+                                     ::DECIMAL(18,6)
+                              ELSE 0 END))::DOUBLE
+             / (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)))
+                 ::DOUBLE, 4) AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -3262,8 +3306,12 @@ def q_tpch14(spark, sf_dir):
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == "PROMO", rev.cast("decimal(18,6)")
+                    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -4300,7 +4348,7 @@ def w_percent_rank(spark, sf_dir):
 @_q(
     "q_tpch19",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 20)
@@ -4329,8 +4377,8 @@ def q_tpch19(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond1 | cond2)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -4842,7 +4890,7 @@ def q_tpch4(spark, sf_dir):
 @_q(
     "q_tpch7",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume::DECIMAL(18,6)), 2)::DOUBLE AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -4887,8 +4935,8 @@ def q_tpch7(spark, sf_dir):
         .withColumn("l_year", F.year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -4898,8 +4946,10 @@ def q_tpch7(spark, sf_dir):
     "q_tpch8",
     """
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round((sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN volume::DECIMAL(18,6)
+                           ELSE 0 END))::DOUBLE
+                 / (sum(volume::DECIMAL(18,6)))::DOUBLE, 6) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -4948,8 +4998,13 @@ def q_tpch8(spark, sf_dir):
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3",
+                        vol.cast("decimal(18,6)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -5021,10 +5076,11 @@ def q_tpch9(spark, sf_dir):
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_5'
     )
-    SELECT l_partkey, round(sum(val), 2) AS value
+    SELECT l_partkey, round(sum(val::DECIMAL(18,6)), 2)::DOUBLE AS value
     FROM natval
     GROUP BY l_partkey
-    HAVING sum(val) > (SELECT sum(val) * 0.002 FROM natval)
+    HAVING (sum(val::DECIMAL(18,6)))::DOUBLE
+           > (SELECT (sum(val::DECIMAL(18,6)))::DOUBLE * 0.002 FROM natval)
     """,
     "TPC-H Q11 (important stock, adapted: partsupp value -> shipped "
     "value): per-part sum gated by an uncorrelated scalar fraction of "
@@ -5040,12 +5096,18 @@ def q_tpch11(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
     )
-    per_part = natval.groupBy("l_partkey").agg(F.sum("val").alias("__sum"))
-    total = natval.agg((F.sum("val") * F.lit(0.002)).alias("__cut"))
+    vdec = F.col("val").cast("decimal(18,6)")
+    per_part = natval.groupBy("l_partkey").agg(F.sum(vdec).alias("__sum"))
+    total = natval.agg(
+        (F.sum(vdec).cast("double") * F.lit(0.002)).alias("__cut")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("__sum") > F.col("__cut"))
-        .select("l_partkey", F.round("__sum", 2).alias("value"))
+        .filter(F.col("__sum").cast("double") > F.col("__cut"))
+        .select(
+            "l_partkey",
+            F.round("__sum", 2).cast("double").alias("value"),
+        )
     )
 
 
@@ -5129,12 +5191,14 @@ def q_tpch16(spark, sf_dir):
 @_q(
     "q_tpch17",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round((sum(l_extendedprice::DECIMAL(18,6)))::DOUBLE / 7.0, 2)
+             AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#2'
       AND l_quantity < (
-        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        SELECT 0.2 * ((sum(l2.l_quantity::DECIMAL(18,6)))::DOUBLE / count(*))
+        FROM lineitem l2
         WHERE l2.l_partkey = p_partkey
       )
     """,
@@ -5146,13 +5210,27 @@ def q_tpch17(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("__cut")
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("__cut")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -5269,9 +5347,12 @@ def q_tpch21(spark, sf_dir):
       SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
       FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
     )
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS totacctbal
     FROM pool
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM pool WHERE c_acctbal > 0)
+    WHERE c_acctbal > (
+        SELECT (sum(c_acctbal::DECIMAL(18,6)))::DOUBLE / count(*)
+        FROM pool WHERE c_acctbal > 0)
       AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
@@ -5288,7 +5369,12 @@ def q_tpch22(spark, sf_dir):
     pool = c.filter((F.col("c_nationkey") % 5).isin(0, 1, 2)).select(
         "c_custkey", "c_acctbal", (F.col("c_nationkey") % 5).alias("cntrycode")
     )
-    cut = pool.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    cut = pool.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
     recent = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
@@ -5301,7 +5387,7 @@ def q_tpch22(spark, sf_dir):
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum("c_acctbal").alias("totacctbal"),
         )
     )
 

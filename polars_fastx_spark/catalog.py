@@ -69,24 +69,47 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+#: fixed-point factor for money sums — 6 implied decimals. Summands are
+#: ≤6-decimal by contract; group totals must stay under 2^63/10^6 ≈
+#: 9.2e12 (ANSI overflow raises rather than corrupting).
+_FP = 1_000_000
+
+
+def _fp(c):
+    """Exact 6-decimal fixed-point LONG for a ≤6-decimal double: the
+    scaled value sits within 2e-5 of its integer, so a sign-aware
+    half offset + truncating cast recovers it exactly — pure codegen
+    arithmetic, no per-row BigDecimal."""
+    half = F.when(c < 0, F.lit(-0.5)).otherwise(F.lit(0.5))
+    return (c * _FP + half).cast("long")
+
+
 def _dsum(col, scale: int = 2):
-    """Order-independent money sum (§4.4): the summand casts to
-    DECIMAL(18,6) — exact for the testdata's 2-decimal money columns —
-    so decimal accumulation is associative and the group total is
-    identical in any engine and any partitioning. A double sum's
-    last-ulp noise DECIDES the cent whenever the true total ends at an
-    exact half (.xx5 — common for money), which is how q_tpch9 went
-    red at sf0.001. Rendered back as double after rounding."""
+    """Order-independent money sum (§4.4): summands become exact
+    fixed-point longs (6 implied decimals — exact for the testdata's
+    ≤6-decimal money values), so the group total is integer arithmetic
+    — associative, identical in any engine and any partitioning. A
+    double sum's last-ulp noise DECIDES the cent whenever the true
+    total ends at an exact half (.xx5 — common for money), which is
+    how q_tpch9 went red at sf0.001. The total rescales via an exact
+    DECIMAL multiply (never division — DuckDB promotes decimal
+    division to double) and half-up rounds in decimal space; equals
+    the oracle's `round(sum(x::DECIMAL(18,6)), s)` by construction,
+    at long-sum speed (decimal accumulation measured 3x slower on the
+    Q1 flagship)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
+    exact = F.sum(_fp(c)).cast("decimal(38,0)") * F.lit("0.000001").cast(
+        "decimal(7,6)"
+    )
+    return F.round(exact, scale).cast("double")
 
 
 def _davg(col, scale: int = 4):
-    """Order-independent mean: exact decimal sum ÷ count, rounded on a
-    double that is bit-identical across engines."""
+    """Order-independent mean: exact fixed-point sum ÷ count, rounded
+    on a double that is bit-identical across engines."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(
-        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+        F.sum(_fp(c)).cast("double") / _FP / F.count(F.lit(1)),
         scale,
     )
 

@@ -1402,11 +1402,14 @@ def l_minhash_lsh(spark, sf_dir):
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
-def _perm_minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB oracle for the PRODUCTION one-pass permutation MinHash
-    fold (family='perm_md5'): replays the LCG-derived (a, b) constants
-    — RNG-free by construction (operators/dedup.py:_perm_constants) —
-    over the md5-60-bit base hash, then the identical 4-band LSH."""
+def _perm_minhash_cte(num_hashes: int = 16, bands: int = 4) -> str:
+    """Shared DuckDB CTE chain for the PRODUCTION one-pass permutation
+    MinHash fold (family='perm_md5'): replays the LCG-derived (a, b)
+    constants — RNG-free by construction
+    (operators/dedup.py:_perm_constants) — over the md5-60-bit base
+    hash, then the identical 4-band LSH, ending at a ``cand`` CTE of
+    (id_a < id_b) candidate pairs. Callers append further CTEs (the
+    recursive closure) or the final SELECT."""
     from polars_fastx_spark.operators.dedup import _PERM_P, _perm_constants
 
     consts = _perm_constants(num_hashes)
@@ -1423,7 +1426,7 @@ def _perm_minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     )
     band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
     return f"""
-    WITH sh AS (
+    WITH RECURSIVE sh AS (
       SELECT DISTINCT doc_id, substr(text, i, 5) AS s
       FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text) - 4, 1)) AS i
@@ -1442,17 +1445,21 @@ def _perm_minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
       SELECT doc_id,
              {band_keys}
       FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id AND ({band_match})
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
-      ON a.doc_id < b.doc_id AND ({band_match})
-    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
     """
 
 
 @_q(
     "l_minhash_perm",
-    _perm_minhash_oracle(),
+    _perm_minhash_cte()
+    + """
+    SELECT id_a, id_b FROM cand
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
     "L2: MinHash LSH candidate pairs through the PRODUCTION one-pass "
     "permutation fold (16 permutations folded over ONE base hash per "
     "shingle — the 10x signature-cost lever) with an oracle-replayable "
@@ -1464,6 +1471,44 @@ def l_minhash_perm(spark, sf_dir):
         d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
         family="perm_md5",
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
+
+
+@_q(
+    "l_dedup_keep_perm",
+    _perm_minhash_cte()
+    + """
+    , edges2 AS (
+      SELECT id_a AS u, id_b AS v FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ), reach AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u AND r.u <> e.v
+    )
+    SELECT u AS doc_id, min(v) AS kept_as
+    FROM reach GROUP BY u
+    HAVING min(v) < u
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L2 PRODUCTION path end-to-end: one-pass permutation MinHash LSH "
+    "candidates -> pointer-doubled connected components -> keep-one "
+    "drop decision, value-checked against the LCG replay + recursive "
+    "closure (complements l_dedup_keep's md5-family twin)",
+)
+def l_dedup_keep_perm(spark, sf_dir):
+    from polars_fastx_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
+        family="perm_md5",
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("kept_as"))
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
 
 
 # Shared DuckDB CTE chain: 5-char shingles → 16-hash md5 MinHash → 4

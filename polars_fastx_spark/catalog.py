@@ -2930,15 +2930,23 @@ def s_scan_counts(spark, sf_dir):
     SELECT p_partkey, p_name,
            CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
     FROM part
-    WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.5 * (
+      SELECT (sum(trunc(p_retailprice * 1000000 + 0.5)::BIGINT))::DOUBLE
+             / 1000000 / count(*)
+      FROM part)
     ORDER BY p_partkey NULLS FIRST
     """,
     "SQ1: uncorrelated scalar subquery — parts priced >1.5× the global "
-    "average; 1-row aggregate broadcast-joined, not collected",
+    "average; 1-row aggregate broadcast-joined, not collected. The avg "
+    "threshold uses the exact fixed-point sum (§4.4) so a price that "
+    "ties the real 1.5×avg boundary cannot split the engines",
 )
 def sq_scalar_avg(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
-    avg_df = p.agg(F.avg("p_retailprice").alias("_avg_price"))
+    avg_df = p.agg(
+        (F.sum(_fp(F.col("p_retailprice"))).cast("double") / _FP / F.count(F.lit(1)))
+        .alias("_avg_price")
+    )
     return (
         p.join(F.broadcast(avg_df))
         .filter(F.col("p_retailprice") > 1.5 * F.col("_avg_price"))

@@ -149,3 +149,17 @@ def test_semdedup_drop_decision(spark, emb):
         ).collect()
     }
     assert got == want
+
+
+def test_blocked_paths_agree_at_sf001(spark):
+    """Scale sanity: at 500 vectors the fused single-cell path, a
+    2-block split, and an 8-block split must produce the identical
+    exact top-10 — the multi-block machinery (pair table, orientation,
+    per-cell top-k) cannot change results, only distribute them."""
+    emb1 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    want = _pairs(sim.cosine_topk_numpy(emb1, "vec_id", "embedding", k=10))
+    for br in (256, 64):
+        got = _pairs(
+            sim.cosine_topk_numpy(emb1, "vec_id", "embedding", k=10, block_rows=br)
+        )
+        assert got == want, f"block_rows={br}"

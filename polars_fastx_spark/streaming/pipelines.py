@@ -95,6 +95,34 @@ def tumbling_counts(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window DISTINCT USERS via the HLL sketch
+    aggregate — the streaming unique-visitors metric. Exact
+    count-distinct is not allowed in streaming aggregations (state
+    would hold every key); the sketch keeps a few KB of mergeable
+    state per window, the same persist-partials-merge-later shape as
+    ``functions.sketches`` — and watermark eviction bounds the number
+    of live windows. Estimate error <5% is pinned by the batch-twin
+    test."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "approx_users"
+            ),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     width: str = "1 hour",

@@ -549,3 +549,31 @@ def test_stateful_op_runs_on_rocksdb_state_store(spark, srcdir, tmp_path):
     state = [str(p) for p in (ck / "state").rglob("*") if p.is_file()]
     assert not [p for p in state if p.endswith(".delta")]
     assert [p for p in state if ".zip" in p or ".sst" in p or "rocksdb" in p.lower()]
+
+
+def test_windowed_distinct_users_hll(spark, srcdir, tmp_path):
+    """Streaming unique-visitors: HLL sketch state per window, exact on
+    small cardinalities, windows finalized by the watermark."""
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:05:00Z", 1, user=7),
+            _rows("2024-01-01T00:10:00Z", 2, user=7),   # same user twice
+            _rows("2024-01-01T00:20:00Z", 3, user=9),
+            _rows("2024-01-01T01:10:00Z", 4, user=7),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    agg = sp.windowed_distinct_users(events, width="1 hour", watermark="10 minutes")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, agg, out, ck)
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T09:00:00Z", 5)])
+    result = _collect_parquet(spark, agg, out, ck)
+    got = {
+        r["window_start"].isoformat(): (r["approx_users"], r["n_events"])
+        for r in result.collect()
+    }
+    # HLL is exact at tiny cardinality
+    assert got["2024-01-01T00:00:00"] == (2, 3)
+    assert got["2024-01-01T01:00:00"] == (1, 1)

@@ -163,3 +163,32 @@ def test_blocked_paths_agree_at_sf001(spark):
             sim.cosine_topk_numpy(emb1, "vec_id", "embedding", k=10, block_rows=br)
         )
         assert got == want, f"block_rows={br}"
+
+
+def test_blocked_knn_multi_block_at_8k_vectors(spark):
+    """The multi-block distributed path at 2x the block cap (8k
+    vectors = 32M pairs, 2 hash blocks, 3 gemm cells): exact top-10
+    equality with a dense numpy brute force. At 20k x 64 the same path
+    measured 6.4s vs 44.7s single-threaded numpy (2026-08-13)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, d = 8_000, 64
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(mat)})
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    got = [
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in sim.cosine_topk_numpy(df, "vec_id", "embedding", k=10).collect()
+    ]
+
+    m = mat.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1)[:, None]
+    iu = np.triu_indices(n, 1)
+    s = (m @ m.T)[iu]
+    top = np.argpartition(-s, 10)[:12]
+    order = sorted(top, key=lambda i: (-s[i], iu[0][i], iu[1][i]))[:10]
+    want = [(int(iu[0][i]), int(iu[1][i]), round(float(s[i]), 6)) for i in order]
+    assert got == want

@@ -1512,10 +1512,10 @@ def l_dedup_keep_perm(spark, sf_dir):
 
 
 # Shared DuckDB CTE chain: 5-char shingles → 16-hash md5 MinHash → 4
-# bands → candidate pairs → transitive closure (reach = all reachable
-# nodes per node). Mirrors dedup.minhash_lsh_candidates(family="md5")
-# bit-exactly, then closes over the pair graph like operators/graph.py.
-_LSH_REACH_CTE = """
+# bands (the ``banded`` prefix — mirrors dedup.minhash_band_table
+# family="md5" bit-exactly) → candidate pairs → transitive closure
+# (reach = all reachable nodes per node, like operators/graph.py).
+_LSH_BANDED_CTE = """
     WITH RECURSIVE sh AS (
       SELECT DISTINCT doc_id, substr(text, i, 5) AS s
       FROM (SELECT doc_id, text,
@@ -1539,7 +1539,11 @@ _LSH_REACH_CTE = """
              md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) AS b2,
              md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
       FROM sig
-    ), cand AS (
+    )
+"""
+
+_LSH_REACH_CTE = _LSH_BANDED_CTE + """
+    , cand AS (
       SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
       FROM banded a JOIN banded b
         ON a.doc_id < b.doc_id
@@ -1552,6 +1556,37 @@ _LSH_REACH_CTE = """
       SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u AND r.u <> e.v
     )
 """
+
+
+@_q(
+    "l_incr_dedup",
+    _LSH_BANDED_CTE
+    + """
+    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS matched_id
+    FROM banded a JOIN banded b
+      ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+     AND a.doc_id >= 400
+     AND (b.doc_id < 400 OR b.doc_id < a.doc_id)
+    ORDER BY doc_id NULLS FIRST, matched_id NULLS FIRST
+    """,
+    "L2 INCREMENTAL path: near-dup candidates for a new batch "
+    "(doc_id >= 400) against the existing corpus's PERSISTED LSH band "
+    "table (doc_id < 400) plus the batch itself — signatures of "
+    "history are never recomputed; cost scales with the batch "
+    "(operators/dedup.py:minhash_band_table + "
+    "minhash_lsh_candidates_between)",
+)
+def l_incr_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    old_bands = dedup.minhash_band_table(
+        d.filter(F.col("doc_id") < 400), "doc_id", "text"
+    )
+    new_bands = dedup.minhash_band_table(
+        d.filter(F.col("doc_id") >= 400), "doc_id", "text"
+    )
+    return dedup.minhash_lsh_candidates_between(new_bands, old_bands).orderBy(
+        F.col("doc_id").asc_nulls_first(), F.col("matched_id").asc_nulls_first()
+    )
 
 
 @_q(

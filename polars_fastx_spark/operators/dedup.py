@@ -163,7 +163,7 @@ def minhash_signature(
     return F.array(*[_minhash_one(shingles, s, family) for s in range(num_hashes)])
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -171,31 +171,25 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     family: str = "md5",
-    persist: bool = True,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+    """(__id, band, band_key) — the persistable LSH INDEX of a corpus.
 
-    ``num_hashes`` must be divisible by ``bands``; rows/band = n/b.
-    Two documents become a candidate pair iff all rows of at least one
-    band agree — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
-
-    ``persist``: the banded table is self-joined, so it is persisted
-    (memory-and-disk) by default. Without this, both join sides inline
-    the full shingle→signature expression tree — signatures compute
-    twice AND whole-stage codegen compiles 2× bands copies of the tree
-    (measured ~8 s one-time JIT at 16 hashes × 4 bands). Production
-    pipelines at corpus scale should write the signature table to
-    storage instead and join from there.
+    This is the table a production pipeline writes to storage
+    (partitioned by ``band``): signatures are computed once per
+    document ever, and any later batch dedups against the corpus by
+    joining its own band table to this one
+    (:func:`minhash_lsh_candidates_between`) — no recompute, no
+    re-scan of historical text. Band keys cast hash values to string
+    before hashing so all families share one banding path (md5 strings
+    pass through — SQL-oracle parity; xxhash64/perm int64s render in
+    base 10).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(
         char_shingles(text_col, shingle_k), num_hashes, family
     )
-    # band keys cast hash values to string before joining so both hash
-    # families share one banding path (md5 strings pass through, parity
-    # with the SQL oracle intact; xxhash64 int64s render in base 10)
-    with_bands = df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).select(
+    return df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).select(
         "__id",
         F.explode(
             F.array(
@@ -220,6 +214,81 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("__id", "bk.band", "bk.band_key")
+
+
+def minhash_lsh_candidates_between(
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+) -> DataFrame:
+    """Incremental near-dup candidates for a NEW batch against an
+    EXISTING corpus index plus itself: (doc_id, matched_id) pairs where
+    a new doc shares an LSH band with any previously-indexed doc
+    (new→old) or an earlier-id doc of its own batch (new→new, emitted
+    once). Both inputs are :func:`minhash_band_table` frames — the old
+    side typically read back from storage, never recomputed.
+
+    One equi-join on (band, band_key); cost scales with the NEW batch,
+    not corpus history. The union of this output with the batch's own
+    ids is exactly what a full-corpus LSH pass would have produced for
+    those ids — incremental == batch, no drift.
+    """
+    a = new_bands.alias("a")
+    b = (
+        old_bands.select("__id", "band", "band_key")
+        .withColumn("__old", F.lit(True))
+        .unionByName(
+            new_bands.select("__id", "band", "band_key").withColumn(
+                "__old", F.lit(False)
+            )
+        )
+        .alias("b")
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                # match any OLD doc, or a NEW doc with a smaller id
+                # (each new-new pair once; never self)
+                F.col("b.__old") | (F.col("b.__id") < F.col("a.__id")),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("doc_id"),
+            F.col("b.__id").alias("matched_id"),
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    family: str = "md5",
+    persist: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    ``num_hashes`` must be divisible by ``bands``; rows/band = n/b.
+    Two documents become a candidate pair iff all rows of at least one
+    band agree — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+
+    ``persist``: the banded table is self-joined, so it is persisted
+    (memory-and-disk) by default. Without this, both join sides inline
+    the full shingle→signature expression tree — signatures compute
+    twice AND whole-stage codegen compiles 2× bands copies of the tree
+    (measured ~8 s one-time JIT at 16 hashes × 4 bands). Production
+    pipelines at corpus scale should write the signature table to
+    storage instead and join from there.
+    """
+    with_bands = minhash_band_table(
+        df, id_col, text_col, shingle_k, num_hashes, bands, family
+    )
     if persist:
         with_bands = with_bands.persist()
     a, b = with_bands.alias("a"), with_bands.alias("b")

@@ -41,3 +41,30 @@ def test_verification_stage_filters_false_positives(spark, family):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
     assert got.get((1, 2)) == 1.0
     assert all(j == 1.0 or j < 0.5 for j in got.values())
+
+
+def test_incremental_lsh_equals_full_corpus_pass(spark):
+    """The incremental path's contract: candidates for the new batch
+    against (persisted old index + itself) must equal exactly the
+    full-corpus LSH pairs that touch a new id."""
+    from polars_fastx_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter("doc_id < 35")
+    new = docs.filter("doc_id >= 35")
+    ob = dedup.minhash_band_table(old, "doc_id", "text")
+    nb = dedup.minhash_band_table(new, "doc_id", "text")
+    incr = {
+        (r["doc_id"], r["matched_id"])
+        for r in dedup.minhash_lsh_candidates_between(nb, ob).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    # full pairs are (lo, hi); incremental emits (new_doc, matched).
+    want = set()
+    for lo, hi in full:
+        if hi >= 35:  # pair touches the new batch (lo<hi, so hi is new)
+            want.add((hi, lo))
+    assert incr == want

@@ -2521,6 +2521,55 @@ def l_vocab(spark, sf_dir):
 
 
 @_q(
+    "l_tokenize_ids",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    w AS (SELECT unnest(ts) AS word FROM toks),
+    c AS (SELECT word, count(*) AS cnt FROM w
+          GROUP BY word HAVING count(*) >= 5),
+    vocab AS (
+      SELECT word,
+             (row_number() OVER (ORDER BY cnt DESC, word ASC) - 1)::BIGINT
+               AS word_id
+      FROM c
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, ts[i] AS word
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+            FROM toks WHERE len(ts) >= 1)
+    ),
+    seqs AS (
+      SELECT p.doc_id,
+             count(*)::BIGINT AS n_tokens,
+             to_json(list(coalesce(v.word_id, -1) ORDER BY p.pos)) AS ids
+      FROM pos p LEFT JOIN vocab v USING (word)
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.ids, '[]') AS ids
+    FROM documents d LEFT JOIN seqs s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id NULLS FIRST
+    """,
+    "L4+ flagship prep step: corpus tokenized to ORDERED vocab-id "
+    "sequences (frequency-ranked vocab min_count=5, OOV -> -1) — "
+    "posexplode + vocab join + value-ordered reassembly; ids rendered "
+    "as JSON text (§4.4.7)",
+)
+def l_tokenize_ids(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text.tokenize_to_ids(d, "doc_id", "text", min_count=5)
+    return out.select(
+        "doc_id", "n_tokens", F.to_json("ids").alias("ids")
+    ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
     "l_tfidf",
     """
     WITH w AS (

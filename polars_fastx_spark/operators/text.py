@@ -370,6 +370,55 @@ def vocab_build(df, id_col: str, text_col: str, min_count: int = 1):
     )
 
 
+def tokenize_to_ids(
+    df,
+    id_col: str,
+    text_col: str,
+    vocab=None,
+    min_count: int = 1,
+    unk_id: int = -1,
+):
+    """Map every document to its ORDERED word-id sequence — the
+    text→training-sequence step. ``vocab`` is any (word, word_id)
+    frame (typically :func:`vocab_build`, persisted once per corpus);
+    out-of-vocabulary words map to ``unk_id``.
+
+    Dataflow: posexplode (order captured as data) → broadcast-or-hash
+    left join against the vocab (vocabulary-sized build side) → one
+    groupBy per doc re-assembling order via
+    ``array_sort(collect_list(struct(pos, id)))`` — order by VALUE,
+    never by partition luck. Docs with no tokens keep a row with an
+    empty sequence. Returns (id, n_tokens, ids array<bigint>).
+    """
+    if vocab is None:
+        vocab = vocab_build(df, id_col, text_col, min_count)
+    words = df.select(
+        _col(id_col).alias(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "word"),
+    )
+    mapped = words.join(
+        vocab.select("word", "word_id"), "word", "left"
+    ).withColumn(
+        "__wid", F.coalesce("word_id", F.lit(unk_id).cast("bigint"))
+    )
+    seqs = mapped.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__wid"))),
+            lambda s: s["__wid"],
+        ).alias("ids"),
+    )
+    return (
+        df.select(_col(id_col).alias(id_col))
+        .join(seqs, id_col, "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0).cast("bigint")))
+        .withColumn(
+            "ids",
+            F.coalesce("ids", F.array().cast("array<bigint>")),
+        )
+    )
+
+
 def tfidf_top_terms(df, id_col: str, text_col: str, top: int = 3):
     """Per-document top-``top`` terms by smoothed TF-IDF
     (``tf · (ln((N+1)/(df+1)) + 1)``, sklearn-style smoothing) — the

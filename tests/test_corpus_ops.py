@@ -212,3 +212,22 @@ def test_bigram_logprob_hand_computed(spark):
         (math.log(p_ab) * 2 + math.log(p_ba)) / 3, 6)))
     assert got[2] == (1, pytest.approx(round(math.log(p_ab), 6)))
     assert got[3] == (0, None)  # <2 words keeps a row, null score
+
+
+def test_tokenize_to_ids_order_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b zz"), (2, "a"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    # vocab min_count=2: a(2), b(2) -> ids by (count desc, word asc): a=0, b=1
+    got = {r["doc_id"]: (r["n_tokens"], r["ids"]) for r in
+           tx.tokenize_to_ids(docs, "doc_id", "text", min_count=2).collect()}
+    assert got[1] == (4, [1, 0, 1, -1])  # order preserved, zz -> OOV
+    assert got[2] == (1, [0])
+    assert got[3] == (0, [])   # empty doc keeps a row
+    assert got[4] == (0, [])   # null doc keeps a row
+    # explicit external vocab wins over corpus-derived one
+    vocab = spark.createDataFrame([("b", 7)], "word string, word_id long")
+    got2 = {r["doc_id"]: r["ids"] for r in
+            tx.tokenize_to_ids(docs, "doc_id", "text", vocab=vocab).collect()}
+    assert got2[1] == [7, -1, 7, -1]

@@ -288,3 +288,21 @@ def test_pillow_decoder_jpeg_end_to_end(spark, tmp_path):
     ).collect()[0]
     assert (row["width"], row["height"], row["n_channels"]) == (6, 8, 3)
     assert len(row["embedding"]) == 8
+
+
+def test_fake_image_decoder_deterministic_plumbing(spark):
+    """The injectable test fake: stable shape/embedding from bytes'
+    md5, through the full Arrow-batched pipeline."""
+    df = spark.createDataFrame(
+        [("mem://a", bytearray(b"payload-a")), ("mem://b", bytearray(b"payload-b"))],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r for r in
+            mm.extract_image_features(df, decoder=mm.fake_image_decoder).collect()}
+    again = {r["path"]: r for r in
+             mm.extract_image_features(df, decoder=mm.fake_image_decoder).collect()}
+    for p in rows:
+        assert rows[p]["width"] == again[p]["width"]
+        assert rows[p]["embedding"] == again[p]["embedding"]
+        assert 16 <= rows[p]["width"] < 80 and len(rows[p]["embedding"]) == 8
+    assert rows["mem://a"]["embedding"] != rows["mem://b"]["embedding"]

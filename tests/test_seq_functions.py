@@ -166,3 +166,20 @@ def test_per_cycle_quality_matches_hand_computation(spark):
         2: (2, 40.0, 40, 40),   # 40, 40
         3: (1, 2.0, 2, 2),      # short read stops contributing
     }
+
+
+def test_map_as_sorted_json_canonicalizes(spark):
+    """§4.4.7 helper: sorted keys + fixed-scale values — identical text
+    for maps built in any order."""
+    from polars_fastx_spark.functions.seq import map_as_sorted_json
+
+    df = spark.createDataFrame([(1,)], "id int").select(
+        map_as_sorted_json(
+            F.map_from_arrays(
+                F.array(F.lit("b"), F.lit("a")),
+                F.array(F.lit(0.5), F.lit(0.25)),
+            ),
+            scale=2,
+        ).alias("j")
+    )
+    assert df.collect()[0]["j"] == '{"a":0.25,"b":0.50}'

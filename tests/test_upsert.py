@@ -74,3 +74,14 @@ def test_upsert_multi_partition_batch(spark, tmp_path):
     assert _state(spark, path) == {
         (1, 1): ("a2", 2), (2, 2): ("b2", 2), (3, 2): ("c", 1),
     }
+
+
+def test_latest_per_key_picks_max_order(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 3, "new"), (2, 5, "only"), (1, 2, "mid")],
+        "k long, v long, payload string",
+    )
+    from polars_fastx_spark.operators.upsert import latest_per_key
+
+    got = {(r.k, r.v, r.payload) for r in latest_per_key(df, ["k"], "v").collect()}
+    assert got == {(1, 3, "new"), (2, 5, "only")}

@@ -305,10 +305,48 @@ def extract_image_features(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing (Arrow-batched mapInPandas): the Spark side —
+    schema (path, content, width, height), batch shape, partitioning —
+    is real; the pixel op is injected via ``resizer(content, w, h) ->
+    bytes`` (e.g. a Pillow thumbnail+save). Without an injected codec
+    it raises NotImplementedError per the stub contract (this
+    container ships no image libraries)."""
+
+    def do(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                if resizer is None:
+                    raise NotImplementedError(
+                        "resize_images needs an injected resizer "
+                        "(e.g. Pillow); no image codecs in this container"
+                    )
+                out.append(resizer(bytes(content), width, height))
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "content": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select("path", "content").mapInPandas(
+        do, "path string, content binary, width int, height int"
+    )
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes bytes through a mapInPandas stage with
-    the real signature; the pixel op raises until a codec is injected."""
-    return extract_image_features(df)  # same stub boundary
+    """Back-compat alias for :func:`resize_images` without a codec."""
+    return resize_images(df, width, height)
 
 
 def frame_sample(

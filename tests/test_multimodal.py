@@ -306,3 +306,24 @@ def test_fake_image_decoder_deterministic_plumbing(spark):
         assert rows[p]["embedding"] == again[p]["embedding"]
         assert 16 <= rows[p]["width"] < 80 and len(rows[p]["embedding"]) == 8
     assert rows["mem://a"]["embedding"] != rows["mem://b"]["embedding"]
+
+
+def test_resize_images_plumbing_with_injected_codec(spark):
+    """The resize stage: Arrow-batched, schema + metadata real; the
+    pixel op is whatever codec the caller injects."""
+    df = spark.createDataFrame(
+        [("mem://x", bytearray(b"AABB")), ("mem://y", bytearray(b"CC"))],
+        "path string, content binary",
+    )
+
+    def fake_resizer(content: bytes, w: int, h: int) -> bytes:
+        return content[: w * h] .ljust(w * h, b".")  # deterministic fake
+
+    rows = {r["path"]: r for r in
+            mm.resize_images(df, 2, 3, resizer=fake_resizer).collect()}
+    assert bytes(rows["mem://x"]["content"]) == b"AABB.."
+    assert bytes(rows["mem://y"]["content"]) == b"CC...."
+    assert (rows["mem://x"]["width"], rows["mem://x"]["height"]) == (2, 3)
+    # without a codec the stub contract raises loudly
+    with pytest.raises(Exception, match="resizer|NotImplemented"):
+        mm.resize_images(df, 2, 3).collect()

@@ -55,7 +55,7 @@ _PRIORITY = [
     "l_quantize_int8", "l_rrf_hybrid", "l_group_splits", "l_pack_ffd_1p",
     "l_minhash_perm", "l_semdedup", "l_knn_per_query", "l_weighted_sample",
     "l_vocab", "l_tfidf", "l_bigram_quality", "l_source_mix", "l_novel_docs",
-    "l_dedup_keep_perm", "l_incr_dedup", "l_tokenize_ids",
+    "l_dedup_keep_perm", "l_incr_dedup", "l_tokenize_ids", "l_leakage_audit",
     "q_tpch5", "q_tpch6", "q_tpch10", "q_tpch13", "q_tpch14", "q_tpch18",
     "q_tpch19",
     "l_det_sample", "l_split_assign", "l_stratified_take",

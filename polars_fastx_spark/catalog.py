@@ -1766,6 +1766,77 @@ def l_novel_docs(spark, sf_dir):
 
 
 @_q(
+    "l_leakage_audit",
+    _LSH_REACH_CTE
+    + """
+    , comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    ), rep AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR || ':'), 1, 4) < 'cccd'
+                  THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR || ':'), 1, 4) < 'e666'
+                  THEN 'valid' ELSE 'test' END AS ps,
+             CASE WHEN substr(md5(rep::VARCHAR || ':'), 1, 4) < 'cccd'
+                  THEN 'train'
+                  WHEN substr(md5(rep::VARCHAR || ':'), 1, 4) < 'e666'
+                  THEN 'valid' ELSE 'test' END AS gs
+      FROM rep
+    )
+    SELECT
+      (SELECT count(*) FROM cand c
+        JOIN sp a ON c.u = a.doc_id JOIN sp b ON c.v = b.doc_id
+       WHERE a.ps <> b.ps) AS plain_straddles,
+      (SELECT count(*) FROM cand c
+        JOIN sp a ON c.u = a.doc_id JOIN sp b ON c.v = b.doc_id
+       WHERE a.gs <> b.gs) AS group_straddles
+    """,
+    "L6+ leakage AUDIT: near-dup LSH pairs whose two docs land in "
+    "different train/valid/test splits — nonzero under the plain "
+    "per-id carve (the contamination), PROVABLY ZERO under "
+    "group_aware_splits (every component buckets on its canonical "
+    "member); the guarantee as an oracle-checked query",
+)
+def l_leakage_audit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, family="md5"
+    ).persist()
+    plain = sampling.assign_splits(d.select("doc_id"), "doc_id").select(
+        "doc_id", F.col("split").alias("ps")
+    )
+    grouped = sampling.group_aware_splits(
+        d.select("doc_id"), "doc_id", pairs
+    ).select("doc_id", F.col("split").alias("gs"))
+    sp = plain.join(grouped, "doc_id")
+    a = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("ps").alias("ps_a"),
+        F.col("gs").alias("gs_a"),
+    )
+    b = sp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("ps").alias("ps_b"),
+        F.col("gs").alias("gs_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.count(F.when(F.col("ps_a") != F.col("ps_b"), 1)).alias(
+                "plain_straddles"
+            ),
+            F.count(F.when(F.col("gs_a") != F.col("gs_b"), 1)).alias(
+                "group_straddles"
+            ),
+        )
+    )
+
+
+@_q(
     "l_weighted_sample",
     """
     WITH keyed AS (

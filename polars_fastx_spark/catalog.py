@@ -4347,7 +4347,9 @@ def l_word_repetition(spark, sf_dir):
 @_q(
     "l_centroids",
     """
-    SELECT label, list(round(v, 6) ORDER BY pos) AS centroid
+    SELECT label,
+           to_json(list(CAST(round(round(v, 6) * 1000000) AS BIGINT)
+                        ORDER BY pos))::VARCHAR AS centroid_micro
     FROM (
         SELECT label, pos, avg(val) AS v
         FROM (
@@ -4363,15 +4365,26 @@ def l_word_repetition(spark, sf_dir):
     "Vector centroids per label: posexplode → (key,pos) avg → ordered "
     "re-assembly — all JVM built-ins, two shuffles with map-side "
     "partials (operators/vectors.py); the IVF-centroid/class-prototype "
-    "building block",
+    "building block. Rendered as JSON of fixed-point micro-units "
+    "(value×1e6 as ints): the driver's canonicalizer cannot sort list "
+    "cells (r2 lesson) AND float JSON text is format-unstable across "
+    "engines (Spark to_json uses 3.41E-4 scientific notation, DuckDB "
+    "plain decimal) — integer JSON is canonical in both",
 )
 def l_centroids(spark, sf_dir):
     from polars_fastx_spark.operators.vectors import group_centroids
 
     e = _t(spark, sf_dir, "embeddings")
-    return group_centroids(e, ["label"], "embedding", decimals=6).orderBy(
-        F.col("label").asc_nulls_first()
-    )
+    out = group_centroids(e, ["label"], "embedding", decimals=6)
+    return out.select(
+        "label",
+        F.to_json(
+            F.transform(
+                "centroid",
+                lambda v: F.round(v * 1_000_000, 0).cast("long"),
+            )
+        ).alias("centroid_micro"),
+    ).orderBy(F.col("label").asc_nulls_first())
 
 
 @_q(

@@ -499,12 +499,18 @@ def test_session_window_late_data_golden_states(spark, srcdir, tmp_path):
     assert sum(g[3] for g in got5 if g[2] == 7) == 4
 
 
-def test_stateful_op_runs_on_rocksdb_state_store(spark, srcdir, tmp_path):
+def test_stateful_op_runs_on_rocksdb_state_store(srcdir, tmp_path):
     """The 100 TB state lever: the same stateful operator must run
     unchanged on the RocksDB state store provider (bounded executor
     memory, state spills to disk) — the provider a large cluster needs
-    instead of the default HDFS-backed in-memory map."""
-    from polars_fastx_spark.streaming.stateful import running_user_totals
+    instead of the default HDFS-backed in-memory map.
+
+    Runs in a SUBPROCESS with its own JVM: RocksDB is JNI-backed and an
+    intermittent native fault must not take down the suite's shared
+    session (observed: a mid-suite gateway death cascading into ~35
+    unrelated 'Connection refused' failures)."""
+    import subprocess
+    import sys
 
     _write_batch(
         srcdir,
@@ -514,41 +520,40 @@ def test_stateful_op_runs_on_rocksdb_state_store(spark, srcdir, tmp_path):
             _rows("2024-01-01T00:01:00Z", 2, user=3, value=3.0),
         ],
     )
-    events = sp.stream_events(spark, str(srcdir))
-    totals = running_user_totals(events)
-    out, ck = tmp_path / "out", tmp_path / "ck"
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    try:
-        # a per-query writeStream option is silently ignored for the
-        # provider — it must be a session conf when the query STARTS
-        spark.conf.set(
-            key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        q = (
-            totals.writeStream.format("parquet")
-            .option("path", str(out))
-            .option("checkpointLocation", str(ck))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    rows = spark.read.parquet(str(out)).collect()
-    assert [(r["user_id"], r["events_total"], r["value_total"]) for r in rows] == [
-        (3, 2, 5.0)
-    ]
-    # prove RocksDB actually backed the state: its checkpoint layout
-    # (zip/sst/changelog artifacts), not the HDFS provider's .delta
-    state = [str(p) for p in (ck / "state").rglob("*") if p.is_file()]
-    assert not [p for p in state if p.endswith(".delta")]
-    assert [p for p in state if ".zip" in p or ".sst" in p or "rocksdb" in p.lower()]
+    script = f"""
+import sys
+sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+from pathlib import Path
+from polars_fastx_spark.session import builder
+from polars_fastx_spark.streaming import pipelines as sp
+from polars_fastx_spark.streaming.stateful import running_user_totals
+
+spark = (builder("rocksdb-isolated", master="local[2]",
+         extra_conf={{"spark.ui.enabled": "false",
+                      "spark.sql.shuffle.partitions": "4",
+                      "spark.sql.streaming.stateStore.providerClass":
+                      "org.apache.spark.sql.execution.streaming.state."
+                      "RocksDBStateStoreProvider"}}).getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+out, ck = {str(tmp_path / "out")!r}, {str(tmp_path / "ck")!r}
+totals = running_user_totals(sp.stream_events(spark, {str(srcdir)!r}))
+q = (totals.writeStream.format("parquet").option("path", out)
+     .option("checkpointLocation", ck).trigger(availableNow=True).start())
+q.awaitTermination(120)
+rows = spark.read.parquet(out).collect()
+assert [(r["user_id"], r["events_total"], r["value_total"]) for r in rows] == [
+    (3, 2, 5.0)
+], rows
+state = [str(p) for p in (Path(ck) / "state").rglob("*") if p.is_file()]
+assert not [p for p in state if p.endswith(".delta")], state
+assert [p for p in state if ".zip" in p or ".sst" in p or "rocksdb" in p.lower()], state
+print("ROCKSDB_OK")
+spark.stop()
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "ROCKSDB_OK" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
 
 
 def test_windowed_distinct_users_hll(spark, srcdir, tmp_path):

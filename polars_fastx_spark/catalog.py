@@ -5681,3 +5681,225 @@ def l_audio_features(spark, sf_dir):
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("rms0"),
         F.round(F.element_at("embedding", 5).cast("double"), 6).alias("peak0"),
     )
+
+
+# --------------------------------------------------------------- round 3
+
+
+@_q(
+    "j_salted_skew",
+    """
+    WITH dim AS (
+      SELECT source, sum(n_chars)::BIGINT AS sum_chars,
+             count(*)::BIGINT AS cnt
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN d.n_chars * dim.cnt > dim.sum_chars
+                    THEN 1 ELSE 0 END)::BIGINT AS n_above
+    FROM documents d JOIN dim USING (source)
+    GROUP BY d.source
+    ORDER BY d.source ASC NULLS FIRST
+    """,
+    "J-skew: explicit salted join for the pathological hot-key case AQE "
+    "can't split (one key = whole partition): documents (5-value skewed "
+    "'source' key) x per-source dim; salt spreads each hot key over 8 "
+    "sub-partitions, dim rows replicate per salt. Above-average test is "
+    "exact integer arithmetic (n_chars*cnt > sum_chars) so no float avg "
+    "crosses an engine boundary",
+)
+def j_salted_skew(spark, sf_dir):
+    from polars_fastx_spark.operators import partitioning as pt
+
+    d = _t(spark, sf_dir, "documents")
+    dim = d.groupBy("source").agg(
+        F.sum("n_chars").alias("sum_chars"), F.count(F.lit(1)).alias("cnt")
+    )
+    joined = pt.salted_join(
+        d.select("doc_id", "source", "n_chars"), dim, "source", num_salts=8
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_chars") * F.col("cnt") > F.col("sum_chars"), 1
+                ).otherwise(0)
+            ).alias("n_above"),
+        )
+        .orderBy(F.col("source").asc_nulls_first())
+    )
+
+
+@_q(
+    "j_fuzzy",
+    """
+    SELECT a.s_name AS name_a, b.s_name AS name_b
+    FROM supplier a, supplier b
+    WHERE a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1
+    ORDER BY name_a ASC NULLS FIRST, name_b ASC NULLS FIRST
+    """,
+    "J-fuzzy: edit-distance<=1 self-join on supplier names WITHOUT a "
+    "cartesian product — FastSS deletion-neighborhood keys turn it into "
+    "a plain equi-join + levenshtein verify (operators/fuzzyjoin.py); "
+    "the oracle IS the cartesian definition, so green here proves the "
+    "blocking is complete",
+)
+def j_fuzzy(spark, sf_dir):
+    from polars_fastx_spark.operators import fuzzyjoin
+
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_name").alias("name_b"))
+    pairs = fuzzyjoin.fuzzy_join_k1(a, b, "name_a", "name_b", keep_equal=False)
+    return (
+        pairs.filter(F.col("name_a") < F.col("name_b"))
+        .orderBy(
+            F.col("name_a").asc_nulls_first(), F.col("name_b").asc_nulls_first()
+        )
+    )
+
+
+@_q(
+    "l_span_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 8 + 2),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS win
+      FROM t WHERE len(toks) >= 8
+    ),
+    dup AS (
+      SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_windows,
+           sum(CASE WHEN win IN (SELECT win FROM dup)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+           round(sum(CASE WHEN win IN (SELECT win FROM dup)
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS dup_frac
+    FROM w GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS FIRST
+    """,
+    "L2+ ExactSubstr-style duplicated-span stats (Lee et al. 2022, "
+    "re-expressed relationally): overlapping 8-token windows per doc, "
+    "md5-keyed, ONE groupBy(win_key) countDistinct-docs flags cross-"
+    "corpus duplicated spans, per-doc dup_frac is the trim/drop gate. "
+    "Spark shuffles 32-char hashes, never window text; the oracle "
+    "groups by the window text itself — same equivalence classes "
+    "(md5 collision-free on this corpus)",
+)
+def l_span_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wins = text.ngram_windows(d, "doc_id", "text", n=8)
+    return text.duplicated_span_stats(wins, "doc_id", min_docs=2).orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_dsir_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               range(1, len(toks)),
+               i -> list_reduce(
+                      [strpos('0123456789abcdef', x) - 1
+                       for x in string_split(
+                           substr(md5(array_to_string(toks[i:i+1], ' ')),
+                                  1, 8), '')],
+                      (a, b) -> a * 16 + b) % 256)) AS bucket
+      FROM t WHERE len(toks) >= 2
+    ),
+    rc AS (SELECT bucket, count(*)::BIGINT AS rc FROM f GROUP BY bucket),
+    tc AS (SELECT bucket, count(*)::BIGINT AS tc FROM f
+           WHERE source = 'src0' GROUP BY bucket),
+    rt AS (SELECT sum(rc)::BIGINT AS rt FROM rc),
+    tt AS (SELECT sum(tc)::BIGINT AS tt FROM tc),
+    model AS (
+      SELECT rc.bucket,
+             ln((coalesce(tc.tc, 0) + 1.0) / (coalesce(tt.tt, 0) + 256))
+             - ln((rc.rc + 1.0) / (rt.rt + 256)) AS llr
+      FROM rc LEFT JOIN tc USING (bucket), rt, tt
+    )
+    SELECT doc_id, round(sum(llr), 6) AS dsir_logw
+    FROM f JOIN model USING (bucket)
+    GROUP BY doc_id
+    ORDER BY dsir_logw DESC, doc_id ASC NULLS FIRST
+    LIMIT 100
+    """,
+    "L4+ DSIR importance reweighting (Xie et al. 2023): hashed-bigram "
+    "bucket features (md5 % 256 — engine-portable, RNG-free), add-one-"
+    "smoothed target (source='src0') vs raw bucket models, per-doc "
+    "log-likelihood-ratio weight, top-100. Models are 256-row "
+    "aggregates broadcast back; totals re-aggregate those frames (no "
+    "extra corpus scans); ranking is on the ROUNDED weight so the "
+    "limit boundary is engine-stable",
+)
+def l_dsir_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = text.hashed_ngram_buckets(d, "doc_id", "text", num_buckets=256, n=2)
+    target = d.filter(F.col("source") == "src0").select("doc_id")
+    w = text.dsir_logratio(feats, target, "doc_id", num_buckets=256)
+    return (
+        w.orderBy(F.col("dsir_logw").desc(), F.col("doc_id").asc_nulls_first())
+        .limit(100)
+    )
+
+
+@_q(
+    "t_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           count(*)::BIGINT AS n,
+           round(any_value(dev.med), 6) AS median,
+           round(any_value(mad.mad), 6) AS mad,
+           sum(CASE WHEN dev.adev > (3.0 * 1.4826) * mad.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type ASC NULLS FIRST
+    """,
+    "T+ robust anomaly gate: per-event-type median/MAD outlier stats "
+    "(threshold |v-med| > 3*1.4826*MAD — not dragged by the outliers "
+    "themselves, unlike mean/stddev). Two exact-percentile aggregate "
+    "passes with tiny per-group stats broadcast back; swap in "
+    "approx_percentile for sketch-accuracy at 100 TB with the same "
+    "shape. Oracle quantile_cont == Spark percentile (both linear-"
+    "interpolate)",
+)
+def t_mad_outliers(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return timeseries.mad_outlier_stats(e, "event_type", "value", z=3.0).orderBy(
+        F.col("event_type").asc_nulls_first()
+    )

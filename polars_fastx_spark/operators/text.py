@@ -632,3 +632,160 @@ def line_dedup(
             joiner,
         ).alias("text_kept"),
     )
+
+
+# ------------------------------------------------- exact-substring spans
+
+def ngram_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Every overlapping ``n``-token window of every document, keyed by
+    its md5 (compact 32-char shuffle key; engine-portable, unlike
+    ``F.hash``). Row-local fan-out: tokens come from one ``split``, the
+    window list from one higher-order ``transform`` over a ``sequence``
+    of start offsets, then a single ``posexplode`` — zero shuffles, all
+    JVM codegen. Docs shorter than ``n`` tokens contribute no windows.
+
+    Returns (id, win_idx, win_key). The window TEXT is deliberately not
+    carried — downstream cross-corpus counting only needs the key, and
+    at 100 TB dropping the payload before the shuffle is the difference
+    between shuffling hashes and shuffling the corpus.
+    """
+    toks = tokens(_col(text_col))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.md5(
+            F.encode(F.array_join(F.slice(toks, i + 1, n), " "), "UTF-8")
+        ),
+    )
+    return df.filter(F.size(toks) >= n).select(
+        _col(id_col).alias(id_col),
+        F.posexplode(wins).alias("win_idx", "win_key"),
+    )
+
+
+def duplicated_span_stats(
+    windows: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span statistics, Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) re-expressed relationally: instead of a suffix array,
+    count — per ``n``-gram window key — the distinct documents that
+    contain it; windows appearing in >= ``min_docs`` docs are
+    cross-corpus duplicated spans.
+
+    Dataflow: ONE groupBy(win_key) with a partial-aggregated
+    countDistinct (map-side combine on the md5 key), the duplicated-key
+    set joined back (broadcast while boilerplate is rare, hash join
+    otherwise — AQE decides), then ONE groupBy(doc). Output per doc:
+    ``n_windows``, ``n_dup_windows``, ``dup_frac`` (fraction of windows
+    that are duplicated spans) — the standard gating signal for
+    dropping or trimming documents dominated by boilerplate.
+    """
+    dup = (
+        windows.groupBy("win_key")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("win_key", F.lit(True).alias("_dup"))
+    )
+    flagged = windows.join(dup, "win_key", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.count(F.col("_dup")).alias("n_dup_windows"),
+        F.round(
+            F.count(F.col("_dup")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
+
+
+# ------------------------------------------------------ DSIR reweighting
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    n: int = 2,
+) -> DataFrame:
+    """(id, bucket) rows: each overlapping word ``n``-gram of each doc
+    hashed into ``num_buckets`` via the first 8 hex chars of md5 —
+    engine-portable (identical in DuckDB: ``('0x' ||
+    substr(md5(g),1,8))::BIGINT % num_buckets``), content-addressed,
+    RNG-free. This is DSIR's hashed n-gram feature map (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") — the fixed low-dimensional feature space in which
+    target and raw distributions are compared. Row-local fan-out only.
+    """
+    toks = tokens(_col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    bucket = lambda g: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(num_buckets),
+    )
+    return df.filter(F.size(toks) >= n).select(
+        _col(id_col).alias(id_col),
+        F.explode(F.transform(grams, bucket)).alias("bucket"),
+    )
+
+
+def dsir_logratio(
+    features: DataFrame,
+    target_ids: DataFrame,
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: sum over the doc's
+    hashed-n-gram features of ``log p_target(b) - log p_raw(b)`` under
+    add-one-smoothed bag-of-buckets unigram models. Documents scoring
+    high look like the target distribution; sampling proportionally to
+    the (exponentiated) weight is importance resampling.
+
+    ``features`` is the output of :func:`hashed_ngram_buckets` over the
+    RAW corpus; ``target_ids`` is a 1-column frame of ids defining the
+    target subset (its features are a filter-semi-join of the same
+    frame — computed once, reused for both models).
+
+    Scale shape: both models are ``num_buckets``-row aggregates
+    (map-side partial); their grand totals come from re-aggregating
+    those tiny frames (1-row broadcast cross joins), NOT from extra
+    ``count()`` scans of the fan-out; the per-doc sum is ONE
+    groupBy(doc). Nothing driver-side, nothing O(corpus) beyond the
+    feature scan itself.
+    """
+    tgt = features.join(
+        F.broadcast(target_ids.select(_col(id_col).alias(id_col))),
+        id_col,
+        "semi",
+    )
+    raw_cnt = features.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_cnt = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    raw_tot = raw_cnt.agg(F.sum("rc").alias("rt"))
+    tgt_tot = tgt_cnt.agg(F.sum("tc").alias("tt"))
+    model = (
+        raw_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                      / (F.coalesce(F.col("tt"), F.lit(0)) + num_buckets))
+                - F.log((F.col("rc") + 1.0) / (F.col("rt") + num_buckets))
+            ).alias("llr"),
+        )
+    )
+    return (
+        features.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("llr"), 6).alias("dsir_logw"))
+    )

@@ -195,3 +195,52 @@ def sessionize(
     return df.withColumn(
         session_col, (F.sum(new_flag).over(wc) - 1).cast("bigint")
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier statistics via median / MAD (median
+    absolute deviation): a point is an outlier when
+    ``|v - median| > z * 1.4826 * MAD`` — 1.4826 makes MAD a consistent
+    sigma estimator under normality, and unlike mean/stddev the
+    threshold itself is not dragged by the outliers it is meant to
+    catch (the classic failure of z-score gating on heavy-tailed
+    telemetry or quality-score columns).
+
+    Two passes by construction (MAD needs the median first): each is a
+    sort-based exact-percentile aggregate per group with map-side
+    partials, and the tiny per-group stats frame broadcasts back onto
+    the stream — the group cardinality (event types, sources, metrics)
+    is what's small, not the data. For sketch-accuracy-is-enough cases
+    at 100 TB, swap ``percentile`` for ``approx_percentile`` and both
+    passes keep the same shape at O(1) memory per group.
+
+    Returns one row per group: n, median, mad, n_outliers.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("_med"), 6).alias("median"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("_adev") > z * 1.4826 * F.col("_mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

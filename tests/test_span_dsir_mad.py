@@ -1,0 +1,116 @@
+"""Unit tests for the round-3 pipeline operators: duplicated-span
+stats (ExactSubstr-style), DSIR hashed-ngram reweighting, and MAD
+outlier gating. Each also carries a DuckDB-checked catalog oracle
+(l_span_dedup, l_dsir_sample, t_mad_outliers); these tests pin the
+semantics on hand-computable micro-inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import text, timeseries
+
+
+# ------------------------------------------------------- span dedup
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_windows_count_and_positions(spark):
+    d = _docs(spark, [(1, "a b c d"), (2, "a b")])
+    w = text.ngram_windows(d, n=3).collect()
+    # doc 1: windows at idx 0 ("a b c") and 1 ("b c d"); doc 2: too short
+    assert sorted((r["doc_id"], r["win_idx"]) for r in w) == [(1, 0), (1, 1)]
+
+
+def test_duplicated_span_stats_flags_shared_window(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "x y z q r"),   # windows: "x y z", "y z q", "z q r"
+            (2, "p x y z w"),   # windows: "p x y", "x y z", "y z w"
+            (3, "unrelated words only here"),
+        ],
+    )
+    w = text.ngram_windows(d, n=3)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in text.duplicated_span_stats(w).collect()
+    }
+    # "x y z" is the only window shared across >=2 docs
+    assert got[1] == (3, 1, pytest.approx(round(1 / 3, 6)))
+    assert got[2] == (3, 1, pytest.approx(round(1 / 3, 6)))
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_span_stats_doc_internal_repeat_not_flagged(spark):
+    # the same window repeated WITHIN one doc is not cross-corpus dup
+    d = _docs(spark, [(1, "a b c a b c")])
+    w = text.ngram_windows(d, n=3)
+    row = text.duplicated_span_stats(w).collect()[0]
+    assert (row["n_windows"], row["n_dup_windows"]) == (4, 0)
+
+
+# ------------------------------------------------------------- DSIR
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target docs speak "alpha beta"; doc 30 mimics them, doc 31 doesn't
+    rows = [(i, "alpha beta alpha beta alpha beta") for i in range(10)]
+    rows += [(30, "alpha beta alpha beta"), (31, "zork quux zork quux")]
+    d = _docs(spark, rows)
+    feats = text.hashed_ngram_buckets(d, num_buckets=64, n=2)
+    target = d.filter(F.col("doc_id") < 10).select("doc_id")
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in text.dsir_logratio(feats, target, num_buckets=64).collect()
+    }
+    assert w[30] > w[31]
+
+
+def test_dsir_exact_value_single_bucket_universe(spark):
+    # one doc, one bigram occurring once -> weight is the closed-form
+    # add-one LLR of its bucket. Target = the same doc.
+    d = _docs(spark, [(1, "a b")])
+    feats = text.hashed_ngram_buckets(d, num_buckets=16, n=2)
+    target = d.select("doc_id")
+    got = text.dsir_logratio(feats, target, num_buckets=16).collect()[0]
+    # t_b = r_b = 1, T = R = 1, B = 16 -> llr = ln(2/17) - ln(2/17) = 0
+    assert got["dsir_logw"] == 0.0
+
+
+def test_dsir_feature_buckets_in_range(spark):
+    d = _docs(spark, [(1, "one two three four five six")])
+    rows = text.hashed_ngram_buckets(d, num_buckets=8, n=2).collect()
+    assert len(rows) == 5  # 5 overlapping bigrams
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+
+
+# ------------------------------------------------------ MAD outliers
+
+def test_mad_outlier_stats_hand_computed(spark):
+    # group g: values 1..9 plus a wild 1000
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = timeseries.mad_outlier_stats(df, "k", "v", z=3.0).collect()[0]
+    # median of 1..9,1000 = 5.5; adevs: 4.5,3.5,...,0.5,0.5,...,994.5
+    # MAD = median(0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,994.5) = 2.5
+    assert got["n"] == 10
+    assert got["median"] == 5.5
+    assert got["mad"] == 2.5
+    # threshold 3*1.4826*2.5 = 11.1195 -> only 1000 exceeds
+    assert got["n_outliers"] == 1
+
+
+def test_mad_threshold_not_dragged_by_outliers(spark):
+    # a tight base distribution plus two extreme points: the MAD (and
+    # hence the threshold) must stay at the base spread, not inflate
+    base = [("m", 10.0 + 0.01 * i) for i in range(50)]
+    rows = base + [("m", 500.0), ("m", -500.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = timeseries.mad_outlier_stats(df, "k", "v", z=3.0).collect()[0]
+    assert got["n_outliers"] == 2
+    assert got["mad"] < 0.3  # base spread, unmoved by the +-500 points

@@ -5903,3 +5903,52 @@ def t_mad_outliers(spark, sf_dir):
     return timeseries.mad_outlier_stats(e, "event_type", "value", z=3.0).orderBy(
         F.col("event_type").asc_nulls_first()
     )
+
+
+@_q(
+    "l_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity > 40 AND b.l_quantity > 40
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pv AS (
+      SELECT unnest([a, b, c]) AS vertex FROM tri
+    )
+    SELECT vertex, count(*)::BIGINT AS n_triangles
+    FROM pv GROUP BY vertex
+    ORDER BY n_triangles DESC, vertex ASC NULLS FIRST
+    LIMIT 20
+    """,
+    "Graph: per-vertex triangle counts (wedge-close, two equi-joins on "
+    "id-oriented edges — each triangle materializes exactly once, no /6 "
+    "correction) over the co-purchase graph: parts sharing an order, "
+    "both lines quantity>40. Top-20 hubs by triangle participation — "
+    "the local-clustering signal under community detection",
+)
+def l_triangles(spark, sf_dir):
+    from polars_fastx_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return (
+        triangle_count(edges)
+        .orderBy(F.col("n_triangles").desc(), F.col("vertex").asc_nulls_first())
+        .limit(20)
+    )

@@ -195,3 +195,41 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     return ranks
+
+
+def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected
+    simple graph, as two equi-joins — the classic wedge-close plan.
+
+    ``edges`` must hold each undirected edge ONCE in canonical
+    orientation (u < v, no self-loops); callers with raw pairs get
+    there with ``least/greatest + distinct``. Orienting every edge
+    low→high id makes each triangle {a<b<c} appear exactly once as the
+    wedge (a,b)+(b,c) closed by (a,c), so the count needs no /6
+    correction and — crucially for scale — the wedge join fans out on
+    ordered adjacency only, about half the undirected degree per
+    vertex. (The standard refinement for power-law graphs, orienting by
+    DEGREE then id instead of id alone, drops the hub fan-out from
+    O(d_max^2) to O(m^{1.5}) total and slots in here by just changing
+    the orientation key; id-orientation is kept because it needs no
+    degree precomputation pass.)
+
+    Both joins are plain shuffled-hash equi-joins on vertex ids (AQE
+    splits skewed hubs); the per-vertex rollup is one explode +
+    groupBy. Returns (vertex, n_triangles), vertices in no triangle
+    omitted.
+    """
+    u, v = F.col(u_col), F.col(v_col)
+    e1 = edges.select(u.alias("a"), v.alias("b"))
+    e2 = edges.select(u.alias("b"), v.alias("c"))
+    e3 = edges.select(u.alias("a"), v.alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "vertex"
+            )
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -90,3 +90,33 @@ def test_cc_long_chain_converges_logarithmically(spark):
     comps = {r.component for r in cc.collect()}
     assert comps == {0}
     assert cc.count() == 401
+
+
+# ------------------------------------------------------------ triangles
+
+def test_triangle_count_k4(spark):
+    from polars_fastx_spark.operators.graph import triangle_count
+
+    # K4: every vertex sits in C(3,2) = 3 triangles
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_path_has_none(spark):
+    from polars_fastx_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_two_sharing_an_edge(spark):
+    from polars_fastx_spark.operators.graph import triangle_count
+
+    # triangles {0,1,2} and {1,2,3} share edge (1,2)
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "u long, v long"
+    )
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}

@@ -77,6 +77,7 @@ ALLOWED_NESTED_LOOP = {
     "l_source_mix",       # lang-count = 1-row broadcast cross join
     "q_tpch11",           # HAVING-fraction scalar = 1-row broadcast cross join
     "q_tpch22",           # avg-acctbal scalar = 1-row broadcast cross join
+    "l_dsir_sample",      # model totals = two 1-row broadcast cross joins
 }
 
 
@@ -277,3 +278,25 @@ def test_rank_topk_group_limits_before_shuffle(spark):
     df = QUERIES["w_rank_topk"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_fuzzy_join_query_no_cartesian(spark):
+    """j_fuzzy's oracle IS the cartesian definition; the Spark plan must
+    instead be the deletion-neighborhood equi-join."""
+    df = QUERIES["j_fuzzy"].fn(spark, SF)
+    assert not plans.has_cartesian(df)
+
+
+def test_salted_skew_replicates_dim_per_salt(spark):
+    """j_salted_skew must plan the salt fan-out (explode/generate on the
+    dim side) and join on (key, salt) — no cartesian, no unsalted
+    single-partition hot key."""
+    df = QUERIES["j_salted_skew"].fn(spark, SF)
+    plan = plans.explain_str(df)
+    assert "Generate explode" in plan or "Generate" in plan
+    assert not plans.has_cartesian(df)
+
+
+def test_triangles_plans_as_equi_joins(spark):
+    df = QUERIES["l_triangles"].fn(spark, SF)
+    assert not plans.has_cartesian(df)

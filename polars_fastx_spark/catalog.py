@@ -5952,3 +5952,59 @@ def l_triangles(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), F.col("vertex").asc_nulls_first())
         .limit(20)
     )
+
+
+@_q(
+    "q_profile",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_nulls,
+           count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           min(o_orderkey)::VARCHAR AS min, max(o_orderkey)::VARCHAR AS max
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_custkey)::BIGINT,
+           min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderstatus)::BIGINT,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderdate)::BIGINT,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT,
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    ORDER BY col_name ASC NULLS FIRST
+    """,
+    "EDA: one-pass column profile (null count, exact distinct, min/max "
+    "rendered to string) over 5 orders columns — ONE agg job (Expand "
+    "plans the multi-distinct), stack() unpivots the wide row with no "
+    "driver round-trip; the oracle is the definitional per-column "
+    "UNION ALL",
+)
+def q_profile(spark, sf_dir):
+    from polars_fastx_spark.operators.quality import profile
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    return profile(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
+    ).orderBy(F.col("col_name").asc_nulls_first())

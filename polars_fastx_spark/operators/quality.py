@@ -108,3 +108,39 @@ def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
 
     obs = Observation(name)
     return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass column profile — the `df.describe()`-class EDA summary
+    every warehouse engine ships, as a single aggregate job: per column
+    its null count, exact distinct count, and min/max (rendered to
+    string so heterogeneous column types share one output schema).
+
+    All per-column aggregates land in ONE ``agg(...)`` so the input is
+    scanned once; Spark plans the multi-column count-distinct via
+    Expand (one extra shuffle per distinct column set — acceptable for
+    the tens-of-columns case this targets; for hundreds of columns or
+    sketch-accuracy-is-enough scale, pass the same frame through
+    ``approx_count_distinct`` by editing one line, same plan shape
+    minus the Expand). The wide 1-row result is unpivoted driver-free
+    with a stack() over literals — output is (col_name, n_nulls,
+    n_distinct, min, max), one row per profiled column.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(col).alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(col_name, n_nulls, n_distinct, min, max)"
+    )

@@ -81,3 +81,31 @@ def test_observed_metrics_collected_during_single_action(spark, tmp_path):
     got = obs.get
     assert got["n_rows"] == 4 and got["null_status"] == 1
     assert abs(got["v_sum"] - 57.0) < 1e-9
+
+
+# -------------------------------------------------------------- profile
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    from polars_fastx_spark.operators.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x int, s string"
+    )
+    got = {r["col_name"]: r for r in profile(df).collect()}
+    assert got["x"]["n_nulls"] == 1
+    assert got["x"]["n_distinct"] == 2
+    assert (got["x"]["min"], got["x"]["max"]) == ("1", "2")
+    assert got["s"]["n_nulls"] == 1
+    assert got["s"]["n_distinct"] == 2
+    assert (got["s"]["min"], got["s"]["max"]) == ("a", "b")
+
+
+def test_profile_column_subset_single_scan(spark):
+    from polars_fastx_spark.operators.quality import profile
+
+    df = spark.createDataFrame([(1, "a", 2.0)], "x int, s string, d double")
+    out = profile(df, ["x", "d"])
+    assert {r["col_name"] for r in out.collect()} == {"x", "d"}
+    # one aggregate job over one scan: the plan has exactly one leaf scan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") + plan.count("Relation") == 1

@@ -162,3 +162,44 @@ def test_bigram_score_random_matches_reference(spark):
             sum(math.log(grams[g] / heads[g[0]]) for g in bg) / len(bg), 6
         )
         assert got[i][0] == len(bg) and got[i][1] == pytest.approx(want), i
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_random_words_match_bruteforce(spark):
+    """Deletion-neighborhood blocking vs a pure-Python levenshtein
+    brute force over an adversarial vocabulary: short words (dense
+    lev<=1 neighborhoods), repeated chars, unicode, and near-identical
+    long strings."""
+    from polars_fastx_spark.operators.fuzzyjoin import fuzzy_join_k1
+
+    rng = random.Random(SEED)
+    alpha = "abcé"
+    words = {""}
+    while len(words) < 220:
+        n = rng.randint(1, 6)
+        words.add("".join(rng.choice(alpha) for _ in range(n)))
+    words = sorted(words)
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    a = df.select(F.col("w").alias("wa"))
+    b = df.select(F.col("w").alias("wb"))
+    got = {
+        (r["wa"], r["wb"])
+        for r in fuzzy_join_k1(a, b, "wa", "wb").collect()
+    }
+    want = {
+        (x, y) for x in words for y in words if _lev(x, y) <= 1
+    }
+    assert got == want

@@ -114,3 +114,35 @@ def test_mad_threshold_not_dragged_by_outliers(spark):
     got = timeseries.mad_outlier_stats(df, "k", "v", z=3.0).collect()[0]
     assert got["n_outliers"] == 2
     assert got["mad"] < 0.3  # base spread, unmoved by the +-500 points
+
+
+# ------------------------------------------------ distinctive terms
+
+def test_distinctive_terms_ranks_group_exclusive_word_first(spark):
+    # "zork" appears only in group A, "quux" only in B; shared filler
+    # words must not win
+    rows = [
+        (1, "A", "common words zork zork zork"),
+        (2, "A", "common zork words"),
+        (3, "B", "common words quux quux quux"),
+        (4, "B", "common quux words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = text.distinctive_terms(d, "source", "text", top_k=1).collect()
+    top = {r["source"]: r["word"] for r in got}
+    assert top == {"A": "zork", "B": "quux"}
+    assert all(r["z_logodds"] > 0 for r in got)
+
+
+def test_distinctive_terms_z_symmetry_two_groups(spark):
+    # with two groups, a word's z in A is the negative of its z in B
+    # (same delta mirrored, same variance)
+    rows = [
+        (1, "A", "x x y"),
+        (2, "B", "y y x"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = text.distinctive_terms(d, "source", "text", top_k=10)
+    z = {(r["source"], r["word"]): r["z_logodds"] for r in got.collect()}
+    assert z[("A", "x")] == pytest.approx(-z[("B", "x")], abs=1e-5)
+    assert z[("A", "y")] == pytest.approx(-z[("B", "y")], abs=1e-5)

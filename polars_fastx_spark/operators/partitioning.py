@@ -163,3 +163,27 @@ def zorder_sql(c1: str, c2: str, bits: int = 16) -> str:
         terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the upstream plan yields fewer
+    partitions than the session's parallelism — otherwise the frame
+    passes through untouched.
+
+    Why this exists: Spark parallelizes a parquet scan by byte-range
+    splits, but a split can't subdivide a ROW GROUP — a table written
+    as one big row group scans on one task no matter the split size,
+    and every row-local stage fused to that scan (explode fan-outs,
+    partial aggregates) then runs single-threaded. At warehouse scale
+    this never happens (100 TB = millions of row groups ≫ cores) and
+    this function is a pure no-op; on small/badly-written inputs it
+    buys full-core parallelism for one cheap shuffle of the input —
+    the exact trade a warehouse engine's stats-driven planner makes.
+
+    The check reads the physical partition count (plan-time, no job).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -126,6 +126,9 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     with a stack() over literals — output is (col_name, n_nulls,
     n_distinct, min, max), one row per profiled column.
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     cols = columns or df.columns
     aggs = []
     for c in cols:

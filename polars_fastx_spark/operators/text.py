@@ -652,8 +652,14 @@ def ngram_windows(
     Returns (id, win_idx, win_key). The window TEXT is deliberately not
     carried — downstream cross-corpus counting only needs the key, and
     at 100 TB dropping the payload before the shuffle is the difference
-    between shuffling hashes and shuffling the corpus.
+    between shuffling hashes and shuffling the corpus. The fan-out
+    itself runs behind ``ensure_min_parallelism`` (no-op at scale; on
+    single-row-group local files it spreads the heavy explode stage
+    across cores instead of one scan task).
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = tokens(_col(text_col))
     wins = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -719,8 +725,13 @@ def hashed_ngram_buckets(
     RNG-free. This is DSIR's hashed n-gram feature map (Xie et al.
     2023, "Data Selection for Language Models via Importance
     Resampling") — the fixed low-dimensional feature space in which
-    target and raw distributions are compared. Row-local fan-out only.
+    target and raw distributions are compared. Row-local fan-out only
+    (spread across cores via ``ensure_min_parallelism`` when the scan
+    under-splits — no-op at warehouse scale).
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = tokens(_col(text_col))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),

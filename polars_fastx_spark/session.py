@@ -42,6 +42,18 @@ _DEFAULTS: dict[str, str] = {
     # Local testing runs single-node; on a real cluster this should track
     # cluster cores (AQE coalesces down, so erring high is safe).
     "spark.sql.shuffle.partitions": "32",
+    # Scan splits sized for the LOCAL posture: the test tables are single
+    # ~10 MB parquet files, which at Spark's 128 MB default scan on ONE
+    # core and serialize every downstream row-local stage (measured: the
+    # 8-token-window fan-out over sf0.1 documents drops 4.1 s -> 0.9 s on
+    # 32 threads). A 100 TB deployment gets the same work/core ratio for
+    # free from its many 128 MB row groups and should RAISE this back
+    # (SPARK_GRAFT_MAX_PARTITION_BYTES=128m in spark-env, or extra_conf)
+    # so task count stays bounded.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"
+    ),
+    "spark.sql.files.openCostInBytes": "1m",
     # Session timezone pinned so timestamp formatting is deterministic
     # against the oracle regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",

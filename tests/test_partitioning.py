@@ -128,3 +128,21 @@ def test_salted_join_rejects_right_replicating_types(spark):
             pt.salted_join(df, df, "k", how=how)
     # sound types still work
     assert pt.salted_join(df, df, "k", how="left_semi").count() == 5
+
+
+def test_ensure_min_parallelism_spreads_underparallel_scan(spark):
+    import polars_fastx_spark.operators.partitioning as pt
+
+    one = spark.range(100).coalesce(1)
+    spread = pt.ensure_min_parallelism(one)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+
+
+def test_ensure_min_parallelism_noop_when_already_parallel(spark):
+    import polars_fastx_spark.operators.partitioning as pt
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target + 4)
+    out = pt.ensure_min_parallelism(wide)
+    assert out is wide  # untouched frame, no extra shuffle node

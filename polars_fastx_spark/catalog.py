@@ -135,6 +135,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return cache[key]
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Catalog table with guaranteed scan parallelism — for builders
+    whose first stage does heavy row-local work (per-token hashing,
+    k-mer fan-out, exact percentiles). The local test tables are
+    single-row-group files that scan on ONE task no matter the split
+    size; ``ensure_min_parallelism`` round-robins them across cores
+    and is a pure no-op on a warehouse layout (splits >> cores).
+    """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts canonicalized to bigint ns + derived µs column.
 
@@ -649,7 +662,7 @@ def g_approx_distinct(spark, sf_dir):
     "G5: stddev/variance/median/percentile (exact)",
 )
 def g_stats(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -1251,7 +1264,7 @@ def k_seq_stats(spark, sf_dir):
     "K5: codon usage (non-overlapping frame-0 3-mers), exploded to rows",
 )
 def k_codon_usage(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(sq.codon_usage("text")).alias("codon", "freq"))
         .select("doc_id", "codon", F.round("freq", 9).alias("freq"))
@@ -1278,7 +1291,7 @@ def k_codon_usage(spark, sf_dir):
     "K6: overlapping 4-mer frequencies, exploded to rows",
 )
 def k_kmer_freq(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(sq.kmer_frequencies("text", 4)).alias("kmer", "freq"))
         .select("doc_id", "kmer", F.round("freq", 9).alias("freq"))
@@ -2101,7 +2114,7 @@ def _lang_id_oracle() -> str:
     "L4: stopword-heuristic language ID distribution",
 )
 def l_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return (
         d.select(text.lang_id("text").alias("pred_lang"))
         .groupBy("pred_lang")
@@ -2527,7 +2540,7 @@ def l_multimodal_features(spark, sf_dir):
     "5-gram with the held-out set (broadcast benchmark n-gram set)",
 )
 def l_decontaminate(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     benchmark = d.filter(F.col("doc_id") % 97 == 0)
     return text.decontaminate(corpus, benchmark, "doc_id", "text", n=5).orderBy(

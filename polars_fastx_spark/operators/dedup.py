@@ -184,8 +184,11 @@ def minhash_band_table(
     pass through — SQL-oracle parity; xxhash64/perm int64s render in
     base 10).
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    df = ensure_min_parallelism(df)  # signature fan-out must not fuse to a 1-task scan
     sig = minhash_signature(
         char_shingles(text_col, shingle_k), num_hashes, family
     )
@@ -318,7 +321,9 @@ def ngram_jaccard(
     Joins the (small) candidate-pair table back to the corpus twice —
     each join is key-equi and broadcastable when candidates are few.
     """
-    sh = docs.select(
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("__id"), char_shingles(text_col, k).alias("__sh")
     )
     out = (
@@ -438,8 +443,11 @@ def simhash_near_duplicates(
     (not approximate): results equal brute-force all-pairs hamming,
     which is how the DuckDB oracle checks the ``md5`` family.
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
     chunks = max_distance + 1
     width = 64 // chunks
+    df = ensure_min_parallelism(df)  # 64-bit/token hashing fans out row-locally
     sig = df.select(
         F.col(id_col).alias("__id"), simhash(text_col, family=family).alias("__sig")
     )

@@ -98,15 +98,22 @@ def upsample_interpolate(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the look-AHEAD pass runs over DESCENDING order with a GROWING
+    # frame (last ignorenulls), never `first` over [current, unbounded
+    # following]: Spark evaluates growing frames in O(rows) streaming,
+    # but a shrinking frame re-aggregates from scratch per row —
+    # O(rows²) per partition (measured: 82 s -> 3 s on a 916k-row
+    # spine with ~700-row key partitions at sf0.1). Same hash
+    # partitioning as wb, so still one exchange; AQE shares it.
     wf = (
         Window.partitionBy(*by_cols)
-        .orderBy(bucket_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     v, b = F.col(value_col), F.col(bucket_col)
     known = F.when(v.isNotNull(), F.struct(b.alias("t"), v.alias("y")))
     prev = F.last(known, ignorenulls=True).over(wb)
-    nxt = F.first(known, ignorenulls=True).over(wf)
+    nxt = F.last(known, ignorenulls=True).over(wf)
     interp = prev["y"] + (nxt["y"] - prev["y"]) * (
         (b - prev["t"]).cast("double") / (nxt["t"] - prev["t"]).cast("double")
     )

@@ -100,9 +100,18 @@ def join_asof(
         Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), bwd_tag)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward pick runs over the exactly-REVERSED total order with a
+    # GROWING frame, never `first` over [current, unbounded following]:
+    # Spark streams growing frames in O(rows) but re-aggregates a
+    # shrinking frame from scratch per row — O(rows²) per key partition,
+    # a 100 TB killer when keys have deep histories. last-non-null over
+    # the reversed order is positionally identical to first-non-null
+    # over the forward order (the secondary tag flips direction so the
+    # total order reverses exactly).
+    fwd_tag_rev = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
     w_fwd = (
-        Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), fwd_tag)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Window.partitionBy(*by_cols).orderBy(F.col(on).desc(), fwd_tag_rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
     cols_out = [*left.columns, F.col("__is_left")]
@@ -110,11 +119,11 @@ def join_asof(
         picked = F.last("__payload", ignorenulls=True).over(w_bwd)
         filled = unioned.select(*cols_out, picked.alias("__m"))
     elif strategy == "forward":
-        picked = F.first("__payload", ignorenulls=True).over(w_fwd)
+        picked = F.last("__payload", ignorenulls=True).over(w_fwd)
         filled = unioned.select(*cols_out, picked.alias("__m"))
     else:  # nearest
         b = F.last("__payload", ignorenulls=True).over(w_bwd)
-        f_ = F.first("__payload", ignorenulls=True).over(w_fwd)
+        f_ = F.last("__payload", ignorenulls=True).over(w_fwd)
         t = F.col(on)
         picked = (
             F.when(b.isNull(), f_)

@@ -47,13 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: never-checked queries whose driver verification carries the most
 #: information this round — sampled ahead of the rest of the unchecked
-#: block (which keeps catalog order). The r2 red row (l_quantize_int8,
-#: now JSON-canonicalized) leads; then the 37 queries with no driver
-#: row in any CORRECTNESS_r*.json; round-3 additions get appended as
-#: they land.
+#: block (which keeps catalog order). Round-3 additions lead (salted
+#: skew join, fuzzy join, span dedup, DSIR, MAD outliers, triangles,
+#: profiling, distinctive terms, null-safe join), then the r2 red row
+#: (l_quantize_int8, now JSON-canonicalized) and the block that had no
+#: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
     "j_salted_skew", "j_fuzzy", "l_span_dedup", "l_dsir_sample",
-    "t_mad_outliers", "l_triangles", "q_profile", "l_distinctive_terms",
+    "t_mad_outliers", "l_triangles", "q_profile", "l_distinctive_terms", "j_nullsafe",
     "l_quantize_int8", "l_rrf_hybrid", "l_group_splits", "l_pack_ffd_1p",
     "l_minhash_perm", "l_semdedup", "l_knn_per_query", "l_weighted_sample",
     "l_vocab", "l_tfidf", "l_bigram_quality", "l_source_mix", "l_novel_docs",

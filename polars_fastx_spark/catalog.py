@@ -6075,3 +6075,42 @@ def l_distinctive_terms(spark, sf_dir):
         F.col("z_logodds").desc(),
         F.col("word").asc_nulls_first(),
     )
+
+
+@_q(
+    "j_nullsafe",
+    """
+    WITH l AS (
+      SELECT nullif(event_type, 'error') AS ek, value FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT nullif(event_type, 'error') AS ek FROM events
+    )
+    SELECT dim.ek,
+           count(*)::BIGINT AS n,
+           round(sum(l.value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+    FROM l JOIN dim ON l.ek IS NOT DISTINCT FROM dim.ek
+    GROUP BY dim.ek
+    ORDER BY dim.ek ASC NULLS FIRST
+    """,
+    "J12: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys "
+    "match the NULL dim row instead of dropping (the SQL-92 join would "
+    "silently lose every null-keyed fact row); <=> is a hashable join "
+    "key, so this stays a plain hash join",
+)
+def j_nullsafe(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    left = e.select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("ek"), "value"
+    )
+    dim = left.select("ek").distinct().select(F.col("ek").alias("dk"))
+    return (
+        left.join(dim, left["ek"].eqNullSafe(dim["dk"]))
+        .groupBy("dk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("value").alias("sum_value"),
+        )
+        .select(F.col("dk").alias("ek"), "n", "sum_value")
+        .orderBy(F.col("ek").asc_nulls_first())
+    )

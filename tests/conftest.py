@@ -20,7 +20,15 @@ def spark():
     s = (
         builder("polars_fastx_spark-tests", master="local[8]",
                 extra_conf={"spark.sql.shuffle.partitions": "8",
-                            "spark.ui.enabled": "false"})
+                            "spark.ui.enabled": "false",
+                            # one session serves ~240 tests incl. plan
+                            # sweeps over the full 159-query catalog;
+                            # broadcast/checkpoint blocks accumulate
+                            # between GCs and the 1g default heap OOMs
+                            # mid-suite. Periodic GC keeps the context
+                            # cleaner's reference queue draining.
+                            "spark.driver.memory": "6g",
+                            "spark.cleaner.periodicGC.interval": "1min"})
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -78,6 +78,7 @@ ALLOWED_NESTED_LOOP = {
     "q_tpch11",           # HAVING-fraction scalar = 1-row broadcast cross join
     "q_tpch22",           # avg-acctbal scalar = 1-row broadcast cross join
     "l_dsir_sample",      # model totals = two 1-row broadcast cross joins
+    "l_distinctive_terms",  # corpus total = 1-row broadcast cross join
 }
 
 

@@ -6114,3 +6114,59 @@ def j_nullsafe(spark, sf_dir):
         .select(F.col("dk").alias("ek"), "n", "sum_value")
         .orderBy(F.col("ek").asc_nulls_first())
     )
+
+
+@_q(
+    "t_islands",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events WHERE event_type = 'click'
+    ),
+    f AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER wprev IS NULL
+                    OR s > max(e) OVER wprev THEN 1 ELSE 0 END AS nw
+      FROM iv
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY s ASC, e ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+      SELECT user_id, s, e, nw,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM f
+    )
+    SELECT user_id,
+           min(s) AS island_start,
+           max(e) AS island_end,
+           count(*)::BIGINT AS n_merged
+    FROM g GROUP BY user_id, island
+    ORDER BY user_id ASC NULLS FIRST, island_start ASC NULLS FIRST
+    """,
+    "T+ gaps-and-islands: merge overlapping 5-minute activity windows "
+    "per user into maximal spans (operators/timeseries.py:"
+    "merge_intervals) — running-max-of-end + flag-cumsum + one "
+    "groupBy, all sharing the user_id hash partitioning (one shuffle)",
+)
+def t_islands(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    iv = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + 300_000_000).alias("e"),
+    )
+    return (
+        timeseries.merge_intervals(iv, "user_id", "s", "e")
+        .select(
+            "user_id",
+            F.col("island_start"),
+            F.col("island_end"),
+            "n_merged",
+        )
+        .orderBy(
+            F.col("user_id").asc_nulls_first(),
+            F.col("island_start").asc_nulls_first(),
+        )
+    )

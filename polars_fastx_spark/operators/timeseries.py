@@ -244,3 +244,45 @@ def mad_outlier_stats(
             ).alias("n_outliers"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching [start, end] intervals per key into
+    maximal islands — the gaps-and-islands coalesce (validity windows,
+    maintenance windows, per-user activity spans).
+
+    Single-shuffle shape: one window over (key, start-order) computes
+    the running max of ``end`` over preceding rows; a row starts a new
+    island iff its start exceeds that max (strictly — touching
+    intervals merge); the island id is a running sum of the flags over
+    the same window ordering, and one groupBy((key, island)) emits
+    (key, island_start, island_end, n_merged). Both window passes and
+    the final aggregate share the hash partitioning on ``key``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(key_col, "_island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("_island")

@@ -55,3 +55,28 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="different path"):
         compact_parquet(spark, src, src)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A fact table partitioned on the join key, joined to a dim that
+    is FILTERED (not the fact): Spark's dynamic partition pruning must
+    inject the dim's surviving keys as a runtime partition filter into
+    the fact scan — the fact directories for other keys are never read.
+    At 100 TB this is the difference between scanning one date's
+    partitions and scanning the table."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "fact_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("error", 3.0),
+         ("purchase", 4.0), ("signup", 5.0)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") < 1.5)  # selective dim filter -> only 'click'
+
+    joined = fact.join(dim, "event_type").select("event_id", "weight")
+    plan = plans.explain_str(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert joined.count() == want

@@ -164,3 +164,36 @@ def test_normalize_events_ts_is_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert utc == tokyo == 1709294400 * 1_000_000_000
+
+
+# --------------------------------------------------- interval islands
+
+def test_merge_intervals_hand_case(spark):
+    from polars_fastx_spark.operators.timeseries import merge_intervals
+
+    rows = [
+        ("u", 0, 10), ("u", 5, 12),    # overlap -> one island [0, 12]
+        ("u", 12, 20),                  # touching -> merges (s == max_end)
+        ("u", 30, 40),                  # gap -> new island
+        ("v", 100, 110),                # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [("u", 0, 20, 3), ("u", 30, 40, 1), ("v", 100, 110, 1)]
+
+
+def test_merge_intervals_contained_interval(spark):
+    from polars_fastx_spark.operators.timeseries import merge_intervals
+
+    # an interval fully inside an earlier one must not split the island
+    # even though its own end is smaller than the running max
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 50, 120), ("u", 130, 140)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [(0, 120, 3), (130, 140, 1)]

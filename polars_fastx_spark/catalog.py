@@ -6170,3 +6170,110 @@ def t_islands(spark, sf_dir):
             F.col("island_start").asc_nulls_first(),
         )
     )
+
+
+@_q(
+    "l_bm25_multi",
+    """
+    WITH qt(query_id, w) AS (
+      VALUES (0, 'data'), (0, 'table'),
+             (1, 'join'), (1, 'merge'),
+             (2, 'spark'), (2, 'sort'), (2, 'fast')
+    ),
+    w AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM w GROUP BY doc_id),
+    st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+    h AS (SELECT doc_id, w FROM w
+          WHERE w IN (SELECT DISTINCT w FROM qt)),
+    dfq AS (SELECT w, count(DISTINCT doc_id)::DOUBLE AS dfq
+            FROM h GROUP BY w),
+    tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf
+           FROM h GROUP BY doc_id, w),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(sum(ln(1 + (n - dfq + 0.5) / (dfq + 0.5))
+                       * (tf * 2.2
+                          / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6)
+               AS bm25
+      FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id)
+              JOIN qt USING (w), st
+      GROUP BY qt.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, bm25
+    FROM (SELECT query_id, doc_id, bm25,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id ASC) AS rk
+          FROM scored)
+    WHERE rk <= 10
+    ORDER BY query_id ASC NULLS FIRST, bm25 DESC, doc_id ASC NULLS FIRST
+    """,
+    "L4+ batch retrieval: BM25 for a TABLE of 3 queries in ONE corpus "
+    "pass (operators/text.py:bm25_multi) — postings semi-joined to the "
+    "union of query terms, per-term contributions joined to the "
+    "broadcast query table, one groupBy((query, doc)); corpus stats "
+    "computed once regardless of query count. Top-10 per query on the "
+    "ROUNDED score",
+)
+def l_bm25_multi(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(0, "data"), (0, "table"), (1, "join"), (1, "merge"),
+         (2, "spark"), (2, "sort"), (2, "fast")],
+        "query_id int, term string",
+    )
+    scored = text.bm25_multi(d, qt, "doc_id", "text").select(
+        "query_id", "doc_id", F.round("bm25", 6).alias("bm25")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+        .orderBy(
+            F.col("query_id").asc_nulls_first(),
+            F.col("bm25").desc(),
+            F.col("doc_id").asc_nulls_first(),
+        )
+    )
+
+
+@_q(
+    "j_fuzzy2",
+    """
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+    FROM supplier a, supplier b
+    WHERE a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) <= 2
+    ORDER BY name_a ASC NULLS FIRST, name_b ASC NULLS FIRST
+    """,
+    "J11+ fuzzy join at edit distance <= 2: the FastSS <=2-deletion "
+    "neighborhood (singles + position-pair doubles, all higher-order "
+    "expressions) keeps it an equi-join + levenshtein verify; the "
+    "oracle is again the cartesian definition, proving k=2 blocking "
+    "completeness",
+)
+def j_fuzzy2(spark, sf_dir):
+    from polars_fastx_spark.operators import fuzzyjoin
+
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_name").alias("name_a"))
+    b = s.select(F.col("s_name").alias("name_b"))
+    pairs = fuzzyjoin.fuzzy_join_k2(a, b, "name_a", "name_b", keep_equal=False)
+    return (
+        pairs.filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .orderBy(
+            F.col("name_a").asc_nulls_first(), F.col("name_b").asc_nulls_first()
+        )
+    )

@@ -92,3 +92,59 @@ def fuzzy_join_k1(
     if not keep_equal:
         out = out.filter(dist > 0)
     return out
+
+
+def deletion_variants_k2(col: Column | str) -> Column:
+    """The string plus every 1- and 2-character deletion — the k=2
+    FastSS neighborhood. Still a pure higher-order expression: the
+    double-deletion set comes from a flattened nested transform over
+    position pairs i < j (O(len²/2) variants per row — the caller's
+    explicit cost decision; for name/code/token columns len ≤ ~30 this
+    is ≤ ~450 keys/row, shuffled as short strings)."""
+    s = _col(col)
+    n = F.length(s)
+    singles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, n - i),
+        ),
+    )
+    doubles = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.concat(
+                    s.substr(F.lit(1), i - 1),
+                    s.substr(i + 1, j - i - 1),
+                    s.substr(j + 1, n - j),
+                ),
+            ),
+        )
+    )
+    base = F.array_union(F.array(s), singles)
+    return F.when(n >= 2, F.array_union(base, doubles)).otherwise(base)
+
+
+def fuzzy_join_k2(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    keep_equal: bool = True,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein <= 2`` without a
+    cartesian product — the k=2 extension of :func:`fuzzy_join_k1`
+    (FastSS: lev(a,b) <= k ⇒ the ≤k-deletion neighborhoods intersect;
+    the built-in ``levenshtein`` verify removes blocking false
+    positives). Same plan shape: row-local key fan-out, one shuffled
+    equi-join, distinct, codegen verify."""
+    lk = left.withColumn("__v", F.explode(deletion_variants_k2(left_col)))
+    rk = right.withColumn("__v", F.explode(deletion_variants_k2(right_col)))
+    cand = lk.join(rk, "__v").drop("__v").distinct()
+    dist = F.levenshtein(_col(left_col), _col(right_col))
+    out = cand.filter(dist <= 2)
+    if not keep_equal:
+        out = out.filter(dist > 0)
+    return out

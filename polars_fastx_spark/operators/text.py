@@ -868,3 +868,67 @@ def distinctive_terms(
         .filter(F.col("rk") <= top_k)
         .drop("rk")
     )
+
+
+def bm25_multi(
+    df,
+    queries,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 for a TABLE of queries in one corpus pass — the
+    inverted-index shape of batch retrieval (building training pairs,
+    nightly eval suites): ``queries`` holds (query_id, term) rows; every
+    query scores against every matching document simultaneously.
+
+    Same statistics as :func:`bm25_scores`; the difference is the join
+    topology: corpus term postings (doc, term, tf) equi-join the
+    BROADCAST query-term table on term, then ONE groupBy((query, doc))
+    sums the per-term contributions. Corpus work (doc lengths, tf
+    aggregate) is done once regardless of query count — adding queries
+    adds only broadcast width and (query, doc) pairs for matched terms.
+    Emits (query_id, id, bm25) for every (query, doc) sharing ≥1 term.
+    """
+    q = queries.select(
+        _col(query_id_col).alias(query_id_col), _col(term_col).alias("w")
+    )
+    words = df.select(
+        _col(id_col).alias(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    doclen = words.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    # postings restricted to terms ANY query uses (semi join keeps the
+    # tf aggregate small), then tf per (doc, term)
+    terms = q.select("w").distinct()
+    hits = words.join(F.broadcast(terms), "w", "semi")
+    dfreq = (
+        hits.distinct()
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("__df"))
+    )
+    tf = hits.groupBy(id_col, "w").agg(
+        F.count("*").cast("double").alias("__tf")
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    part = idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(q), "w")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(part).alias("bm25"))
+    )

@@ -81,3 +81,38 @@ def test_fuzzy_join_no_cartesian_in_plan(spark):
     plan = fuzzy_join_k1(a, b, "wa", "wb")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_k2_complete_vs_bruteforce(spark):
+    words = [""] + [
+        "".join(p)
+        for n in (1, 2, 3)
+        for p in itertools.product("ab", repeat=n)
+    ] + ["abcd", "abdd", "dcba", "xyzz"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    a = df.select(F.col("w").alias("wa"))
+    b = df.select(F.col("w").alias("wb"))
+    from polars_fastx_spark.operators.fuzzyjoin import fuzzy_join_k2
+
+    got = {
+        (r["wa"], r["wb"])
+        for r in fuzzy_join_k2(a, b, "wa", "wb").collect()
+    }
+    want = {
+        (r["wa"], r["wb"])
+        for r in a.crossJoin(b)
+        .filter(F.levenshtein("wa", "wb") <= 2)
+        .collect()
+    }
+    assert got == want
+
+
+def test_fuzzy_k2_no_cartesian(spark):
+    from polars_fastx_spark.operators.fuzzyjoin import fuzzy_join_k2
+
+    df = spark.createDataFrame([("cat",), ("bat",)], "w string")
+    a = df.select(F.col("w").alias("wa"))
+    b = df.select(F.col("w").alias("wb"))
+    plan = fuzzy_join_k2(a, b, "wa", "wb")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -203,3 +203,76 @@ def test_fuzzy_join_random_words_match_bruteforce(spark):
         (x, y) for x in words for y in words if _lev(x, y) <= 1
     }
     assert got == want
+
+
+def test_merge_intervals_random_match_reference(spark):
+    """Random interval soups vs a pure-Python sweep-line reference:
+    islands must be disjoint, ordered, cover every input interval, and
+    n_merged must partition the input count."""
+    from polars_fastx_spark.operators.timeseries import merge_intervals
+
+    rng = random.Random(SEED + 1)
+    rows = []
+    for key in ("a", "b", "c"):
+        for _ in range(150):
+            s = rng.randint(0, 500)
+            rows.append((key, s, s + rng.randint(0, 40)))
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        (r["k"], r["island_start"], r["island_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+
+    want = set()
+    bykey = {}
+    for k, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                want.add((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.add((k, cur_s, cur_e, n))
+    assert got == want
+
+
+def test_duplicated_span_stats_random_match_reference(spark):
+    """Random word documents vs a pure-Python window-count reference."""
+    from polars_fastx_spark.operators import text as T
+
+    rng = random.Random(SEED + 2)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(60)
+    ]
+    n = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = T.ngram_windows(df, n=n)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in T.duplicated_span_stats(w).collect()
+    }
+
+    wins = {}
+    for i, t in docs:
+        toks = t.split()
+        wins[i] = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+    from collections import defaultdict
+    owners = defaultdict(set)
+    for i, ws in wins.items():
+        for x in ws:
+            owners[x].add(i)
+    want = {
+        i: (len(ws), sum(1 for x in ws if len(owners[x]) >= 2))
+        for i, ws in wins.items()
+        if ws
+    }
+    assert got == want

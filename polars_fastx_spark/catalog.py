@@ -6277,3 +6277,28 @@ def j_fuzzy2(spark, sf_dir):
             F.col("name_a").asc_nulls_first(), F.col("name_b").asc_nulls_first()
         )
     )
+
+
+@_q(
+    "l_pq_topk",
+    None,  # iterative (m×k-means training) — rows-only by design;
+           # value semantics pinned by tests/test_pq.py (code validity,
+           # Lloyd distortion monotonicity, planted-cluster ADC recall,
+           # repartition determinism)
+    "L3+ Product Quantization ANN (Jégou et al. 2011): 64-dim floats "
+    "compress to 8 one-byte codes (32x); ALL subspaces train in ONE "
+    "DataFrame k-means loop (subspace id is a grouping key — per "
+    "iteration one broadcast join + two aggregate shuffles regardless "
+    "of m); ADC search = broadcast m·k distance table + explode-join-"
+    "groupBy, codes never decompress (operators/vectors.py:pq_train/"
+    "pq_topk)",
+)
+def l_pq_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    codes, books = vectors.pq_train(e, "vec_id", "v", m=8, k=8, iterations=3)
+    return vectors.pq_topk(codes, books, q, "vec_id", n=10).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )

@@ -182,3 +182,147 @@ def quantize_int8(
         .withColumn("max_abs_err", err)
         .select(id_col, "qvec", "max_abs_err")
     )
+
+
+# --------------------------------------------------- product quantization
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub: int):
+    """(id, j, sv): the m equal slices of each vector — row-local
+    explode over the subspace index; slice j covers positions
+    [j·sub+1, (j+1)·sub]."""
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    F.col(vec_col).cast("array<double>"), j * sub + 1, sub
+                ),
+            )
+        ).alias("j", "sv"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization (Jégou et al. 2011): split each D-dim
+    vector into ``m`` subvectors and k-means each subspace to ``k``
+    centroids; a vector's code is its m nearest-centroid ids — D floats
+    compress to m small ints (the storage layer under IVF-PQ ANN
+    indexes).
+
+    ALL m subspaces train in ONE DataFrame loop — the subspace id ``j``
+    is just another grouping key: assignment joins the exploded
+    (id, j, sv) rows to the broadcast m·k-row centroid table on ``j``
+    and min_by's within (id, j); re-estimation is one
+    (j, cluster, pos) aggregate. Per iteration: one broadcast join +
+    two aggregate shuffles regardless of m. Seeding is content-
+    addressed per subspace (k smallest ``md5(id || ':' || j)``) —
+    deterministic, RNG-free, replayable.
+
+    Returns (codes frame (id, codes array<int> length m), codebooks
+    [m][k][sub]). Only m·k centroid rows ever reach the driver.
+    """
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    subs = _subvectors(df, id_col, vec_col, m, sub).persist()
+    try:
+        from pyspark.sql import Window
+
+        wseed = Window.partitionBy("j").orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("j")))
+        )
+        seed_rows = (
+            subs.withColumn("_r", F.row_number().over(wseed))
+            .filter(F.col("_r") <= k)
+            .select("j", (F.col("_r") - 1).alias("c"), "sv")
+            .collect()
+        )
+        books: list[list[list[float]]] = [
+            [[0.0] * sub for _ in range(k)] for _ in range(m)
+        ]
+        for r in seed_rows:
+            books[r["j"]][r["c"]] = [float(x) for x in r["sv"]]
+
+        sp = df.sparkSession
+        assigned = None
+        for _ in range(iterations):
+            cen = F.broadcast(
+                sp.createDataFrame(
+                    [
+                        (j, c, books[j][c])
+                        for j in range(m)
+                        for c in range(k)
+                    ],
+                    "j int, _c int, _cvec array<double>",
+                )
+            )
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            assigned = (
+                subs.join(cen, "j")
+                .withColumn("_dist", dist)
+                .groupBy(id_col, "j", "sv")
+                .agg(F.min_by("_c", "_dist").alias("c"))
+            )
+            new = group_centroids(assigned, ["j", "c"], "sv").collect()
+            for r in new:  # empty clusters keep their previous centroid
+                books[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
+        codes = assigned.groupBy(id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))),
+                lambda s: s["c"],
+            ).alias("codes")
+        )
+        return codes, books
+    finally:
+        subs.unpersist()
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    query: list[float],
+    id_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-n over PQ codes: the query is
+    sliced once into the m subspaces and a tiny m·k distance table
+    ||q_j − centroid_jc||² broadcasts; each row's approximate distance
+    is the sum of m table lookups (explode codes → join (j, c) → one
+    groupBy(id)), then TakeOrderedAndProject. Codes never decompress;
+    the scan moves m small ints per vector, not D floats — the entire
+    point of PQ at 100 TB."""
+    m, k = len(books), len(books[0])
+    sub = len(books[0][0])
+    sp = codes.sparkSession
+    dt_rows = []
+    for j in range(m):
+        qj = query[j * sub : (j + 1) * sub]
+        for c in range(k):
+            dt_rows.append(
+                (j, c, float(sum((a - b) ** 2 for a, b in zip(qj, books[j][c]))))
+            )
+    dt = F.broadcast(sp.createDataFrame(dt_rows, "j int, c int, _d double"))
+    ex = codes.select(
+        F.col(id_col).alias(id_col), F.posexplode("codes").alias("j", "c")
+    )
+    return (
+        ex.join(dt, ["j", "c"])
+        .groupBy(id_col)
+        .agg(F.sum("_d").alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -83,3 +83,47 @@ def upsert_partitioned(
         .parquet(target_path)
     )
     return touched
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> list:
+    """Delete every row matching ``keys`` from the parquet dataset at
+    ``target_path`` — the takedown / right-to-be-forgotten primitive a
+    training-data store needs, as the mirror image of
+    :func:`upsert_partitioned`: find the partitions the key batch
+    touches (tiny distinct), read ONLY those back (partition pruning),
+    anti-join the keys out, dynamic-partition-overwrite JUST those
+    partitions. Untouched partitions are never read or written, so the
+    cost scales with the deletion batch, not the table.
+
+    ``keys`` must carry ``key_cols`` + ``partition_col`` (the partition
+    each key lives in — the same no-key-movement contract as upsert; a
+    deletion request that doesn't know the partition can recover it
+    with one broadcast semi-join against the table first). The
+    anti-join is broadcastable while the batch is small — AQE decides.
+    Idempotent: replaying the same batch rewrites the same partitions
+    to the same state. Returns the rewritten partition values.
+    """
+    touched = [
+        r[0] for r in keys.select(partition_col).distinct().collect()
+    ]
+    current = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    remaining = current.join(
+        keys.select(*key_cols, partition_col).distinct(),
+        on=[*key_cols, partition_col],
+        how="left_anti",
+    )
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+    return touched

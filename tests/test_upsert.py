@@ -85,3 +85,45 @@ def test_latest_per_key_picks_max_order(spark):
 
     got = {(r.k, r.v, r.payload) for r in latest_per_key(df, ["k"], "v").collect()}
     assert got == {(1, 3, "new"), (2, 5, "only")}
+
+
+# ------------------------------------------------------------- delete
+
+def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
+    from polars_fastx_spark.operators.upsert import delete_keys_partitioned
+
+    path = str(tmp_path / "tbl")
+    rows = [(i, f"p{i % 3}", i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, part string, v long")
+    df.write.partitionBy("part").parquet(path)
+
+    import glob, os
+    untouched_files = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=p2/*.parquet")
+    }
+
+    keys = spark.createDataFrame([(3, "p0"), (7, "p1")], "k long, part string")
+    touched = delete_keys_partitioned(spark, path, keys, ["k"], "part")
+    assert sorted(touched) == ["p0", "p1"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 28
+    assert back.filter(F.col("k").isin(3, 7)).count() == 0
+    # untouched partition files are byte-identical (never rewritten)
+    for f, mt in untouched_files.items():
+        assert os.path.getmtime(f) == mt, f
+
+
+def test_delete_keys_idempotent_replay(spark, tmp_path):
+    from polars_fastx_spark.operators.upsert import delete_keys_partitioned
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", i) for i in range(10)],
+        "k long, part string, v long",
+    ).write.partitionBy("part").parquet(path)
+    keys = spark.createDataFrame([(1, "a"), (9, "b")], "k long, part string")
+    delete_keys_partitioned(spark, path, keys, ["k"], "part")
+    delete_keys_partitioned(spark, path, keys, ["k"], "part")  # replay
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == [0, 2, 3, 4, 5, 6, 7, 8]

@@ -98,3 +98,56 @@ def test_pq_codes_stable_across_repartition(spark):
     a = {r["vec_id"]: list(r["codes"]) for r in c1.collect()}
     b = {r["vec_id"]: list(r["codes"]) for r in c2.collect()}
     assert a == b
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    # same planted-cluster universe as the PQ ADC test: IVF-PQ must
+    # route the query to its cluster's cell and rank its members first
+    import random as _random
+
+    from polars_fastx_spark.operators.similarity import ivfpq_topk
+
+    rng = _random.Random(11)
+    rows = []
+    centers = [
+        [rng.uniform(-1, 1) * 10 for _ in range(32)] for _ in range(12)
+    ]
+    for ci, c in enumerate(centers):
+        for t in range(10):
+            rows.append(
+                (ci * 10 + t, [x + rng.uniform(-0.05, 0.05) for x in c])
+            )
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    vecs = dict(rows)
+    query = vecs[0]
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            e, "vec_id", "v", query, k=10, num_cells=8, nprobe=3,
+            m=8, pq_k=8, iterations=3,
+        ).collect()
+    ]
+    overlap = len(set(got) & set(range(10)))
+    assert overlap >= 8, got
+
+
+def test_ivfpq_prunes_to_probed_cells(spark):
+    # with nprobe < num_cells the candidate set must be a strict subset
+    # of the corpus (pruning actually happened) yet still contain the
+    # query's own vector as the top hit
+    import random as _random
+
+    from polars_fastx_spark.operators.similarity import ivfpq_topk
+
+    rng = _random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    query = dict(rows)[42]
+    got = ivfpq_topk(
+        e, "vec_id", "v", query, k=120, num_cells=8, nprobe=2,
+        m=4, pq_k=4, iterations=2,
+    ).collect()
+    assert 0 < len(got) < 120          # pruned, not empty
+    assert got[0]["vec_id"] == 42      # own vector survives and wins

@@ -79,6 +79,8 @@ ALLOWED_NESTED_LOOP = {
     "q_tpch22",           # avg-acctbal scalar = 1-row broadcast cross join
     "l_dsir_sample",      # model totals = two 1-row broadcast cross joins
     "l_distinctive_terms",  # corpus total = 1-row broadcast cross join
+    "l_ivfpq_topk",       # IVF centroid assignment = broadcast × tiny centroid table
+    "l_bm25_multi",       # corpus stats = 1-row broadcast cross join
 }
 
 

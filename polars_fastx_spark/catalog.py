@@ -6323,3 +6323,64 @@ def l_ivfpq_topk(spark, sf_dir):
         e, "vec_id", "v", q, k=10, num_cells=16, nprobe=4, m=8, pq_k=8,
         iterations=3,
     ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+@_q(
+    "l_temperature_mix",
+    """
+    WITH st AS (SELECT source, count(*)::BIGINT AS n_total
+                FROM documents GROUP BY source),
+    tot AS (SELECT sum(pow(n_total, 0.5)) AS s FROM st),
+    q AS (
+      SELECT source, n_total,
+             floor(200 * pow(n_total, 0.5) / tot.s)::BIGINT AS quota
+      FROM st, tot
+    ),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5(doc_id::VARCHAR || ':temp'), 1, 4) ASC,
+                        doc_id ASC) AS rk
+      FROM documents
+    ),
+    k AS (
+      SELECT r.source, count(*)::BIGINT AS n_kept
+      FROM r JOIN q USING (source) WHERE rk <= quota
+      GROUP BY r.source
+    )
+    SELECT q.source, q.n_total, q.quota, k.n_kept
+    FROM q JOIN k USING (source)
+    ORDER BY source ASC NULLS FIRST
+    """,
+    "L6+ temperature-scaled source mixing (mT5/UniMax-style): per-"
+    "source quota ∝ n^alpha (alpha=0.5 — upsamples tails, damps heads) "
+    "against a 200-doc budget; quotas computed IN-PLAN from a 1-row "
+    "power-sum broadcast, membership via the content-addressed "
+    "quota_take (permanent per id). Distinct from l_source_mix's "
+    "uniform-target quota",
+)
+def l_temperature_mix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    tot = st.agg(F.sum(F.pow("n_total", 0.5)).alias("s"))
+    q = (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_total",
+            F.floor(200 * F.pow("n_total", 0.5) / F.col("s"))
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+    kept = sampling.quota_take(
+        d.select("doc_id", "source"), "source", "doc_id",
+        q.select("source", "quota"), salt="temp",
+    )
+    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        q.join(n_kept, "source")
+        .select("source", "n_total", "quota", "n_kept")
+        .orderBy(F.col("source").asc_nulls_first())
+    )

@@ -81,6 +81,7 @@ ALLOWED_NESTED_LOOP = {
     "l_distinctive_terms",  # corpus total = 1-row broadcast cross join
     "l_ivfpq_topk",       # IVF centroid assignment = broadcast × tiny centroid table
     "l_bm25_multi",       # corpus stats = 1-row broadcast cross join
+    "l_temperature_mix",  # power-sum total = 1-row broadcast cross join
 }
 
 

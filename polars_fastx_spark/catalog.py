@@ -6312,14 +6312,14 @@ def l_pq_topk(spark, sf_dir):
     "IVF cells prune to nprobe nearest the query, product-quantized "
     "RESIDUALS (v - centroid) rank by asymmetric distance without "
     "decompressing; scan moves m bytes per candidate in nprobe/cells "
-    "of the corpus (operators/similarity.py:ivfpq_topk)",
+    "of the corpus (operators/vectors.py:ivfpq_topk)",
 )
 def l_ivfpq_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
-    return similarity.ivfpq_topk(
+    return vectors.ivfpq_topk(
         e, "vec_id", "v", q, k=10, num_cells=16, nprobe=4, m=8, pq_k=8,
         iterations=3,
     ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))

@@ -698,83 +698,3 @@ def ann_topk_via_lsh(
         .limit(k)
     )
 
-
-def ivfpq_topk(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    query: list[float],
-    k: int = 10,
-    num_cells: int = 16,
-    nprobe: int = 4,
-    m: int = 8,
-    pq_k: int = 16,
-    iterations: int = 3,
-) -> DataFrame:
-    """IVF-PQ search (Jégou et al. 2011) — the production ANN index
-    shape, composed from this engine's two halves: IVF coarse cells
-    prune the corpus to the ``nprobe`` cells whose centroids are
-    nearest the query, and product-quantized RESIDUALS (v − centroid,
-    the classic IVFPQ encoding — residuals concentrate near 0, so the
-    same codebook budget buys less distortion) rank candidates by
-    asymmetric distance without ever decompressing.
-
-    Dataflow: broadcast cell assignment (``ivf_assign``), residuals by
-    one broadcast join, PQ trained on residuals in ONE multi-subspace
-    k-means loop (``vectors.pq_train``); the query side collects only
-    the ``num_cells`` centroid rows (bounded, same contract as
-    k-means), builds a (cell, j, c) → ||q_resid_j − code_jc||² table of
-    nprobe·m·pq_k rows, broadcasts it, and candidates in probed cells
-    resolve with explode-join-groupBy + TakeOrderedAndProject. At scale
-    the scan moves m bytes per candidate vector in nprobe/num_cells of
-    the corpus — neither the table nor the codes ever ship to the
-    driver.
-    """
-    from polars_fastx_spark.operators.vectors import pq_train
-
-    assigned, centroids = ivf_assign(df, id_col, vec_col, num_cells)
-    with_cent = assigned.join(F.broadcast(centroids), "cell")
-    resid = with_cent.select(
-        "__id", "cell",
-        F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
-    )
-    codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
-                            iterations=iterations)
-    coded = codes.join(resid.select("__id", "cell"), "__id")
-
-    cent_rows = centroids.collect()  # num_cells rows — bounded
-    q = [float(x) for x in query]
-    qn = sum(x * x for x in q) ** 0.5 or 1.0
-
-    def _cos(c):
-        cv, cn = list(c["centroid_vec"]), float(c["centroid_norm"]) or 1.0
-        return sum(a * b for a, b in zip(q, cv)) / (qn * cn)
-
-    probed = sorted(cent_rows, key=lambda c: (-_cos(c), c["cell"]))[:nprobe]
-    sub = len(books[0][0])
-    dt_rows = []
-    for c in probed:
-        qres = [a - b for a, b in zip(q, c["centroid_vec"])]
-        for j in range(m):
-            qj = qres[j * sub : (j + 1) * sub]
-            for ci in range(pq_k):
-                dt_rows.append(
-                    (c["cell"], j, ci,
-                     float(sum((a - b) ** 2
-                               for a, b in zip(qj, books[j][ci]))))
-                )
-    sp = df.sparkSession
-    dt = F.broadcast(
-        sp.createDataFrame(dt_rows, "cell string, j int, c int, _d double")
-    )
-    ex = coded.select(
-        "__id", "cell", F.posexplode("codes").alias("j", "c")
-    )
-    return (
-        ex.join(dt, ["cell", "j", "c"])  # probed-cell filter IS the join
-        .groupBy("__id")
-        .agg(F.sum("_d").alias("adc_dist"))
-        .select(F.col("__id").alias(id_col), "adc_dist")
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-        .limit(k)
-    )

@@ -105,7 +105,7 @@ def test_ivfpq_recall_on_clustered_data(spark):
     # route the query to its cluster's cell and rank its members first
     import random as _random
 
-    from polars_fastx_spark.operators.similarity import ivfpq_topk
+    from polars_fastx_spark.operators.vectors import ivfpq_topk
 
     rng = _random.Random(11)
     rows = []
@@ -137,7 +137,7 @@ def test_ivfpq_prunes_to_probed_cells(spark):
     # query's own vector as the top hit
     import random as _random
 
-    from polars_fastx_spark.operators.similarity import ivfpq_topk
+    from polars_fastx_spark.operators.vectors import ivfpq_topk
 
     rng = _random.Random(13)
     rows = [

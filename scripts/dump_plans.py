@@ -73,6 +73,15 @@ HEADLINE = {
     "q_profile": "One-pass profile: every per-column aggregate in one "
     "agg job (Expand for multi-distinct); stack() unpivot — a single "
     "leaf scan feeds all statistics.",
+    "t_islands": "Gaps-and-islands: running-max flag + cumsum + "
+    "groupBy all share ONE hash partitioning on the key — a single "
+    "exchange for the whole merge.",
+    "l_bm25_multi": "Batch retrieval: corpus postings computed once; "
+    "the query table rides broadcasts; per-(query, doc) scoring is one "
+    "groupBy — query count never touches corpus cost.",
+    "l_ivfpq_topk": "IVF-PQ: broadcast centroid assignment, residual "
+    "PQ codes, ADC via broadcast (cell, j, c) distance-table join — "
+    "candidates restricted to probed cells BY the join key itself.",
 }
 
 

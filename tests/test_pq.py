@@ -5,7 +5,6 @@ l_pq_topk is rows-only by design; these invariants are the value gate."""
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import functions as F
 

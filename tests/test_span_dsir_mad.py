@@ -6,7 +6,6 @@ semantics on hand-computable micro-inputs."""
 
 from __future__ import annotations
 
-import math
 
 import pytest
 from pyspark.sql import functions as F

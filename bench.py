@@ -96,7 +96,7 @@ def main() -> int:
     for label, qname in SUITE.items():
         fn = QUERIES[qname].fn
         best = None
-        for _ in range(2):  # min-of-2: drops scheduler/GC jitter, stays warm
+        for _ in range(3):  # min-of-3: drops scheduler/GC jitter, stays warm
             t0 = time.time()
             rows = fn(spark, sf_dir).collect()
             dt = time.time() - t0

@@ -116,3 +116,15 @@ def test_fuzzy_k2_no_cartesian(spark):
     plan = fuzzy_join_k2(a, b, "wa", "wb")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_null_keys_are_dropped(spark):
+    # a NULL string has no deletion neighborhood: explode(null array)
+    # yields no key rows, so null-keyed rows silently exit the join —
+    # pinned here as the documented contract (filter nulls first if
+    # they must be reported)
+    df = spark.createDataFrame([("cat",), (None,)], "w string")
+    a = df.select(F.col("w").alias("wa"))
+    b = df.select(F.col("w").alias("wb"))
+    got = fuzzy_join_k1(a, b, "wa", "wb").collect()
+    assert {(r["wa"], r["wb"]) for r in got} == {("cat", "cat")}

@@ -6384,3 +6384,52 @@ def l_temperature_mix(spark, sf_dir):
         .select("source", "n_total", "quota", "n_kept")
         .orderBy(F.col("source").asc_nulls_first())
     )
+
+
+@_q(
+    "l_winnow_fingerprint",
+    """
+    WITH t AS (SELECT doc_id, text FROM documents),
+    gh AS (
+      SELECT doc_id,
+             CASE WHEN length(text) - 12 + 1 >= 1 THEN
+               list_transform(range(1, length(text) - 12 + 2),
+                 i -> list_reduce(
+                        [strpos('0123456789abcdef', x) - 1
+                         for x in string_split(
+                             substr(md5(substr(text, i, 12)), 1, 15), '')],
+                        (a, b) -> a * 16 + b))
+             ELSE [] END AS gh
+      FROM t
+    ),
+    fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               CASE WHEN len(gh) >= 4 THEN
+                 list_transform(range(1, len(gh) - 4 + 2),
+                                i -> list_min(gh[i:i+3]))
+               ELSE gh END)) AS fp
+      FROM gh
+    ),
+    sh AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_fp,
+           sum(CASE WHEN fp IN (SELECT fp FROM sh)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_shared_fp
+    FROM fps GROUP BY doc_id
+    ORDER BY doc_id ASC NULLS FIRST
+    """,
+    "L4 winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS): "
+    "k-gram (k=12) hash + window-min (w=4) selection — any >=15-char "
+    "shared substring surfaces as a shared fingerprint while only "
+    "~2/(w+1) of hashes are kept; per-doc shared-fingerprint counts "
+    "are the copy-detection signal (operators/text.py:"
+    "winnow_fingerprints)",
+)
+def l_winnow_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.winnow_shared_stats(d, "doc_id", "text", k=12, w=4).orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )

@@ -932,3 +932,92 @@ def bm25_multi(
         .groupBy(query_id_col, id_col)
         .agg(F.sum(part).alias("bm25"))
     )
+
+
+# --------------------------------------------------- winnowing (MOSS)
+
+def _kgram_hash(g: Column) -> Column:
+    """Engine-portable 60-bit integer hash of a k-gram (first 15 md5
+    hex chars — replayable in DuckDB via the strpos/list_reduce idiom;
+    ANSI-overflow-safe under 2^63)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(g, "UTF-8")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def winnow_fingerprints(
+    c: Column | str,
+    k: int = 12,
+    w: int = 4,
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local copy-detection algorithm): hash every
+    character k-gram, slide a window of ``w`` consecutive hashes, keep
+    each window's MINIMUM; the distinct kept hashes are the
+    fingerprint. Guarantee: any substring match of length >= w+k-1
+    between two documents surfaces as >= 1 shared fingerprint, while
+    only ~2/(w+1) of all k-gram hashes are kept.
+
+    The classic presentation computes k-gram hashes with a Rabin-Karp
+    ROLLING recurrence and the window minimum with a deque — both
+    artifacts of single-pass sequential machines. Relationally the same
+    values come from one higher-order ``transform`` per stage (each
+    k-gram hashed directly; each window an ``array_min`` over a slice),
+    which stays row-local JVM codegen and column-parallel; the O(n·w)
+    window scan vs the deque's O(n) is a constant-factor trade at the
+    small ``w`` the algorithm calls for (w=4 here). Empty/short text →
+    empty array.
+    """
+    s = _col(c)
+    n_grams = F.length(s) - k + 1
+    gh = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: _kgram_hash(F.substring(s, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = F.when(
+        F.size(gh) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(gh) - w),
+            lambda i: F.array_min(F.slice(gh, i + 1, w)),
+        ),
+    ).otherwise(gh)  # fewer than w windows: keep all hashes
+    return F.array_distinct(wins)
+
+
+def winnow_shared_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    w: int = 4,
+):
+    """Corpus copy-detection report over winnowed fingerprints: per
+    document, the fingerprint count and how many of its fingerprints
+    are SHARED with at least one other document — the MOSS similarity
+    signal. One explode (row-local; ~2/(w+1) of the k-grams survive
+    winnowing, so the shuffle is a fraction of the corpus), ONE
+    groupBy(fp) countDistinct docs, shared set joined back, ONE
+    groupBy(doc)."""
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    fps = ensure_min_parallelism(df).select(
+        _col(id_col).alias(id_col),
+        F.explode(winnow_fingerprints(_col(text_col), k, w)).alias("fp"),
+    )
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("fp", F.lit(True).alias("_sh"))
+    )
+    return (
+        fps.join(shared, "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.count(F.col("_sh")).alias("n_shared_fp"),
+        )
+    )

@@ -145,3 +145,43 @@ def test_distinctive_terms_z_symmetry_two_groups(spark):
     z = {(r["source"], r["word"]): r["z_logodds"] for r in got.collect()}
     assert z[("A", "x")] == pytest.approx(-z[("B", "x")], abs=1e-5)
     assert z[("A", "y")] == pytest.approx(-z[("B", "y")], abs=1e-5)
+
+
+# ---------------------------------------------------------- winnowing
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    # the MOSS guarantee: a shared substring of length >= w+k-1
+    # (4+12-1=15 chars here) must produce >= 1 shared fingerprint
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, "AAAA " + shared + " BBBB padding text one"),
+        (2, "CCCCCC " + shared + " DDDD other padding"),
+        (3, "completely different content here with no overlap at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_fp"], r["n_shared_fp"])
+        for r in text.winnow_shared_stats(d, k=12, w=4).collect()
+    }
+    assert got[1][1] >= 1
+    assert got[2][1] >= 1
+    assert got[3][1] == 0
+
+
+def test_winnow_selects_fraction_of_kgrams(spark):
+    # winnowing must DOWNSAMPLE: far fewer fingerprints than k-grams
+    long_text = " ".join(f"tok{i}" for i in range(200))
+    d = spark.createDataFrame([(1, long_text)], "doc_id long, text string")
+    n_kgrams = len(long_text) - 12 + 1
+    got = text.winnow_shared_stats(d, k=12, w=4).collect()[0]
+    assert got["n_fp"] < n_kgrams * 0.6  # ~2/(w+1)=0.4 expected density
+
+
+def test_winnow_short_text_keeps_all_hashes(spark):
+    d = spark.createDataFrame(
+        [(1, "abcdefghijklm"), (2, "xy")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_fp"] for r in
+           text.winnow_shared_stats(d, k=12, w=4).collect()}
+    assert got[1] == 2   # 13 chars -> 2 k-grams, fewer than w -> all kept
+    assert 2 not in got  # shorter than k -> no k-grams, no row

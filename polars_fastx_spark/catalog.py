@@ -6433,3 +6433,34 @@ def l_winnow_fingerprint(spark, sf_dir):
     return text.winnow_shared_stats(d, "doc_id", "text", k=12, w=4).orderBy(
         F.col("doc_id").asc_nulls_first()
     )
+
+
+@_q(
+    "l_incr_dedup_perm",
+    _perm_minhash_cte()
+    + """
+    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS matched_id
+    FROM banded a JOIN banded b
+      ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+     AND a.doc_id >= 400
+     AND (b.doc_id < 400 OR b.doc_id < a.doc_id)
+    ORDER BY doc_id NULLS FIRST, matched_id NULLS FIRST
+    """,
+    "L2 INCREMENTAL path on the PRODUCTION hash family: the same "
+    "batch-vs-persisted-band-table dataflow as l_incr_dedup, but "
+    "signatures come from the one-pass permutation fold (ONE base "
+    "hash per shingle, 16 permutations folded in a single aggregate "
+    "— the production cost profile), with the oracle replaying the "
+    "LCG constants bit-for-bit",
+)
+def l_incr_dedup_perm(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    old_bands = dedup.minhash_band_table(
+        d.filter(F.col("doc_id") < 400), "doc_id", "text", family="perm_md5"
+    )
+    new_bands = dedup.minhash_band_table(
+        d.filter(F.col("doc_id") >= 400), "doc_id", "text", family="perm_md5"
+    )
+    return dedup.minhash_lsh_candidates_between(new_bands, old_bands).orderBy(
+        F.col("doc_id").asc_nulls_first(), F.col("matched_id").asc_nulls_first()
+    )

@@ -304,3 +304,37 @@ def test_salted_skew_replicates_dim_per_salt(spark):
 def test_triangles_plans_as_equi_joins(spark):
     df = QUERIES["l_triangles"].fn(spark, SF)
     assert not plans.has_cartesian(df)
+
+
+def test_runtime_bloom_filter_injected_for_selective_dim(spark):
+    """The 100 TB shuffle-join regime (dim too big to broadcast):
+    Spark's runtime row-level Bloom filter must be injected from the
+    filtered dim side into the fact scan — the non-partitioned-column
+    analog of dynamic partition pruning. Pinned with broadcast joins
+    disabled so the shuffle path (where the filter matters) is what's
+    planned."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF}/part.parquet").filter(
+            F.col("p_size") == 1
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).select(
+            "l_orderkey", "p_name"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

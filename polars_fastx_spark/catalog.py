@@ -6464,3 +6464,103 @@ def l_incr_dedup_perm(spark, sf_dir):
     return dedup.minhash_lsh_candidates_between(new_bands, old_bands).orderBy(
         F.col("doc_id").asc_nulls_first(), F.col("matched_id").asc_nulls_first()
     )
+
+
+@_q(
+    "u_except_all",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 40
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey NULLS FIRST
+    """,
+    "U3+: EXCEPT ALL (multiset difference — each duplicate survives "
+    "max(n_left - n_right, 0) times; the DISTINCT variant u_except "
+    "can't express per-copy accounting). Spark plans exceptAll as an "
+    "aggregate-count + generate replay, one shuffle per side",
+)
+def u_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 40).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.exceptAll(b).orderBy(F.col("l_partkey").asc_nulls_first())
+
+
+@_q(
+    "g_mode",
+    """
+    SELECT o_orderpriority,
+           ship AS mode_shipstatus,
+           n AS mode_count
+    FROM (
+      SELECT o_orderpriority, o_orderstatus AS ship, count(*)::BIGINT AS n,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY count(*) DESC,
+                                         o_orderstatus ASC) AS rk
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    WHERE rk = 1
+    ORDER BY o_orderpriority ASC NULLS FIRST
+    """,
+    "G+: DETERMINISTIC mode (most frequent value per group, ties "
+    "broken by value ascending) — built-in mode()'s tie winner is "
+    "engine-private, so the portable form is the count+row_number "
+    "compose: one (group, value) aggregate with map-side partials, "
+    "then a window over the tiny per-group value stats",
+)
+def g_mode(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_shipstatus"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@_q(
+    "w_nth_value",
+    """
+    SELECT DISTINCT o_custkey,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_highest
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey ASC NULLS FIRST,
+             second_highest ASC NULLS FIRST
+    """,
+    "W+: nth_value with a full frame — the second-highest order value "
+    "per customer (null when fewer than 2 orders); deterministic via "
+    "the o_orderkey tie-break. One shuffle on the key",
+)
+def w_nth_value(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.nth_value("o_totalprice", 2).over(win).alias("second_highest"),
+        )
+        .distinct()
+        .orderBy(
+            F.col("o_custkey").asc_nulls_first(),
+            F.col("second_highest").asc_nulls_first(),
+        )
+    )

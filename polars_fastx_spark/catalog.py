@@ -6564,3 +6564,26 @@ def w_nth_value(spark, sf_dir):
             F.col("second_highest").asc_nulls_first(),
         )
     )
+
+
+@_q(
+    "k_revcomp",
+    """
+    SELECT doc_id,
+           reverse(translate(text, 'ACGTacgtRYKMrykmBVDHbvdh',
+                                   'TGCAtgcaYRMKyrmkVBHDvbhd')) AS revcomp,
+           translate(text, 'Tt', 'Uu') AS rna
+    FROM documents
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "K+: reverse complement (IUPAC-aware translate + reverse — the "
+    "strand flip the reference's seq namespace lacks) and DNA->RNA "
+    "transcription; both pure codegen string ops, zero shuffles",
+)
+def k_revcomp(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        sq.reverse_complement("text").alias("revcomp"),
+        sq.transcribe("text").alias("rna"),
+    ).orderBy(F.col("doc_id").asc_nulls_first())

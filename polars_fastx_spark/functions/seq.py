@@ -178,6 +178,25 @@ def kmer_frequencies(c: Column | str, k: int = 3) -> Column:
     return _freq_map(kmers)
 
 
+def reverse_complement(c: Column | str) -> Column:
+    """Reverse complement of a DNA sequence — the strand flip every
+    FASTX pipeline needs (the reference's seq namespace lacks it; a
+    needletail-backed engine gets it from Rust, here it is two codegen
+    string ops): ``translate`` swaps complement pairs (case-preserving,
+    IUPAC ambiguity codes included; characters outside the alphabet —
+    e.g. N, gaps — map to themselves where undefined pairs exist) and
+    ``reverse`` flips the order.
+    """
+    fwd = "ACGTacgtRYKMrykmBVDHbvdh"
+    rev = "TGCAtgcaYRMKyrmkVBHDvbhd"
+    return F.reverse(F.translate(_col(c), fwd, rev))
+
+
+def transcribe(c: Column | str) -> Column:
+    """DNA → RNA transcription of the coding strand (T→U, case kept)."""
+    return F.translate(_col(c), "Tt", "Uu")
+
+
 def map_as_sorted_json(m: Column | str, scale: int = 9) -> Column:
     """Canonical JSON rendering of a map<string,double> with sorted keys.
 
@@ -249,6 +268,12 @@ class SeqAccessor:
 
     def codon_usage(self) -> Column:
         return codon_usage(self._c)
+
+    def reverse_complement(self) -> Column:
+        return reverse_complement(self._c)
+
+    def transcribe(self) -> Column:
+        return transcribe(self._c)
 
     def calculate_kmer_frequencies(self, k: int = 3) -> Column:
         return kmer_frequencies(self._c, k)

@@ -183,3 +183,29 @@ def test_map_as_sorted_json_canonicalizes(spark):
         ).alias("j")
     )
     assert df.collect()[0]["j"] == '{"a":0.25,"b":0.50}'
+
+
+def test_reverse_complement_basic(spark):
+    from polars_fastx_spark.functions.seq import reverse_complement, transcribe
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("ACGTN",), ("acgt",), ("GATTACA",)], "s string"
+    )
+    got = [r["rc"] for r in df.select(
+        reverse_complement("s").alias("rc")).collect()]
+    assert got == ["NACGT", "acgt", "TGTAATC"]
+    rna = [r["u"] for r in df.select(transcribe("s").alias("u")).collect()]
+    assert rna == ["ACGUN", "acgu", "GAUUACA"]
+
+
+def test_reverse_complement_involution(spark):
+    # revcomp(revcomp(x)) == x for pure unambiguous DNA
+    from polars_fastx_spark.functions.seq import reverse_complement
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("ACGTTGCAacgt",)], "s string")
+    rr = df.select(
+        reverse_complement(reverse_complement("s")).alias("rr"), "s"
+    ).collect()[0]
+    assert rr["rr"] == rr["s"]

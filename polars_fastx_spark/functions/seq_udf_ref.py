@@ -85,3 +85,15 @@ def kmer_frequencies_ref(k: int = 3):
         return s.map(lambda x: _kmers_dict(x, k))
 
     return _udf
+
+
+@F.pandas_udf(StringType())
+def reverse_complement_ref(s: pd.Series) -> pd.Series:
+    """Arrow twin of seq.reverse_complement — per-row str.translate +
+    slice-reverse, the shape a Python-first implementation would take."""
+    table = str.maketrans(
+        "ACGTacgtRYKMrykmBVDHbvdh", "TGCAtgcaYRMKyrmkVBHDvbhd"
+    )
+    return s.map(
+        lambda x: x.translate(table)[::-1] if x is not None else None
+    )

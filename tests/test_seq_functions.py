@@ -209,3 +209,20 @@ def test_reverse_complement_involution(spark):
         reverse_complement(reverse_complement("s")).alias("rr"), "s"
     ).collect()[0]
     assert rr["rr"] == rr["s"]
+
+
+def test_reverse_complement_matches_udf_twin(spark):
+    from pyspark.sql import functions as F
+    from polars_fastx_spark.functions import seq_udf_ref as ref
+    from polars_fastx_spark.functions.seq import reverse_complement
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mismatches = (
+        d.select(
+            reverse_complement("text").alias("a"),
+            ref.reverse_complement_ref("text").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mismatches == 0

@@ -6587,3 +6587,41 @@ def k_revcomp(spark, sf_dir):
         sq.reverse_complement("text").alias("revcomp"),
         sq.transcribe("text").alias("rna"),
     ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+def _codon_case_sql() -> str:
+    """CASE mapping codon → amino acid generated from the SAME
+    CODON_TABLE constant the Spark expression uses — one source of
+    truth for both engines."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(sq.CODON_TABLE.items())
+    )
+    return f"CASE cod {whens} ELSE 'X' END"
+
+
+@_q(
+    "k_translate_protein",
+    """
+    WITH cod AS (
+      SELECT doc_id, i, upper(substr(text, i, 3)) AS cod
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 2, 3)) AS i
+            FROM documents WHERE length(text) >= 3)
+    ),
+    aa AS (SELECT doc_id, i, __CASE__ AS a FROM cod)
+    SELECT d.doc_id, coalesce(p.protein, '') AS protein
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, string_agg(a, '' ORDER BY i) AS protein
+      FROM aa GROUP BY doc_id) p USING (doc_id)
+    ORDER BY doc_id NULLS FIRST
+    """.replace("__CASE__", _codon_case_sql()),
+    "K+: frame-0 protein translation under the standard genetic code "
+    "(NCBI table 1) — 64-entry MAP literal lookup per codon, pure "
+    "codegen, ambiguity -> 'X', stops render '*'; oracle CASE is "
+    "generated from the SAME CODON_TABLE constant",
+)
+def k_translate_protein(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", sq.translate_protein("text").alias("protein")
+    ).orderBy(F.col("doc_id").asc_nulls_first())

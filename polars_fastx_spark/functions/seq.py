@@ -197,6 +197,34 @@ def transcribe(c: Column | str) -> Column:
     return F.translate(_col(c), "Tt", "Uu")
 
 
+#: standard genetic code (NCBI table 1), codon -> amino acid, '*' = stop
+CODON_TABLE: dict[str, str] = {"AAA": "K", "AAC": "N", "AAG": "K", "AAT": "N", "ACA": "T", "ACC": "T", "ACG": "T", "ACT": "T", "AGA": "R", "AGC": "S", "AGG": "R", "AGT": "S", "ATA": "I", "ATC": "I", "ATG": "M", "ATT": "I", "CAA": "Q", "CAC": "H", "CAG": "Q", "CAT": "H", "CCA": "P", "CCC": "P", "CCG": "P", "CCT": "P", "CGA": "R", "CGC": "R", "CGG": "R", "CGT": "R", "CTA": "L", "CTC": "L", "CTG": "L", "CTT": "L", "GAA": "E", "GAC": "D", "GAG": "E", "GAT": "D", "GCA": "A", "GCC": "A", "GCG": "A", "GCT": "A", "GGA": "G", "GGC": "G", "GGG": "G", "GGT": "G", "GTA": "V", "GTC": "V", "GTG": "V", "GTT": "V", "TAA": "*", "TAC": "Y", "TAG": "*", "TAT": "Y", "TCA": "S", "TCC": "S", "TCG": "S", "TCT": "S", "TGA": "*", "TGC": "C", "TGG": "W", "TGT": "C", "TTA": "L", "TTC": "F", "TTG": "L", "TTT": "F"}
+
+
+def translate_protein(c: Column | str) -> Column:
+    """Frame-0 protein translation under the standard genetic code:
+    non-overlapping uppercase codons map through a 64-entry MAP literal
+    (``element_at`` lookup — JVM codegen, no UDF); codons containing
+    N/other ambiguity translate to 'X'; stops render '*' and translation
+    does NOT halt at them (whole-frame translation — the caller slices
+    ORFs first if stop-terminated products are wanted). Trailing 1-2
+    leftover bases are ignored, like :func:`codon_usage`.
+    """
+    s = F.upper(_col(c))
+    n_codons = F.floor(F.length(s) / 3).cast("int")
+    codons = F.transform(
+        F.sequence(F.lit(0), n_codons - 1),
+        lambda i: F.substring(s, i * 3 + 1, 3),
+    )
+    lookup = F.create_map(
+        *[F.lit(x) for kv in sorted(CODON_TABLE.items()) for x in kv]
+    )
+    aa = F.transform(
+        codons, lambda cod: F.coalesce(lookup[cod], F.lit("X"))
+    )
+    return F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+
+
 def map_as_sorted_json(m: Column | str, scale: int = 9) -> Column:
     """Canonical JSON rendering of a map<string,double> with sorted keys.
 
@@ -274,6 +302,9 @@ class SeqAccessor:
 
     def transcribe(self) -> Column:
         return transcribe(self._c)
+
+    def translate_protein(self) -> Column:
+        return translate_protein(self._c)
 
     def calculate_kmer_frequencies(self, k: int = 3) -> Column:
         return kmer_frequencies(self._c, k)

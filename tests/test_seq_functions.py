@@ -226,3 +226,18 @@ def test_reverse_complement_matches_udf_twin(spark):
         .count()
     )
     assert mismatches == 0
+
+
+def test_translate_protein_known_cases(spark):
+    from polars_fastx_spark.functions.seq import translate_protein
+
+    df = spark.createDataFrame(
+        [("ATGGCCTAA",),   # M A *
+         ("atgtggtga",),   # case-insensitive: M W *
+         ("ATGNNNAAA",),   # ambiguity codon -> X
+         ("AC",), ("",)],  # too short -> empty
+        "s string",
+    )
+    got = [r["p"] for r in df.select(
+        translate_protein("s").alias("p")).collect()]
+    assert got == ["MA*", "MW*", "MXK", "", ""]

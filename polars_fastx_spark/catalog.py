@@ -6625,3 +6625,50 @@ def k_translate_protein(spark, sf_dir):
     return d.select(
         "doc_id", sq.translate_protein("text").alias("protein")
     ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
+    "k_longest_orf",
+    """
+    WITH s6 AS (
+      SELECT doc_id, strand, f,
+             substr(CASE WHEN strand = 'F' THEN up ELSE rc END, f) AS fs
+      FROM (SELECT doc_id, upper(text) AS up,
+                   reverse(translate(upper(text),
+                                     'ACGTRYKMBVDH', 'TGCAYRMKVBHD')) AS rc
+            FROM documents),
+           (VALUES ('F'), ('R')) strands(strand),
+           (VALUES (1), (2), (3)) fr(f)
+    ),
+    cod AS (
+      SELECT doc_id, strand, f, i, upper(substr(fs, i, 3)) AS cod
+      FROM (SELECT *, unnest(generate_series(1, length(fs) - 2, 3)) AS i
+            FROM s6 WHERE length(fs) >= 3)
+    ),
+    aa AS (SELECT doc_id, strand, f, i, __CASE__ AS a FROM cod),
+    prot AS (
+      SELECT doc_id, strand, f, string_agg(a, '' ORDER BY i) AS p
+      FROM aa GROUP BY doc_id, strand, f
+    ),
+    hits AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(p, 'M[^*]*\\*')) AS m
+      FROM prot
+    ),
+    best AS (SELECT doc_id, max(length(m)) * 3 AS orf
+             FROM hits GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(best.orf, 0)::BIGINT AS longest_orf
+    FROM documents d LEFT JOIN best USING (doc_id)
+    ORDER BY doc_id NULLS FIRST
+    """.replace("__CASE__", _codon_case_sql()),
+    "K+: longest open reading frame across all 6 frames (3 forward + "
+    "3 reverse-complement), found in PROTEIN space ('M[^*]*\\\\*' per "
+    "frame translation — the regex can't cross a stop, so per-frame "
+    "maximal ORFs are exact); pure codegen, zero shuffles; oracle "
+    "rebuilds all 6 frame proteins from the shared CODON_TABLE",
+)
+def k_longest_orf(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", sq.longest_orf("text").alias("longest_orf")
+    ).orderBy(F.col("doc_id").asc_nulls_first())

@@ -225,6 +225,39 @@ def translate_protein(c: Column | str) -> Column:
     return F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
 
 
+def longest_orf(c: Column | str) -> Column:
+    """Length (in nucleotides, incl. the stop codon) of the longest
+    open reading frame across all 6 frames (3 forward + 3 on the
+    reverse complement); 0 when no complete ATG→stop ORF exists.
+
+    Found in PROTEIN space: each frame translates via
+    :func:`translate_protein` and ORFs are ``M[^*]*\\*`` matches — the
+    regex cannot cross a stop, so within a frame every maximal ORF is
+    found (an in-frame ATG inside another ORF shares its stop and is
+    never longer), and frames are scanned independently so no
+    cross-frame overlap is missed. Codons with ambiguity translate to
+    'X' which [^*] happily spans — an ORF may contain unknown residues
+    but start/stop must be certain. Pure codegen: 6 translate calls +
+    6 regexp scans, zero shuffles.
+    """
+    up = F.upper(_col(c))
+    rc = reverse_complement(up)
+    pat = F.lit(r"M[^*]*\*")
+
+    def frame_max(seq_col: Column, f: int) -> Column:
+        prot = translate_protein(F.substring(seq_col, f, F.length(seq_col) - f + 1))
+        lens = F.transform(
+            F.regexp_extract_all(prot, pat, 0), lambda m: F.length(m)
+        )
+        return F.coalesce(F.array_max(lens), F.lit(0))
+
+    best_aa = F.greatest(
+        *[frame_max(up, f) for f in (1, 2, 3)],
+        *[frame_max(rc, f) for f in (1, 2, 3)],
+    )
+    return (best_aa * 3).cast("bigint")
+
+
 def map_as_sorted_json(m: Column | str, scale: int = 9) -> Column:
     """Canonical JSON rendering of a map<string,double> with sorted keys.
 
@@ -305,6 +338,9 @@ class SeqAccessor:
 
     def translate_protein(self) -> Column:
         return translate_protein(self._c)
+
+    def longest_orf(self) -> Column:
+        return longest_orf(self._c)
 
     def calculate_kmer_frequencies(self, k: int = 3) -> Column:
         return kmer_frequencies(self._c, k)

@@ -241,3 +241,27 @@ def test_translate_protein_known_cases(spark):
     got = [r["p"] for r in df.select(
         translate_protein("s").alias("p")).collect()]
     assert got == ["MA*", "MW*", "MXK", "", ""]
+
+
+def test_longest_orf_hand_cases(spark):
+    from polars_fastx_spark.functions.seq import longest_orf
+
+    df = spark.createDataFrame(
+        [("ATGAAATAA",),       # 9 nt, frame 0
+         ("xATGAAATAAx",),     # shifted frame, still 9
+         ("TTACATTTTCAT",),    # only on the reverse complement: 12
+         ("ATGAAA",),          # no stop -> not an ORF
+         ("ACGTACGT",), ("",)],
+        "s string",
+    )
+    got = [r["o"] for r in df.select(longest_orf("s").alias("o")).collect()]
+    assert got == [9, 9, 12, 0, 0, 0]
+
+
+def test_longest_orf_picks_longest_across_frames(spark):
+    from polars_fastx_spark.functions.seq import longest_orf
+
+    # frame 0 has a 9-nt ORF; frame 1 hides a 15-nt ORF overlapping it
+    s = "ATGAAATAA" + "x" + "ATGAAAAAAAAATAG"
+    df = spark.createDataFrame([(s,)], "s string")
+    assert df.select(longest_orf("s").alias("o")).collect()[0]["o"] == 15

@@ -6672,3 +6672,25 @@ def k_longest_orf(spark, sf_dir):
     return d.select(
         "doc_id", sq.longest_orf("text").alias("longest_orf")
     ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
+    "k_gc_skew",
+    """
+    SELECT doc_id,
+           round((length(text) - length(replace(text, 'G', ''))
+                  - (length(text) - length(replace(text, 'C', ''))))
+                 / nullif((length(text) - length(replace(text, 'G', ''))
+                           + length(text) - length(replace(text, 'C', '')))::DOUBLE,
+                          0), 6) AS gc_skew
+    FROM documents
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "K+: GC skew (G-C)/(G+C) — replication-origin strand asymmetry; "
+    "translate-based char counts, null-guarded division, pure codegen",
+)
+def k_gc_skew(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(sq.gc_skew("text"), 6).alias("gc_skew")
+    ).orderBy(F.col("doc_id").asc_nulls_first())

@@ -258,6 +258,18 @@ def longest_orf(c: Column | str) -> Column:
     return (best_aa * 3).cast("bigint")
 
 
+def gc_skew(c: Column | str) -> Column:
+    """GC skew (G − C)/(G + C) — the strand-asymmetry signal used to
+    locate replication origins; null when the sequence has no G or C
+    (division guarded with nullif, ANSI-safe). Case-sensitive like
+    :func:`gc_content` (reference parity: fastx_parsers.py:31-38
+    counts uppercase only)."""
+    col = _col(c)
+    g = count_matches(col, "G")
+    cc = count_matches(col, "C")
+    return (g - cc) / F.nullif((g + cc).cast("double"), F.lit(0.0))
+
+
 def map_as_sorted_json(m: Column | str, scale: int = 9) -> Column:
     """Canonical JSON rendering of a map<string,double> with sorted keys.
 
@@ -341,6 +353,9 @@ class SeqAccessor:
 
     def longest_orf(self) -> Column:
         return longest_orf(self._c)
+
+    def gc_skew(self) -> Column:
+        return gc_skew(self._c)
 
     def calculate_kmer_frequencies(self, k: int = 3) -> Column:
         return kmer_frequencies(self._c, k)

@@ -265,3 +265,16 @@ def test_longest_orf_picks_longest_across_frames(spark):
     s = "ATGAAATAA" + "x" + "ATGAAAAAAAAATAG"
     df = spark.createDataFrame([(s,)], "s string")
     assert df.select(longest_orf("s").alias("o")).collect()[0]["o"] == 15
+
+
+def test_gc_skew_hand_cases(spark):
+    from polars_fastx_spark.functions.seq import gc_skew
+
+    df = spark.createDataFrame(
+        [("GGGC",), ("GC",), ("AT",), ("gc",)], "s string"
+    )
+    got = [r["k"] for r in df.select(gc_skew("s").alias("k")).collect()]
+    assert got[0] == pytest.approx(0.5)   # (3-1)/4
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] is None                 # no G or C -> null, not 0/0
+    assert got[3] is None                 # case-sensitive like gc_content

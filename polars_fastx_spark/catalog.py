@@ -6694,3 +6694,51 @@ def k_gc_skew(spark, sf_dir):
     return d.select(
         "doc_id", F.round(sq.gc_skew("text"), 6).alias("gc_skew")
     ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
+@_q(
+    "k_n50",
+    """
+    WITH h AS (
+      SELECT length(text)::BIGINT AS len, count(*)::BIGINT AS n
+      FROM documents GROUP BY len
+    ),
+    tot AS (SELECT sum(len * n)::BIGINT AS total_bp,
+                   sum(n)::BIGINT AS n_seqs FROM h),
+    c AS (
+      SELECT len,
+             sum(len * n) OVER (ORDER BY len DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM h
+    )
+    SELECT tot.n_seqs, tot.total_bp,
+           (SELECT max(len) FROM c, tot WHERE c.cum * 2 >= tot.total_bp)
+             AS n50
+    FROM tot
+    """,
+    "K+: N50 (assembly contiguity statistic — the length at which the "
+    "cumulative sum of descending lengths crosses half the total "
+    "bases), computed over the LENGTH HISTOGRAM so the window runs on "
+    "distinct-length rows (bounded cardinality), never a global sort "
+    "of the corpus; all comparisons exact integer (cum*2 >= total)",
+)
+def k_n50(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    h = d.groupBy(F.length("text").cast("bigint").alias("len")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = h.agg(
+        F.sum(F.col("len") * F.col("n")).alias("total_bp"),
+        F.sum("n").alias("n_seqs"),
+    )
+    w = Window.orderBy(F.col("len").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select("len", F.sum(F.col("len") * F.col("n")).over(w).alias("cum"))
+    n50 = (
+        c.crossJoin(F.broadcast(tot.select("total_bp")))
+        .filter(F.col("cum") * 2 >= F.col("total_bp"))
+        .agg(F.max("len").alias("n50"))
+    )
+    return tot.crossJoin(F.broadcast(n50)).select("n_seqs", "total_bp", "n50")

@@ -82,6 +82,7 @@ ALLOWED_NESTED_LOOP = {
     "l_ivfpq_topk",       # IVF centroid assignment = broadcast × tiny centroid table
     "l_bm25_multi",       # corpus stats = 1-row broadcast cross join
     "l_temperature_mix",  # power-sum total = 1-row broadcast cross join
+    "k_n50",              # totals/n50 = 1-row broadcast cross joins
 }
 
 

@@ -278,3 +278,19 @@ def test_gc_skew_hand_cases(spark):
     assert got[1] == pytest.approx(0.0)
     assert got[2] is None                 # no G or C -> null, not 0/0
     assert got[3] is None                 # case-sensitive like gc_content
+
+
+def test_n50_catalog_query_hand_check(spark):
+    # N50 definition check against the catalog query's own machinery:
+    # lengths 10,10,30,50 -> total 100, desc cumsum 50,80,90,100;
+    # half-total 50 reached at the first row -> N50 = 50
+    from polars_fastx_spark.catalog import QUERIES
+    import tempfile, os
+
+    td = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, "A" * n) for i, n in enumerate((10, 10, 30, 50))],
+        "doc_id long, text string",
+    ).write.parquet(os.path.join(td, "documents.parquet"))
+    row = QUERIES["k_n50"].fn(spark, td).collect()[0]
+    assert (row["n_seqs"], row["total_bp"], row["n50"]) == (4, 100, 50)

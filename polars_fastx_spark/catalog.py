@@ -6609,7 +6609,9 @@ def _codon_case_sql() -> str:
             FROM documents WHERE length(text) >= 3)
     ),
     aa AS (SELECT doc_id, i, __CASE__ AS a FROM cod)
-    SELECT d.doc_id, coalesce(p.protein, '') AS protein
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(p.protein, '') END AS protein
     FROM documents d LEFT JOIN (
       SELECT doc_id, string_agg(a, '' ORDER BY i) AS protein
       FROM aa GROUP BY doc_id) p USING (doc_id)
@@ -6657,7 +6659,9 @@ def k_translate_protein(spark, sf_dir):
     ),
     best AS (SELECT doc_id, max(length(m)) * 3 AS orf
              FROM hits GROUP BY doc_id)
-    SELECT d.doc_id, coalesce(best.orf, 0)::BIGINT AS longest_orf
+    SELECT d.doc_id,
+           (CASE WHEN d.text IS NULL THEN NULL
+                 ELSE coalesce(best.orf, 0) END)::BIGINT AS longest_orf
     FROM documents d LEFT JOIN best USING (doc_id)
     ORDER BY doc_id NULLS FIRST
     """.replace("__CASE__", _codon_case_sql()),

@@ -222,7 +222,13 @@ def translate_protein(c: Column | str) -> Column:
     aa = F.transform(
         codons, lambda cod: F.coalesce(lookup[cod], F.lit("X"))
     )
-    return F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+    # NULL in -> NULL out (Spark/Polars null semantics); '' only for
+    # non-null inputs shorter than one codon
+    return F.when(
+        _col(c).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+    )
 
 
 def longest_orf(c: Column | str) -> Column:
@@ -255,7 +261,10 @@ def longest_orf(c: Column | str) -> Column:
         *[frame_max(up, f) for f in (1, 2, 3)],
         *[frame_max(rc, f) for f in (1, 2, 3)],
     )
-    return (best_aa * 3).cast("bigint")
+    # NULL in -> NULL out; 0 means "no ORF", not "no sequence"
+    return F.when(_col(c).isNull(), F.lit(None).cast("bigint")).otherwise(
+        (best_aa * 3).cast("bigint")
+    )
 
 
 def gc_skew(c: Column | str) -> Column:

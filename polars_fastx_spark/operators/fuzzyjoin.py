@@ -57,6 +57,31 @@ def deletion_variants(col: Column | str) -> Column:
     return F.array_union(F.array(s), dels)
 
 
+def _joined_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    variants: Column,
+    variants_r: Column,
+) -> DataFrame:
+    """Equi-join the two exploded neighborhood streams and collapse the
+    multi-shared-key duplicates per (left row, right row) PAIR — keyed
+    on per-side surrogate ids, not a full-row ``distinct()``, so
+    genuinely duplicate input rows still produce one output pair each
+    (N×M pairs for N identical left rows × M identical right rows)."""
+    lk = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
+        "__v", F.explode(variants)
+    )
+    rk = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__v", F.explode(variants_r)
+    )
+    return (
+        lk.join(rk, "__v")
+        .drop("__v")
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
+    )
+
+
 def fuzzy_join_k1(
     left: DataFrame,
     right: DataFrame,
@@ -70,7 +95,8 @@ def fuzzy_join_k1(
     Dataflow: each side explodes its deletion neighborhood (row-local
     fan-out), the two key streams equi-join on the variant key (one
     hash-shuffle join, AQE-managed), duplicate candidates from multiple
-    shared keys collapse with ``distinct`` on the joined rows, and the
+    shared keys collapse per (left row, right row) pair via per-side
+    surrogate ids — duplicate INPUT rows keep their multiplicity — and the
     built-in ``levenshtein`` verifies (blocking admits distance-2 pairs
     like "ab"~"cb"? no — but it does admit same-length
     substitution-at-two-positions false candidates only when they share
@@ -84,9 +110,9 @@ def fuzzy_join_k1(
     Column collision: callers must ensure disjoint output columns
     (alias beforehand), as with any Spark join.
     """
-    lk = left.withColumn("__v", F.explode(deletion_variants(left_col)))
-    rk = right.withColumn("__v", F.explode(deletion_variants(right_col)))
-    cand = lk.join(rk, "__v").drop("__v").distinct()
+    cand = _joined_candidates(
+        left, right, deletion_variants(left_col), deletion_variants(right_col)
+    )
     dist = F.levenshtein(_col(left_col), _col(right_col))
     out = cand.filter(dist <= 1)
     if not keep_equal:
@@ -140,9 +166,12 @@ def fuzzy_join_k2(
     the built-in ``levenshtein`` verify removes blocking false
     positives). Same plan shape: row-local key fan-out, one shuffled
     equi-join, distinct, codegen verify."""
-    lk = left.withColumn("__v", F.explode(deletion_variants_k2(left_col)))
-    rk = right.withColumn("__v", F.explode(deletion_variants_k2(right_col)))
-    cand = lk.join(rk, "__v").drop("__v").distinct()
+    cand = _joined_candidates(
+        left,
+        right,
+        deletion_variants_k2(left_col),
+        deletion_variants_k2(right_col),
+    )
     dist = F.levenshtein(_col(left_col), _col(right_col))
     out = cand.filter(dist <= 2)
     if not keep_equal:

@@ -180,10 +180,20 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     buys full-core parallelism for one cheap shuffle of the input —
     the exact trade a warehouse engine's stats-driven planner makes.
 
-    The check reads the physical partition count (plan-time, no job).
+    Scan-only restriction: the partition count comes from
+    ``df.rdd.getNumPartitions()``, which is free for a single-stage
+    (scan + row-local) plan but under AQE can MATERIALIZE upstream
+    shuffle query stages for multi-stage plans — so if the physical
+    plan contains any Exchange the frame passes through untouched.
+    That's also semantically right: a post-shuffle frame already has
+    ``spark.sql.shuffle.partitions``-grade parallelism, so the
+    row-group-bound-scan hazard this helper exists for can't apply.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

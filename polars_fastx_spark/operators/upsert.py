@@ -120,10 +120,68 @@ def delete_keys_partitioned(
         on=[*key_cols, partition_col],
         how="left_anti",
     )
+    # Dynamic overwrite only rewrites partitions PRESENT in the output,
+    # so a partition whose every row is deleted would silently survive
+    # on disk. Find those (tiny distinct over the touched subset, before
+    # the files change) and remove their directories explicitly after
+    # the overwrite — a takedown primitive must not no-op.
+    surviving = {
+        r[0] for r in remaining.select(partition_col).distinct().collect()
+    }
+    emptied = [v for v in touched if v not in surviving]
     (
         remaining.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target_path)
     )
+    if emptied:
+        _delete_partition_dirs(spark, target_path, partition_col, emptied)
     return touched
+
+
+def _unescape_path_name(name: str) -> str:
+    """Reverse Hive-style %XX path escaping used in partition dir names."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _delete_partition_dirs(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    values: list,
+) -> None:
+    """Remove ``{partition_col}={value}`` directories under
+    ``target_path`` via the Hadoop FileSystem API (works on any FS the
+    session can reach, not just local disk). Directory names are
+    unescaped before comparison so values with special characters still
+    match; a null partition value maps to Hive's default sentinel."""
+    wanted = {
+        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        for v in values
+    }
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        if _unescape_path_name(name[len(prefix) :]) in wanted:
+            fs.delete(status.getPath(), True)

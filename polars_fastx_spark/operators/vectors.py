@@ -229,6 +229,11 @@ def pq_train(
     Returns (codes frame (id, codes array<int> length m), codebooks
     [m][k][sub]). Only m·k centroid rows ever reach the driver.
     """
+    if iterations < 1:
+        raise ValueError(
+            "pq_train needs iterations >= 1 (codes come from the last "
+            "assignment pass; with 0 passes there is nothing to encode)"
+        )
     dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m

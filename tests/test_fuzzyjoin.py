@@ -128,3 +128,14 @@ def test_fuzzy_join_null_keys_are_dropped(spark):
     b = df.select(F.col("w").alias("wb"))
     got = fuzzy_join_k1(a, b, "wa", "wb").collect()
     assert {(r["wa"], r["wb"]) for r in got} == {("cat", "cat")}
+
+
+def test_fuzzy_join_preserves_duplicate_input_rows(spark):
+    """N identical left rows × M identical right rows → N·M output
+    pairs (candidate dedup is per surrogate row id, not full-row)."""
+    from polars_fastx_spark.operators.fuzzyjoin import fuzzy_join_k2
+
+    left = spark.createDataFrame([("cat",)] * 3, "a string")
+    right = spark.createDataFrame([("cut",)] * 2, "b string")
+    assert fuzzy_join_k1(left, right, "a", "b").count() == 6
+    assert fuzzy_join_k2(left, right, "a", "b").count() == 6

@@ -146,3 +146,13 @@ def test_ensure_min_parallelism_noop_when_already_parallel(spark):
     wide = spark.range(1000).repartition(target + 4)
     out = pt.ensure_min_parallelism(wide)
     assert out is wide  # untouched frame, no extra shuffle node
+
+
+def test_ensure_min_parallelism_passes_through_post_shuffle_frames(spark):
+    """Multi-stage plans (any Exchange) must pass through untouched:
+    df.rdd on them can materialize shuffle stages under AQE, and a
+    post-shuffle frame already has shuffle-partitions parallelism."""
+    import polars_fastx_spark.operators.partitioning as pt
+
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert pt.ensure_min_parallelism(agg) is agg

@@ -150,3 +150,13 @@ def test_ivfpq_prunes_to_probed_cells(spark):
     ).collect()
     assert 0 < len(got) < 120          # pruned, not empty
     assert got[0]["vec_id"] == 42      # own vector survives and wins
+
+
+def test_pq_train_rejects_zero_iterations(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        pq_train(df, "id", "v", m=2, k=2, iterations=0)

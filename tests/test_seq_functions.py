@@ -294,3 +294,18 @@ def test_n50_catalog_query_hand_check(spark):
     ).write.parquet(os.path.join(td, "documents.parquet"))
     row = QUERIES["k_n50"].fn(spark, td).collect()[0]
     assert (row["n_seqs"], row["total_bp"], row["n50"]) == (4, 100, 50)
+
+
+def test_translate_and_orf_propagate_null(spark):
+    """NULL sequence -> NULL protein / NULL orf length, matching
+    Spark/Polars null semantics (not ''/0)."""
+    from polars_fastx_spark.functions.seq import longest_orf, translate_protein
+
+    df = spark.createDataFrame([(None,), ("ATGTAA",), ("",)], "s string")
+    rows = df.select(
+        translate_protein("s").alias("p"), longest_orf("s").alias("o")
+    ).collect()
+    got = [(r["p"], r["o"]) for r in rows]
+    assert got[0] == (None, None)
+    assert got[1] == ("M*", 6)
+    assert got[2] == ("", 0)

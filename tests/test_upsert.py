@@ -114,6 +114,46 @@ def test_delete_keys_rewrites_only_touched_partitions(spark, tmp_path):
         assert os.path.getmtime(f) == mt, f
 
 
+def test_delete_keys_removes_fully_emptied_partition(spark, tmp_path):
+    """Deleting EVERY key of a partition must remove it — dynamic
+    overwrite alone would silently leave the old files on disk."""
+    from polars_fastx_spark.operators.upsert import delete_keys_partitioned
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "k long, part string, v long",
+    ).write.partitionBy("part").parquet(path)
+
+    keys = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k long, part string"
+    )
+    touched = delete_keys_partitioned(spark, path, keys, ["k"], "part")
+    assert sorted(touched) == ["a", "b"]
+
+    back = spark.read.parquet(path)
+    assert {(r.k, r.part) for r in back.collect()} == {(4, "b")}
+    import os
+
+    assert not os.path.exists(f"{path}/part=a")  # dir gone, not just empty
+
+
+def test_delete_keys_emptying_every_partition(spark, tmp_path):
+    from polars_fastx_spark.operators.upsert import delete_keys_partitioned
+
+    path = str(tmp_path / "tbl4")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "k long, part string, v long"
+    ).write.partitionBy("part").parquet(path)
+    keys = spark.createDataFrame([(1, "a"), (2, "b")], "k long, part string")
+    delete_keys_partitioned(spark, path, keys, ["k"], "part")
+    import glob as _g
+
+    # every partition directory removed (a schema-less read of the now
+    # data-free root would raise, so assert on the filesystem directly)
+    assert _g.glob(f"{path}/part=*") == []
+
+
 def test_delete_keys_idempotent_replay(spark, tmp_path):
     from polars_fastx_spark.operators.upsert import delete_keys_partitioned
 

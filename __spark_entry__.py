@@ -22,15 +22,17 @@ if _REPO not in sys.path:
 def _ensure_conf(spark: SparkSession) -> None:
     """Apply session-settable engine defaults on a driver-provided session.
 
-    The driver may hand us a vanilla session; ``nanosAsLong`` and the UTC
-    timezone are runtime-settable SQL confs the catalog queries rely on
-    (SURVEY.md §4.4.1).
+    The driver may hand us a vanilla session. Correctness confs
+    (``nanosAsLong``, UTC timezone, ANSI — SURVEY.md §4.4.1) AND the
+    performance posture (shuffle partitions, AQE coalesce/skew, Arrow,
+    scan split sizing) are all runtime-settable SQL confs, so the full
+    engine tuning from ``session._DEFAULTS`` lands here too: on a
+    vanilla 200-shuffle-partition session the iterative queries
+    (pagerank, dedup closure) run ~6x slower without this.
     """
-    for k, v in {
-        "spark.sql.legacy.parquet.nanosAsLong": "true",
-        "spark.sql.session.timeZone": "UTC",
-        "spark.sql.ansi.enabled": "true",
-    }.items():
+    from polars_fastx_spark.session import _DEFAULTS
+
+    for k, v in _DEFAULTS.items():
         try:
             spark.conf.set(k, v)
         except Exception:

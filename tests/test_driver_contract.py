@@ -41,3 +41,46 @@ print("VANILLA-OK")
         capture_output=True, text=True, timeout=600,
     )
     assert "VANILLA-OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def test_ensure_conf_applies_engine_tuning_on_bare_session():
+    """A bare ``SparkSession.builder.getOrCreate()`` (200 shuffle
+    partitions, no AQE posture guarantees) must pick up the FULL engine
+    tuning from ``session._DEFAULTS`` the first time any driver-contract
+    query runs — measured ~6x on the iterative tier otherwise. Run in a
+    separate JVM so the suite's tuned session can't mask the cliff."""
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("bare-driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+import __spark_entry__ as E
+# an iterative catalog query (label propagation closure) through the
+# driver-contract wrapper
+out = E.queries()["l_dedup_groups"](spark, "/root/testdata/sf0.001").collect()
+assert out is not None
+from polars_fastx_spark.session import _DEFAULTS
+for k in (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.session.timeZone",
+):
+    got = spark.conf.get(k)
+    assert got == _DEFAULTS[k], (k, got, _DEFAULTS[k])
+print("TUNED-OK")
+""".format(repo=str(REPO))
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert "TUNED-OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]

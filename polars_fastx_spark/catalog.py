@@ -6325,6 +6325,164 @@ def l_ivfpq_topk(spark, sf_dir):
     ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+#: shared CTE fragments for the PINNED (zero-training, md5-seeded) PQ
+#: oracles — the codebook seeding and assignment replay in DuckDB
+#: because every step is content-addressed (no RNG, no iteration): per
+#: subspace j the k subvectors with the smallest md5(id || ':' || j)
+#: ARE the centroids, codes are argmin squared-L2 against them, and
+#: ADC sums the m per-subspace query-to-centroid distances.
+_PQ_SEEDS_SQL = """
+seeds AS (
+  SELECT j, c, sv FROM (
+    SELECT j, sv,
+           row_number() OVER (PARTITION BY j
+             ORDER BY md5(vec_id::VARCHAR || ':' || j::VARCHAR)) - 1 AS c
+    FROM {subs}
+  ) WHERE c < 8
+),
+assigned AS (
+  SELECT s.vec_id{cell_sel}, s.j,
+         arg_min(d.c,
+           list_sum(list_transform(range(1,9),
+             i -> (s.sv[i]-d.sv[i])*(s.sv[i]-d.sv[i])))) AS c
+  FROM {subs} s JOIN seeds d USING (j)
+  GROUP BY s.vec_id{cell_sel}, s.j
+)"""
+
+
+@_q(
+    "l_pq_topk_pinned",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    subs AS (
+      SELECT b.vec_id, js.j, list_slice(b.v, js.j*8+1, js.j*8+8) AS sv
+      FROM base b, js
+    ),"""
+    + _PQ_SEEDS_SQL.format(subs="subs", cell_sel="")
+    + """,
+    qsubs AS (SELECT j, sv FROM subs WHERE vec_id = 0),
+    dtab AS (
+      SELECT d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (q.sv[i]-d.sv[i])*(q.sv[i]-d.sv[i]))) AS dist
+      FROM seeds d JOIN qsubs q USING (j)
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(t.dist) AS raw
+      FROM assigned a JOIN dtab t ON a.j = t.j AND a.c = t.c
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS adc_dist
+    FROM adc ORDER BY raw ASC, vec_id ASC LIMIT 10
+    """,
+    "L3+ PQ ANN with PINNED codebooks: md5-seeded, zero Lloyd rounds — "
+    "the frozen-codebook encode path a production index uses for the "
+    "corpus-side 100 TB pass (train once on a sample, pq_encode the "
+    "rest), and the oracle-checkable twin of l_pq_topk (same dataflow: "
+    "broadcast m*k centroid table, min_by assignment, broadcast ADC "
+    "table, explode-join-groupBy; operators/vectors.py:pq_seed_books/"
+    "pq_encode/pq_topk). The oracle rebuilds the identical books from "
+    "md5(id||':'||j) and replays codes + ADC ranking exactly",
+)
+def l_pq_topk_pinned(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    books = vectors.pq_seed_books(e, "vec_id", "v", m=8, k=8)
+    codes = vectors.pq_encode(e, "vec_id", "v", books)
+    return vectors.pq_topk(codes, books, q, "vec_id", n=10).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
+@_q(
+    "l_ivfpq_topk_pinned",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1,65), i -> a.v[i] - c.cvec[i]) AS r
+      FROM asg a JOIN cent c USING (cell)
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(t.r, js.j*8+1, js.j*8+8) AS sv
+      FROM resid t, js
+    ),"""
+    + _PQ_SEEDS_SQL.format(subs="rsubs", cell_sel=", s.cell")
+    + """,
+    q AS (SELECT v FROM base WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cell, c.cvec
+      FROM cent c, q
+      ORDER BY list_dot_product(q.v, c.cvec)
+                 / (coalesce(nullif(sqrt(list_sum(
+                        list_transform(q.v, x -> x*x))), 0), 1)
+                    * coalesce(nullif(c.cnorm, 0), 1)) DESC,
+               c.cell ASC
+      LIMIT 4
+    ),
+    qres AS (
+      SELECT p.cell,
+             list_transform(range(1,65), i -> q.v[i] - p.cvec[i]) AS qr
+      FROM probed p, q
+    ),
+    qrsubs AS (
+      SELECT t.cell, js.j, list_slice(t.qr, js.j*8+1, js.j*8+8) AS sv
+      FROM qres t, js
+    ),
+    dtab AS (
+      SELECT qs.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qs.sv[i]-d.sv[i])*(qs.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qs JOIN seeds d ON qs.j = d.j
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS adc_dist
+    FROM adc ORDER BY raw ASC, vec_id ASC LIMIT 10
+    """,
+    "L3+ IVF-PQ ANN with PINNED codebooks: deterministic IVF cells "
+    "(16 smallest md5(id) vectors, cosine max_by assignment) + "
+    "residual PQ on md5-seeded zero-training books, nprobe=4 cell "
+    "pruning, broadcast (cell,j,c) ADC table — the oracle-checkable "
+    "twin of l_ivfpq_topk (operators/vectors.py:ivfpq_topk with "
+    "pinned_books=True); the oracle replays cells, residuals, books, "
+    "codes, probes and the ADC ranking end-to-end in SQL",
+)
+def l_ivfpq_topk_pinned(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    return vectors.ivfpq_topk(
+        e, "vec_id", "v", q, k=10, num_cells=16, nprobe=4, m=8, pq_k=8,
+        pinned_books=True,
+    ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
 @_q(
     "l_temperature_mix",
     """

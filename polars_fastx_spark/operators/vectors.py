@@ -203,6 +203,96 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub: int):
     )
 
 
+def _seed_books_from_subs(subs: DataFrame, id_col: str, m: int, k: int,
+                          sub: int) -> list[list[list[float]]]:
+    """Content-addressed PQ codebook seeding: per subspace ``j``, the
+    ``k`` subvectors with the smallest ``md5(id || ':' || j)`` become
+    centroids 0..k-1 — deterministic, RNG-free, and replayable in any
+    engine with md5 (the DuckDB oracles rebuild the same books)."""
+    from pyspark.sql import Window
+
+    wseed = Window.partitionBy("j").orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("j")))
+    )
+    seed_rows = (
+        subs.withColumn("_r", F.row_number().over(wseed))
+        .filter(F.col("_r") <= k)
+        .select("j", (F.col("_r") - 1).alias("c"), "sv")
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [[0.0] * sub for _ in range(k)] for _ in range(m)
+    ]
+    for r in seed_rows:
+        books[r["j"]][r["c"]] = [float(x) for x in r["sv"]]
+    return books
+
+
+def _assign_codes(subs: DataFrame, books: list[list[list[float]]],
+                  id_col: str) -> DataFrame:
+    """One assignment pass: each (id, j, sv) row gets the index of its
+    nearest codebook centroid (squared L2) — broadcast m·k-row centroid
+    table + min_by, the same shape at any scale."""
+    sp = subs.sparkSession
+    m, k = len(books), len(books[0])
+    cen = F.broadcast(
+        sp.createDataFrame(
+            [(j, c, books[j][c]) for j in range(m) for c in range(k)],
+            "j int, _c int, _cvec array<double>",
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(cen, "j")
+        .withColumn("_dist", dist)
+        .groupBy(id_col, "j", "sv")
+        .agg(F.min_by("_c", "_dist").alias("c"))
+    )
+
+
+def _codes_frame(assigned: DataFrame, id_col: str) -> DataFrame:
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))),
+            lambda s: s["c"],
+        ).alias("codes")
+    )
+
+
+def pq_seed_books(
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int
+) -> list[list[list[float]]]:
+    """The md5-seeded (zero-training) PQ codebooks for ``df`` — the
+    PINNED variant: fully deterministic and SQL-replayable, so an
+    external oracle can reproduce codes and ADC rankings bit-for-bit.
+    Production indexes refine these with :func:`pq_train`."""
+    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    subs = _subvectors(df, id_col, vec_col, m, sub)
+    return _seed_books_from_subs(subs, id_col, m, k, sub)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Encode vectors against FIXED codebooks (no training) — the
+    steady-state path of a production PQ index (train once on a sample,
+    encode the 100 TB corpus with the frozen books), and the pinned
+    oracle path (seed books → encode → ADC replays in SQL)."""
+    m = len(books)
+    sub = len(books[0][0])
+    subs = _subvectors(df, id_col, vec_col, m, sub)
+    return _codes_frame(_assign_codes(subs, books, id_col), id_col)
+
+
 def pq_train(
     df: DataFrame,
     id_col: str,
@@ -239,59 +329,14 @@ def pq_train(
     sub = dim // m
     subs = _subvectors(df, id_col, vec_col, m, sub).persist()
     try:
-        from pyspark.sql import Window
-
-        wseed = Window.partitionBy("j").orderBy(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("j")))
-        )
-        seed_rows = (
-            subs.withColumn("_r", F.row_number().over(wseed))
-            .filter(F.col("_r") <= k)
-            .select("j", (F.col("_r") - 1).alias("c"), "sv")
-            .collect()
-        )
-        books: list[list[list[float]]] = [
-            [[0.0] * sub for _ in range(k)] for _ in range(m)
-        ]
-        for r in seed_rows:
-            books[r["j"]][r["c"]] = [float(x) for x in r["sv"]]
-
-        sp = df.sparkSession
+        books = _seed_books_from_subs(subs, id_col, m, k, sub)
         assigned = None
         for _ in range(iterations):
-            cen = F.broadcast(
-                sp.createDataFrame(
-                    [
-                        (j, c, books[j][c])
-                        for j in range(m)
-                        for c in range(k)
-                    ],
-                    "j int, _c int, _cvec array<double>",
-                )
-            )
-            dist = F.aggregate(
-                F.zip_with(
-                    F.col("sv"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            assigned = (
-                subs.join(cen, "j")
-                .withColumn("_dist", dist)
-                .groupBy(id_col, "j", "sv")
-                .agg(F.min_by("_c", "_dist").alias("c"))
-            )
+            assigned = _assign_codes(subs, books, id_col)
             new = group_centroids(assigned, ["j", "c"], "sv").collect()
             for r in new:  # empty clusters keep their previous centroid
                 books[r["j"]][r["c"]] = [float(x) for x in r["centroid"]]
-        codes = assigned.groupBy(id_col).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "c"))),
-                lambda s: s["c"],
-            ).alias("codes")
-        )
-        return codes, books
+        return _codes_frame(assigned, id_col), books
     finally:
         subs.unpersist()
 
@@ -344,6 +389,7 @@ def ivfpq_topk(
     m: int = 8,
     pq_k: int = 16,
     iterations: int = 3,
+    pinned_books: bool = False,
 ) -> DataFrame:
     """IVF-PQ search (Jégou et al. 2011) — the production ANN index
     shape, composed from this engine's two halves: IVF coarse cells
@@ -372,8 +418,14 @@ def ivfpq_topk(
         "__id", "cell",
         F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
     )
-    codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
-                            iterations=iterations)
+    if pinned_books:
+        # zero-training md5-seeded books: fully SQL-replayable (the
+        # pinned-oracle variant; also the frozen-codebook encode path)
+        books = pq_seed_books(resid, "__id", "__r", m=m, k=pq_k)
+        codes = pq_encode(resid, "__id", "__r", books)
+    else:
+        codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
+                                iterations=iterations)
     coded = codes.join(resid.select("__id", "cell"), "__id")
 
     cent_rows = centroids.collect()  # num_cells rows — bounded

@@ -80,6 +80,7 @@ ALLOWED_NESTED_LOOP = {
     "l_dsir_sample",      # model totals = two 1-row broadcast cross joins
     "l_distinctive_terms",  # corpus total = 1-row broadcast cross join
     "l_ivfpq_topk",       # IVF centroid assignment = broadcast × tiny centroid table
+    "l_ivfpq_topk_pinned",  # same shape as l_ivfpq_topk, frozen books
     "l_bm25_multi",       # corpus stats = 1-row broadcast cross join
     "l_temperature_mix",  # power-sum total = 1-row broadcast cross join
     "k_n50",              # totals/n50 = 1-row broadcast cross joins

@@ -160,3 +160,39 @@ def test_pq_train_rejects_zero_iterations(spark):
     )
     with pytest.raises(ValueError, match="iterations >= 1"):
         pq_train(df, "id", "v", m=2, k=2, iterations=0)
+
+
+def test_pq_encode_pinned_books_deterministic_across_repartition(spark):
+    """Seed books + frozen-book encode are content-addressed: any
+    partitioning of the same rows yields identical books and codes."""
+    import numpy as np
+
+    from polars_fastx_spark.operators.vectors import pq_encode, pq_seed_books
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    a = spark.createDataFrame(rows, "id long, v array<double>")
+    b = spark.createDataFrame(rows, "id long, v array<double>").repartition(13)
+
+    books_a = pq_seed_books(a, "id", "v", m=4, k=4)
+    books_b = pq_seed_books(b, "id", "v", m=4, k=4)
+    assert books_a == books_b
+
+    codes_a = {r["id"]: list(r["codes"]) for r in pq_encode(a, "id", "v", books_a).collect()}
+    codes_b = {r["id"]: list(r["codes"]) for r in pq_encode(b, "id", "v", books_b).collect()}
+    assert codes_a == codes_b
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in codes_a.values())
+
+
+def test_ivfpq_pinned_ranks_own_vector_first(spark):
+    import numpy as np
+
+    from polars_fastx_spark.operators.vectors import ivfpq_topk
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = rows[42][1]
+    got = ivfpq_topk(df, "id", "v", q, k=5, num_cells=8, nprobe=3, m=4,
+                     pq_k=4, pinned_books=True).collect()
+    assert got[0]["id"] == 42

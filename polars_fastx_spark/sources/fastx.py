@@ -79,7 +79,8 @@ def _expand_paths(path: str) -> list[str]:
 class FastxPartition(InputPartition):
     path: str
     start: int
-    end: int | None  # None → whole file (gzip / FASTQ)
+    end: int | None  # None → whole file (raw gzip / unsplittable FASTQ)
+    prev_block: int | None = None  # BGZF ranges: preceding non-empty block
 
 
 class FastxReader(DataSourceReader):
@@ -107,17 +108,31 @@ class FastxReader(DataSourceReader):
                 yield f
 
     def partitions(self) -> Sequence[FastxPartition]:
+        from polars_fastx_spark.sources import bgzf
+
         parts: list[FastxPartition] = []
         for p in self._paths:
-            splittable = (
-                not parser.is_gzip_file(p)
-                and os.path.getsize(p) > self._split_bytes
-                # FASTQ splits only under verified 4-line framing —
-                # multi-line FASTQ can't resync safely (SURVEY.md §7.1)
-                and (not self._is_fastq or parser.probe_four_line_fastq(p))
-            )
-            if splittable:
-                size = os.path.getsize(p)
+            size = os.path.getsize(p)
+            # FASTQ splits only under verified 4-line framing —
+            # multi-line FASTQ can't resync safely (SURVEY.md §7.1)
+            framing_ok = not self._is_fastq or parser.probe_four_line_fastq(p)
+            if parser.is_gzip_file(p):
+                # BGZF (bgzip) block framing → byte-range parallelism on
+                # compressed corpora, the standard 100 TB genomics
+                # layout; raw gzip stays one whole-file partition.
+                if (
+                    size > self._split_bytes
+                    and framing_ok
+                    and bgzf.is_bgzf_file(p)
+                ):
+                    idx = bgzf.block_index(p)
+                    for s, e, prev in bgzf.split_ranges(
+                        idx, self._split_bytes, size
+                    ):
+                        parts.append(FastxPartition(p, s, e, prev))
+                else:
+                    parts.append(FastxPartition(p, 0, None))
+            elif size > self._split_bytes and framing_ok:
                 step = self._split_bytes
                 for off in range(0, size, step):
                     parts.append(FastxPartition(p, off, min(off + step, size)))
@@ -182,7 +197,8 @@ class FastxReader(DataSourceReader):
                     "mixed FASTA/FASTQ directories need separate scans"
                 )
         rows = parser.parse_file(
-            partition.path, self._is_fastq, partition.start, partition.end
+            partition.path, self._is_fastq, partition.start, partition.end,
+            partition.prev_block,
         )
         if self._predicates:
             return (r for r in rows if self._keep(r))

@@ -160,7 +160,7 @@ def probe_four_line_fastq(path: str, n_records: int = 8) -> bool:
     back to whole-file parsing instead of desyncing.
     """
     try:
-        with open(path, "rb") as f:
+        with open_maybe_gzip(path) as f:
             for _ in range(n_records):
                 lines = [f.readline().rstrip(b"\r\n") for _ in range(4)]
                 if lines[0] == b"" and all(not x for x in lines):
@@ -273,14 +273,104 @@ def parse_fastq_range(
             yield h[1:].decode("utf-8"), s.decode("utf-8"), q.decode("utf-8")
 
 
+def parse_fasta_bgzf_range(
+    path: str, start: int, end: int, prev: int | None
+) -> Iterator[tuple[str, str]]:
+    """FASTA records whose header line begins inside BGZF blocks
+    [start, end) — the block-compressed twin of
+    :func:`parse_fasta_range`, driven by the ownership-aware line
+    stream (sources/bgzf.py)."""
+    from polars_fastx_spark.sources import bgzf
+
+    header: str | None = None
+    chunks: list[bytes] = []
+    for owned, line in bgzf.iter_lines_range(path, start, end, prev):
+        if line.startswith(b">"):
+            if header is not None:
+                yield header, b"".join(chunks).decode("utf-8")
+                header = None
+            if not owned:
+                return
+            header = line[1:].decode("utf-8")
+            chunks = []
+        elif header is not None and line:
+            chunks.append(line)
+    if header is not None:
+        yield header, b"".join(chunks).decode("utf-8")
+
+
+def parse_fastq_bgzf_range(
+    path: str, start: int, end: int, prev: int | None
+) -> Iterator[tuple[str, str, str]]:
+    """4-line FASTQ records whose header line begins inside BGZF blocks
+    [start, end) — same validated-anchor resync as
+    :func:`parse_fastq_range`, over the decompressed ownership-aware
+    line stream. Callers must gate with :func:`probe_four_line_fastq`
+    (which reads through gzip transparently)."""
+    from polars_fastx_spark.sources import bgzf
+
+    it = bgzf.iter_lines_range(path, start, end, prev)
+    window: list[tuple[bool, bytes]] = []
+    for item in it:
+        window.append(item)
+        if len(window) >= 16:
+            break
+    lines_only = [ln for _, ln in window]
+    anchor = None
+    for i in range(min(4, len(window))):
+        if not window[i][0]:
+            return  # first candidate already past end → next range owns
+        if _is_record_start(lines_only, i):
+            anchor = i
+            break
+    if anchor is None:
+        if start == 0 and window:
+            raise ValueError(f"{path}: not 4-line FASTQ at block 0")
+        return
+
+    def stream():
+        yield from window[anchor:]
+        yield from it
+
+    rows = stream()
+    while True:
+        rec = []
+        for _ in range(4):
+            item = next(rows, None)
+            if item is None:
+                break
+            rec.append(item)
+        if not rec or (len(rec) == 1 and not rec[0][1]):
+            return  # clean EOF (possibly one trailing empty line)
+        if not rec[0][0]:
+            return  # header past end → next range owns this record
+        if len(rec) < 4:
+            raise ValueError(f"{path}: FASTQ truncated in BGZF range")
+        (_, h), (_, s), (_, plus), (_, q) = rec
+        if not h.startswith(b"@") or not plus.startswith(b"+"):
+            raise ValueError(f"{path}: FASTQ framing error in BGZF range")
+        yield h[1:].decode("utf-8"), s.decode("utf-8"), q.decode("utf-8")
+
+
 def parse_file(
-    path: str, is_fastq: bool, start: int = 0, end: int | None = None
+    path: str, is_fastq: bool, start: int = 0, end: int | None = None,
+    prev_block: int | None = None,
 ) -> Iterator[tuple]:
-    """Parse one file, or one byte-range of an uncompressed FASTX file."""
+    """Parse one file, or one byte-range of an uncompressed or
+    BGZF-compressed FASTX file."""
     ranged = start != 0 or end is not None
     if is_gzip_file(path):
         if ranged:
-            raise ValueError("gzip inputs use whole-file partitions")
+            from polars_fastx_spark.sources import bgzf
+
+            if not bgzf.is_bgzf_file(path):
+                raise ValueError("raw gzip inputs use whole-file partitions")
+            stop = os.path.getsize(path) if end is None else end
+            if is_fastq:
+                yield from parse_fastq_bgzf_range(path, start, stop, prev_block)
+            else:
+                yield from parse_fasta_bgzf_range(path, start, stop, prev_block)
+            return
         with open_maybe_gzip(path) as f:
             yield from (parse_fastq_stream(f) if is_fastq else parse_fasta_stream(f))
         return

@@ -1410,8 +1410,73 @@ def l_exact_dedup(spark, sf_dir):
 )
 def l_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # collapse_exact=False: this query PINS the classic all-pairs
+    # candidate contract against the SQL oracle; l_minhash_collapse
+    # pins the standalone-safe star-edge default.
     return dedup.minhash_lsh_candidates(
-        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
+        collapse_exact=False,
+    ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
+
+
+@_q(
+    "l_minhash_collapse",
+    """
+    WITH rep AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM documents
+    ),
+    star AS (SELECT rep AS id_a, doc_id AS id_b FROM rep WHERE doc_id <> rep),
+    docs AS (SELECT doc_id, text FROM rep WHERE doc_id = rep),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4, 1)) AS i
+            FROM docs WHERE length(text) >= 5)
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS m0,  min(md5('1:' || s)) AS m1,
+             min(md5('2:' || s)) AS m2,  min(md5('3:' || s)) AS m3,
+             min(md5('4:' || s)) AS m4,  min(md5('5:' || s)) AS m5,
+             min(md5('6:' || s)) AS m6,  min(md5('7:' || s)) AS m7,
+             min(md5('8:' || s)) AS m8,  min(md5('9:' || s)) AS m9,
+             min(md5('10:' || s)) AS m10, min(md5('11:' || s)) AS m11,
+             min(md5('12:' || s)) AS m12, min(md5('13:' || s)) AS m13,
+             min(md5('14:' || s)) AS m14, min(md5('15:' || s)) AS m15
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+             md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS b0,
+             md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS b1,
+             md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) AS b2,
+             md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
+      FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT id_a, id_b
+    FROM (SELECT * FROM pairs UNION SELECT * FROM star)
+    ORDER BY id_a NULLS FIRST, id_b NULLS FIRST
+    """,
+    "L2 standalone-SAFE candidate path (the minhash_lsh_candidates "
+    "default): exact duplicates pre-collapse to their min-id "
+    "representative BEFORE banding, each duplicate attaches by one "
+    "STAR edge — a flood of identical docs yields O(n) candidate rows "
+    "instead of an O(n²) band bucket, with the identical transitive "
+    "closure (operators/dedup.py:minhash_lsh_candidates). Oracle "
+    "replays the collapse, the 16-hash md5 LSH over representatives, "
+    "and the star union",
+)
+def l_minhash_collapse(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
+        collapse_exact=True,
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
@@ -1482,7 +1547,7 @@ def l_minhash_perm(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
         d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
-        family="perm_md5",
+        family="perm_md5", collapse_exact=False,  # all-pairs oracle contract
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
@@ -1816,7 +1881,8 @@ def l_novel_docs(spark, sf_dir):
 def l_leakage_audit(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(
-        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, family="md5"
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4, family="md5",
+        collapse_exact=False,  # the audit COUNTS pairs — all-pairs contract
     ).persist()
     plain = sampling.assign_splits(d.select("doc_id"), "doc_id").select(
         "doc_id", F.col("split").alias("ps")

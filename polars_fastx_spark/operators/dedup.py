@@ -274,6 +274,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     family: str = "md5",
     persist: bool = True,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -288,7 +289,38 @@ def minhash_lsh_candidates(
     (measured ~8 s one-time JIT at 16 hashes × 4 bands). Production
     pipelines at corpus scale should write the signature table to
     storage instead and join from there.
+
+    ``collapse_exact`` (default True — the standalone-safe posture):
+    candidate pairing inside a band bucket is quadratic in bucket size,
+    so a flood of byte-identical documents hitting this operator
+    directly would go O(n²) in one bucket. With the guard on, exact
+    duplicates pre-collapse to their min-id representative (one
+    md5-groupBy), only representatives are banded, and each duplicate
+    attaches to its representative by a single STAR edge — O(n) rows
+    for n identical docs. The pair SET differs from the classic
+    all-pairs contract, but its transitive closure (what every dedup
+    consumer — components, keep-one, group splits — computes) is
+    identical: duplicates share all band keys, so anything reachable
+    from one is reachable from the representative. Pass False for the
+    literal all-pairs contract (the SQL-oracle definition).
     """
+    if collapse_exact:
+        hashed = df.select(
+            F.col(id_col).alias("__cid"), F.col(text_col).alias("__ctext")
+        ).withColumn("__chash", F.md5(F.encode(F.col("__ctext"), "UTF-8")))
+        reps = hashed.groupBy("__chash").agg(F.min("__cid").alias("__crep"))
+        tagged = hashed.join(reps, "__chash")
+        star = tagged.filter(F.col("__cid") != F.col("__crep")).select(
+            F.col("__crep").alias("id_a"), F.col("__cid").alias("id_b")
+        )
+        rep_docs = tagged.filter(F.col("__cid") == F.col("__crep")).select(
+            F.col("__cid").alias(id_col), F.col("__ctext").alias(text_col)
+        )
+        rep_pairs = minhash_lsh_candidates(
+            rep_docs, id_col, text_col, shingle_k, num_hashes, bands,
+            family, persist, collapse_exact=False,
+        )
+        return rep_pairs.unionByName(star)
     with_bands = minhash_band_table(
         df, id_col, text_col, shingle_k, num_hashes, bands, family
     )

@@ -68,3 +68,48 @@ def test_incremental_lsh_equals_full_corpus_pass(spark):
         if hi >= 35:  # pair touches the new batch (lo<hi, so hi is new)
             want.add((hi, lo))
     assert incr == want
+
+
+def test_lsh_collapse_identical_flood_is_linear(spark):
+    """10k byte-identical docs through the DEFAULT candidate path must
+    come back as n-1 star edges (O(n)), not an O(n²) band bucket."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical document text flooding one LSH bucket").alias("text"),
+    )
+    pairs = minhash_lsh_candidates(docs, "doc_id", "text")
+    assert pairs.count() == 9_999
+    assert pairs.filter(F.col("id_a") != 0).count() == 0  # star on min id
+
+
+def test_lsh_collapse_preserves_components(spark):
+    """Star-edge collapse and the classic all-pairs contract induce the
+    SAME connected components (what every dedup consumer computes)."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators.dedup import minhash_lsh_candidates
+    from polars_fastx_spark.operators.graph import connected_components
+
+    rows = []
+    for i in range(8):  # 8 identical docs
+        rows.append((i, "the quick brown fox jumps over the lazy dog " * 3))
+    for i in range(8, 14):  # near-dups of the identical family
+        rows.append((i, "the quick brown fox jumps over the lazy dog " * 3 + f"x{i % 2}"))
+    for i in range(14, 30):  # unrelated distinct docs
+        rows.append((i, f"completely different content number {i} " * 4))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def comps(collapse):
+        pairs = minhash_lsh_candidates(
+            docs, "doc_id", "text", collapse_exact=collapse
+        )
+        return {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+
+    assert comps(True) == comps(False)

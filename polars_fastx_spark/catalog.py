@@ -489,6 +489,49 @@ def j_asof_forward(spark, sf_dir):
 
 
 @_q(
+    "j_asof_nearest",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, epoch_us(ts) AS t, value
+      FROM events WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT p.event_id, c.value,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY abs(p.t - c.t) ASC,
+                        CASE WHEN c.t <= p.t THEN 0 ELSE 1 END ASC) AS rn
+      FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+    )
+    SELECT p.event_id, round(r.value, 4) AS nearest_click_value
+    FROM purchases p LEFT JOIN ranked r
+      ON r.event_id = p.event_id AND r.rn = 1
+    ORDER BY p.event_id NULLS FIRST
+    """,
+    "J7: nearest-mode as-of join — whichever of the latest-prior / "
+    "earliest-following click is closer in time (ties prefer backward, "
+    "the documented contract); one shuffle via the dual-window pick "
+    "(operators/asof.py), never the O(left*right) candidate set the "
+    "oracle's rank-over-all-pairs definition materializes",
+)
+def j_asof_nearest(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    joined = join_asof(
+        purchases, clicks, on="ts_us", by="user_id", strategy="nearest"
+    )
+    return joined.select(
+        "event_id", F.round("value", 4).alias("nearest_click_value")
+    ).orderBy(F.col("event_id").asc_nulls_first())
+
+
+@_q(
     "j_interval_overlap",
     """
     WITH signups AS (
@@ -3918,6 +3961,46 @@ def x_sketch_hll(spark, sf_dir):
     )
     return (
         sketches.hll_merge(partials, ["event_type"])
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+@_q(
+    "x_sketch_hll_exact",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS exact_ndv,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type
+    ORDER BY event_type NULLS FIRST
+    """,
+    "Sketch tier, oracle companion of x_sketch_hll: the merged per-day "
+    "HLL-partials estimate pinned against the EXACT distinct count "
+    "through the driver protocol — the query emits the exact NDV plus "
+    "a within-5%% boolean computed from the sketch estimate, so the "
+    "oracle's TRUE literal turns red the round the estimate drifts. "
+    "(The sketch's register internals stay rows-only in x_sketch_hll.)",
+)
+def x_sketch_hll_exact(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    partials = sketches.hll_partials(
+        e, ["event_type"], "user_id", F.expr("ts div 86400000000000")
+    )
+    merged = sketches.hll_merge(partials, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_ndv")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_ndv",
+            (
+                F.abs(F.col("ndv_est") - F.col("exact_ndv"))
+                / F.col("exact_ndv")
+                <= 0.05
+            ).alias("hll_within_5pct"),
+        )
         .orderBy(F.col("event_type").asc_nulls_first())
     )
 

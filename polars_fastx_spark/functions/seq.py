@@ -210,25 +210,34 @@ def translate_protein(c: Column | str) -> Column:
     ORFs first if stop-terminated products are wanted). Trailing 1-2
     leftover bases are ignored, like :func:`codon_usage`.
     """
-    s = F.upper(_col(c))
-    n_codons = F.floor(F.length(s) / 3).cast("int")
-    codons = F.transform(
-        F.sequence(F.lit(0), n_codons - 1),
-        lambda i: F.substring(s, i * 3 + 1, 3),
-    )
-    lookup = F.create_map(
-        *[F.lit(x) for kv in sorted(CODON_TABLE.items()) for x in kv]
-    )
-    aa = F.transform(
-        codons, lambda cod: F.coalesce(lookup[cod], F.lit("X"))
-    )
+    # Let-bind the (possibly expensive) input expression via a 1-element
+    # array + transform lambda so it evaluates ONCE per row: substring
+    # inside the per-codon transform would otherwise re-evaluate the
+    # whole input tree per codon — O(len²) per row when callers pass a
+    # computed chain (longest_orf feeds reverse-complement frames;
+    # measured 137 s → ~20 s for the 6-frame ORF scan at sf0.1).
+    def body(s: Column) -> Column:
+        n_codons = F.floor(F.length(s) / 3).cast("int")
+        codons = F.transform(
+            F.sequence(F.lit(0), n_codons - 1),
+            lambda i: F.substring(s, i * 3 + 1, 3),
+        )
+        lookup = F.create_map(
+            *[F.lit(x) for kv in sorted(CODON_TABLE.items()) for x in kv]
+        )
+        aa = F.transform(
+            codons, lambda cod: F.coalesce(lookup[cod], F.lit("X"))
+        )
+        return F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+
+    from polars_fastx_spark.functions.exprs import let
+
+    out = let(F.upper(_col(c)), body)
     # NULL in -> NULL out (Spark/Polars null semantics); '' only for
     # non-null inputs shorter than one codon
     return F.when(
         _col(c).isNull(), F.lit(None).cast("string")
-    ).otherwise(
-        F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
-    )
+    ).otherwise(out)
 
 
 def longest_orf(c: Column | str) -> Column:

@@ -303,31 +303,40 @@ def minhash_lsh_candidates(
     identical: duplicates share all band keys, so anything reachable
     from one is reachable from the representative. Pass False for the
     literal all-pairs contract (the SQL-oracle definition).
+
+    Future work (noted in SCALE.md): the guard covers byte-identical
+    floods; a flood of DISTINCT-but-near-identical docs sharing one
+    band key would still pair quadratically — the standard mitigation
+    is a per-bucket candidate cap with a logged drop count.
     """
-    if collapse_exact:
-        hashed = df.select(
-            F.col(id_col).alias("__cid"), F.col(text_col).alias("__ctext")
-        ).withColumn("__chash", F.md5(F.encode(F.col("__ctext"), "UTF-8")))
-        reps = hashed.groupBy("__chash").agg(F.min("__cid").alias("__crep"))
-        tagged = hashed.join(reps, "__chash")
-        star = tagged.filter(F.col("__cid") != F.col("__crep")).select(
-            F.col("__crep").alias("id_a"), F.col("__cid").alias("id_b")
-        )
-        rep_docs = tagged.filter(F.col("__cid") == F.col("__crep")).select(
-            F.col("__cid").alias(id_col), F.col("__ctext").alias(text_col)
-        )
-        rep_pairs = minhash_lsh_candidates(
-            rep_docs, id_col, text_col, shingle_k, num_hashes, bands,
-            family, persist, collapse_exact=False,
-        )
-        return rep_pairs.unionByName(star)
     with_bands = minhash_band_table(
         df, id_col, text_col, shingle_k, num_hashes, bands, family
     )
+    star = None
+    if collapse_exact:
+        # Collapse AT THE BAND TABLE, not before it: signatures still
+        # compute on the scan-parallel full corpus (signing duplicates
+        # is linear work; pre-collapsing via a join would hand the
+        # expensive signature fan-out an AQE-coalesced 1-partition
+        # frame at small scale — measured 2x on the dedup queries),
+        # while the quadratic band self-join sees only representatives.
+        hashed = df.select(
+            F.col(id_col).alias("__cid"),
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__chash"),
+        )
+        reps = hashed.groupBy("__chash").agg(F.min("__cid").alias("__crep"))
+        idmap = hashed.join(reps, "__chash").select("__cid", "__crep")
+        star = idmap.filter(F.col("__cid") != F.col("__crep")).select(
+            F.col("__crep").alias("id_a"), F.col("__cid").alias("id_b")
+        )
+        rep_ids = idmap.filter(F.col("__cid") == F.col("__crep")).select(
+            F.col("__cid").alias("__id")
+        )
+        with_bands = with_bands.join(rep_ids, "__id")
     if persist:
         with_bands = with_bands.persist()
     a, b = with_bands.alias("a"), with_bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             on=[
@@ -339,6 +348,7 @@ def minhash_lsh_candidates(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+    return pairs.unionByName(star) if star is not None else pairs
 
 
 def ngram_jaccard(

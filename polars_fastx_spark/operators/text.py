@@ -257,14 +257,20 @@ def chunk_tokens(
 def word_ngrams(c: Column | str, n: int = 5) -> Column:
     """Distinct word n-grams (space-joined, array<string>); documents
     shorter than ``n`` words yield an empty array. Row-local."""
-    toks = tokens(c)
-    last = F.size(toks) - F.lit(n) + 1
-    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    from polars_fastx_spark.functions.exprs import let
+
+    def windows(toks):
+        # toks is let-bound: slicing the raw split() expression inside
+        # the per-window lambda would re-evaluate it per window
+        last = F.size(toks) - F.lit(n) + 1
+        idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        )
+
+    return let(tokens(c), windows)
 
 
 def decontaminate(
@@ -659,12 +665,17 @@ def ngram_windows(
     """
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 
+    from polars_fastx_spark.functions.exprs import let
+
     df = ensure_min_parallelism(df)
     toks = tokens(_col(text_col))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.md5(
-            F.encode(F.array_join(F.slice(toks, i + 1, n), " "), "UTF-8")
+    wins = let(
+        toks,
+        lambda tk: F.transform(  # tk let-bound: O(windows), not O(w·len)
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.md5(
+                F.encode(F.array_join(F.slice(tk, i + 1, n), " "), "UTF-8")
+            ),
         ),
     )
     return df.filter(F.size(toks) >= n).select(
@@ -731,11 +742,16 @@ def hashed_ngram_buckets(
     """
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 
+    from polars_fastx_spark.functions.exprs import let
+
     df = ensure_min_parallelism(df)
     toks = tokens(_col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    grams = let(
+        toks,
+        lambda tk: F.transform(  # tk let-bound: O(windows), not O(w·len)
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        ),
     )
     bucket = lambda g: F.pmod(  # noqa: E731
         F.conv(F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10).cast(
@@ -968,23 +984,32 @@ def winnow_fingerprints(
     small ``w`` the algorithm calls for (w=4 here). Empty/short text →
     empty array.
     """
-    s = _col(c)
-    n_grams = F.length(s) - k + 1
-    gh = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: _kgram_hash(F.substring(s, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    wins = F.when(
-        F.size(gh) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(gh) - w),
-            lambda i: F.array_min(F.slice(gh, i + 1, w)),
-        ),
-    ).otherwise(gh)  # fewer than w windows: keep all hashes
-    return F.array_distinct(wins)
+    from polars_fastx_spark.functions.exprs import let
+
+    def grams(s: Column) -> Column:
+        n_grams = F.length(s) - k + 1
+        return F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: _kgram_hash(F.substring(s, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    def windows(gh: Column) -> Column:
+        # gh must be LET-BOUND: slicing it inside the per-window lambda
+        # would re-evaluate the whole gram-hash transform per window —
+        # O(n²·k) per row (functions/exprs.py:let)
+        wins = F.when(
+            F.size(gh) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(gh) - w),
+                lambda i: F.array_min(F.slice(gh, i + 1, w)),
+            ),
+        ).otherwise(gh)  # fewer than w windows: keep all hashes
+        return F.array_distinct(wins)
+
+    return let(let(_col(c), grams), windows)
 
 
 def winnow_shared_stats(

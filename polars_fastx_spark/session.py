@@ -74,6 +74,17 @@ def builder(app_name: str = "polars_fastx_spark", master: str | None = None,
         master = f"local[{cpus}]"
     if master:
         b = b.master(master)
+    if master and master.startswith("local"):
+        # In local mode the driver JVM IS the executor; Spark's 1g
+        # default heap starves 32 concurrent tasks (~19 MB of unified
+        # memory each — measured OOM on a 50k-doc LSH pass in the scale
+        # probe). On a real cluster spark-submit sizes executors; here
+        # the builder must. Only effective at JVM creation — a
+        # getOrCreate() onto a live session keeps its heap.
+        b = b.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     for k, v in _DEFAULTS.items():
         b = b.config(k, v)
     for k, v in (extra_conf or {}).items():

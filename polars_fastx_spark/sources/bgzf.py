@@ -199,23 +199,29 @@ def iter_lines_range(
             )
 
 
+def encode_block(chunk: bytes, level: int = 6) -> bytes:
+    """One BGZF member for ≤``MAX_BLOCK_DATA`` bytes of payload."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    cdata = co.compress(chunk) + co.flush()
+    bsize = 12 + 6 + len(cdata) + 8  # header+extra+deflate+crc/isize
+    if bsize - 1 > 0xFFFF:
+        raise ValueError("BGZF block overflow — lower the payload size")
+    out = bytearray()
+    out += _HDR_MAGIC
+    out += struct.pack("<IBB", 0, 0, 0xFF)       # mtime, XFL, OS
+    out += struct.pack("<H", 6)                  # XLEN
+    out += b"BC" + struct.pack("<HH", 2, bsize - 1)
+    out += cdata
+    out += struct.pack("<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF)
+    return bytes(out)
+
+
 def compress(data: bytes, level: int = 6, block_data: int = MAX_BLOCK_DATA) -> bytes:
     """bgzip-compatible BGZF encoding of ``data`` (used by tests and
     sinks): independent ≤64 KiB members with the ``BC`` length
     subfield, terminated by the canonical EOF marker block."""
     out = bytearray()
     for i in range(0, len(data), block_data):
-        chunk = data[i : i + block_data]
-        co = zlib.compressobj(level, zlib.DEFLATED, -15)
-        cdata = co.compress(chunk) + co.flush()
-        bsize = 12 + 6 + len(cdata) + 8  # header+extra+deflate+crc/isize
-        if bsize - 1 > 0xFFFF:
-            raise ValueError("BGZF block overflow — lower block_data")
-        out += _HDR_MAGIC
-        out += struct.pack("<IBB", 0, 0, 0xFF)       # mtime, XFL, OS
-        out += struct.pack("<H", 6)                  # XLEN
-        out += b"BC" + struct.pack("<HH", 2, bsize - 1)
-        out += cdata
-        out += struct.pack("<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF)
+        out += encode_block(data[i : i + block_data], level)
     out += EOF_BLOCK
     return bytes(out)

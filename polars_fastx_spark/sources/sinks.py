@@ -86,7 +86,14 @@ def write_fastx(
     FASTQ when a ``quality`` column exists (4-line framing), else FASTA
     with optional ``wrap``-column sequence wrapping. Fully distributed
     (one text file per partition, records never split across files);
-    ``compression='gzip'`` writes .gz parts.
+    ``compression='gzip'`` writes .gz parts. ``compression='bgzf'``
+    writes bgzip-framed parts (sources/bgzf.py) — still ordinary gzip
+    to any reader, but byte-range SPLITTABLE when scanned back, so a
+    written corpus re-parses with full parallelism (raw gzip parts
+    scan one-task-per-file). The bgzf path writes through the local
+    filesystem of each executor — correct for local/NFS/fuse-mounted
+    storage (this repo's posture); route through a Hadoop codec for
+    HDFS/S3 deployments.
     """
     # concat_ws SKIPS nulls — a null sequence/quality would emit a
     # 3-line FASTQ record and corrupt the file for every downstream
@@ -140,10 +147,54 @@ def write_fastx(
         rec = F.concat_ws(
             "\n", F.concat(F.lit(">"), F.col("header")), seq
         )
-    w = df.select(rec.alias("value")).write.mode(mode)
+    rendered = df.select(rec.alias("value"))
+    if compression == "bgzf":
+        ext = ".fastq.gz" if is_fastq else ".fasta.gz"
+        _write_bgzf_text(rendered, path, ext, mode)
+        return
+    w = rendered.write.mode(mode)
     if compression:
         w = w.option("compression", compression)
     w.text(path)
+
+
+def _write_bgzf_text(rendered: DataFrame, path: str, ext: str,
+                     mode: str) -> None:
+    """Distributed BGZF text writer: each partition streams its lines
+    into ≤64 KiB BGZF members in one part file — bounded memory per
+    task (one block buffer), records never split across part files."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        if mode != "overwrite":
+            raise ValueError(f"{path} exists and mode={mode!r}")
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    def _write_part(rows) -> None:
+        from pyspark import TaskContext
+
+        from polars_fastx_spark.sources import bgzf
+
+        buf = bytearray()
+        out = None
+        pid = TaskContext.get().partitionId()
+        target = os.path.join(path, f"part-{pid:05d}{ext}")
+        for row in rows:
+            if out is None:
+                out = open(target, "wb")  # lazily: empty partitions write nothing
+            buf += (row["value"] + "\n").encode("utf-8")
+            while len(buf) >= bgzf.MAX_BLOCK_DATA:
+                out.write(bgzf.encode_block(bytes(buf[: bgzf.MAX_BLOCK_DATA])))
+                del buf[: bgzf.MAX_BLOCK_DATA]
+        if out is not None:
+            if buf:
+                out.write(bgzf.encode_block(bytes(buf)))
+            out.write(bgzf.EOF_BLOCK)
+            out.close()
+
+    rendered.foreachPartition(_write_part)
 
 
 def compact_parquet(

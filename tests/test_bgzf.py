@@ -138,3 +138,44 @@ def test_bgzf_multiline_fastq_not_split(spark, tmp_path):
     df = scan_fastx(spark, str(p), split_bytes=1024)
     assert df.rdd.getNumPartitions() == 1          # 4-line probe fails → whole
     assert df.count() == 300
+
+
+def test_write_fastx_bgzf_roundtrip_splittable(spark, tmp_path):
+    """write_fastx(compression='bgzf') parts read back through the
+    splittable scan path: multiple byte-range partitions, exact rows."""
+    # big enough that each part holds several 64 KiB BGZF blocks, so the
+    # read-back scan can split WITHIN part files
+    rows = [(f"r{i}", "ACGT" * (200 + i % 300)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "header string, sequence string")
+    out = str(tmp_path / "sink")
+    from polars_fastx_spark.sources.sinks import write_fastx
+
+    write_fastx(df.repartition(6), out, compression="bgzf")
+
+    import glob
+
+    parts = glob.glob(out + "/part-*.fasta.gz")
+    assert len(parts) >= 1
+    assert all(bgzf.is_bgzf_file(p) for p in parts)
+
+    back = scan_fastx(spark, out + "/part-*.fasta.gz", split_bytes=1024)
+    assert back.rdd.getNumPartitions() > len(parts)  # ranges within parts
+    got = sorted((r["header"], r["sequence"]) for r in back.collect())
+    assert got == sorted(rows)
+
+
+def test_write_fastx_bgzf_fastq_roundtrip(spark, tmp_path):
+    rows = [
+        (f"q{i}", "ACGTN" * (2 + i % 5), "J" * (5 * (2 + i % 5)))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "header string, sequence string, quality string")
+    out = str(tmp_path / "sinkq")
+    from polars_fastx_spark.sources.sinks import write_fastx
+
+    write_fastx(df.repartition(3), out, compression="bgzf")
+    back = scan_fastx(spark, out + "/part-*.fastq.gz", split_bytes=2048)
+    got = sorted(
+        (r["header"], r["sequence"], r["quality"]) for r in back.collect()
+    )
+    assert got == sorted(rows)

@@ -1523,6 +1523,109 @@ def l_minhash_collapse(spark, sf_dir):
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
+#: the 16-hash / 4-band md5-family LSH index in DuckDB LONG form —
+#: (doc_id, band, band_key) rows, shared by the bucket-cap and
+#: bucket-profile oracles (same chain l_minhash_lsh inlines wide)
+_MD5_LSH_BK_CTE = """
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 4, 1)) AS i
+            FROM documents WHERE length(text) >= 5)
+    ), sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS m0,  min(md5('1:' || s)) AS m1,
+             min(md5('2:' || s)) AS m2,  min(md5('3:' || s)) AS m3,
+             min(md5('4:' || s)) AS m4,  min(md5('5:' || s)) AS m5,
+             min(md5('6:' || s)) AS m6,  min(md5('7:' || s)) AS m7,
+             min(md5('8:' || s)) AS m8,  min(md5('9:' || s)) AS m9,
+             min(md5('10:' || s)) AS m10, min(md5('11:' || s)) AS m11,
+             min(md5('12:' || s)) AS m12, min(md5('13:' || s)) AS m13,
+             min(md5('14:' || s)) AS m14, min(md5('15:' || s)) AS m15
+      FROM sh GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id,
+             md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS b0,
+             md5(m4 || '|' || m5 || '|' || m6 || '|' || m7) AS b1,
+             md5(m8 || '|' || m9 || '|' || m10 || '|' || m11) AS b2,
+             md5(m12 || '|' || m13 || '|' || m14 || '|' || m15) AS b3
+      FROM sig
+    ), bk AS (
+      SELECT doc_id, 0 AS band, b0 AS band_key FROM banded
+      UNION ALL SELECT doc_id, 1, b1 FROM banded
+      UNION ALL SELECT doc_id, 2, b2 FROM banded
+      UNION ALL SELECT doc_id, 3, b3 FROM banded
+    )
+"""
+
+
+@_q(
+    "l_lsh_bucket_cap",
+    f"""
+    WITH {_MD5_LSH_BK_CTE},
+    stats AS (
+      SELECT band, band_key, count(*) AS bsz, min(doc_id) AS bmin
+      FROM bk GROUP BY band, band_key
+    ),
+    small AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a
+      JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+      JOIN stats s ON s.band = a.band AND s.band_key = a.band_key
+      WHERE s.bsz <= 3
+    ),
+    big AS (
+      SELECT s.bmin AS id_a, k.doc_id AS id_b
+      FROM bk k
+      JOIN stats s ON s.band = k.band AND s.band_key = k.band_key
+      WHERE s.bsz > 3 AND k.doc_id <> s.bmin
+    )
+    SELECT DISTINCT id_a, id_b
+    FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+    """,
+    "L2 near-dup-FLOOD guard (minhash_lsh_candidates bucket_cap=3): "
+    "buckets over the cap switch from all-pairs to a star on the "
+    "bucket-min id — O(|bucket|) rows, closure-identical within the "
+    "bucket (a star spans the clique). At sf0.01 the cap bites 12 of "
+    "1,817 buckets (sizes 4-7), so both code paths execute. "
+    "collapse_exact=False isolates cap semantics for the oracle "
+    "(operators/dedup.py:minhash_lsh_candidates)",
+)
+def l_lsh_bucket_cap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4,
+        collapse_exact=False, bucket_cap=3,
+    )
+
+
+@_q(
+    "l_lsh_bucket_profile",
+    f"""
+    WITH {_MD5_LSH_BK_CTE},
+    sizes AS (
+      SELECT band, band_key, count(*) AS bucket_size
+      FROM bk GROUP BY band, band_key
+    )
+    SELECT bucket_size, count(*) AS n_buckets,
+           CAST(count(*) * bucket_size * (bucket_size - 1) / 2 AS BIGINT)
+             AS allpairs_candidates
+    FROM sizes GROUP BY bucket_size
+    """,
+    "LSH index observability: bucket-size histogram with the all-pairs "
+    "candidate volume per size class (Σ n·(n-1)/2) — the table read "
+    "before choosing a bucket_cap, and the flood-regression monitor "
+    "for a production corpus index (operators/dedup.py:"
+    "lsh_bucket_profile)",
+)
+def l_lsh_bucket_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.lsh_bucket_profile(
+        d, "doc_id", "text", shingle_k=5, num_hashes=16, bands=4
+    )
+
+
 def _perm_minhash_cte(num_hashes: int = 16, bands: int = 4) -> str:
     """Shared DuckDB CTE chain for the PRODUCTION one-pass permutation
     MinHash fold (family='perm_md5'): replays the LCG-derived (a, b)

@@ -275,6 +275,7 @@ def minhash_lsh_candidates(
     family: str = "md5",
     persist: bool = True,
     collapse_exact: bool = True,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -304,10 +305,21 @@ def minhash_lsh_candidates(
     from one is reachable from the representative. Pass False for the
     literal all-pairs contract (the SQL-oracle definition).
 
-    Future work (noted in SCALE.md): the guard covers byte-identical
-    floods; a flood of DISTINCT-but-near-identical docs sharing one
-    band key would still pair quadratically — the standard mitigation
-    is a per-bucket candidate cap with a logged drop count.
+    ``bucket_cap``: the companion guard for DISTINCT-but-near-identical
+    floods, which ``collapse_exact`` cannot see (different bytes, same
+    band keys). Buckets whose size exceeds the cap switch from
+    all-pairs to a STAR on the bucket's min id — O(|bucket|) rows
+    instead of O(|bucket|²). Within a single bucket the all-pairs graph
+    is a clique, and a star over the same members has the identical
+    transitive closure, so connectivity consumers (components,
+    keep-one, group splits) see EXACTLY the same dup groups as the
+    uncapped operator. What degrades is per-pair precision: a
+    Jaccard-verification consumer only sees (bucket-min, member) pairs
+    for capped buckets, so a verifier may discard star edges whose
+    endpoints aren't directly similar even though bucket-mates of the
+    hub are. That is the standard recall/cost trade of production cap
+    mitigations; :func:`lsh_bucket_profile` reports how many buckets a
+    cap would touch before you commit to one. Default None = uncapped.
     """
     with_bands = minhash_band_table(
         df, id_col, text_col, shingle_k, num_hashes, bands, family
@@ -335,20 +347,75 @@ def minhash_lsh_candidates(
         with_bands = with_bands.join(rep_ids, "__id")
     if persist:
         with_bands = with_bands.persist()
-    a, b = with_bands.alias("a"), with_bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col("a.__id") < F.col("b.__id"),
-            ],
+    if bucket_cap is not None:
+        # One extra agg on the SAME (band, band_key) key the self-join
+        # shuffles on — co-partitioned, no new exchange regime. Small
+        # buckets keep the all-pairs contract; oversized ones emit a
+        # bucket-local star (closure-identical, see docstring).
+        bstats = with_bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("__bsz"), F.min("__id").alias("__bmin")
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-    )
+        annotated = with_bands.join(bstats, ["band", "band_key"])
+        with_bands = annotated.filter(F.col("__bsz") <= bucket_cap).select(
+            "__id", "band", "band_key"
+        )
+        bucket_star = annotated.filter(
+            (F.col("__bsz") > bucket_cap) & (F.col("__id") != F.col("__bmin"))
+        ).select(F.col("__bmin").alias("id_a"), F.col("__id").alias("id_b"))
+    a, b = with_bands.alias("a"), with_bands.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.band_key") == F.col("b.band_key"),
+            F.col("a.__id") < F.col("b.__id"),
+        ],
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    if bucket_cap is not None:
+        # fold the bucket stars into the same distinct: a capped
+        # bucket's star edge can duplicate an all-pairs edge from
+        # another (small) bucket the same pair shares, and one hub can
+        # reach a member through several capped buckets
+        pairs = pairs.unionByName(bucket_star)
+    pairs = pairs.distinct()
+    # exact-collapse star edges can't duplicate anything: their id_b
+    # (the collapsed duplicates) never reach the band table
     return pairs.unionByName(star) if star is not None else pairs
+
+
+def lsh_bucket_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    family: str = "md5",
+) -> DataFrame:
+    """Bucket-size histogram of the LSH index — the observability
+    companion to ``minhash_lsh_candidates(bucket_cap=...)``: one row
+    per bucket size with the bucket count and the all-pairs candidate
+    volume that size class would generate (n·(n-1)/2 per bucket).
+    Candidate cost is Σ|bucket|² — this is the table you read before
+    choosing a cap, and the thing to monitor for flood regressions in
+    a production corpus index."""
+    bt = minhash_band_table(
+        df, id_col, text_col, shingle_k, num_hashes, bands, family
+    )
+    sizes = bt.groupBy("band", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return sizes.groupBy("bucket_size").agg(
+        F.count("*").alias("n_buckets"),
+        (
+            F.count("*")
+            * F.col("bucket_size")
+            * (F.col("bucket_size") - 1)
+            / 2
+        )
+        .cast("bigint")
+        .alias("allpairs_candidates"),
+    )
 
 
 def ngram_jaccard(

@@ -86,6 +86,69 @@ def test_lsh_collapse_identical_flood_is_linear(spark):
     assert pairs.filter(F.col("id_a") != 0).count() == 0  # star on min id
 
 
+def test_lsh_bucket_cap_near_identical_flood_is_linear(spark):
+    """10k DISTINCT-but-near-identical docs (byte-different, so the
+    exact-collapse guard can't see them) flood a handful of band
+    buckets; with bucket_cap the candidate volume must stay O(n) —
+    the uncapped all-pairs contract would emit tens of millions."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators.dedup import minhash_lsh_candidates
+
+    base = "shared near identical document body " * 3  # ~108 chars
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base), F.col("id").cast("string")).alias("text"),
+    )
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", family="perm", bucket_cap=8
+    )
+    n = pairs.count()
+    # each of the 4 bands contributes at most one star edge per doc
+    # plus all-pairs inside <=8-sized buckets
+    assert n < 50_000, n
+
+
+def test_lsh_bucket_cap_preserves_components(spark):
+    """Capped and uncapped candidate sets induce the SAME connected
+    components: a star over a bucket spans that bucket's clique."""
+    from polars_fastx_spark.operators.dedup import minhash_lsh_candidates
+    from polars_fastx_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def comps(cap):
+        pairs = minhash_lsh_candidates(
+            docs, "doc_id", "text", collapse_exact=False, bucket_cap=cap
+        )
+        return {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+
+    uncapped = comps(None)
+    assert uncapped == comps(2)  # tightest meaningful cap
+    assert uncapped == comps(4)
+
+
+def test_lsh_bucket_profile_accounts_for_every_band_row(spark):
+    """Histogram invariant: Σ bucket_size · n_buckets = rows of the
+    band table (= 4 bands × docs with ≥1 shingle)."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators.dedup import (
+        lsh_bucket_profile,
+        minhash_band_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = lsh_bucket_profile(docs, "doc_id", "text")
+    total = prof.select(
+        F.sum(F.col("bucket_size") * F.col("n_buckets"))
+    ).collect()[0][0]
+    assert total == minhash_band_table(docs, "doc_id", "text").count()
+
+
 def test_lsh_collapse_preserves_components(spark):
     """Star-edge collapse and the classic all-pairs contract induce the
     SAME connected components (what every dedup consumer computes)."""

@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "l_pq_topk_pinned", "l_ivfpq_topk_pinned", "l_minhash_collapse",
     "j_asof_nearest", "x_sketch_hll_exact",
-    "l_lsh_bucket_cap", "l_lsh_bucket_profile",
+    "l_lsh_bucket_cap", "l_lsh_bucket_profile", "l_bloom_decontam",
     "j_salted_skew", "j_fuzzy", "l_span_dedup", "l_dsir_sample",
     "t_mad_outliers", "l_triangles", "q_profile", "l_distinctive_terms", "j_nullsafe", "t_islands", "l_bm25_multi", "j_fuzzy2", "l_pq_topk", "l_ivfpq_topk", "l_temperature_mix", "l_winnow_fingerprint", "l_incr_dedup_perm", "u_except_all", "g_mode", "w_nth_value", "k_revcomp", "k_translate_protein", "k_longest_orf", "k_gc_skew", "k_n50",
     "l_quantize_int8", "l_rrf_hybrid", "l_group_splits", "l_pack_ffd_1p",

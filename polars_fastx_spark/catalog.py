@@ -2760,6 +2760,75 @@ def l_decontaminate(spark, sf_dir):
     )
 
 
+#: DuckDB fold of one 8-hex-char md5 slice to an int bit position —
+#: slice ``j`` of md5({expr}), mod {m} (the DSIR bucket pattern)
+def _bloom_pos_sql(expr: str, j: str, m: int) -> str:
+    return (
+        "list_reduce([strpos('0123456789abcdef', x) - 1 "
+        f"for x in string_split(substr(md5({expr}), 1 + 8 * ({j}), 8), '')], "
+        f"(a, b) -> a * 16 + b) % {m}"
+    )
+
+
+@_q(
+    "l_bloom_decontam",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[i:i+4], ' ')
+                for i in generate_series(1, greatest(len(toks) - 4, 0))]
+             )) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+    ),
+    jdx AS (SELECT unnest(generate_series(0, 3)) AS j),
+    bpos AS (
+      SELECT DISTINCT {_bloom_pos_sql('g', 'j', 8192)} AS pos
+      FROM (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0) CROSS JOIN jdx
+    ),
+    mask AS (
+      SELECT pos // 63 AS widx, bit_or(1::BIGINT << (pos % 63)::INT) AS word
+      FROM bpos GROUP BY pos // 63
+    ),
+    cpos AS (
+      SELECT doc_id, g, {_bloom_pos_sql('g', 'j', 8192)} AS pos
+      FROM (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0) CROSS JOIN jdx
+    ),
+    hitg AS (
+      SELECT doc_id, g
+      FROM cpos JOIN mask ON mask.widx = cpos.pos // 63
+      WHERE (mask.word & (1::BIGINT << (cpos.pos % 63)::INT))
+            = (1::BIGINT << (cpos.pos % 63)::INT)
+      GROUP BY doc_id, g
+      HAVING count(*) = 4
+    ),
+    hits AS (SELECT doc_id, count(*) AS n_hit_ngrams FROM hitg GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id,
+           coalesce(h.n_hit_ngrams, 0) AS n_hit_ngrams,
+           coalesce(h.n_hit_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    ORDER BY d.doc_id NULLS FIRST
+    """,
+    "L4+: Bloom-filter decontamination — the benchmark n-gram set "
+    "compressed into a bit-packed (widx, word) mask (≤ m/63 longs via "
+    "one bit_or groupBy, broadcastable no matter the eval-suite size), "
+    "corpus grams probe k=4 md5-slice positions through a broadcast "
+    "join. Never undercounts (no false negatives); m=8192 is sized so "
+    "the sf0.01 run exercises real false positives, and the oracle "
+    "replays them bit-exactly — md5 positions, 63-bit packing (DuckDB "
+    "raises on 1<<63), no RNG (operators/text.py:bloom_decontaminate)",
+)
+def l_bloom_decontam(spark, sf_dir):
+    d = _tp(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return text.bloom_decontaminate(
+        corpus, benchmark, "doc_id", "text", n=5, m_bits=8192, k=4
+    ).orderBy(F.col("doc_id").asc_nulls_first())
+
+
 @_q(
     "l_unigram_quality",
     """

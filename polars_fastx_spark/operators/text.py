@@ -315,6 +315,152 @@ def decontaminate(
     )
 
 
+def _bloom_positions(g: Column, m_bits: int, k: int) -> list[Column]:
+    """``k`` engine-portable bit positions in ``[0, m_bits)`` for one
+    key: disjoint 8-hex-char slices of a single md5, folded to int —
+    one hash computation per key, replayable in DuckDB by the same
+    hex fold (the DSIR bucket pattern). ``k`` ≤ 4 (32 hex chars)."""
+    assert 1 <= k <= 4
+    return [
+        F.conv(F.substring(F.md5(g), 1 + 8 * j, 8), 16, 10).cast("long")
+        % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_bitmask(
+    items,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+):
+    """Bit-packed Bloom filter of a key set as a RELATION: (widx, word)
+    rows, 63 set-bit positions per long (63, not 64 — DuckDB raises on
+    ``1 << 63``, so the oracle-portable packing stops at shift 62).
+
+    ≤ ``m_bits``/63 rows regardless of how many keys went in — the
+    bounded-memory property that makes the mask broadcastable when the
+    key set itself is too large to broadcast: the classic use is a
+    100 TB-scale membership pre-filter where the exact set would blow
+    the broadcast limit. Built with one groupBy(bit_or) — map-side
+    partials apply.
+    """
+    pos = items.select(
+        F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias(
+            "pos"
+        )
+    )
+    return pos.groupBy(
+        F.floor(F.col("pos") / 63).cast("long").alias("widx")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 63 AS INT))")).alias("word")
+    )
+
+
+def bloom_might_contain(
+    df,
+    col: str,
+    mask,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    flag_col: str = "bloom_hit",
+):
+    """Append ``flag_col``: true iff ``col``'s value is POSSIBLY in the
+    set behind ``mask`` (:func:`bloom_bitmask` with the same m/k —
+    false positives at the filter's design rate, never false
+    negatives). Probe = explode the k positions, broadcast-join the
+    word index, test the bit, count k matches — no driver state, the
+    probe side streams."""
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    probe = tagged.select(
+        "__rid",
+        F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias(
+            "pos"
+        ),
+    ).withColumn("widx", F.floor(F.col("pos") / 63).cast("long"))
+    hit_rids = (
+        probe.join(F.broadcast(mask), "widx")
+        .filter(
+            F.expr(
+                "(word & shiftleft(1L, CAST(pos % 63 AS INT)))"
+                " = shiftleft(1L, CAST(pos % 63 AS INT))"
+            )
+        )
+        .groupBy("__rid")
+        .agg(F.count("*").alias("__nset"))
+        .filter(F.col("__nset") == k)
+        .select("__rid", F.lit(True).alias(flag_col))
+    )
+    return (
+        tagged.join(hit_rids, "__rid", "left")
+        .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
+        .drop("__rid", "__nset")
+    )
+
+
+def bloom_decontaminate(
+    corpus,
+    benchmark,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+):
+    """:func:`decontaminate` with the benchmark n-gram set compressed
+    into a :func:`bloom_bitmask` — the variant for eval suites whose
+    distinct n-gram set is itself too large to broadcast (the exact
+    path's build side). The mask is ≤ ``m_bits``/63 longs no matter
+    the benchmark size; a doc's gram counts as hit when ALL ``k`` of
+    its bit positions are set. Bloom semantics: ``n_hit_ngrams`` may
+    OVERCOUNT at the filter's false-positive rate but never
+    undercounts — a contaminated doc is always flagged, so the
+    safe direction for a pre-filter (route flagged docs to the exact
+    check, or drop them outright).
+
+    Deterministic by construction (md5 positions, no RNG), so the
+    DuckDB oracle replays it bit-exactly, false positives included.
+    """
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(text_col, n)).alias("g")
+    ).distinct()
+    mask = bloom_bitmask(bench_grams, "g", m_bits, k)
+    corpus_grams = corpus.select(
+        _col(id_col).alias(id_col), F.explode(word_ngrams(text_col, n)).alias("g")
+    )
+    cpos = corpus_grams.select(
+        id_col,
+        "g",
+        F.explode(F.array(*_bloom_positions(F.col("g"), m_bits, k))).alias(
+            "pos"
+        ),
+    ).withColumn("widx", F.floor(F.col("pos") / 63).cast("long"))
+    hit_grams = (
+        cpos.join(F.broadcast(mask), "widx")
+        .filter(
+            F.expr(
+                "(word & shiftleft(1L, CAST(pos % 63 AS INT)))"
+                " = shiftleft(1L, CAST(pos % 63 AS INT))"
+            )
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("__nset"))
+        .filter(F.col("__nset") == k)
+    )
+    hits = hit_grams.groupBy(id_col).agg(
+        F.count("*").alias("n_hit_ngrams")
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def unigram_logprob_score(
     df,
     id_col: str,

@@ -38,6 +38,70 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert out[3]["n_hit_ngrams"] == 0 and not out[3]["contaminated"]
 
 
+def test_bloom_decontaminate_never_undercounts(spark):
+    """Bloom membership has no false negatives: every exact-contaminated
+    doc is bloom-flagged, and bloom hit counts >= exact hit counts —
+    even at a deliberately tiny m (high FP pressure)."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 11 == 0)
+    exact = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in tx.decontaminate(corpus, benchmark, "doc_id", "text", n=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in tx.bloom_decontaminate(
+            corpus, benchmark, "doc_id", "text", n=5, m_bits=1024, k=2
+        ).collect()
+    }
+    assert set(bloom) == set(exact)  # a verdict row for every doc
+    assert all(bloom[d] >= exact[d] for d in exact)
+
+
+def test_bloom_decontaminate_matches_exact_at_design_rate(spark):
+    """At a properly-sized m (load << 1) the FP probability is ~(set
+    bits/m)^k ≈ 1e-12 — bloom and exact agree on every doc."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 11 == 0)
+    exact = sorted(
+        tuple(r)
+        for r in tx.decontaminate(corpus, benchmark, "doc_id", "text", n=5).collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in tx.bloom_decontaminate(
+            corpus, benchmark, "doc_id", "text", n=5, m_bits=1 << 20, k=4
+        ).collect()
+    )
+    assert bloom == exact
+
+
+def test_bloom_might_contain_generic_membership(spark):
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "k string"
+    )
+    mask = tx.bloom_bitmask(keys, "k", m_bits=1 << 16, k=4)
+    assert mask.count() <= (1 << 16) // 63 + 1  # bounded regardless of keys
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(150, 250)]
+        + [(f"other-{i}",) for i in range(50)],
+        "k string",
+    )
+    out = {
+        r["k"]: r["bloom_hit"]
+        for r in tx.bloom_might_contain(
+            probe, "k", mask, m_bits=1 << 16, k=4
+        ).collect()
+    }
+    # members always hit (no false negatives)
+    assert all(out[f"key-{i}"] for i in range(150, 200))
+    # at 800 set bits / 65536 the FP rate is ~2e-8: non-members all miss
+    assert not any(out[f"key-{i}"] for i in range(200, 250))
+    assert not any(out[f"other-{i}"] for i in range(50))
+
+
 def test_unigram_logprob_hand_computed(spark):
     # corpus: 4 words total; p(a)=2/4, p(b)=1/4, p(c)=1/4
     df = spark.createDataFrame(

@@ -321,6 +321,9 @@ def minhash_lsh_candidates(
     mitigations; :func:`lsh_bucket_profile` reports how many buckets a
     cap would touch before you commit to one. Default None = uncapped.
     """
+    assert bucket_cap is None or bucket_cap >= 1, (
+        "bucket_cap must be >= 1 (None disables the cap)"
+    )
     with_bands = minhash_band_table(
         df, id_col, text_col, shingle_k, num_hashes, bands, family
     )

@@ -178,6 +178,20 @@ def main() -> None:
             )
         ),
     )
+    # flood probe: 200k DISTINCT-but-near-identical docs would all-pairs
+    # to ~20B candidates (uncapped is not runnable); bucket_cap must
+    # keep the candidate volume linear and the wall-clock bounded
+    flood = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("shared near identical document body " * 3),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    probe(
+        "lsh flood 200k near-dup, cap=8",
+        lambda: f"{dedup.minhash_lsh_candidates(flood, 'doc_id', 'text', family='perm', collapse_exact=False, bucket_cap=8).count():,} pairs",
+    )
     probe(
         "pagerank(20 rounds, skewed)",
         lambda: f"top mass {pagerank(edges, 'u', 'v', iterations=20).agg(F.max('rank')).first()[0]:.4f}",

@@ -166,8 +166,14 @@ def _write_bgzf_text(rendered: DataFrame, path: str, ext: str,
     import os
     import shutil
 
+    # Spark save-mode contract, minus append: part files are named by
+    # partition id, so appending would silently clobber prior parts
+    if mode == "append":
+        raise ValueError("bgzf sink does not support mode='append'")
     if os.path.exists(path):
-        if mode != "overwrite":
+        if mode == "ignore":
+            return
+        if mode != "overwrite":  # 'error'/'errorifexists'
             raise ValueError(f"{path} exists and mode={mode!r}")
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)

@@ -281,3 +281,61 @@ def stream_static_enrich(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=key, how="left")
+
+
+def stream_bloom_filter(
+    stream: DataFrame,
+    mask: DataFrame,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Streaming Bloom membership gate — the ingest-time shape of
+    :func:`polars_fastx_spark.operators.text.bloom_might_contain`:
+    route each arriving row by whether ``col`` is POSSIBLY in the set
+    behind ``mask`` (a :func:`...text.bloom_bitmask` relation with the
+    same m/k, e.g. a decontamination blocklist of benchmark n-gram
+    hashes, or an already-ingested content-hash set).
+
+    Default ``keep_hits=False`` drops possible members (the
+    decontamination / already-seen gate); Bloom has no false
+    negatives, so nothing contaminated survives — what is lost to
+    false positives is clean rows at the filter's design rate, the
+    safe direction. ``keep_hits=True`` keeps only possible members
+    (route-to-exact-check topologies).
+
+    Stateless per row: positions are computed from ``col`` alone and
+    the ≤``m_bits``/63-row mask joins as a broadcast static side, so
+    the stream never shuffles and no streaming state accumulates —
+    unlike :func:`stream_dedup`, whose exact state grows with distinct
+    keys forever. The mask's file LISTING is pinned at plan time
+    (same restart caveat as :func:`stream_static_enrich`).
+    """
+    from polars_fastx_spark.operators.text import _bloom_positions
+
+    probe = F.array(*_bloom_positions(F.col(col), m_bits, k))
+    # all-positions-set test as ONE aggregate expression over the
+    # broadcast-joined mask words: explode-free, so the stream side
+    # stays row-per-row (no flatMap state, no re-grouping)
+    tagged = stream.withColumn("__pos", probe)
+    mask_arr = mask.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("widx"), F.collect_list("word")
+        ).alias("__mask")
+    )
+    joined = tagged.crossJoin(F.broadcast(mask_arr))
+
+    def _bit_set(p):  # p is the HOF lambda variable — Column ops only
+        widx = F.floor(p / 63).cast("long")
+        # 2.0**n is exact for n <= 62 (power of two), so pow+cast is a
+        # bit-exact shiftleft(1L, n) that accepts a Column shift amount
+        bit = F.pow(F.lit(2.0), (p % 63).cast("double")).cast("long")
+        word = F.element_at(F.col("__mask"), widx)
+        return F.coalesce(word.bitwiseAND(bit) == bit, F.lit(False))
+
+    hit = F.forall("__pos", _bit_set)
+    flagged = joined.withColumn("__hit", hit).drop("__pos", "__mask")
+    return flagged.filter(
+        F.col("__hit") if keep_hits else ~F.col("__hit")
+    ).drop("__hit")

@@ -582,3 +582,48 @@ def test_windowed_distinct_users_hll(spark, srcdir, tmp_path):
     # HLL is exact at tiny cardinality
     assert got["2024-01-01T00:00:00"] == (2, 3)
     assert got["2024-01-01T01:00:00"] == (1, 1)
+
+
+def test_stream_bloom_filter_gates_contaminated_rows(spark, srcdir, tmp_path):
+    """Ingest-time Bloom gate: rows whose text is in the blocklist set
+    never reach the sink (no false negatives); clean rows pass at a
+    properly-sized m; the stream plan carries no stateful operator."""
+    from polars_fastx_spark.operators.text import bloom_bitmask
+
+    block = spark.createDataFrame(
+        [(f"bad-doc-{i}",) for i in range(50)], "text string"
+    )
+    mask = bloom_bitmask(block, "text", m_bits=1 << 16, k=4)
+
+    docs = [{"doc_id": i, "text": f"bad-doc-{i}"} for i in range(0, 10)]
+    docs += [{"doc_id": 100 + i, "text": f"clean-doc-{i}"} for i in range(10)]
+    (srcdir / "b0.json").write_text(
+        "\n".join(json.dumps(d) for d in docs) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(srcdir))
+    )
+    gated = sp.stream_bloom_filter(stream, mask, "text", m_bits=1 << 16, k=4)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    result = _collect_parquet(spark, gated, out, ck)
+    got = sorted(r["doc_id"] for r in result.collect())
+    assert got == list(range(100, 110))  # every blocklisted row gated
+
+    # second micro-batch flows through the same checkpoint
+    more = [{"doc_id": 200, "text": "bad-doc-3"}, {"doc_id": 201, "text": "clean again"}]
+    (srcdir / "b1.json").write_text(
+        "\n".join(json.dumps(d) for d in more) + "\n"
+    )
+    result = _collect_parquet(spark, gated, out, ck)
+    got = sorted(r["doc_id"] for r in result.collect())
+    assert got == list(range(100, 110)) + [201]
+
+    # keep_hits=True routes ONLY possible members (to an exact check)
+    hits = sp.stream_bloom_filter(
+        stream, mask, "text", m_bits=1 << 16, k=4, keep_hits=True
+    )
+    out2, ck2 = tmp_path / "out2", tmp_path / "ck2"
+    result = _collect_parquet(spark, hits, out2, ck2)
+    got = sorted(r["doc_id"] for r in result.collect())
+    assert got == list(range(0, 10)) + [200]

@@ -368,34 +368,39 @@ def bloom_might_contain(
     """Append ``flag_col``: true iff ``col``'s value is POSSIBLY in the
     set behind ``mask`` (:func:`bloom_bitmask` with the same m/k —
     false positives at the filter's design rate, never false
-    negatives). Probe = explode the k positions, broadcast-join the
-    word index, test the bit, count k matches — no driver state, the
-    probe side streams."""
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
-    probe = tagged.select(
-        "__rid",
-        F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias(
-            "pos"
-        ),
-    ).withColumn("widx", F.floor(F.col("pos") / 63).cast("long"))
-    hit_rids = (
-        probe.join(F.broadcast(mask), "widx")
-        .filter(
-            F.expr(
-                "(word & shiftleft(1L, CAST(pos % 63 AS INT)))"
-                " = shiftleft(1L, CAST(pos % 63 AS INT))"
-            )
-        )
-        .groupBy("__rid")
-        .agg(F.count("*").alias("__nset"))
-        .filter(F.col("__nset") == k)
-        .select("__rid", F.lit(True).alias(flag_col))
+    negatives).
+
+    The mask folds to ONE broadcast map row (≤ m/63 entries) and the
+    k-position bit test runs inside a ``forall`` over the probe array:
+    the probed frame never shuffles, gains no surrogate keys (a
+    monotonically_increasing_id join-back would be layout-sensitive
+    when the plan evaluates the frame twice), and the same expression
+    works unchanged on a streaming DataFrame —
+    :func:`polars_fastx_spark.streaming.pipelines.stream_bloom_filter`
+    is this plus a filter. NULL probes flag False.
+    """
+    mask_row = mask.groupBy().agg(
+        F.map_from_arrays(
+            F.collect_list("widx"), F.collect_list("word")
+        ).alias("__mask")
     )
-    return (
-        tagged.join(hit_rids, "__rid", "left")
-        .withColumn(flag_col, F.coalesce(F.col(flag_col), F.lit(False)))
-        .drop("__rid", "__nset")
+    tagged = df.withColumn(
+        "__pos", F.array(*_bloom_positions(F.col(col), m_bits, k))
     )
+    joined = tagged.crossJoin(F.broadcast(mask_row))
+
+    def _bit_set(p):  # p is the HOF lambda variable — Column ops only
+        widx = F.floor(p / 63).cast("long")
+        # 2.0**n is exact for n <= 62 (a power of two), so pow+cast is
+        # a bit-exact shiftleft(1L, n) accepting a Column shift amount
+        bit = F.pow(F.lit(2.0), (p % 63).cast("double")).cast("long")
+        word = F.element_at(F.col("__mask"), widx)
+        return F.coalesce(word.bitwiseAND(bit) == bit, F.lit(False))
+
+    return joined.withColumn(
+        flag_col,
+        F.coalesce(F.forall("__pos", _bit_set), F.lit(False)),
+    ).drop("__pos", "__mask")
 
 
 def bloom_decontaminate(

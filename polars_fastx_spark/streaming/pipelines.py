@@ -312,30 +312,11 @@ def stream_bloom_filter(
     keys forever. The mask's file LISTING is pinned at plan time
     (same restart caveat as :func:`stream_static_enrich`).
     """
-    from polars_fastx_spark.operators.text import _bloom_positions
+    from polars_fastx_spark.operators.text import bloom_might_contain
 
-    probe = F.array(*_bloom_positions(F.col(col), m_bits, k))
-    # all-positions-set test as ONE aggregate expression over the
-    # broadcast-joined mask words: explode-free, so the stream side
-    # stays row-per-row (no flatMap state, no re-grouping)
-    tagged = stream.withColumn("__pos", probe)
-    mask_arr = mask.groupBy().agg(
-        F.map_from_arrays(
-            F.collect_list("widx"), F.collect_list("word")
-        ).alias("__mask")
+    flagged = bloom_might_contain(
+        stream, col, mask, m_bits=m_bits, k=k, flag_col="__hit"
     )
-    joined = tagged.crossJoin(F.broadcast(mask_arr))
-
-    def _bit_set(p):  # p is the HOF lambda variable — Column ops only
-        widx = F.floor(p / 63).cast("long")
-        # 2.0**n is exact for n <= 62 (power of two), so pow+cast is a
-        # bit-exact shiftleft(1L, n) that accepts a Column shift amount
-        bit = F.pow(F.lit(2.0), (p % 63).cast("double")).cast("long")
-        word = F.element_at(F.col("__mask"), widx)
-        return F.coalesce(word.bitwiseAND(bit) == bit, F.lit(False))
-
-    hit = F.forall("__pos", _bit_set)
-    flagged = joined.withColumn("__hit", hit).drop("__pos", "__mask")
     return flagged.filter(
         F.col("__hit") if keep_hits else ~F.col("__hit")
     ).drop("__hit")

@@ -86,7 +86,8 @@ def test_bloom_might_contain_generic_membership(spark):
     assert mask.count() <= (1 << 16) // 63 + 1  # bounded regardless of keys
     probe = spark.createDataFrame(
         [(f"key-{i}",) for i in range(150, 250)]
-        + [(f"other-{i}",) for i in range(50)],
+        + [(f"other-{i}",) for i in range(50)]
+        + [(None,)],
         "k string",
     )
     out = {
@@ -100,6 +101,7 @@ def test_bloom_might_contain_generic_membership(spark):
     # at 800 set bits / 65536 the FP rate is ~2e-8: non-members all miss
     assert not any(out[f"key-{i}"] for i in range(200, 250))
     assert not any(out[f"other-{i}"] for i in range(50))
+    assert out[None] is False  # NULL probe flags False, never errors
 
 
 def test_unigram_logprob_hand_computed(spark):

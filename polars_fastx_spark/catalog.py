@@ -4162,8 +4162,14 @@ def x_sketch_hll_exact(spark, sf_dir):
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_ndv")
     )
+    # null-safe join key: a NULL event_type GROUP exists on both sides
+    # (groupBy keeps it), but a plain equi-join would drop it
     return (
-        merged.join(exact, "event_type")
+        merged.join(
+            exact,
+            merged["event_type"].eqNullSafe(exact["event_type"]),
+        )
+        .drop(exact["event_type"])
         .select(
             "event_type",
             "exact_ndv",

@@ -228,16 +228,19 @@ def translate_protein(c: Column | str) -> Column:
         aa = F.transform(
             codons, lambda cod: F.coalesce(lookup[cod], F.lit("X"))
         )
-        return F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+        # NULL in -> NULL out (Spark/Polars null semantics); '' only
+        # for non-null inputs shorter than one codon. Tested on the
+        # LET-BOUND s (upper() propagates NULL) — an outer
+        # _col(c).isNull() would re-evaluate the whole input tree per
+        # row, undoing the let for computed chains like longest_orf's
+        # per-frame substrings.
+        return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+        )
 
     from polars_fastx_spark.functions.exprs import let
 
-    out = let(F.upper(_col(c)), body)
-    # NULL in -> NULL out (Spark/Polars null semantics); '' only for
-    # non-null inputs shorter than one codon
-    return F.when(
-        _col(c).isNull(), F.lit(None).cast("string")
-    ).otherwise(out)
+    return let(F.upper(_col(c)), body)
 
 
 def longest_orf(c: Column | str) -> Column:

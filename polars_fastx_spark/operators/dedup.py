@@ -189,6 +189,12 @@ def minhash_band_table(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     df = ensure_min_parallelism(df)  # signature fan-out must not fuse to a 1-task scan
+    # Shingle-less docs (NULL text or shorter than one shingle) carry
+    # no LSH evidence and must NOT be banded: their all-null signatures
+    # would collapse to a shared md5('') band key, spuriously pairing
+    # every short doc with every other. The SQL oracles express the
+    # same rule as WHERE length(text) >= k.
+    df = df.filter(F.length(F.col(text_col)) >= shingle_k)
     sig = minhash_signature(
         char_shingles(text_col, shingle_k), num_hashes, family
     )
@@ -335,9 +341,17 @@ def minhash_lsh_candidates(
         # expensive signature fan-out an AQE-coalesced 1-partition
         # frame at small scale — measured 2x on the dedup queries),
         # while the quadratic band self-join sees only representatives.
+        # md5(NULL) is NULL and an equi-join never matches NULL keys —
+        # without the sentinel every NULL-text doc silently vanishes
+        # from the id map (and so from the star edges and the closure).
+        # NULL texts form ONE exact-dup group, same as the SQL window
+        # PARTITION BY md5(text); the sentinel cannot collide with a
+        # real 32-hex md5.
         hashed = df.select(
             F.col(id_col).alias("__cid"),
-            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("__chash"),
+            F.coalesce(
+                F.md5(F.encode(F.col(text_col), "UTF-8")), F.lit("<null>")
+            ).alias("__chash"),
         )
         reps = hashed.groupBy("__chash").agg(F.min("__cid").alias("__crep"))
         idmap = hashed.join(reps, "__chash").select("__cid", "__crep")

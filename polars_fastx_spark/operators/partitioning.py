@@ -184,15 +184,25 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     ``df.rdd.getNumPartitions()``, which is free for a single-stage
     (scan + row-local) plan but under AQE can MATERIALIZE upstream
     shuffle query stages for multi-stage plans — so if the physical
-    plan contains any Exchange the frame passes through untouched.
-    That's also semantically right: a post-shuffle frame already has
-    ``spark.sql.shuffle.partitions``-grade parallelism, so the
-    row-group-bound-scan hazard this helper exists for can't apply.
+    plan contains a SHUFFLE exchange the frame passes through
+    untouched. That's also semantically right: a post-shuffle frame
+    already has ``spark.sql.shuffle.partitions``-grade parallelism, so
+    the row-group-bound-scan hazard this helper exists for can't
+    apply. A *broadcast* exchange does NOT disable the repair: a
+    1-partition scan broadcast-joined to a dim table still runs every
+    fused row-local stage on one task — the exact hazard — and the
+    only stage ``df.rdd`` may materialize early for it is the tiny
+    build side.
     """
+    import re
+
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    # shuffle exchanges print as "Exchange <partitioning>"; broadcast
+    # ones as "BroadcastExchange <mode>" (AQE reuses wrap both in
+    # *QueryStage nodes that keep those names)
+    if re.search(r"(?<!Broadcast)Exchange ", plan) or "ShuffleQueryStage" in plan:
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

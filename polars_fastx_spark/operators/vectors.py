@@ -414,53 +414,62 @@ def ivfpq_topk(
 
     assigned, centroids = ivf_assign(df, id_col, vec_col, num_cells)
     with_cent = assigned.join(F.broadcast(centroids), "cell")
+    # persisted across the EAGER codebook-construction jobs (dim probe,
+    # seed-window collect, training collects), which would otherwise
+    # each recompute the full vector-scan + centroid join; released
+    # once the lazy result plan is built (its one action then evaluates
+    # resid a single time)
     resid = with_cent.select(
         "__id", "cell",
         F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
-    )
-    if pinned_books:
-        # zero-training md5-seeded books: fully SQL-replayable (the
-        # pinned-oracle variant; also the frozen-codebook encode path)
-        books = pq_seed_books(resid, "__id", "__r", m=m, k=pq_k)
-        codes = pq_encode(resid, "__id", "__r", books)
-    else:
-        codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
-                                iterations=iterations)
-    coded = codes.join(resid.select("__id", "cell"), "__id")
+    ).persist()
+    try:
+        if pinned_books:
+            # zero-training md5-seeded books: fully SQL-replayable (the
+            # pinned-oracle variant; also the frozen-codebook encode path)
+            books = pq_seed_books(resid, "__id", "__r", m=m, k=pq_k)
+            codes = pq_encode(resid, "__id", "__r", books)
+        else:
+            codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
+                                    iterations=iterations)
+        coded = codes.join(resid.select("__id", "cell"), "__id")
 
-    cent_rows = centroids.collect()  # num_cells rows — bounded
-    q = [float(x) for x in query]
-    qn = sum(x * x for x in q) ** 0.5 or 1.0
+        cent_rows = centroids.collect()  # num_cells rows — bounded
+        q = [float(x) for x in query]
+        qn = sum(x * x for x in q) ** 0.5 or 1.0
 
-    def _cos(c):
-        cv, cn = list(c["centroid_vec"]), float(c["centroid_norm"]) or 1.0
-        return sum(a * b for a, b in zip(q, cv)) / (qn * cn)
+        def _cos(c):
+            cv = list(c["centroid_vec"])
+            cn = float(c["centroid_norm"]) or 1.0
+            return sum(a * b for a, b in zip(q, cv)) / (qn * cn)
 
-    probed = sorted(cent_rows, key=lambda c: (-_cos(c), c["cell"]))[:nprobe]
-    sub = len(books[0][0])
-    dt_rows = []
-    for c in probed:
-        qres = [a - b for a, b in zip(q, c["centroid_vec"])]
-        for j in range(m):
-            qj = qres[j * sub : (j + 1) * sub]
-            for ci in range(pq_k):
-                dt_rows.append(
-                    (c["cell"], j, ci,
-                     float(sum((a - b) ** 2
-                               for a, b in zip(qj, books[j][ci]))))
-                )
-    sp = df.sparkSession
-    dt = F.broadcast(
-        sp.createDataFrame(dt_rows, "cell string, j int, c int, _d double")
-    )
-    ex = coded.select(
-        "__id", "cell", F.posexplode("codes").alias("j", "c")
-    )
-    return (
-        ex.join(dt, ["cell", "j", "c"])  # probed-cell filter IS the join
-        .groupBy("__id")
-        .agg(F.sum("_d").alias("adc_dist"))
-        .select(F.col("__id").alias(id_col), "adc_dist")
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-        .limit(k)
-    )
+        probed = sorted(cent_rows, key=lambda c: (-_cos(c), c["cell"]))[:nprobe]
+        sub = len(books[0][0])
+        dt_rows = []
+        for c in probed:
+            qres = [a - b for a, b in zip(q, c["centroid_vec"])]
+            for j in range(m):
+                qj = qres[j * sub : (j + 1) * sub]
+                for ci in range(pq_k):
+                    dt_rows.append(
+                        (c["cell"], j, ci,
+                         float(sum((a - b) ** 2
+                                   for a, b in zip(qj, books[j][ci]))))
+                    )
+        sp = df.sparkSession
+        dt = F.broadcast(
+            sp.createDataFrame(dt_rows, "cell string, j int, c int, _d double")
+        )
+        ex = coded.select(
+            "__id", "cell", F.posexplode("codes").alias("j", "c")
+        )
+        return (
+            ex.join(dt, ["cell", "j", "c"])  # probed-cell filter IS the join
+            .groupBy("__id")
+            .agg(F.sum("_d").alias("adc_dist"))
+            .select(F.col("__id").alias(id_col), "adc_dist")
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    finally:
+        resid.unpersist()

@@ -129,14 +129,18 @@ def split_ranges(
             starts.append(off)
             acc_from = off
     out: list[tuple[int, int, int | None]] = []
+    # one forward sweep over the (sorted) non-empty offsets in lockstep
+    # with the (sorted) range starts — O(blocks), not O(ranges·blocks):
+    # a 100 GB file is ~1.6M blocks, and a rescan per range would make
+    # partition planning quadratic
     nonempty = [off for off, isize in index if isize > 0]
+    j = 0
+    prev: int | None = None
     for i, s in enumerate(starts):
         e = starts[i + 1] if i + 1 < len(starts) else file_size
-        prev = None
-        for off in nonempty:
-            if off >= s:
-                break
-            prev = off
+        while j < len(nonempty) and nonempty[j] < s:
+            prev = nonempty[j]
+            j += 1
         out.append((s, e, prev))
     return out
 

@@ -185,11 +185,17 @@ def _write_bgzf_text(rendered: DataFrame, path: str, ext: str,
 
         buf = bytearray()
         out = None
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid, att = tc.partitionId(), tc.attemptNumber()
         target = os.path.join(path, f"part-{pid:05d}{ext}")
+        # task-commit protocol: stream to an attempt-private temp name,
+        # atomic-rename into place only on success — a failed or
+        # speculative attempt never leaves a half-written (or
+        # interleaved) part file under the final name
+        tmp = os.path.join(path, f".part-{pid:05d}-attempt-{att}{ext}.tmp")
         for row in rows:
             if out is None:
-                out = open(target, "wb")  # lazily: empty partitions write nothing
+                out = open(tmp, "wb")  # lazily: empty partitions write nothing
             buf += (row["value"] + "\n").encode("utf-8")
             while len(buf) >= bgzf.MAX_BLOCK_DATA:
                 out.write(bgzf.encode_block(bytes(buf[: bgzf.MAX_BLOCK_DATA])))
@@ -199,8 +205,12 @@ def _write_bgzf_text(rendered: DataFrame, path: str, ext: str,
                 out.write(bgzf.encode_block(bytes(buf)))
             out.write(bgzf.EOF_BLOCK)
             out.close()
+            os.replace(tmp, target)
 
     rendered.foreachPartition(_write_part)
+    # job-commit marker: readers (and reruns) can distinguish a
+    # completed sink from one whose job died partway
+    open(os.path.join(path, "_SUCCESS"), "w").close()
 
 
 def compact_parquet(

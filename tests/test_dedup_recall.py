@@ -176,3 +176,45 @@ def test_lsh_collapse_preserves_components(spark):
         }
 
     assert comps(True) == comps(False)
+
+
+def test_lsh_collapse_keeps_null_text_docs(spark):
+    """NULL-text docs form ONE exact-dup group (SQL window semantics:
+    PARTITION BY md5(text) groups NULLs); the collapse path must not
+    silently drop them from the id map via a NULL-keyed equi-join."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, None), (4, None), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert (1, 2) in pairs          # exact-dup star
+    assert (3, 4) in pairs and (3, 5) in pairs  # NULL group star
+
+
+def test_shingle_less_docs_are_never_banded(spark):
+    """Docs shorter than one shingle (or NULL) carry no LSH evidence:
+    they must not share an empty-signature band key (which would pair
+    every short doc with every other), matching the SQL oracles'
+    WHERE length(text) >= k."""
+    from polars_fastx_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates,
+    )
+
+    rows = [(1, "abc"), (2, "xy"), (3, None), (4, ""),
+            (5, "a long enough unrelated document body here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_band_table(docs, "doc_id", "text").filter(
+        "__id != 5"
+    ).count() == 0
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", collapse_exact=False
+    ).collect()
+    assert pairs == []  # no spurious short-doc cliques

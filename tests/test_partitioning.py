@@ -156,3 +156,21 @@ def test_ensure_min_parallelism_passes_through_post_shuffle_frames(spark):
 
     agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
     assert pt.ensure_min_parallelism(agg) is agg
+
+
+def test_ensure_min_parallelism_repairs_broadcast_join_frames(spark, tmp_path):
+    """A BroadcastExchange is NOT a shuffle: a 1-partition scan
+    broadcast-joined to a dim still runs fused row-local stages on one
+    task and must be repaired (the 'Exchange' substring false positive
+    would skip it)."""
+    import polars_fastx_spark.operators.partitioning as pt
+
+    big = str(tmp_path / "big")
+    spark.range(5000).selectExpr("id", "id % 7 AS k").coalesce(1).write.parquet(big)
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(7)], "k long, name string")
+    joined = spark.read.parquet(big).join(F.broadcast(dim), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and joined.rdd.getNumPartitions() == 1
+    out = pt.ensure_min_parallelism(joined)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert out.count() == 5000

@@ -85,3 +85,36 @@ def test_kll_quantile_within_rank_error(spark, lineitem):
         ).collect()[0]
     )
     assert lo <= got <= hi
+
+
+def test_hll_exact_companion_keeps_null_group(spark, tmp_path):
+    """x_sketch_hll_exact must emit the NULL event_type group its
+    oracle's GROUP BY keeps — a plain equi-join would drop it."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.catalog import QUERIES
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = src.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    sf = str(tmp_path)
+    ev.write.parquet(sf + "/events.parquet")
+
+    spec = QUERIES["x_sketch_hll_exact"]
+    got = spec.fn(spark, sf).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS FROM read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = con.execute(spec.oracle).df()
+    assert len(got) == len(want)
+    assert any(r["event_type"] is None for r in got)
+    by_key = {r["event_type"]: r["exact_ndv"] for r in got}
+    for _, w in want.iterrows():
+        key = None if w["event_type"] is None else w["event_type"]
+        assert by_key[key] == w["exact_ndv"]

@@ -218,3 +218,45 @@ def test_shingle_less_docs_are_never_banded(spark):
         docs, "doc_id", "text", collapse_exact=False
     ).collect()
     assert pairs == []  # no spurious short-doc cliques
+
+
+def test_band_table_index_storage_roundtrip(spark, tmp_path):
+    """The production dedup dataflow: the LSH band table persists to
+    parquet PARTITIONED BY band, later batches read it back and dedup
+    against it — results identical to the in-memory index, and a
+    single-band probe prunes to that band's partition (scan, not
+    full-index read)."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter("doc_id < 35")
+    new = docs.filter("doc_id >= 35")
+
+    idx_path = str(tmp_path / "band_index")
+    dedup.minhash_band_table(old, "doc_id", "text").write.partitionBy(
+        "band"
+    ).parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    nb = dedup.minhash_band_table(new, "doc_id", "text")
+    from_storage = {
+        (r["doc_id"], r["matched_id"])
+        for r in dedup.minhash_lsh_candidates_between(nb, stored).collect()
+    }
+    in_memory = {
+        (r["doc_id"], r["matched_id"])
+        for r in dedup.minhash_lsh_candidates_between(
+            nb, dedup.minhash_band_table(old, "doc_id", "text")
+        ).collect()
+    }
+    assert from_storage == in_memory
+
+    # partition pruning: a one-band probe must carry the band predicate
+    # as a PARTITION filter (directory pruning), not a data filter
+    probe = stored.filter(F.col("band") == 2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "band" in pf and pf.strip(), pf

@@ -3944,15 +3944,15 @@ def t_ewma(spark, sf_dir):
     SELECT resolution, bucket_us, event_type, n,
            round(sum_value, 2) AS sum_value
     FROM (
-        SELECT 'minute' AS resolution, us - us % 60000000 AS bucket_us,
+        SELECT 'minute' AS resolution, us - ((us % 60000000) + 60000000) % 60000000 AS bucket_us,
                event_type, count(*)::BIGINT AS n, sum(value) AS sum_value
         FROM base GROUP BY 2, 3
         UNION ALL
-        SELECT 'hour', us - us % 3600000000, event_type,
+        SELECT 'hour', us - ((us % 3600000000) + 3600000000) % 3600000000, event_type,
                count(*)::BIGINT, sum(value)
         FROM base GROUP BY 2, 3
         UNION ALL
-        SELECT 'day', us - us % 86400000000, event_type,
+        SELECT 'day', us - ((us % 86400000000) + 86400000000) % 86400000000, event_type,
                count(*)::BIGINT, sum(value)
         FROM base GROUP BY 2, 3
     )

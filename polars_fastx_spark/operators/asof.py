@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _ref(name: str):
+    """Exact-name column reference: backtick-quoted so dots/spaces in
+    user column names never parse as struct-field paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def join_asof(
     left: DataFrame,
     right: DataFrame,
@@ -62,26 +69,32 @@ def join_asof(
 
     # the carried payload: right's `on` value + requested columns, as one
     # struct so each window evaluates once regardless of column count.
-    payload_t = (
-        f"struct<__t:{right.schema[on].dataType.simpleString()},"
-        + ",".join(
-            f"{out_names[c]}:{right.schema[c].dataType.simpleString()}"
+    # Built as a StructType, not a DDL string — simpleString/raw names
+    # spliced into DDL break on columns needing backticks (dots,
+    # spaces, hyphens).
+    from pyspark.sql.types import StructField, StructType
+
+    payload_t = StructType(
+        [StructField("__t", right.schema[on].dataType)]
+        + [
+            StructField(out_names[c], right.schema[c].dataType)
             for c in right_cols
-        )
-        + ">"
+        ]
     )
+    # df[name] indexing throughout, never F.col(name): a column named
+    # "price.usd" would otherwise parse as a struct-field path
     lhs = left.select(
-        *[F.col(c) for c in left.columns],
+        *[_ref(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(payload_t).alias("__payload"),
     )
     rhs = right.select(
-        *[F.col(c) if c in by_cols + [on] else F.lit(None).cast(
+        *[_ref(c) if c in by_cols + [on] else F.lit(None).cast(
             left.schema[c].dataType).alias(c) for c in left.columns],
         F.lit(0).alias("__is_left"),
         F.struct(
-            F.col(on).alias("__t"),
-            *[F.col(c).alias(out_names[c]) for c in right_cols],
+            _ref(on).alias("__t"),
+            *[_ref(c).alias(out_names[c]) for c in right_cols],
         ).cast(payload_t).alias("__payload"),
     )
     unioned = lhs.unionByName(rhs)
@@ -94,10 +107,21 @@ def join_asof(
     #     exact matches allowed  -> right sorts AFTER left
     # `nearest` needs both; with exact matches a tie belongs to backward,
     # without, the row must be invisible to both.
+    # Tertiary sort on the payload struct pins WHICH right row wins
+    # among duplicates at the same (key, on): without it the pick is
+    # whatever the partition sort happened to place last — result
+    # drift across reruns/repartitionings. Payload order only
+    # rearranges rows within a (on, tag) block (left rows are all-NULL
+    # there), so left/right visibility is untouched. Policy: backward
+    # picks the payload-struct MAX, forward the MIN (lexicographic by
+    # carried columns) — deterministic, engine-portable.
     bwd_tag = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
     fwd_tag = F.col("__is_left").desc() if allow_exact_matches else F.col("__is_left").asc()
     w_bwd = (
-        Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), bwd_tag)
+        Window.partitionBy(*[_ref(c) for c in by_cols])
+        .orderBy(
+            _ref(on).asc(), bwd_tag, F.col("__payload").asc_nulls_first()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # the forward pick runs over the exactly-REVERSED total order with a
@@ -110,11 +134,16 @@ def join_asof(
     # total order reverses exactly).
     fwd_tag_rev = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
     w_fwd = (
-        Window.partitionBy(*by_cols).orderBy(F.col(on).desc(), fwd_tag_rev)
+        Window.partitionBy(*[_ref(c) for c in by_cols])
+        .orderBy(
+            _ref(on).desc(), fwd_tag_rev,
+            # exact reversal of the forward order's asc_nulls_first
+            F.col("__payload").desc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    cols_out = [*left.columns, F.col("__is_left")]
+    cols_out = [*[_ref(c) for c in left.columns], F.col("__is_left")]
     if strategy == "backward":
         picked = F.last("__payload", ignorenulls=True).over(w_bwd)
         filled = unioned.select(*cols_out, picked.alias("__m"))
@@ -124,7 +153,7 @@ def join_asof(
     else:  # nearest
         b = F.last("__payload", ignorenulls=True).over(w_bwd)
         f_ = F.last("__payload", ignorenulls=True).over(w_fwd)
-        t = F.col(on)
+        t = _ref(on)
         picked = (
             F.when(b.isNull(), f_)
             .when(f_.isNull(), b)
@@ -137,13 +166,13 @@ def join_asof(
     m = F.col("__m")
     if tolerance is not None:
         m = F.when(
-            F.abs(F.col(on) - F.col("__m")["__t"]) <= F.lit(tolerance),
+            F.abs(_ref(on) - F.col("__m")["__t"]) <= F.lit(tolerance),
             F.col("__m"),
         )
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(
-            *[c for c in left.columns],
+            *[_ref(c) for c in left.columns],
             *[m[out_names[c]].alias(out_names[c]) for c in right_cols],
         )
     )

@@ -24,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint`` frame's materialized blocks.
+
+    ``DataFrame.unpersist()`` does NOT release them (verified: the
+    LogicalRDD's storage survives it), so an iterative loop that
+    checkpoints every round would pile one fully-materialized table
+    per round into executor storage. Reaches the internal RDD via the
+    analyzed plan; best-effort — if the internal surface moves, the
+    worst case is the old behavior (blocks held until session end),
+    never a wrong result. Only call when NOTHING live can recompute
+    through this frame (its lineage is cut, so evicted dependents
+    could not rebuild from it anyway)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -62,6 +82,7 @@ def connected_components(
             F.col("u").alias("node"), F.col("u").alias("component")
         )
     ).persist()
+    prev_ck: DataFrame | None = None
     try:
         for i in range(max_iterations):
             # neighbor labels flow along edges; keep the minimum seen
@@ -84,7 +105,7 @@ def connected_components(
             parent = propagated.select(
                 F.col("node").alias("__pn"), F.col("component").alias("__pc")
             )
-            new_labels = (
+            pre = (
                 propagated.join(
                     parent, propagated.component == F.col("__pn"), "left"
                 )
@@ -95,8 +116,12 @@ def connected_components(
                     ),
                 )
             ).persist()
-            if (i + 1) % checkpoint_every == 0:
-                new_labels = new_labels.localCheckpoint(eager=True)
+            ck_round = (i + 1) % checkpoint_every == 0
+            if ck_round:
+                new_labels = pre.localCheckpoint(eager=True)
+                pre.unpersist()  # checkpoint materialized; cache is dead
+            else:
+                new_labels = pre
             changed = (
                 new_labels.join(
                     labels.withColumnRenamed("component", "old"), "node"
@@ -105,6 +130,12 @@ def connected_components(
                 .count()
             )
             labels.unpersist()
+            if ck_round and prev_ck is not None:
+                # everything live now derives from new_labels' OWN
+                # blocks, so the previous checkpoint's can go
+                _release_checkpoint(prev_ck)
+            if ck_round:
+                prev_ck = new_labels
             labels = new_labels
             if changed == 0:
                 return labels
@@ -157,6 +188,14 @@ def pagerank(
         .distinct()
     ).persist()
     n = nodes.count()
+    if n == 0:
+        # empty subgraphs are a normal pipeline state (a filter stage
+        # can drain the edge list) — return an empty ranks frame, don't
+        # ZeroDivisionError on 1/n
+        nodes.unpersist()
+        return sc.createDataFrame([], "node long, rank double").select(
+            F.col("node").cast(edges.schema[src].dataType), "rank"
+        )
     deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count("*").alias("out_deg")
     )
@@ -167,6 +206,7 @@ def pagerank(
         .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_ck: DataFrame | None = None
     for i in range(iterations):
         contribs = (
             ranks.join(ed, "node")
@@ -180,7 +220,7 @@ def pagerank(
             or 0.0
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
+        pre = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
@@ -190,10 +230,22 @@ def pagerank(
                 ).alias("rank"),
             )
         ).persist()
-        if (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ck_round = (i + 1) % checkpoint_every == 0
+        if ck_round:
+            new_ranks = pre.localCheckpoint(eager=True)
+            pre.unpersist()  # checkpoint materialized; cache is dead
+        else:
+            new_ranks = pre
         ranks.unpersist()
+        if ck_round and prev_ck is not None:
+            _release_checkpoint(prev_ck)  # see connected_components
+        if ck_round:
+            prev_ck = new_ranks
         ranks = new_ranks
+    # helper tables are loop-only; the returned frame's lineage can
+    # rebuild through them from source if its cache is ever evicted
+    nodes.unpersist()
+    ed.unpersist()
     return ranks
 
 

@@ -57,21 +57,55 @@ def pack_ffd(
         pdf = pdf.sort_values(
             [len_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        bins: list[int] = []  # remaining capacity per open bin
+        # First-fit via a max-segment-tree over per-bin remaining
+        # capacity: leftmost bin with rem >= len in O(log bins) — the
+        # naive per-doc scan over open bins is O(docs·bins), quadratic
+        # when most docs open fresh bins (e.g. lengths > budget/2).
+        # Leftmost-fit order is preserved exactly, so the recursive-CTE
+        # oracle (l_pack_ffd_1p) replays unchanged.
+        n = len(pdf)
+        cap = 1
+        while cap < n:
+            cap *= 2
+        tree = [-1] * (2 * cap)  # -1 = bin not opened yet
+
+        def _update(i: int, val: int) -> None:
+            i += cap
+            tree[i] = val
+            i //= 2
+            while i:
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
+                i //= 2
+
+        def _leftmost(need: int) -> int:
+            if tree[1] < need:
+                return -1
+            i = 1
+            while i < cap:
+                i = 2 * i if tree[2 * i] >= need else 2 * i + 1
+            return i - cap
+
+        n_bins = 0
         assign = []
         for ln in pdf[len_col].to_numpy():
             ln = int(ln)
-            for b, rem in enumerate(bins):
-                if rem >= ln:
-                    bins[b] = rem - ln
-                    assign.append(b)
-                    break
+            b = _leftmost(ln)
+            if b == -1:
+                b = n_bins
+                n_bins += 1
+                _update(b, max(budget - ln, 0))
             else:
-                bins.append(max(budget - ln, 0))
-                assign.append(len(bins) - 1)
+                _update(b, tree[cap + b] - ln)
+            assign.append(b)
         pdf = pdf[[id_col, len_col]].copy()
-        # partition-namespaced global bin id
-        pdf["bin_id"] = [pid * 10_000_000 + b for b in assign]
+        # partition-namespaced global bin id: 40 bits of bin index per
+        # partition (a partition cannot open more bins than its rows,
+        # and 2^40 rows in ONE task is beyond any sane layout; the
+        # guard turns a namespace overflow into an error instead of
+        # silently merging bins across partitions)
+        if n_bins >= 1 << 40:
+            raise ValueError("pack_ffd: >2^40 bins in one partition")
+        pdf["bin_id"] = [(pid << 40) | b for b in assign]
         sizes = pdf.groupby("bin_id")[len_col].sum().to_dict()
         pdf["bin_fill"] = pdf["bin_id"].map(sizes).astype("int64")
         yield pdf

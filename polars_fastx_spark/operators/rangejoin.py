@@ -41,21 +41,29 @@ def point_in_interval_join(
     (hi ≤ lo) match nothing but must not break the explode.
     """
     w = F.lit(bin_width)
+
+    def _floordiv(c):
+        # exact integer FLOOR division at any magnitude: `/` promotes
+        # to double and rounds above 2^53 (epoch-ns values ~1.7e18
+        # would land in the wrong bin and silently miss matches);
+        # subtracting pmod first makes the dividend an exact multiple,
+        # so integral `div` is both exact and floor-correct for
+        # negative dimensions too
+        return F.call_function("div", c - F.pmod(c, w), w)
+
     iv = intervals.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / w),
+                _floordiv(F.col(lo_col)),
                 # hi is exclusive: a hi on a bin boundary doesn't reach
                 # into the next bin; greatest() keeps the sequence
                 # ascending for degenerate hi ≤ lo intervals
-                F.floor(
-                    F.greatest(F.col(hi_col) - 1, F.col(lo_col)) / w
-                ),
+                _floordiv(F.greatest(F.col(hi_col) - 1, F.col(lo_col))),
             )
         ),
     )
-    pt = points.withColumn("_bin", F.floor(F.col(p_col) / w))
+    pt = points.withColumn("_bin", _floordiv(F.col(p_col)))
     cond = (
         (F.col(lo_col) <= F.col(p_col))
         & (F.col(p_col) < F.col(hi_col))

@@ -64,9 +64,14 @@ def ewma(
 
 
 def time_bucket(ts_us, width_us: int):
-    """Truncate an epoch-µs column to its bucket start (integer math)."""
+    """FLOOR an epoch-µs column to its bucket start (integer math).
+
+    ``pmod``, not ``%``: Spark's ``%`` takes the dividend's sign, so
+    ``c - (c % w)`` would assign pre-epoch (negative) timestamps to the
+    bucket ABOVE them — ts=-100, w=60 must land in [-120, -60), not
+    -60. Floor semantics match ``F.window``/DuckDB ``time_bucket``."""
     c = F.col(ts_us) if isinstance(ts_us, str) else ts_us
-    return c - (c % F.lit(width_us))
+    return c - F.pmod(c, F.lit(width_us))
 
 
 #: resolution name → bucket width in µs (finest first).
@@ -221,17 +226,28 @@ def mad_outlier_stats(
 
     Returns one row per group: n, median, mad, n_outliers.
     """
+    # Column-based percentile (no SQL splicing — a value_col needing
+    # backticks would break F.expr); null-safe join keys so a NULL
+    # group_col stratum keeps its stats row instead of silently
+    # vanishing through the equi-joins.
     med = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
-    )
-    dev = df.join(F.broadcast(med), group_col).withColumn(
-        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
+    ).withColumnRenamed(group_col, "__mg")
+    dev = (
+        df.join(
+            F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__mg"))
+        )
+        .drop("__mg")
+        .withColumn("_adev", F.abs(F.col(value_col) - F.col("_med")))
     )
     mad = dev.groupBy(group_col).agg(
-        F.expr("percentile(_adev, 0.5)").alias("_mad")
-    )
+        F.percentile(F.col("_adev"), F.lit(0.5)).alias("_mad")
+    ).withColumnRenamed(group_col, "__dg")
     return (
-        dev.join(F.broadcast(mad), group_col)
+        dev.join(
+            F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("__dg"))
+        )
+        .drop("__dg")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),

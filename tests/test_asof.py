@@ -125,3 +125,32 @@ def test_upsample_interpolate_semantics(spark):
     assert got[(1, 6)] == 10.0  # explicit null row interpolates too
     assert got[(1, 4)] == 18.0 and got[(1, 8)] == 2.0  # observations kept
     assert got[(2, 5)] == 7.0  # single-point key: no gaps, value kept
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Two right rows at the same (key, on): the pick is pinned to the
+    payload-struct max for backward (min for forward) — identical
+    across repartitionings, not partition-sort luck."""
+    from polars_fastx_spark.operators.asof import join_asof
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right_rows = [(1, 90, "a"), (1, 90, "b"), (1, 110, "y"), (1, 110, "z")]
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            right_rows, "k long, t long, val string"
+        ).repartition(nparts)
+        b = join_asof(left, right, on="t", by="k").collect()[0]["val"]
+        f = join_asof(left, right, on="t", by="k", strategy="forward").collect()[0]["val"]
+        assert b == "b", (nparts, b)   # payload max at t=90
+        assert f == "y", (nparts, f)   # payload min at t=110
+
+
+def test_asof_payload_handles_exotic_column_names(spark):
+    """Carried right columns with dots/spaces must survive the payload
+    struct (no DDL string splicing)."""
+    from polars_fastx_spark.operators.asof import join_asof
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame([(1, 90, 1.5)], "k long, t long, `price.usd` double")
+    out = join_asof(left, right, on="t", by="k").collect()[0]
+    assert out["price.usd"] == 1.5

@@ -120,3 +120,50 @@ def test_triangle_count_two_sharing_an_edge(spark):
     )
     got = {r["vertex"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def _persistent_rdd_ids(spark):
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keysIterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next())
+    return out
+
+
+def test_iterative_loops_do_not_leak_storage(spark):
+    """Each checkpoint round must release the previous round's blocks:
+    DataFrame.unpersist() does NOT free localCheckpoint storage, so
+    without explicit release a 20-round run piles 20 materialized
+    tables into executor memory."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    # a 2000-node chain forces many pointer-doubling rounds
+    edges = spark.range(1999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    before = _persistent_rdd_ids(spark)
+    cc = connected_components(edges, checkpoint_every=1)
+    assert cc.filter(F.col("component") != 0).count() == 0
+    leaked = _persistent_rdd_ids(spark) - before
+    assert len(leaked) <= 2, leaked  # returned checkpoint only
+
+    before = _persistent_rdd_ids(spark)
+    pr = pagerank(edges, "id_a", "id_b", iterations=8, checkpoint_every=2)
+    assert abs(pr.agg(F.sum("rank")).first()[0] - 1.0) < 1e-9
+    leaked = _persistent_rdd_ids(spark) - before
+    assert len(leaked) <= 2, leaked
+
+
+def test_pagerank_empty_edges_returns_empty_frame(spark):
+    from polars_fastx_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

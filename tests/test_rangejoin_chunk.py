@@ -137,3 +137,23 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     assert len(cents) == 3
     assert all(all(x == x for x in c) for c in cents)  # no NaNs
     assert assigned.count() == 3
+
+
+def test_binned_range_join_exact_beyond_double_precision(spark):
+    """Epoch-ns magnitudes (~1.7e18 > 2^53): double division rounds the
+    bin, silently dropping genuinely-contained matches — bin math must
+    be exact integer floor division."""
+    from polars_fastx_spark.operators.rangejoin import point_in_interval_join
+
+    base = 1_700_000_000_000_000_000
+    pts = spark.createDataFrame(
+        [(base + 1,), (base + 999,), (base + 1001,)], "p long"
+    )
+    iv = spark.createDataFrame(
+        [(base, base + 1000, "w1")], "lo long, hi long, tag string"
+    )
+    got = sorted(
+        r["p"]
+        for r in point_in_interval_join(pts, "p", iv, "lo", "hi", 128).collect()
+    )
+    assert got == [base + 1, base + 999]

@@ -197,3 +197,30 @@ def test_merge_intervals_contained_interval(spark):
         for r in merge_intervals(df, "k", "s", "e").collect()
     )
     assert got == [(0, 120, 3), (130, 140, 1)]
+
+
+def test_time_bucket_floor_semantics_pre_epoch(spark):
+    """Negative (pre-1970) timestamps must floor to the bucket BELOW:
+    Spark's % takes the dividend's sign, so c - c%w would bucket
+    ts=-100 (w=60) at -60 instead of its floor bucket -120."""
+    from polars_fastx_spark.operators.timeseries import time_bucket
+
+    df = spark.createDataFrame(
+        [(-100,), (-60,), (-1,), (0,), (59,), (60,)], "us long"
+    )
+    got = {
+        r["us"]: r["b"]
+        for r in df.select("us", time_bucket("us", 60).alias("b")).collect()
+    }
+    assert got == {-100: -120, -60: -60, -1: -60, 0: 0, 59: 0, 60: 60}
+
+
+def test_mad_outlier_stats_keeps_null_group(spark):
+    from polars_fastx_spark.operators.timeseries import mad_outlier_stats
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 100.0),
+            (None, 5.0), (None, 6.0), (None, 500.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in mad_outlier_stats(df, "g", "v").collect()}
+    assert set(out) == {"a", None}
+    assert out[None]["n"] == 3 and out[None]["n_outliers"] == 1

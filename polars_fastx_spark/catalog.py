@@ -2840,11 +2840,15 @@ def l_bloom_decontam(spark, sf_dir):
       WHERE w <> ''
     ),
     model AS (SELECT w, count(*) AS wn FROM w GROUP BY w),
-    tot AS (SELECT count(*)::DOUBLE AS tot FROM w)
-    SELECT doc_id, count(*)::BIGINT AS n_words,
-           round(avg(ln(wn / tot)), 6) AS avg_logprob
-    FROM w JOIN model USING (w), tot
-    GROUP BY doc_id
+    tot AS (SELECT count(*)::DOUBLE AS tot FROM w),
+    scored AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(avg(ln(wn / tot)), 6) AS avg_logprob
+      FROM w JOIN model USING (w), tot
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_words, 0) AS n_words, s.avg_logprob
+    FROM documents d LEFT JOIN scored s USING (doc_id)
     ORDER BY doc_id NULLS FIRST
     """,
     "L4+: unigram-LM perplexity proxy — corpus-trained word "
@@ -4295,7 +4299,7 @@ def j_binned_range(spark, sf_dir):
            length(substring(text, o, 200))::BIGINT AS chunk_len
     FROM (
         SELECT doc_id, text,
-               unnest(range(1, greatest(length(text), 1) + 1, 180))::BIGINT
+               unnest(range(1, greatest(length(text) - 20, 1) + 1, 180))::BIGINT
                    AS o
         FROM documents
     )
@@ -4735,7 +4739,8 @@ def l_centroids(spark, sf_dir):
                AS chunk_md5
     FROM (
         SELECT doc_id, toks,
-               unnest(range(1, greatest(len(toks), 1) + 1, 48))::BIGINT AS s
+               unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48))::BIGINT
+                   AS s
         FROM (
             SELECT doc_id,
                    list_filter(string_split_regex(trim(text), '\\s+'),

@@ -183,25 +183,38 @@ def decode_png(content: bytes) -> dict[str, Any]:
             raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
         ).astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        # filters 0/2 have no left-neighbor dependency and filter 1's
+        # left-recursion is a per-channel-lane prefix sum (mod 256
+        # commutes with addition) — one numpy op per scanline instead
+        # of a per-pixel Python loop (~4M iterations on a 1024²  RGBA
+        # image). Only 3 (average) and 4 (Paeth) are truly sequential.
+        if f == 0:
+            out[y] = line.astype(np.uint8)
+            continue
+        if f == 2:
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+            continue
+        if f == 1:
+            lanes = line.reshape(width, channels)
+            out[y] = (
+                (np.cumsum(lanes, axis=0, dtype=np.int64) & 0xFF)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+            continue
+        if f not in (3, 4):
+            raise ValueError(f"bad PNG filter {f}")
         cur = np.zeros(stride, np.int32)
         for x in range(stride):
             a = cur[x - channels] if x >= channels else 0
             b = prev[x]
             c = prev[x - channels] if x >= channels else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] + a
-            elif f == 2:
-                v = line[x] + b
-            elif f == 3:
+            if f == 3:
                 v = line[x] + (a + b) // 2
-            elif f == 4:  # Paeth
+            else:  # Paeth
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 v = line[x] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
-            else:
-                raise ValueError(f"bad PNG filter {f}")
             cur[x] = v & 0xFF
         out[y] = cur
     return _pixel_features(out, width, height, channels)
@@ -329,7 +342,13 @@ def resize_images(
                         "resize_images needs an injected resizer "
                         "(e.g. Pillow); no image codecs in this container"
                     )
-                out.append(resizer(bytes(content), width, height))
+                # null content stays null (binaryFile can yield it);
+                # bytes(None) would crash the whole write
+                out.append(
+                    resizer(bytes(content), width, height)
+                    if content is not None
+                    else None
+                )
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],

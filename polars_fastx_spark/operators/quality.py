@@ -24,8 +24,15 @@ class Rule:
     violation: Column  # boolean Column: True = row violates the rule
 
 
+def _qcol(name: str) -> Column:
+    """Backtick-quoted column reference: a plain ``F.col('a.b')`` parses
+    the dot as struct access and a name with spaces/dashes breaks any
+    later SQL-text rendering — quote so ANY legal column name works."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def not_null(col: str) -> Rule:
-    return Rule(f"not_null:{col}", F.col(col).isNull())
+    return Rule(f"not_null:{col}", _qcol(col).isNull())
 
 
 def unique(col: str) -> Rule:
@@ -37,21 +44,21 @@ def unique(col: str) -> Rule:
 def accepted_values(col: str, values: list) -> Rule:
     return Rule(
         f"accepted_values:{col}",
-        ~F.col(col).isin(values) | F.col(col).isNull(),
+        ~_qcol(col).isin(values) | _qcol(col).isNull(),
     )
 
 
 def in_range(col: str, lo, hi) -> Rule:
     return Rule(
         f"in_range:{col}",
-        (F.col(col) < lo) | (F.col(col) > hi) | F.col(col).isNull(),
+        (_qcol(col) < lo) | (_qcol(col) > hi) | _qcol(col).isNull(),
     )
 
 
 def matches(col: str, pattern: str) -> Rule:
     return Rule(
         f"matches:{col}",
-        ~F.col(col).rlike(pattern) | F.col(col).isNull(),
+        ~_qcol(col).rlike(pattern) | _qcol(col).isNull(),
     )
 
 
@@ -62,7 +69,7 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
         if r.violation is None:  # unique sentinel
             col = r.name.split(":", 1)[1]
             aggs.append(
-                (F.count(col) - F.count_distinct(F.col(col)))
+                (F.count(_qcol(col)) - F.count_distinct(_qcol(col)))
                 .cast("bigint")
                 .alias(r.name)
             )
@@ -75,7 +82,10 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     wide = df.agg(*aggs)
     pairs = F.array(
         *[
-            F.struct(F.lit(r.name).alias("rule"), F.col(r.name).alias("n_violations"))
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                _qcol(r.name).alias("n_violations"),
+            )
             for r in rules
         ]
     )
@@ -131,19 +141,27 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     df = ensure_min_parallelism(df)
     cols = columns or df.columns
     aggs = []
-    for c in cols:
-        col = F.col(c)
+    # index-based aliases, never name-interpolated SQL text: a column
+    # named 'my col' or 'a-b' must profile, not raise ParseException
+    for i, c in enumerate(cols):
+        col = _qcol(c)
         aggs += [
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.count_distinct(col).alias(f"__nd_{c}"),
-            F.min(col).cast("string").alias(f"__mn_{c}"),
-            F.max(col).cast("string").alias(f"__mx_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            F.count_distinct(col).alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__mn_{i}"),
+            F.max(col).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nn_{i}").alias("n_nulls"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min"),
+                F.col(f"__mx_{i}").alias("max"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as "
-        "(col_name, n_nulls, n_distinct, min, max)"
-    )
+    return one.select(F.explode(pairs).alias("e")).select("e.*")

@@ -135,13 +135,21 @@ def _hash_blocks(
     block_rows = _resolve_block_rows(df, n, block_rows)
     num_blocks = max(1, -(-n // block_rows))
     id_type = df.schema[id_col].dataType.simpleString()
-    routed = df.select(
-        F.pmod(
-            F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks)
-        ).alias("block"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).repartition(num_blocks, "block")
+    routed = (
+        df.select(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(num_blocks)
+            ).alias("block"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        # cosine is undefined for a missing vector: excluded from
+        # candidate generation (np.stack would otherwise crash on None;
+        # the SQL twin emits NULL cosine for such pairs, which no
+        # threshold matches and top-k orders last)
+        .filter(F.col("v").isNotNull())
+        .repartition(num_blocks, "block")
+    )
 
     def pack(batches):
         import pandas as pd
@@ -227,13 +235,20 @@ def _block_pairs(
 
 
 def _block_matrices(ids_cell, vecs_cell) -> tuple:
-    """(ids ndarray, row-L2-normalized matrix) from one packed block."""
+    """(ids ndarray, row-L2-normalized matrix) from one packed block.
+
+    Zero vectors are DROPPED, not normalized: cosine with a zero vector
+    is undefined (the SQL twin yields NULL — never above a threshold,
+    ordered last in top-k), and the old inf-norm trick silently ranked
+    those pairs at 0.0, ABOVE genuinely negative-cosine pairs."""
     import numpy as np
 
     ids = np.asarray(ids_cell)
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs_cell])
     norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = np.inf  # zero vectors similar to nothing
+    keep = norms > 0.0
+    if not keep.all():
+        ids, mat, norms = ids[keep], mat[keep], norms[keep]
     return ids, mat / norms[:, None]
 
 
@@ -262,10 +277,14 @@ def _self_topk_single_cell(
     top-k under (-cosine, id_a, id_b). No pack stage, no pair table,
     no persist. Exactness argument is the single-cell case of
     :func:`cosine_topk_numpy`'s: one cell sees every pair."""
-    routed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).repartition(1)
+    routed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())  # undefined cosine: excluded
+        .repartition(1)
+    )
 
     def all_pairs(batches):
         import numpy as np
@@ -511,7 +530,14 @@ def ivf_assign(
     assigned = (
         scored.groupBy("__id")
         .agg(
-            F.max_by("cell", "__sim").alias("cell"),
+            # max over (sim, cell) structs, not max_by(cell, sim):
+            # max_by breaks similarity ties nondeterministically
+            # (partition/retry order), while lexicographic struct max
+            # resolves a tie to the greatest cell id — stable across
+            # runs, which semdedup's re-runnable drop decision needs
+            F.max(F.struct(F.col("__sim"), F.col("cell")))
+            .getField("cell")
+            .alias("cell"),
             F.first("__v").alias("__v"),
             F.first("__n").alias("__n"),
         )

@@ -13,7 +13,7 @@ this is north-star extension per /root/repo/BASELINE.json:6.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Deliberately small + deterministic — this is a heuristic operator,
@@ -156,6 +156,11 @@ def chunk_text(
     chunk starts every ``size - overlap`` chars; the final chunk may be
     short; empty text yields one empty chunk (so no document silently
     disappears). 0-based ``chunk_idx``.
+
+    Offsets stop at ``len - size + step``: a chunk starting past that
+    point is wholly contained in its predecessor (with overlap > 0 the
+    naive bound emits e.g. 'abcde' AND 'de' for a 5-char doc at
+    size=5/overlap=2 — duplicated training text).
     """
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
@@ -165,7 +170,13 @@ def chunk_text(
         df.withColumn(
             "_off",
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(c), F.lit(1)), F.lit(step))
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(c) - F.lit(size - step), F.lit(1)
+                    ),
+                    F.lit(step),
+                )
             ),
         )
         .withColumn(chunk_col, F.substring(c, F.col("_off").cast("int"), size))
@@ -226,7 +237,9 @@ def chunk_tokens(
     ``size``-token windows every ``size - overlap`` tokens, re-joined
     with single spaces (training-context chunking in token space).
     Same explode(sequence()) shape as chunk_text — zero shuffles; an
-    empty/whitespace-only doc yields one empty chunk."""
+    empty/whitespace-only doc yields one empty chunk. As in chunk_text,
+    start offsets stop at ``n_tokens - overlap - 1`` so no trailing
+    chunk is a pure subset of its predecessor."""
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     step = size - overlap
@@ -238,7 +251,10 @@ def chunk_tokens(
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    F.greatest(
+                        F.size("_toks") - F.lit(size - step) - F.lit(1),
+                        F.lit(0),
+                    ),
                     F.lit(step),
                 )
             ),
@@ -490,7 +506,7 @@ def unigram_logprob_score(
     )
     model = words.groupBy("w").agg(F.count("*").alias("wn"))
     total = words.agg(F.count("*").cast("double").alias("__tot"))  # 1 row
-    return (
+    scored = (
         words.join(model, "w")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
@@ -499,6 +515,17 @@ def unigram_logprob_score(
             F.round(
                 F.avg(F.log(F.col("wn") / F.col("__tot"))), 6
             ).alias("avg_logprob"),
+        )
+    )
+    # restore zero-token docs as (0, NULL) — mirroring
+    # bigram_logprob_score — so a gating join never silently loses them
+    return (
+        df.select(_col(id_col).alias(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.col("avg_logprob"),
         )
     )
 

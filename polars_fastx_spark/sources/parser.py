@@ -206,23 +206,34 @@ def parse_fastq_range(
     header line starts in byte range [start, end).
 
     Resync: seek to ``start-1``, discard the partial line, then anchor
-    on the first line offset (among the next 4 line starts) that begins
-    a validated record chain. Adjacent ranges anchor on the same true
-    record boundaries, so every record is parsed exactly once. Callers
-    must gate with :func:`probe_four_line_fastq`.
+    on the first line offset (among the next 4 non-blank line starts)
+    that begins a validated record chain. Adjacent ranges anchor on the
+    same true record boundaries, so every record is parsed exactly
+    once. Callers must gate with :func:`probe_four_line_fastq`.
+
+    Blank lines (interior separators from file concatenation, double
+    trailing newlines) are skipped everywhere — both in the resync
+    window and in the record stream — mirroring
+    :func:`parse_fastq_stream`, so splitting a file never changes its
+    parse. Ownership is still decided by the header line's original
+    byte offset, which blank-skipping preserves.
     """
     with open(path, "rb") as f:
         if start > 0:
             f.seek(start - 1)
             f.readline()
-        # buffer a lookahead window of (offset, line) for resync
+        # buffer a lookahead window of (offset, line) for resync;
+        # blank lines are dropped here so the 4-line framing the
+        # validator expects is restored
         pos = f.tell()
         window: list[tuple[int, bytes]] = []
         while len(window) < 16:
             raw = f.readline()
             if not raw:
                 break
-            window.append((pos, raw.rstrip(b"\r\n")))
+            stripped = raw.rstrip(b"\r\n")
+            if stripped:
+                window.append((pos, stripped))
             pos += len(raw)
         lines_only = [ln for _, ln in window]
         anchor = None
@@ -248,7 +259,9 @@ def parse_fastq_range(
                 raw = f.readline()
                 if not raw:
                     return
-                yield p, raw.rstrip(b"\r\n")
+                stripped = raw.rstrip(b"\r\n")
+                if stripped:
+                    yield p, stripped
                 p += len(raw)
 
         it = line_iter()

@@ -108,35 +108,61 @@ EWMA_OUTPUT = StructType(
     ]
 )
 
-_EWMA_STATE = StructType([StructField("acc", DoubleType(), True)])
+_EWMA_STATE = StructType(
+    [
+        StructField("acc", DoubleType(), True),
+        StructField("gap", LongType(), True),
+    ]
+)
 
 
 def streaming_ewma(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     """Streaming twin of ``operators.timeseries.ewma``: the per-user
     recursion y_t = (1-α)·y_{t-1} + α·x_t carried across micro-batches
-    in the state store (one double per user). Within a batch rows fold
-    in (ts, event_id) order; across batches the accumulator resumes
-    where the last batch ended — so for in-order delivery the emitted
-    series is IDENTICAL to the batch operator's (pinned in tests).
-    Out-of-order rows fold in arrival order (state can't rewind); put a
-    watermarked sort upstream if the source can reorder.
+    in the state store (one (double, long) pair per user). Within a
+    batch rows fold in (ts, event_id) order; across batches the
+    accumulator resumes where the last batch ended — so for in-order
+    delivery the emitted series is IDENTICAL to the batch operator's
+    (pinned in tests). Out-of-order rows fold in arrival order (state
+    can't rewind); put a watermarked sort upstream if the source can
+    reorder.
+
+    Null values replay pandas ``adjust=False, ignore_na=False``
+    semantics exactly (the batch twin's engine): a null row re-emits
+    the current accumulator unchanged (null before any observation),
+    and the next real observation after g skipped rows folds in with a
+    decayed old-weight (1-α)^(g+1) instead of poisoning the state with
+    NaN — the ``gap`` half of the state carries g across batches.
     """
 
     def update(key, pdfs, state: GroupState):
-        acc = state.get[0] if state.exists else None
+        # acc = current mean (None before first obs); gap = rows since
+        # the last non-null observation (pandas' `deltas - 1`)
+        acc, gap = state.get if state.exists else (None, 0)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             for eid, x in zip(pdf["event_id"], pdf["value"]):
+                if pd.isna(x):
+                    gap += 1
+                    out.append((int(eid), acc))
+                    continue
                 x = float(x)
-                acc = x if acc is None else (1.0 - alpha) * acc + alpha * x
+                if acc is None:
+                    acc = x
+                else:
+                    old_wt = (1.0 - alpha) ** (gap + 1)
+                    acc = (old_wt * acc + alpha * x) / (old_wt + alpha)
+                gap = 0
                 out.append((int(eid), acc))
-        state.update((acc,))
+        state.update((acc, gap))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out),
                 "event_id": [e for e, _ in out],
-                "ewma": [v for _, v in out],
+                # explicit dtype: an all-None batch must stay float64,
+                # not object, for the Arrow conversion
+                "ewma": pd.Series([v for _, v in out], dtype="float64"),
             }
         )
 

@@ -297,3 +297,44 @@ def test_tokenize_to_ids_order_and_oov(spark):
     got2 = {r["doc_id"]: r["ids"] for r in
             tx.tokenize_to_ids(docs, "doc_id", "text", vocab=vocab).collect()}
     assert got2[1] == [7, -1, 7, -1]
+
+
+def test_unigram_logprob_restores_zero_token_docs(spark):
+    """An empty/whitespace-only doc must come back as (n_words=0,
+    avg_logprob=NULL) — mirroring bigram_logprob_score — not silently
+    vanish from a quality-gating join."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: (r["n_words"], r["avg_logprob"])
+        for r in tx.unigram_logprob_score(df, "doc_id", "text").collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == (0, None) and rows[3] == (0, None)
+    assert rows[1][0] == 2 and rows[1][1] is not None
+
+
+def test_chunk_overlap_no_contained_trailing_chunk(spark):
+    """With overlap > 0 the last offset stops at len-overlap: no chunk
+    that is a pure substring of its predecessor (duplicated training
+    text)."""
+    df = spark.createDataFrame(
+        [(1, "abcde"), (2, "abcdef")], "id long, text string"
+    )
+    out = tx.chunk_text(df, "text", size=5, overlap=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, []).append((r.chunk_idx, r.chunk))
+    assert sorted(by_doc[1]) == [(0, "abcde")]            # no trailing 'de'
+    assert sorted(by_doc[2]) == [(0, "abcde"), (1, "def")]
+
+    toks = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3"), (2, "t0 t1 t2 t3 t4")], "id long, text string"
+    )
+    tout = tx.chunk_tokens(toks, "text", size=4, overlap=2)
+    tb = {}
+    for r in tout.collect():
+        tb.setdefault(r.id, []).append((r.chunk_idx, r.chunk))
+    assert sorted(tb[1]) == [(0, "t0 t1 t2 t3")]          # no 't2 t3' echo
+    assert sorted(tb[2]) == [(0, "t0 t1 t2 t3"), (1, "t2 t3 t4")]

@@ -272,3 +272,28 @@ def test_write_fastx_null_quality_keeps_framing(spark, tmp_path):
     )
     with pytest.raises(Exception, match="quality length"):
         write_fastx(bad, str(tmp_path / "bad"), mode="overwrite")
+
+
+def test_fastq_split_parity_with_blank_lines(spark, tmp_path):
+    """Interior blank separators (file concatenation) and a double
+    trailing newline must not change a SPLIT scan's result: the range
+    parser skips blank lines exactly like the whole-file parser, so
+    splitting never drops or crashes on them."""
+    from polars_fastx_spark.sources.fastx import scan_fastx
+
+    path = tmp_path / "blanks.fastq"
+    with open(path, "w") as f:
+        for i in range(400):
+            seq = "ACGTN" * 8
+            f.write(f"@b{i}\n{seq}\n+\n{'@' + 'J' * 39}\n")
+            # blank separators AFTER the probed head (first 8 records
+            # clean → the file still splits) — the dangerous case
+            if i >= 50 and i % 7 == 3:
+                f.write("\n")
+        f.write("\n")  # double trailing newline
+    split = scan_fastx(spark, str(path), split_bytes=2048)
+    assert split.rdd.getNumPartitions() > 1
+    whole = scan_fastx(spark, str(path))
+    got = {r["header"] for r in split.collect()}
+    want = {r["header"] for r in whole.collect()}
+    assert got == want and len(got) == 400

@@ -327,3 +327,27 @@ def test_resize_images_plumbing_with_injected_codec(spark):
     # without a codec the stub contract raises loudly
     with pytest.raises(Exception, match="resizer|NotImplemented"):
         mm.resize_images(df, 2, 3).collect()
+
+
+def test_resize_images_null_content_passes_through(spark):
+    """binaryFile can yield null content: resize must emit null for
+    that row, not crash the whole write on bytes(None)."""
+    df = spark.createDataFrame(
+        [("a.img", bytearray(b"\x01\x02")), ("b.img", None)],
+        "path string, content binary",
+    )
+    out = {
+        r["path"]: r["content"]
+        for r in mm.resize_images(
+            df, 2, 2, resizer=lambda b, w, h: b[: w * h]
+        ).collect()
+    }
+    assert out["a.img"] is not None and out["b.img"] is None
+
+
+def test_decode_png_filter1_tall_image_matches_reference(spark):
+    """The vectorized filter-1 (per-lane cumsum) path on a tall image:
+    decode features equal the pixel-space reference."""
+    px = RNG.integers(0, 256, (64, 3, 3), dtype=np.uint8)
+    data = make_png(px, 3, 64, 3)
+    _check(mm.decode_png(data), _expected(px, 3, 64, 3))

@@ -109,3 +109,32 @@ def test_profile_column_subset_single_scan(spark):
     # one aggregate job over one scan: the plan has exactly one leaf scan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") + plan.count("Relation") == 1
+
+
+def test_profile_and_rules_survive_exotic_column_names(spark):
+    """Column names with spaces, dashes, and dots must profile and
+    check cleanly — no name-interpolated SQL text anywhere."""
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, 4.0)],
+        ["my col", "a-b", "a.b"],
+    )
+    prof = {r.col_name: r for r in Q.profile(df).collect()}
+    assert set(prof) == {"my col", "a-b", "a.b"}
+    assert prof["a-b"].n_nulls == 1
+    assert prof["my col"].n_distinct == 2
+    assert prof["a.b"].min == "2.0" and prof["a.b"].max == "4.0"
+
+    got = {
+        r.rule: r.n_violations
+        for r in Q.check(
+            df,
+            [
+                Q.not_null("a-b"),
+                Q.unique("my col"),
+                Q.in_range("a.b", 0.0, 3.0),
+            ],
+        ).collect()
+    }
+    assert got["not_null:a-b"] == 1
+    assert got["unique:my col"] == 0
+    assert got["in_range:a.b"] == 1

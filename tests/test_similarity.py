@@ -192,3 +192,45 @@ def test_blocked_knn_multi_block_at_8k_vectors(spark):
     order = sorted(top, key=lambda i: (-s[i], iu[0][i], iu[1][i]))[:10]
     want = [(int(iu[0][i]), int(iu[1][i]), round(float(s[i]), 6)) for i in order]
     assert got == want
+
+
+def test_null_and_zero_vectors_excluded_not_crashing(spark):
+    """A null vector used to crash np.stack inside the gemm stage, and
+    a zero vector was ranked at cosine 0.0 ABOVE genuinely negative
+    pairs. Both are now excluded from candidate generation (cosine
+    undefined — the SQL twin yields NULL, which no threshold matches)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.0]),   # cosine(1,2) = -1.0: the only defined pair
+        (3, [0.0, 0.0]),    # zero vector
+        (4, None),          # missing vector
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    got = _pairs(sim.cosine_topk_numpy(df, "id", "v", k=10, block_rows=2))
+    assert got == [(1, 2, -1.0)]
+
+    # threshold <= 0 must not resurrect zero-vector pairs
+    above = sim.cosine_pairs_above_numpy(df, "id", "v", threshold=-2.0)
+    assert [(r["id_a"], r["id_b"]) for r in above.collect()] == [(1, 2)]
+
+    # single-cell fused path: same contract
+    one = sim._self_topk_single_cell(df, "id", "v", k=10, id_type="bigint")
+    assert _pairs(one) == [(1, 2, -1.0)]
+
+
+def test_ivf_assign_tie_break_deterministic(spark):
+    """Equal-similarity centroid ties resolve to the greatest cell id —
+    stable across runs/retries (max over (sim, cell) structs, not
+    max_by), which semdedup's re-runnable drop decision requires."""
+    # two identical vectors → if both are seeds, their centroids tie
+    # for every assignment
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    assigned, cents = sim.ivf_assign(df, "id", "v", num_cells=3)
+    cells = {r["__id"]: r["cell"] for r in assigned.collect()}
+    top = max(r["cell"] for r in cents.collect())
+    assert all(c == top for c in cells.values())
+    # and a second run gives the identical assignment
+    assigned2, _ = sim.ivf_assign(df, "id", "v", num_cells=3)
+    assert cells == {r["__id"]: r["cell"] for r in assigned2.collect()}

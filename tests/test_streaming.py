@@ -627,3 +627,33 @@ def test_stream_bloom_filter_gates_contaminated_rows(spark, srcdir, tmp_path):
     result = _collect_parquet(spark, hits, out2, ck2)
     got = sorted(r["doc_id"] for r in result.collect())
     assert got == list(range(0, 10)) + [200]
+
+
+def test_streaming_ewma_null_values_match_pandas(spark, srcdir, tmp_path):
+    """A null value must not NaN-poison the accumulator: the stream
+    replays pandas ``adjust=False, ignore_na=False`` exactly (the batch
+    twin's engine), including a null that falls on a batch boundary —
+    the inter-observation gap is carried in the state store."""
+    from polars_fastx_spark.streaming.stateful import streaming_ewma
+
+    b1 = [
+        _rows("2024-01-01 10:00:00", 1, user=7, value=1.0),
+        _rows("2024-01-01 10:01:00", 2, user=7, value=None),
+    ]
+    b2 = [_rows("2024-01-01 10:02:00", 3, user=7, value=2.0)]
+    _write_batch(srcdir, "b1.json", b1)
+    stream = streaming_ewma(sp.stream_events(spark, str(srcdir)), alpha=0.5)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, stream, out, ck)
+    _write_batch(srcdir, "b2.json", b2)
+    got_df = _collect_parquet(spark, stream, out, ck)
+    got = {r.event_id: r.ewma for r in got_df.collect()}
+
+    # pandas [1, nan, 2].ewm(alpha=.5, adjust=False).mean()
+    # = [1.0, 1.0, (0.25*1 + 0.5*2)/0.75]
+    import pandas as pd
+
+    ref = pd.Series([1.0, None, 2.0]).ewm(alpha=0.5, adjust=False).mean()
+    assert got[1] == ref[0] == 1.0
+    assert got[2] == ref[1] == 1.0  # re-emits the accumulator, not NaN
+    assert got[3] == pytest.approx(ref[2]) and got[3] == pytest.approx(5 / 3)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -39,7 +40,8 @@ SUITE = {
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.1
+    m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", Path(sf_dir).name)
+    sf = float(m.group(1)) if m else 0.1
 
     from polars_fastx_spark.catalog import QUERIES
     from polars_fastx_spark.session import builder

@@ -2435,7 +2435,8 @@ def f_nulls(spark, sf_dir):
     "x_udaf_entropy",
     """
     WITH counts AS (
-      SELECT source, lang, count(*) AS n_gv FROM documents GROUP BY source, lang
+      SELECT source, lang, count(*) AS n_gv FROM documents
+      WHERE lang IS NOT NULL GROUP BY source, lang
     )
     SELECT source,
            round(ln(sum(n_gv)) - sum(n_gv * ln(n_gv)) / sum(n_gv), 9) AS entropy

@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for SQL-text interpolation, so
+    names with spaces/dashes/dots work (same contract as
+    operators.quality._qcol, but emitting text for ``F.expr``)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def top_k_counts(
     df: DataFrame, col: str, k: int, max_tracked: int = 1_000_000
 ) -> DataFrame:
@@ -41,7 +48,7 @@ def top_k_counts(
     higher-cardinality columns or pre-aggregate first.
     """
     est = df.agg(
-        F.expr(f"approx_top_k({col}, {k}, {max_tracked})").alias("tk")
+        F.expr(f"approx_top_k({_ident(col)}, {k}, {max_tracked})").alias("tk")
     )
     return (
         est.select(F.explode("tk").alias("e"))
@@ -87,8 +94,11 @@ def kll_quantiles(
     keys = keys or []
     qcols = [
         F.expr(
-            f"kll_sketch_get_quantile_double(kll_sketch_agg_double({value_col}), {p})"
-        ).alias(f"q{int(p * 100)}")
+            "kll_sketch_get_quantile_double("
+            f"kll_sketch_agg_double({_ident(value_col)}), {p})"
+        # round, not int(): int(0.29*100) == 28 and both 0.56 and 0.57
+        # truncate to q56 (a duplicate column) under binary floats
+        ).alias(f"q{round(p * 100)}")
         for p in probs
     ]
     return df.groupBy(*keys).agg(*qcols)

@@ -60,25 +60,34 @@ def deletion_variants(col: Column | str) -> Column:
 def _joined_candidates(
     left: DataFrame,
     right: DataFrame,
-    variants: Column,
-    variants_r: Column,
+    left_col: str,
+    right_col: str,
+    variant_fn,
 ) -> DataFrame:
-    """Equi-join the two exploded neighborhood streams and collapse the
-    multi-shared-key duplicates per (left row, right row) PAIR — keyed
-    on per-side surrogate ids, not a full-row ``distinct()``, so
-    genuinely duplicate input rows still produce one output pair each
-    (N×M pairs for N identical left rows × M identical right rows)."""
-    lk = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
-        "__v", F.explode(variants)
-    )
-    rk = right.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
-        "__v", F.explode(variants_r)
+    """Equi-join the two deletion-neighborhood key streams and join the
+    row payloads back afterwards.
+
+    Only the DISTINCT key strings travel through the explode (the
+    len(s)+1 — len²/2 for k=2 — fan-out): exploding full rows would
+    shuffle every payload column once per variant, making the variant
+    count a multiplier on row width. The candidate table is distinct
+    (left string, right string) pairs; each side's payload is then
+    joined back by its string — exactly one payload shuffle per side,
+    and N identical left rows × M identical right rows re-expand to the
+    documented N×M output pairs through that join."""
+    ls = left.select(_col(left_col).alias("__ls")).distinct()
+    rs = right.select(_col(right_col).alias("__rs")).distinct()
+    lk = ls.withColumn("__v", F.explode(variant_fn(F.col("__ls"))))
+    rk = rs.withColumn("__v", F.explode(variant_fn(F.col("__rs"))))
+    pairs = (
+        lk.join(rk, "__v")
+        .select("__ls", "__rs")
+        .dropDuplicates(["__ls", "__rs"])
     )
     return (
-        lk.join(rk, "__v")
-        .drop("__v")
-        .dropDuplicates(["__lid", "__rid"])
-        .drop("__lid", "__rid")
+        left.join(pairs, _col(left_col) == F.col("__ls"))
+        .join(right, _col(right_col) == F.col("__rs"))
+        .drop("__ls", "__rs")
     )
 
 
@@ -92,11 +101,13 @@ def fuzzy_join_k1(
     """All (left, right) row pairs with ``levenshtein(left_col,
     right_col) <= 1``, computed without a cartesian product.
 
-    Dataflow: each side explodes its deletion neighborhood (row-local
-    fan-out), the two key streams equi-join on the variant key (one
-    hash-shuffle join, AQE-managed), duplicate candidates from multiple
-    shared keys collapse per (left row, right row) pair via per-side
-    surrogate ids — duplicate INPUT rows keep their multiplicity — and the
+    Dataflow: each side's DISTINCT strings explode their deletion
+    neighborhood (row-local fan-out of short keys only — payloads never
+    ride the fan-out), the two key streams equi-join on the variant key
+    (one hash-shuffle join, AQE-managed), duplicate candidates from
+    multiple shared keys collapse per (left string, right string) pair,
+    payloads join back by string (one shuffle per side — duplicate
+    INPUT rows keep their multiplicity through it), and the
     built-in ``levenshtein`` verifies (blocking admits distance-2 pairs
     like "ab"~"cb"? no — but it does admit same-length
     substitution-at-two-positions false candidates only when they share
@@ -111,7 +122,7 @@ def fuzzy_join_k1(
     (alias beforehand), as with any Spark join.
     """
     cand = _joined_candidates(
-        left, right, deletion_variants(left_col), deletion_variants(right_col)
+        left, right, left_col, right_col, deletion_variants
     )
     dist = F.levenshtein(_col(left_col), _col(right_col))
     out = cand.filter(dist <= 1)
@@ -167,10 +178,7 @@ def fuzzy_join_k2(
     positives). Same plan shape: row-local key fan-out, one shuffled
     equi-join, distinct, codegen verify."""
     cand = _joined_candidates(
-        left,
-        right,
-        deletion_variants_k2(left_col),
-        deletion_variants_k2(right_col),
+        left, right, left_col, right_col, deletion_variants_k2
     )
     dist = F.levenshtein(_col(left_col), _col(right_col))
     out = cand.filter(dist <= 2)

@@ -52,8 +52,17 @@ def entropy_by_group(df: DataFrame, group: str, value: str) -> DataFrame:
     groupBys, no Python — the 100 TB path.
 
     H(g) = -Σ_v (n_gv / n_g) · ln(n_gv / n_g)
+
+    NULL values are dropped before counting — matching
+    :func:`shannon_entropy`'s ``value_counts(dropna=True)`` — so the
+    two twins agree on null-containing data (a NULL is a missing
+    observation, not a distribution category).
     """
-    counts = df.groupBy(group, value).agg(F.count("*").alias("n_gv"))
+    counts = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(group, value)
+        .agg(F.count("*").alias("n_gv"))
+    )
     return (
         counts.groupBy(group)
         .agg(
@@ -77,8 +86,13 @@ def zscore_by_group(
     groups fit in memory; the window-function twin below has no such
     limit.
     """
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = f"{fields}, {out} double"
+    # a StructType, not interpolated DDL text: a column named
+    # 'account bal' or 'a.b' must not break the schema parse
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        df.schema.fields + [StructField(out, DoubleType())]
+    )
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value]

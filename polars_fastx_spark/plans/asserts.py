@@ -48,9 +48,14 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan."""
+    """Number of shuffle-exchange operators in the physical plan —
+    every non-broadcast Exchange (hash, range, single, round-robin
+    from ``repartition(n)``, …), so a regression that slips in a
+    repartition moves this number."""
     plan = explain_str(df, "simple")
-    return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
+    # standalone "Exchange " nodes only: BroadcastExchange and
+    # ReusedExchange are single tokens, so \b keeps them out
+    return len(re.findall(r"\bExchange ", plan))
 
 
 def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
@@ -64,9 +69,37 @@ def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
 
 
 def pruned_columns(df: DataFrame) -> list[str]:
-    """Column names the parquet scan actually reads (ReadSchema)."""
+    """Column names the parquet scan actually reads (ReadSchema).
+
+    Depth-aware parse: the struct body may contain ``decimal(15,2)``
+    (commas inside parens) and nested ``array<...>``/``struct<...>``
+    (angle brackets), so neither a [^>]* regex nor a bare comma split
+    is safe — both silently returned the wrong column set."""
     plan = explain_str(df)
-    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    m = re.search(r"ReadSchema: struct<", plan)
     if not m:
         return []
-    return [p.split(":")[0].strip() for p in m.group(1).split(",") if p.strip()]
+    # walk to the matching '>' of the opening struct<
+    body_start = m.end()
+    depth, i = 1, body_start
+    while i < len(plan) and depth:
+        if plan[i] == "<":
+            depth += 1
+        elif plan[i] == ">":
+            depth -= 1
+        i += 1
+    body = plan[body_start : i - 1]
+    cols, buf, d = [], [], 0
+    for ch in body:
+        if ch in "<(":
+            d += 1
+        elif ch in ">)":
+            d -= 1
+        if ch == "," and d == 0:
+            cols.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        cols.append("".join(buf))
+    return [c.split(":", 1)[0].strip() for c in cols if c.strip()]

@@ -69,7 +69,13 @@ def builder(app_name: str = "polars_fastx_spark", master: str | None = None,
     unset and spark-submit decides.
     """
     b = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
+    # Under spark-submit the driver JVM already exists (it launches this
+    # python process and exports the gateway port) and carries the
+    # submitted --master; forcing local[] there would silently pull a
+    # cluster job onto the driver. Only default the master for
+    # self-launched (no-gateway) processes with no explicit override.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if master:

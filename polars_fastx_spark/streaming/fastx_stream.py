@@ -68,6 +68,19 @@ class FastxStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
+        # the stream's schema (FASTA 2-col vs FASTQ 3-col) is locked at
+        # start; a file of the OTHER framing arriving later would parse
+        # to zero records and be marked ingested by the checkpoint —
+        # silent, unrecoverable loss. Fail loudly instead.
+        actual = parser.sniff_is_fastq(partition.path)
+        if actual != partition.is_fastq:
+            want = "FASTQ" if partition.is_fastq else "FASTA"
+            got = "FASTQ" if actual else "FASTA"
+            raise ValueError(
+                f"{partition.path}: {got} file arrived in a stream locked "
+                f"to {want} (schema fixed at stream start — pass "
+                "format= explicitly or keep formats in separate dirs)"
+            )
         return parser.parse_file(partition.path, partition.is_fastq, 0, None)
 
     def commit(self, end: dict) -> None:

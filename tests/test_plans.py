@@ -340,3 +340,37 @@ def test_runtime_bloom_filter_injected_for_selective_dim(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_count_counts_roundrobin(spark):
+    df = spark.read.parquet(f"{SF}/nation.parquet").repartition(4)
+    assert plans.shuffle_count(df) == 1
+
+
+def test_pruned_columns_decimal_and_nested(spark, tmp_path):
+    """ReadSchema parsing must survive decimal(p,s) commas and nested
+    array<>/struct<> angle brackets."""
+    p = str(tmp_path / "t")
+    spark.range(10).select(
+        F.col("id"),
+        F.col("id").cast("decimal(15,2)").alias("amount"),
+        F.array(F.col("id").cast("float")).alias("emb"),
+        F.struct(F.col("id").alias("a"), F.lit("x").alias("b")).alias("s"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p).select("amount", "emb", "s", "id")
+    assert set(plans.pruned_columns(df)) == {"amount", "emb", "s", "id"}
+
+
+def test_builder_respects_spark_submit_gateway(monkeypatch):
+    """Under spark-submit (gateway env present) the builder must NOT
+    force a local master over the submitted one."""
+    import importlib
+
+    from polars_fastx_spark import session as S
+
+    monkeypatch.setenv("PYSPARK_GATEWAY_PORT", "12345")
+    b = S.builder("t")
+    assert "spark.master" not in b._options
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT")
+    b2 = S.builder("t")
+    assert str(b2._options.get("spark.master", "")).startswith("local[")

@@ -118,3 +118,21 @@ def test_hll_exact_companion_keeps_null_group(spark, tmp_path):
     for _, w in want.iterrows():
         key = None if w["event_type"] is None else w["event_type"]
         assert by_key[key] == w["exact_ndv"]
+
+
+def test_kll_quantile_labels_not_truncated(spark):
+    """int(0.57*100) == 56 under binary floats: labels must round, and
+    nearby probs must not collide into duplicate column names."""
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    out = sketches.kll_quantiles(df, "x", [0.29, 0.56, 0.57])
+    assert out.columns == ["q29", "q56", "q57"]
+
+
+def test_sketches_quote_exotic_column_names(spark):
+    df = spark.range(50).select(
+        (F.col("id") % 5).cast("double").alias("part key")
+    )
+    tk = sketches.top_k_counts(df, "part key", 3)
+    assert tk.count() == 3
+    kq = sketches.kll_quantiles(df, "part key", [0.5])
+    assert kq.columns == ["q50"]

@@ -8,6 +8,7 @@ thing, so either path is safe to swap into a pipeline.
 from __future__ import annotations
 
 import math
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -81,3 +82,32 @@ def test_lateral_join_udtf(spark):
         "SELECT id, ngram FROM tv, LATERAL ngrams(t, 2) ORDER BY id, pos"
     ).collect()
     assert [(r["id"], r["ngram"]) for r in got] == [(1, "AA"), (1, "AC"), (2, "GG")]
+
+
+def test_entropy_twins_agree_on_nulls(spark):
+    """NULL is a missing observation for BOTH entropy paths: the SQL
+    twin must not count it as a distribution category."""
+    from polars_fastx_spark.operators import udaf
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", None)], "grp string, v string"
+    )
+    sql_h = udaf.entropy_by_group(df, "grp", "v").collect()[0]["entropy"]
+    udf_h = (
+        df.groupBy("grp")
+        .agg(udaf.shannon_entropy("v").alias("h"))
+        .collect()[0]["h"]
+    )
+    assert sql_h == pytest.approx(0.0) and udf_h == pytest.approx(0.0)
+
+
+def test_zscore_by_group_exotic_column_names(spark):
+    from polars_fastx_spark.operators import udaf
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 3.0)], ["grp id", "acct-bal"]
+    )
+    rows = udaf.zscore_by_group(df, "grp id", "acct-bal").collect()
+    assert sorted(round(r["zscore"], 6) for r in rows) == [
+        -0.707107, 0.707107,
+    ]

@@ -99,6 +99,12 @@ def kmeans(
     shuffles, map-side partials); only k centroid rows ever reach the
     driver. Returns (assignments, final centroids).
     """
+    if iterations < 1:
+        raise ValueError(
+            "kmeans needs iterations >= 1 (assignments come from the "
+            "last assignment pass; with 0 passes there is nothing to "
+            "assign)"
+        )
     seeds = [
         [float(x) for x in r.v]
         for r in df.select(

@@ -196,3 +196,15 @@ def test_ivfpq_pinned_ranks_own_vector_first(spark):
     got = ivfpq_topk(df, "id", "v", q, k=5, num_cells=8, nprobe=3, m=4,
                      pq_k=4, pinned_books=True).collect()
     assert got[0]["id"] == 42
+
+
+def test_kmeans_rejects_zero_iterations(spark):
+    import pytest
+
+    from polars_fastx_spark.operators.vectors import kmeans
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        kmeans(df, "id", "v", k=2, iterations=0)

@@ -57,32 +57,62 @@ def deletion_variants(col: Column | str) -> Column:
     return F.array_union(F.array(s), dels)
 
 
-def _joined_candidates(
+def _verified_pairs(
     left: DataFrame,
     right: DataFrame,
     left_col: str,
     right_col: str,
     variant_fn,
+    max_dist: int,
+    keep_equal: bool,
 ) -> DataFrame:
-    """Equi-join the two deletion-neighborhood key streams and join the
-    row payloads back afterwards.
+    """Equi-join the two deletion-neighborhood key streams, VERIFY the
+    edit distance on the string pairs, then join the row payloads back.
 
     Only the DISTINCT key strings travel through the explode (the
     len(s)+1 — len²/2 for k=2 — fan-out): exploding full rows would
     shuffle every payload column once per variant, making the variant
-    count a multiplier on row width. The candidate table is distinct
-    (left string, right string) pairs; each side's payload is then
-    joined back by its string — exactly one payload shuffle per side,
-    and N identical left rows × M identical right rows re-expand to the
-    documented N×M output pairs through that join."""
+    count a multiplier on row width. Verification is two-staged around
+    the pair dedup: an O(1) length-difference prefilter runs on the raw
+    candidate key stream (|len(a)-len(b)| > k can never be within
+    distance k), the dedup then collapses the shared-key multiplicity
+    (similar strings share MANY variant keys, so each surviving pair
+    would otherwise pay the O(len²) ``levenshtein`` once per shared
+    key), and the full ``levenshtein`` verify runs once per distinct
+    pair. The verified pairs table is small, so AQE broadcasts it into
+    the two payload joins. N identical left rows × M identical right
+    rows re-expand to the documented N×M output pairs through the
+    payload join-back."""
+    # Pin the two shuffles to the session's configured width with
+    # EXPLICIT repartitions. AQE sizes reduce stages by shuffle BYTES,
+    # and this operator's stages are byte-small but compute-heavy: the
+    # variant-key join fans out quadratically inside hot buckets, and
+    # the verify runs an O(len²) levenshtein per pair — measured on
+    # 1k near-identical names, AQE coalesced both to 1-2 tasks and the
+    # whole join ran ~3x slower. User-specified repartition counts are
+    # exempt from AQE coalescing, and the join / dedup-aggregate reuse
+    # the hash partitioning, so no extra exchanges appear.
+    try:
+        width = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = left.sparkSession.sparkContext.defaultParallelism
     ls = left.select(_col(left_col).alias("__ls")).distinct()
     rs = right.select(_col(right_col).alias("__rs")).distinct()
     lk = ls.withColumn("__v", F.explode(variant_fn(F.col("__ls"))))
     rk = rs.withColumn("__v", F.explode(variant_fn(F.col("__rs"))))
+    dist = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    cond = dist <= max_dist
+    if not keep_equal:
+        cond = cond & (dist > 0)
+    len_gap = F.abs(F.length("__ls") - F.length("__rs")) <= max_dist
     pairs = (
-        lk.join(rk, "__v")
+        lk.repartition(width, "__v")
+        .join(rk.repartition(width, "__v"), "__v")
         .select("__ls", "__rs")
+        .filter(len_gap)
+        .repartition(width, "__ls", "__rs")
         .dropDuplicates(["__ls", "__rs"])
+        .filter(cond)
     )
     return (
         left.join(pairs, _col(left_col) == F.col("__ls"))
@@ -104,16 +134,17 @@ def fuzzy_join_k1(
     Dataflow: each side's DISTINCT strings explode their deletion
     neighborhood (row-local fan-out of short keys only — payloads never
     ride the fan-out), the two key streams equi-join on the variant key
-    (one hash-shuffle join, AQE-managed), duplicate candidates from
-    multiple shared keys collapse per (left string, right string) pair,
-    payloads join back by string (one shuffle per side — duplicate
-    INPUT rows keep their multiplicity through it), and the
-    built-in ``levenshtein`` verifies (blocking admits distance-2 pairs
+    (one hash-shuffle join, AQE-managed), the built-in ``levenshtein``
+    verifies each candidate key pair (blocking admits distance-2 pairs
     like "ab"~"cb"? no — but it does admit same-length
     substitution-at-two-positions false candidates only when they share
     a deletion variant, which distance >1 pairs cannot; the verify
     filter is kept anyway as the soundness guarantee and is O(1) per
-    candidate).
+    candidate), duplicate survivors from multiple shared keys collapse
+    per (left string, right string) pair, and payloads join back by
+    string (one shuffle per side, usually AQE-broadcast since the
+    verified pairs table is small — duplicate INPUT rows keep their
+    multiplicity through it).
 
     ``keep_equal=False`` drops exact matches (distance 0), returning
     only true near-misses.
@@ -121,14 +152,9 @@ def fuzzy_join_k1(
     Column collision: callers must ensure disjoint output columns
     (alias beforehand), as with any Spark join.
     """
-    cand = _joined_candidates(
-        left, right, left_col, right_col, deletion_variants
+    return _verified_pairs(
+        left, right, left_col, right_col, deletion_variants, 1, keep_equal
     )
-    dist = F.levenshtein(_col(left_col), _col(right_col))
-    out = cand.filter(dist <= 1)
-    if not keep_equal:
-        out = out.filter(dist > 0)
-    return out
 
 
 def deletion_variants_k2(col: Column | str) -> Column:
@@ -176,12 +202,11 @@ def fuzzy_join_k2(
     (FastSS: lev(a,b) <= k ⇒ the ≤k-deletion neighborhoods intersect;
     the built-in ``levenshtein`` verify removes blocking false
     positives). Same plan shape: row-local key fan-out, one shuffled
-    equi-join, distinct, codegen verify."""
-    cand = _joined_candidates(
-        left, right, left_col, right_col, deletion_variants_k2
+    equi-join, codegen verify, distinct, payload join-back. The verify
+    runs before the pair dedup — at k=2 false candidates dominate the
+    key-join output, so dropping them first keeps the dedup shuffle and
+    the payload joins proportional to true matches."""
+    return _verified_pairs(
+        left, right, left_col, right_col, deletion_variants_k2, 2,
+        keep_equal
     )
-    dist = F.levenshtein(_col(left_col), _col(right_col))
-    out = cand.filter(dist <= 2)
-    if not keep_equal:
-        out = out.filter(dist > 0)
-    return out

@@ -203,12 +203,13 @@ CODON_TABLE: dict[str, str] = {"AAA": "K", "AAC": "N", "AAG": "K", "AAT": "N", "
 
 def translate_protein(c: Column | str) -> Column:
     """Frame-0 protein translation under the standard genetic code:
-    non-overlapping uppercase codons map through a 64-entry MAP literal
-    (``element_at`` lookup — JVM codegen, no UDF); codons containing
-    N/other ambiguity translate to 'X'; stops render '*' and translation
-    does NOT halt at them (whole-frame translation — the caller slices
-    ORFs first if stop-terminated products are wanted). Trailing 1-2
-    leftover bases are ignored, like :func:`codon_usage`.
+    non-overlapping uppercase codons index a 64-element array literal
+    by base-4 codon value (O(1) ``element_at`` — JVM codegen, no UDF);
+    codons containing N/other ambiguity translate to 'X'; stops render
+    '*' and translation does NOT halt at them (whole-frame translation
+    — the caller slices ORFs first if stop-terminated products are
+    wanted). Trailing 1-2 leftover bases are ignored, like
+    :func:`codon_usage`.
     """
     # Let-bind the (possibly expensive) input expression via a 1-element
     # array + transform lambda so it evaluates ONCE per row: substring
@@ -216,26 +217,67 @@ def translate_protein(c: Column | str) -> Column:
     # whole input tree per codon — O(len²) per row when callers pass a
     # computed chain (longest_orf feeds reverse-complement frames;
     # measured 137 s → ~20 s for the 6-frame ORF scan at sf0.1).
+    # Amino acids indexed by base-4 codon value (A=0, C=1, G=2, T=3):
+    # one O(1) array lookup per codon instead of a linear scan through
+    # a 64-entry MAP literal, and O(1) char access through a split-once
+    # char array instead of substring(s, i*3+1, 3) — UTF8 substring
+    # walks bytes to the char offset, so per-codon substrings into the
+    # full sequence are O(position) each, O(len²) per row in total.
+    aa_by_index = F.array(
+        *[
+            F.lit(CODON_TABLE[b1 + b2 + b3])
+            for b1 in "ACGT"
+            for b2 in "ACGT"
+            for b3 in "ACGT"
+        ]
+    )
+
+    # Ambiguity codes map to a large sentinel, NOT null: a null index
+    # reaching element_at inside a higher-order-function lambda hits a
+    # codegen NullPointerException (only constant folding saves the
+    # non-lambda case), so the invalid-codon branch must be selected by
+    # an ordinary comparison instead of null propagation.
+    def _base4(ch: Column) -> Column:
+        return (
+            F.when(ch == "A", 0)
+            .when(ch == "C", 1)
+            .when(ch == "G", 2)
+            .when(ch == "T", 3)
+            .otherwise(1000)
+        )
+
     def body(s: Column) -> Column:
+        from polars_fastx_spark.functions.exprs import let
+
         n_codons = F.floor(F.length(s) / 3).cast("int")
-        codons = F.transform(
-            F.sequence(F.lit(0), n_codons - 1),
-            lambda i: F.substring(s, i * 3 + 1, 3),
-        )
-        lookup = F.create_map(
-            *[F.lit(x) for kv in sorted(CODON_TABLE.items()) for x in kv]
-        )
-        aa = F.transform(
-            codons, lambda cod: F.coalesce(lookup[cod], F.lit("X"))
-        )
+
+        def with_chars(chars: Column) -> Column:
+            def codon_aa(i: Column) -> Column:
+                idx = (
+                    _base4(F.element_at(chars, i * 3 + 1)) * 16
+                    + _base4(F.element_at(chars, i * 3 + 2)) * 4
+                    + _base4(F.element_at(chars, i * 3 + 3))
+                )
+                # any non-ACGT base pushes idx past 63 via the sentinel
+                return F.when(
+                    idx <= 63, F.element_at(aa_by_index, idx + 1)
+                ).otherwise(F.lit("X"))
+
+            aa = F.transform(F.sequence(F.lit(0), n_codons - 1), codon_aa)
+            return F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(
+                F.lit("")
+            )
+
         # NULL in -> NULL out (Spark/Polars null semantics); '' only
         # for non-null inputs shorter than one codon. Tested on the
         # LET-BOUND s (upper() propagates NULL) — an outer
         # _col(c).isNull() would re-evaluate the whole input tree per
         # row, undoing the let for computed chains like longest_orf's
-        # per-frame substrings.
+        # per-frame substrings. The char array is let-bound for the
+        # same reason: a bare split(s,'') referenced inside the
+        # per-codon lambda would re-split once per codon.
         return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(
-            F.when(n_codons >= 1, F.array_join(aa, "")).otherwise(F.lit(""))
+            let(F.split(s, ""), with_chars)
         )
 
     from polars_fastx_spark.functions.exprs import let

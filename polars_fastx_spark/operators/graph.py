@@ -68,8 +68,10 @@ def connected_components(
     (messages + union + the doubling self-join), so the logical plan
     grows 4^rounds without lineage cuts; ``localCheckpoint`` every
     round (``checkpoint_every=1``) keeps it bounded — cheap, since the
-    label table is materialized for the convergence count anyway and
-    pointer doubling keeps total rounds logarithmic.
+    label table is materialized for the convergence check anyway and
+    pointer doubling keeps total rounds logarithmic. For integral node
+    ids the convergence check is a single exact Σcomponent scan (labels
+    only ever decrease); string ids fall back to a join-based count.
     """
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -82,6 +84,26 @@ def connected_components(
             F.col("u").alias("node"), F.col("u").alias("component")
         )
     ).persist()
+    # Convergence detection: labels are monotonically non-increasing
+    # (the min-propagation includes each node's own label, and pointer
+    # doubling substitutes component ← label(component) ≤ component),
+    # so for integral node ids "no node changed" ⟺ "the exact
+    # Σcomponent is unchanged" — one partial-agg scan over the blocks
+    # the checkpoint just materialized, instead of re-shuffling BOTH
+    # full label tables into a join every round. decimal(38,0) keeps
+    # the sum exact for any realistic table (10^38 ≫ max_long · rows).
+    # Non-integral ids (strings) keep the join-based count.
+    from pyspark.sql.types import IntegralType
+
+    sum_check = isinstance(
+        labels.schema["component"].dataType, IntegralType
+    )
+    _label_sum = F.sum(
+        F.col("component").cast("decimal(38,0)")
+    ).alias("s")
+    prev_sum = (
+        labels.agg(_label_sum).collect()[0][0] if sum_check else None
+    )
     prev_ck: DataFrame | None = None
     try:
         for i in range(max_iterations):
@@ -122,13 +144,19 @@ def connected_components(
                 pre.unpersist()  # checkpoint materialized; cache is dead
             else:
                 new_labels = pre
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "old"), "node"
+            if sum_check:
+                new_sum = new_labels.agg(_label_sum).collect()[0][0]
+                changed = int(new_sum != prev_sum)
+                prev_sum = new_sum
+            else:
+                changed = (
+                    new_labels.join(
+                        labels.withColumnRenamed("component", "old"),
+                        "node",
+                    )
+                    .filter(F.col("component") != F.col("old"))
+                    .count()
                 )
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            )
             labels.unpersist()
             if ck_round and prev_ck is not None:
                 # everything live now derives from new_labels' OWN
@@ -207,18 +235,31 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev_ck: DataFrame | None = None
+    cur_cached: DataFrame | None = None  # persist handle behind `ranks`
+    parent_cached: DataFrame | None = None  # one generation back — must
+    # stay cached until `ranks` itself materializes, else every round
+    # recomputes the whole chain from source (O(rounds²) total work)
     for i in range(iterations):
         contribs = (
             ranks.join(ed, "node")
             .groupBy(F.col("to").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
+        # anti-join against the CACHED edge table, not `deg` — deg is a
+        # lazy agg over the caller's edge lineage and would re-execute
+        # that lineage every round (same node set either way: deg's
+        # keys are exactly ed's senders)
         dangling = (
-            ranks.join(deg, "node", "left_anti")
+            ranks.join(ed.select("node"), "node", "left_anti")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
         )
+        # that collect materialized `ranks` into its own cache blocks,
+        # so the frame it computes FROM is now redundant
+        if parent_cached is not None:
+            parent_cached.unpersist()
+            parent_cached = None
         base = (1.0 - damping) / n + damping * dangling / n
         pre = (
             nodes.join(contribs, "node", "left")
@@ -234,16 +275,28 @@ def pagerank(
         if ck_round:
             new_ranks = pre.localCheckpoint(eager=True)
             pre.unpersist()  # checkpoint materialized; cache is dead
+            if cur_cached is not None:
+                # the checkpoint is self-contained — parent cache dead
+                cur_cached.unpersist()
+                cur_cached = None
+            if prev_ck is not None:
+                _release_checkpoint(prev_ck)  # see connected_components
+            prev_ck = new_ranks
         else:
             new_ranks = pre
-        ranks.unpersist()
-        if ck_round and prev_ck is not None:
-            _release_checkpoint(prev_ck)  # see connected_components
-        if ck_round:
-            prev_ck = new_ranks
+            parent_cached = cur_cached
+            cur_cached = pre
         ranks = new_ranks
-    # helper tables are loop-only; the returned frame's lineage can
-    # rebuild through them from source if its cache is ever evicted
+    if cur_cached is not None:
+        # final frame is still lazy: materialize it (one round of
+        # compute, from the warm parent cache) before dropping the
+        # helper tables its lineage would otherwise rebuild from source
+        ranks = ranks.localCheckpoint(eager=True)
+        cur_cached.unpersist()
+        if parent_cached is not None:
+            parent_cached.unpersist()
+        if prev_ck is not None:
+            _release_checkpoint(prev_ck)
     nodes.unpersist()
     ed.unpersist()
     return ranks

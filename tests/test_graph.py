@@ -167,3 +167,53 @@ def test_pagerank_empty_edges_returns_empty_frame(spark):
     out = pagerank(edges)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_cc_string_ids_match_numeric_twin(spark):
+    # string node ids take the join-based convergence path (no exact
+    # sum over strings); the grouping must match the numeric twin,
+    # which converges on the Σcomponent scan instead
+    edges = [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 10)]
+    numeric = _cc(spark, edges)
+    df = spark.createDataFrame(
+        [(f"n{a:04d}", f"n{b:04d}") for a, b in edges], ["id_a", "id_b"]
+    )
+    strings = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert strings == {
+        f"n{k:04d}": f"n{v:04d}" for k, v in numeric.items()
+    }
+
+
+def test_pagerank_short_run_never_checkpoints_but_stays_linear(spark):
+    # iterations < checkpoint_every: no in-loop lineage cut ever fires,
+    # the regime where the old cache lifecycle recomputed the whole
+    # chain per round; values must still match the dense power
+    # iteration and the returned frame must be materialized (collect
+    # twice — second touch must not recompute from a dropped cache)
+    from polars_fastx_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], ["src", "dst"]
+    )
+    out = pagerank(edges, iterations=3, checkpoint_every=10)
+    first = {r["node"]: r["rank"] for r in out.collect()}
+    second = {r["node"]: r["rank"] for r in out.collect()}
+    assert first == second
+    # dense twin
+    import numpy as np
+
+    nodes = [1, 2, 3, 4]
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_deg = {1: 1, 2: 1, 3: 1, 4: 1}
+    r = np.full(4, 0.25)
+    for _ in range(3):
+        contrib = np.zeros(4)
+        for s, d in [(1, 2), (2, 3), (3, 1), (4, 1)]:
+            contrib[idx[d]] += r[idx[s]] / out_deg[s]
+        dangling = 0.0  # every node has out-edges
+        r = (1 - 0.85) / 4 + 0.85 * (contrib + dangling / 4)
+    for n in nodes:
+        assert abs(first[n] - r[idx[n]]) < 1e-9, (n, first[n], r[idx[n]])

@@ -1278,7 +1278,7 @@ def f_hash(spark, sf_dir):
     "K1/K2/K3/K4: length, gc_content (case-sensitive), n_count, md5",
 )
 def k_seq_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         sq.length("text").alias("length"),
@@ -7072,7 +7072,7 @@ def w_nth_value(spark, sf_dir):
     "transcription; both pure codegen string ops, zero shuffles",
 )
 def k_revcomp(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         sq.reverse_complement("text").alias("revcomp"),
@@ -7114,7 +7114,7 @@ def _codon_case_sql() -> str:
     "generated from the SAME CODON_TABLE constant",
 )
 def k_translate_protein(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id", sq.translate_protein("text").alias("protein")
     ).orderBy(F.col("doc_id").asc_nulls_first())
@@ -7159,11 +7159,12 @@ def k_translate_protein(spark, sf_dir):
     "K+: longest open reading frame across all 6 frames (3 forward + "
     "3 reverse-complement), found in PROTEIN space ('M[^*]*\\\\*' per "
     "frame translation — the regex can't cross a stop, so per-frame "
-    "maximal ORFs are exact); pure codegen, zero shuffles; oracle "
+    "maximal ORFs are exact); pure codegen after one parallelism "
+    "repair of the scan (row-group-bound local files); oracle "
     "rebuilds all 6 frame proteins from the shared CODON_TABLE",
 )
 def k_longest_orf(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id", sq.longest_orf("text").alias("longest_orf")
     ).orderBy(F.col("doc_id").asc_nulls_first())
@@ -7185,7 +7186,7 @@ def k_longest_orf(spark, sf_dir):
     "translate-based char counts, null-guarded division, pure codegen",
 )
 def k_gc_skew(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.round(sq.gc_skew("text"), 6).alias("gc_skew")
     ).orderBy(F.col("doc_id").asc_nulls_first())
@@ -7219,7 +7220,7 @@ def k_gc_skew(spark, sf_dir):
     "of the corpus; all comparisons exact integer (cum*2 >= total)",
 )
 def k_n50(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     h = d.groupBy(F.length("text").cast("bigint").alias("len")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -408,7 +408,14 @@ def ann_lsh_buckets(
     Column expression so no RNG state ships to executors. Use the
     bucket for candidate generation; re-rank candidates with
     :func:`cosine`.
+
+    The num_planes·dim dot products per row fuse to the input scan, so
+    a single-row-group file would hash on one task —
+    ``ensure_min_parallelism`` spreads it (no-op at warehouse layouts).
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     planes = []
     rngbase = float(seed)
     for p in range(num_planes):
@@ -505,7 +512,15 @@ def ivf_assign(
 
     Returns (assigned, centroids): ``assigned`` = (__id, __v, __n,
     cell); ``centroids`` = (cell, centroid_vec, centroid_norm).
+
+    The per-row num_cells cosine scoring against the broadcast
+    centroid table fuses to the input scan — ``ensure_min_parallelism``
+    keeps a single-row-group file from scoring on one task (no-op at
+    warehouse layouts).
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),

@@ -105,6 +105,10 @@ def kmeans(
             "last assignment pass; with 0 passes there is nothing to "
             "assign)"
         )
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    # per-row k×dim distance scoring fuses to the scan every iteration
+    df = ensure_min_parallelism(df)
     seeds = [
         [float(x) for x in r.v]
         for r in df.select(
@@ -148,6 +152,10 @@ def quantize_int8(
     Returns (id_col, qvec array<int>, max_abs_err double) — the error
     column is the per-vector reconstruction bound ‖v − q·s/127‖∞.
     """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    # the dim-wide posexplode and pass-2 quantize both fuse to the scan
+    df = ensure_min_parallelism(df)
     ex = df.select(F.posexplode(F.col(vec_col).cast("array<double>")))
     scales = (
         ex.groupBy("pos")
@@ -195,7 +203,13 @@ def quantize_int8(
 def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, sub: int):
     """(id, j, sv): the m equal slices of each vector — row-local
     explode over the subspace index; slice j covers positions
-    [j·sub+1, (j+1)·sub]."""
+    [j·sub+1, (j+1)·sub]. Every PQ path (seed/encode/train) fans out
+    and computes distances fused to this explode, so repair a
+    single-row-group 1-task scan here once (no-op at warehouse
+    layouts)."""
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col).alias(id_col),
         F.posexplode(

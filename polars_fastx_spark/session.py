@@ -35,6 +35,16 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize (esp. coalesce) stages that feed or read
+    # CACHED plans — off by default, which pins every persisted frame
+    # to the static shuffle width. The iterative operators (connected
+    # components, pagerank, k-means) persist each round, so without
+    # this their per-round shuffles keep full width no matter how tiny
+    # the label table is: measured 2x on the dedup-closure queries at
+    # sf0.1. Explicit-width repartitions (blocked gemm's
+    # repartition(n, col), ensure_min_parallelism) are never coalesced,
+    # and nothing in the engine depends on implicit partition ids.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for all pandas UDF / toPandas paths.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Let Python data sources (the fastx scan) receive pushed filters.

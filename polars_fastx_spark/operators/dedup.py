@@ -449,6 +449,11 @@ def ngram_jaccard(
     """
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 
+    # the candidate-pair side needs the same repair: a pair table built
+    # by a broadcast (non-equi) self-join inherits its left side's scan
+    # partitioning — one task on a single-row-group file — and the
+    # per-pair shingle-set intersections below fuse to it
+    df_pairs = ensure_min_parallelism(df_pairs)
     sh = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("__id"), char_shingles(text_col, k).alias("__sh")
     )

@@ -24,6 +24,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spine(df: DataFrame, bucket_col: str, by_cols: list[str],
+           step: int) -> DataFrame:
+    """Dense per-key bucket spine, spread for the window passes.
+
+    The explode fans ONE aggregated row per key into the full bucket
+    range — a fan-out AQE cannot see (it sizes stages by pre-explode
+    shuffle bytes, so it coalesces the tiny bounds table to ~1
+    partition and every fused downstream stage — the join, the O(rows)
+    window passes — then runs on one task; measured 6.5 s for the
+    sf0.1 interpolation, ~1 s spread). An EXPLICIT-width repartition
+    on the window keys is exempt from AQE coalescing and
+    hash-partitions by exactly what the window passes need, so it is
+    the only exchange they use. Width tracks cluster parallelism
+    (defaultParallelism grows with the cluster; shuffle width is the
+    floor), so the repartition stays right-sized at any scale.
+    """
+    spine = (
+        df.groupBy(*by_cols)
+        .agg(
+            F.min(bucket_col).alias("__lo"),
+            F.max(bucket_col).alias("__hi"),
+        )
+        .select(
+            *by_cols,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    sess = df.sparkSession
+    width = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return spine.repartition(width, *by_cols)
+
+
 def upsample_ffill(
     df: DataFrame,
     bucket_col: str,
@@ -39,20 +76,9 @@ def upsample_ffill(
     null, like Polars' ``fill_null(strategy='forward')``).
     """
     by_cols = [by] if isinstance(by, str) else list(by)
-    spine = (
-        df.groupBy(*by_cols)
-        .agg(
-            F.min(bucket_col).alias("__lo"),
-            F.max(bucket_col).alias("__hi"),
-        )
-        .select(
-            *by_cols,
-            F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
-            ).alias(bucket_col),
-        )
+    joined = _spine(df, bucket_col, by_cols, step).join(
+        df, on=by_cols + [bucket_col], how="left"
     )
-    joined = spine.join(df, on=by_cols + [bucket_col], how="left")
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(bucket_col)
@@ -79,20 +105,9 @@ def upsample_interpolate(
     first-known-ahead) share the per-key ordering.
     """
     by_cols = [by] if isinstance(by, str) else list(by)
-    spine = (
-        df.groupBy(*by_cols)
-        .agg(
-            F.min(bucket_col).alias("__lo"),
-            F.max(bucket_col).alias("__hi"),
-        )
-        .select(
-            *by_cols,
-            F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
-            ).alias(bucket_col),
-        )
+    joined = _spine(df, bucket_col, by_cols, step).join(
+        df, on=by_cols + [bucket_col], how="left"
     )
-    joined = spine.join(df, on=by_cols + [bucket_col], how="left")
     wb = (
         Window.partitionBy(*by_cols)
         .orderBy(bucket_col)

@@ -4189,6 +4189,52 @@ def x_sketch_hll_exact(spark, sf_dir):
 
 
 @_q(
+    "x_sketch_kll",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS kll_within_rank_bound
+    FROM lineitem GROUP BY l_returnflag
+    ORDER BY l_returnflag NULLS FIRST
+    """,
+    "Sketch tier: per-key median from MERGED per-shard KLL rank-sketch "
+    "partials (kll_partials/kll_merge_quantiles — the persist-"
+    "sketches-merge-later pattern hll already demonstrates, applied to "
+    "quantiles). Oracle-gated like x_sketch_hll_exact: the query emits "
+    "the EXACT per-key median plus a boolean pinning the merged "
+    "estimate inside KLL's rank-error contract (between the exact 45th "
+    "and 55th percentiles — ~3x the sketch's ~1.7%% normalized rank "
+    "error), so the oracle's TRUE literal turns red the round the "
+    "sketch drifts; the approximate value itself stays out of the hash",
+)
+def x_sketch_kll(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    partials = sketches.kll_partials(
+        li, ["l_returnflag"], "l_extendedprice", F.expr("l_orderkey % 8")
+    )
+    est = sketches.kll_merge_quantiles(partials, ["l_returnflag"], [0.5])
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_exact"),
+        F.percentile("l_extendedprice", 0.45).alias("__lo"),
+        F.percentile("l_extendedprice", 0.55).alias("__hi"),
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            (
+                (F.col("q50") >= F.col("__lo"))
+                & (F.col("q50") <= F.col("__hi"))
+            ).alias("kll_within_rank_bound"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first())
+    )
+
+
+@_q(
     "q_scd2",
     """
     WITH marked AS (

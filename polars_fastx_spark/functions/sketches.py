@@ -102,3 +102,35 @@ def kll_quantiles(
         for p in probs
     ]
     return df.groupBy(*keys).agg(*qcols)
+
+
+def kll_partials(
+    df: DataFrame, keys: list[str], value_col: str, shard_col: Column | str
+) -> DataFrame:
+    """Stage 1: one KLL rank sketch per (keys, shard) — the few-KB
+    binary a 100 TB pipeline persists per day/partition instead of raw
+    values, mirroring :func:`hll_partials` for quantiles."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    return df.groupBy(*keys, shard.alias("_shard")).agg(
+        F.expr(f"kll_sketch_agg_double({_ident(value_col)})").alias("kll")
+    )
+
+
+def kll_merge_quantiles(
+    partials: DataFrame, keys: list[str], probs: list[float]
+) -> DataFrame:
+    """Stage 2: merge the shard sketches per key, then read quantile
+    estimates at ``probs`` from the single merged sketch (one merge
+    aggregate, not one per requested quantile)."""
+    merged = partials.groupBy(*keys).agg(
+        F.expr("kll_merge_agg_double(kll)").alias("_merged")
+    )
+    return merged.select(
+        *keys,
+        *[
+            F.expr(f"kll_sketch_get_quantile_double(_merged, {p})").alias(
+                f"q{round(p * 100)}"
+            )
+            for p in probs
+        ],
+    )

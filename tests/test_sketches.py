@@ -136,3 +136,21 @@ def test_sketches_quote_exotic_column_names(spark):
     assert tk.count() == 3
     kq = sketches.kll_quantiles(df, "part key", [0.5])
     assert kq.columns == ["q50"]
+
+
+def test_kll_merged_partials_match_rank_bound(spark, lineitem):
+    """Merged per-shard KLL partials must satisfy the same rank-error
+    contract as the direct sketch: the merged q50 sits between the
+    exact 45th and 55th percentiles."""
+    partials = sketches.kll_partials(
+        lineitem, [], "l_extendedprice", F.expr("l_orderkey % 8")
+    )
+    assert partials.count() == 8  # one sketch per shard
+    got = sketches.kll_merge_quantiles(partials, [], [0.5]).collect()[0].q50
+    lo, hi = (
+        lineitem.agg(
+            F.expr("percentile(l_extendedprice, 0.45)"),
+            F.expr("percentile(l_extendedprice, 0.55)"),
+        ).collect()[0]
+    )
+    assert lo <= got <= hi

@@ -3849,6 +3849,71 @@ def q_tpch14(spark, sf_dir):
 
 
 @_q(
+    "q_tpch15",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(total_rev, 2)::DOUBLE AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 (top supplier by quarterly revenue): the spec's revenue "
+    "VIEW is one quarter-sliced fact aggregate (filter pushed to the "
+    "scan, ~1/12 of lineitem shuffles). The scalar-max gate is an "
+    "argmax-with-ties via a global window OVER THE AGGREGATE — the "
+    "view is computed once by construction (the textbook "
+    "self-join-the-max form re-plans the aggregate as two subtrees, "
+    "and AQE stage reuse did not dedupe them here, doubling the fact "
+    "scan; the window shape can't). The window's single partition "
+    "holds one 16-byte row per supplier — bounded by dim cardinality, "
+    "not fact size. The max compares on the exact fixed-point long "
+    "sum (ties and the argmax are bit-deterministic across engines "
+    "and partitionings; a double-sum max can pick a different "
+    "supplier per run), and only the output rescales to money. The "
+    "≤1-row winner set broadcasts into the supplier dim join.",
+)
+def q_tpch15(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _fp(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("__fp")
+    )
+    winners = (
+        rev.withColumn("__mx", F.max("__fp").over(Window.partitionBy()))
+        .filter(F.col("__fp") == F.col("__mx"))
+        .drop("__mx")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    money = (
+        F.col("__fp").cast("decimal(38,0)")
+        * F.lit("0.000001").cast("decimal(7,6)")
+    )
+    return (
+        s.join(F.broadcast(winners), s.s_suppkey == winners.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(money, 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
     "q_tpch18",
     """
     SELECT c_name, c_custkey, o_orderkey,

@@ -55,7 +55,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (l_quantize_int8, now JSON-canonicalized) and the block that had no
 #: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
-    "q_tpch15", "x_sketch_kll",
+    "q_tpch15", "x_sketch_cms", "x_sketch_kll",
     "l_pq_topk_pinned", "l_ivfpq_topk_pinned", "l_minhash_collapse",
     "j_asof_nearest", "x_sketch_hll_exact",
     "l_lsh_bucket_cap", "l_lsh_bucket_profile", "l_bloom_decontam",

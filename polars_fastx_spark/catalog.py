@@ -4300,6 +4300,76 @@ def x_sketch_kll(spark, sf_dir):
 
 
 @_q(
+    "x_sketch_cms",
+    """
+    WITH src AS (
+        SELECT l_suppkey::VARCHAR AS v
+        FROM lineitem WHERE l_suppkey IS NOT NULL
+    ),
+    ds AS (SELECT unnest(range(4)) AS d),
+    cms AS (
+        SELECT d,
+               ('0x' || substring(md5(d::VARCHAR || ':' || v), 1, 8))
+                   ::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+        FROM src CROSS JOIN ds
+        GROUP BY d, bucket
+    ),
+    keyed AS (
+        SELECT v, d,
+               ('0x' || substring(md5(d::VARCHAR || ':' || v), 1, 8))
+                   ::BIGINT % 64 AS bucket
+        FROM (SELECT DISTINCT v FROM src) CROSS JOIN ds
+    ),
+    est AS (
+        SELECT k.v, min(coalesce(c.cnt, 0)) AS est
+        FROM keyed k LEFT JOIN cms c USING (d, bucket)
+        GROUP BY k.v
+    ),
+    exact AS (SELECT v, count(*) AS n FROM src GROUP BY v)
+    SELECT est.v AS probe, est.est::BIGINT AS est, exact.n::BIGINT AS exact,
+           est.est >= exact.n AS never_undercounts
+    FROM est JOIN exact ON est.v = exact.v
+    ORDER BY probe NULLS FIRST
+    """,
+    "Sketch tier: Count-Min frequency estimates from MERGED per-shard "
+    "relational sketches (cms_partials/cms_merge — a (d, bucket, cnt) "
+    "counter TABLE, not Spark's opaque count_min_sketch binary, which "
+    "has no SQL point-query). Map-side partials collapse to ≤ "
+    "depth·width rows per task, so the shuffle moves a fixed-size "
+    "sketch regardless of input size; the ≤256-row sketch broadcasts "
+    "into the probe join. Unlike the HLL/KLL rows, the ESTIMATES "
+    "themselves are value-hashed: md5 bucketing replays bit-exactly "
+    "in DuckDB (counter sums are associative, so merged == the "
+    "oracle's direct construction), including the overcounts where "
+    "1000 suppliers collide in 64 buckets at sf0.1. The est ≥ exact "
+    "column pins the CMS never-undercount guarantee per probe.",
+)
+def x_sketch_cms(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    partials = sketches.cms_partials(
+        li, "l_suppkey", F.expr("l_orderkey % 8"), depth=4, width=64
+    )
+    cms = sketches.cms_merge(partials)
+    est = sketches.cms_query(cms, li, "l_suppkey", depth=4, width=64)
+    exact = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy(F.col("l_suppkey").cast("string").alias("probe"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "probe")
+        .select(
+            "probe",
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("never_undercounts"),
+        )
+        .orderBy(F.col("probe").asc_nulls_first())
+    )
+
+
+@_q(
     "q_scd2",
     """
     WITH marked AS (

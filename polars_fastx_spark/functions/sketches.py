@@ -104,6 +104,101 @@ def kll_quantiles(
     return df.groupBy(*keys).agg(*qcols)
 
 
+def _cms_bucket(d: Column, v: Column, width: int) -> Column:
+    """Row (depth d, value v) → counter column in [0, width): the
+    first 8 hex chars of md5(d:v) as a 32-bit int, mod width. md5 is
+    the one hash both engines share bit-exactly (same rationale as the
+    sampling/minhash families), so a DuckDB oracle replays the whole
+    sketch: ``('0x' || substring(md5(d || ':' || v), 1, 8))::BIGINT %
+    width``."""
+    h = F.substring(F.md5(F.concat_ws(":", d.cast("string"), v)), 1, 8)
+    return F.conv(h, 16, 10).cast("long") % width
+
+
+def cms_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch as a RELATION ``(d, bucket, cnt)`` — not a
+    binary blob (Spark's ``count_min_sketch`` aggregate emits an opaque
+    binary with no SQL point-query function; the relational form keeps
+    query/merge/inspection inside the engine).
+
+    Each non-null value increments one counter per hash row. The
+    explode multiplies rows depth× BEFORE the partial aggregate, but
+    the (d, bucket) key space is depth·width, so every map-side
+    partial collapses to ≤ depth·width rows — the shuffle moves a
+    fixed-size sketch per task regardless of input size, which is the
+    CMS property. Sketches over disjoint shards merge by SUMMING
+    ``cnt`` per (d, bucket) (see :func:`cms_merge`); sums are
+    associative so merged == direct, bit-exactly.
+    """
+    ds = F.array(*[F.lit(i) for i in range(depth)])
+    rows = df.filter(F.col(col).isNotNull()).select(
+        F.explode(ds).alias("d"), F.col(col).cast("string").alias("_v")
+    )
+    return rows.groupBy(
+        "d", _cms_bucket(F.col("d"), F.col("_v"), width).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_partials(
+    df: DataFrame,
+    col: str,
+    shard_col: Column | str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Stage 1: one relational CMS per shard — the fixed-size table a
+    100 TB pipeline persists per day/partition, mirroring
+    :func:`hll_partials`/:func:`kll_partials` for frequencies."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    ds = F.array(*[F.lit(i) for i in range(depth)])
+    rows = df.filter(F.col(col).isNotNull()).select(
+        shard.alias("_shard"),
+        F.explode(ds).alias("d"),
+        F.col(col).cast("string").alias("_v"),
+    )
+    return rows.groupBy(
+        "_shard",
+        "d",
+        _cms_bucket(F.col("d"), F.col("_v"), width).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Stage 2: union shard sketches by summing counters per cell —
+    order-independent, so merged == sketching the whole table."""
+    return partials.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    cms: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query estimated frequencies: for each probe value, min
+    over the depth counters it hashes to. Guarantees est ≥ true count
+    (never under), est ≤ true + collision noise bounded by e·n/width
+    with probability 1−e^−depth (pinned in tests).
+
+    The sketch is ≤ depth·width rows, so it BROADCASTS into the probe
+    join — querying any number of probes is one map-side pass."""
+    p = probes.filter(F.col(probe_col).isNotNull()).select(
+        F.col(probe_col).cast("string").alias("probe")
+    ).distinct()
+    ds = F.array(*[F.lit(i) for i in range(depth)])
+    keyed = p.select(
+        "probe", F.explode(ds).alias("d")
+    ).withColumn("bucket", _cms_bucket(F.col("d"), F.col("probe"), width))
+    return (
+        keyed.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy("probe")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
 def kll_partials(
     df: DataFrame, keys: list[str], value_col: str, shard_col: Column | str
 ) -> DataFrame:

@@ -154,3 +154,58 @@ def test_kll_merged_partials_match_rank_bound(spark, lineitem):
         ).collect()[0]
     )
     assert lo <= got <= hi
+
+
+def test_cms_merged_shards_equal_direct_table(spark, lineitem):
+    """Counter sums are associative: merging per-shard CMS tables must
+    reproduce the direct sketch cell-for-cell, bit-exactly."""
+    direct = sketches.cms_table(lineitem, "l_suppkey", depth=4, width=64)
+    merged = sketches.cms_merge(
+        sketches.cms_partials(
+            lineitem, "l_suppkey", F.expr("l_orderkey % 8"), depth=4, width=64
+        )
+    )
+    d = {(r.d, r.bucket): r.cnt for r in direct.collect()}
+    m = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert d == m
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark, lineitem):
+    """CMS guarantee: est ≥ true for every probe; with width ≫ NDV the
+    collision term vanishes and est == true exactly."""
+    exact = {
+        str(r.probe): r.n
+        for r in lineitem.filter(F.col("l_suppkey").isNotNull())
+        .groupBy(F.col("l_suppkey").cast("string").alias("probe"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # narrow sketch: overestimates allowed, undercounts never
+    narrow = sketches.cms_table(lineitem, "l_suppkey", depth=4, width=16)
+    est_n = {
+        r.probe: r.est
+        for r in sketches.cms_query(
+            narrow, lineitem, "l_suppkey", depth=4, width=16
+        ).collect()
+    }
+    assert set(est_n) == set(exact)
+    assert all(est_n[p] >= exact[p] for p in exact)
+    # wide sketch: 4 independent rows of 4096 buckets vs ~10 NDV — the
+    # min over rows is collision-free, so estimates are exact
+    wide = sketches.cms_table(lineitem, "l_suppkey", depth=4, width=4096)
+    est_w = {
+        r.probe: r.est
+        for r in sketches.cms_query(
+            wide, lineitem, "l_suppkey", depth=4, width=4096
+        ).collect()
+    }
+    assert est_w == exact
+
+
+def test_cms_unknown_probe_estimates_without_undercount(spark, lineitem):
+    """Probing a value never inserted returns only collision mass
+    (≥ 0); with a wide sketch it returns exactly 0."""
+    probes = spark.range(1).select(F.lit("no-such-supplier").alias("v"))
+    wide = sketches.cms_table(lineitem, "l_suppkey", depth=4, width=4096)
+    [row] = sketches.cms_query(wide, probes, "v", depth=4, width=4096).collect()
+    assert row.est == 0

@@ -4351,12 +4351,14 @@ def x_sketch_cms(spark, sf_dir):
         li, "l_suppkey", F.expr("l_orderkey % 8"), depth=4, width=64
     )
     cms = sketches.cms_merge(partials)
-    est = sketches.cms_query(cms, li, "l_suppkey", depth=4, width=64)
     exact = (
         li.filter(F.col("l_suppkey").isNotNull())
         .groupBy(F.col("l_suppkey").cast("string").alias("probe"))
         .agg(F.count(F.lit(1)).alias("exact"))
     )
+    # probe FROM the exact-counts aggregate (already distinct): probing
+    # the raw fact again would add a third scan + a 600k-row distinct
+    est = sketches.cms_query(cms, exact, "probe", depth=4, width=64)
     return (
         est.join(exact, "probe")
         .select(

@@ -320,3 +320,39 @@ def stream_bloom_filter(
     return flagged.filter(
         F.col("__hit") if keep_hits else ~F.col("__hit")
     ).drop("__hit")
+
+
+def stream_cms_counts(
+    stream: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Streaming Count-Min frequency sketch — an UNWATERMARKED
+    streaming aggregation whose state is bounded BY CONSTRUCTION.
+
+    Spark requires a watermark on streaming aggregations because the
+    key space normally grows with the stream; here each arriving value
+    increments one of ``depth·width`` fixed counters (the relational
+    CMS of :mod:`polars_fastx_spark.functions.sketches`), so the state
+    store holds ≤ depth·width rows after a century of input — complete/
+    update output modes are safe with no watermark and no eviction.
+    This is the streaming analog of the sketch tier's
+    persist-partials-merge-later pattern: the sink table IS the
+    sketch, and :func:`...sketches.cms_query` reads heavy-hitter
+    estimates from it at any moment, while
+    :func:`...sketches.cms_merge` unions it with batch or other-stream
+    sketches (counter sums are associative, so stream == batch over
+    the same rows, cell-for-cell — pinned in tests).
+
+    Contrast with :func:`stream_dedup` (exact state, grows with
+    distinct keys, needs a watermark) and :func:`stream_bloom_filter`
+    (stateless gate against a STATIC mask): this one accumulates live
+    approximate counts with fixed memory.
+    """
+    from polars_fastx_spark.functions.sketches import _cms_bucket
+
+    ds = F.array(*[F.lit(i) for i in range(depth)])
+    rows = stream.filter(F.col(col).isNotNull()).select(
+        F.explode(ds).alias("d"), F.col(col).cast("string").alias("_v")
+    )
+    return rows.groupBy(
+        "d", _cms_bucket(F.col("d"), F.col("_v"), width).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))

@@ -657,3 +657,61 @@ def test_streaming_ewma_null_values_match_pandas(spark, srcdir, tmp_path):
     assert got[1] == ref[0] == 1.0
     assert got[2] == ref[1] == 1.0  # re-emits the accumulator, not NaN
     assert got[3] == pytest.approx(ref[2]) and got[3] == pytest.approx(5 / 3)
+
+
+def test_stream_cms_matches_batch_sketch(spark, srcdir, tmp_path):
+    """The streaming CMS after two micro-batches must equal the batch
+    sketch over the union of all input, cell-for-cell (counter sums
+    are associative; checkpointed state carries batch 0's counters
+    into run 2) — and its state is depth*width-bounded, so no
+    watermark is needed."""
+    from polars_fastx_spark.functions import sketches
+
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:00:01Z", 1, etype="click"),
+            _rows("2024-01-01T00:00:02Z", 2, etype="view"),
+            _rows("2024-01-01T00:00:03Z", 3, etype="click"),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    cms = sp.stream_cms_counts(events, "event_type", depth=4, width=32)
+    ck = tmp_path / "ck"
+    _run_until_done(sp.memory_sink(cms, "cms_t1", str(ck), "complete"))
+    _write_batch(
+        srcdir,
+        "b1.json",
+        [
+            _rows("2024-01-01T00:00:04Z", 4, etype="click"),
+            _rows("2024-01-01T00:00:05Z", 5, etype="purchase"),
+        ],
+    )
+    _run_until_done(sp.memory_sink(cms, "cms_t1", str(ck), "complete"))
+    got = {
+        (r.d, r.bucket): r.cnt for r in spark.table("cms_t1").collect()
+    }
+    batch = spark.read.json(
+        str(srcdir), schema=sp.EVENTS_STREAM_SCHEMA
+    )
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_table(
+            batch, "event_type", depth=4, width=32
+        ).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 5 * 4  # 5 rows x depth counters
+    # heavy-hitter read-out straight off the sink table
+    probes = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",), ("absent",)], ["v"]
+    )
+    est = {
+        r.probe: r.est
+        for r in sketches.cms_query(
+            spark.table("cms_t1"), probes, "v", depth=4, width=32
+        ).collect()
+    }
+    assert est["click"] == 3 and est["view"] == 1 and est["purchase"] == 1
+    assert est["absent"] >= 0

@@ -4372,6 +4372,149 @@ def x_sketch_cms(spark, sf_dir):
 
 
 @_q(
+    "x_sketch_kmv",
+    """
+    WITH ha AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(l_partkey::VARCHAR), 1, 8))::BIGINT AS h
+        FROM lineitem WHERE l_quantity <= 2 AND l_partkey IS NOT NULL
+    ),
+    hb AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(l_partkey::VARCHAR), 1, 8))::BIGINT AS h
+        FROM lineitem WHERE l_quantity >= 49 AND l_partkey IS NOT NULL
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    ku AS (
+        SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        ORDER BY h LIMIT 64
+    ),
+    sa AS (SELECT count(*) AS n, max(h) AS mx FROM ka),
+    sb AS (SELECT count(*) AS n, max(h) AS mx FROM kb),
+    su AS (SELECT count(*) AS n, max(h) AS mx FROM ku),
+    ea AS (
+        SELECT round(CASE WHEN n < 64 THEN n::DOUBLE
+                          ELSE 63.0 / ((mx + 1) / 4294967296.0) END
+               )::BIGINT AS est_a
+        FROM sa
+    ),
+    eb AS (
+        SELECT round(CASE WHEN n < 64 THEN n::DOUBLE
+                          ELSE 63.0 / ((mx + 1) / 4294967296.0) END
+               )::BIGINT AS est_b
+        FROM sb
+    ),
+    eu AS (
+        SELECT round(CASE WHEN n < 64 THEN n::DOUBLE
+                          ELSE 63.0 / ((mx + 1) / 4294967296.0) END
+               )::BIGINT AS est_union
+        FROM su
+    ),
+    ti AS (
+        SELECT least(
+            CASE WHEN sa.n < 64 THEN 1.0
+                 ELSE (sa.mx + 1) / 4294967296.0 END,
+            CASE WHEN sb.n < 64 THEN 1.0
+                 ELSE (sb.mx + 1) / 4294967296.0 END) AS theta
+        FROM sa, sb
+    ),
+    ci AS (
+        SELECT count(*) AS n_common
+        FROM ka JOIN kb USING (h), ti
+        WHERE (h + 1) / 4294967296.0 < ti.theta
+    ),
+    ei AS (
+        SELECT round(ci.n_common / ti.theta)::BIGINT AS est_inter
+        FROM ci, ti
+    ),
+    exact AS (
+        SELECT sum(has_r)::BIGINT AS exact_a,
+               sum(has_a)::BIGINT AS exact_b,
+               count(*)::BIGINT AS exact_union,
+               sum(has_r * has_a)::BIGINT AS exact_inter
+        FROM (
+            SELECT l_partkey,
+                   max(CASE WHEN l_quantity <= 2 THEN 1 ELSE 0 END)
+                       AS has_r,
+                   max(CASE WHEN l_quantity >= 49 THEN 1 ELSE 0 END)
+                       AS has_a
+            FROM lineitem
+            WHERE (l_quantity <= 2 OR l_quantity >= 49)
+              AND l_partkey IS NOT NULL
+            GROUP BY l_partkey
+        )
+    )
+    SELECT ea.est_a, exact.exact_a, eb.est_b, exact.exact_b,
+           eu.est_union, exact.exact_union, ei.est_inter, exact.exact_inter
+    FROM ea, eb, eu, ei, exact
+    """,
+    "Sketch tier: KMV (k-minimum-values / bottom-k theta) distinct "
+    "sketch with SET ALGEBRA — the union AND intersection NDV "
+    "estimates HLL cannot give without inclusion-exclusion error "
+    "blowup. Parts seen in tiny orders (qty <= 2) vs bulk orders "
+    "(qty >= 49) — genuinely overlapping-but-distinct sets at every "
+    "scale — from per-shard bottom-64 md5-hash partials merged "
+    "shard-independently; every "
+    "retained set is ≤ 64 rows so the set ops broadcast, and the "
+    "shuffle moves ≤ shards x 64 rows regardless of input size. "
+    "Unlike HLL/KLL the ESTIMATES value-hash: md5 bottom-k replays "
+    "bit-exactly in DuckDB (theta, (k-1)/theta, and the clipped "
+    "intersection count are all deterministic), alongside the exact "
+    "counts from one flag-bitmap scan for side-by-side error reading.",
+)
+def x_sketch_kmv(spark, sf_dir):
+    k = 64
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_orderkey"
+    )
+    in_a = F.col("l_quantity") <= 2
+    in_b = F.col("l_quantity") >= 49
+    shard = F.expr("l_orderkey % 8")
+    ka = sketches.kmv_merge(
+        sketches.kmv_partials(li.filter(in_a), "l_partkey", k, shard), k
+    )
+    kb = sketches.kmv_merge(
+        sketches.kmv_partials(li.filter(in_b), "l_partkey", k, shard), k
+    )
+    ea = sketches.kmv_estimate(ka, k).select(F.col("ndv_est").alias("est_a"))
+    eb = sketches.kmv_estimate(kb, k).select(F.col("ndv_est").alias("est_b"))
+    eu = sketches.kmv_estimate(sketches.kmv_union(ka, kb, k), k).select(
+        F.col("ndv_est").alias("est_union")
+    )
+    ei = sketches.kmv_intersect_estimate(ka, kb, k).select(
+        F.col("inter_est").alias("est_inter")
+    )
+    # exact companion in ONE pass: per-part membership bitmap, then sums
+    flags = (
+        li.filter((in_a | in_b) & F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.when(in_a, 1).otherwise(0)).alias("has_r"),
+            F.max(F.when(in_b, 1).otherwise(0)).alias("has_a"),
+        )
+    )
+    exact = flags.agg(
+        F.sum("has_r").cast("bigint").alias("exact_a"),
+        F.sum("has_a").cast("bigint").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("has_r") * F.col("has_a")).cast("bigint").alias(
+            "exact_inter"
+        ),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(ei)
+        .crossJoin(exact)
+        .select(
+            "est_a", "exact_a", "est_b", "exact_b",
+            "est_union", "exact_union", "est_inter", "exact_inter",
+        )
+    )
+
+
+@_q(
     "q_scd2",
     """
     WITH marked AS (

@@ -199,6 +199,120 @@ def cms_query(
     )
 
 
+#: 2^32 as a double — the KMV hash-space size. Hashes are 32-bit ints
+#: (first 8 hex chars of md5), so u = (h + 1) / 2^32 lies in (0, 1].
+_KMV_SPACE = 4294967296.0
+
+
+def kmv_hash(col: Column) -> Column:
+    """Value → 32-bit hash for the KMV (k-minimum-values / bottom-k
+    theta) sketch family. Same md5 fold the CMS/minhash/sampling tiers
+    use — the one hash both engines share bit-exactly, so a DuckDB
+    oracle replays every estimate to the last bit:
+    ``('0x' || substring(md5(v), 1, 8))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_partials(
+    df: DataFrame, col: str, k: int, shard_col: Column | str
+) -> DataFrame:
+    """Stage 1: the k smallest distinct value-hashes per shard — the
+    fixed-k-row table a 100 TB pipeline persists per day/partition for
+    distinct-count SET ALGEBRA (union AND intersection — the one
+    estimate HLL cannot give without inclusion-exclusion error blowup).
+
+    Distinct-first, then rank: the (shard, h) pre-aggregate gets
+    map-side combine, so the shuffle moves ≤ NDV rows, not raw rows;
+    the row_number window then streams each shard's sorted run and
+    keeps k — no unbounded collect_set state per shard."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(shard.alias("_shard"), kmv_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("_shard").orderBy("h")
+    return (
+        hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("_shard", "h")
+    )
+
+
+def kmv_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Stage 2: union the shard sketches → global bottom-k. The input
+    is ≤ shards·k rows, so the sort-limit plans as
+    TakeOrderedAndProject — no full sort. Bottom-k of a union of
+    bottom-k sets equals bottom-k of the union of the full hash sets
+    (any global bottom-k hash is in its shard's bottom-k), so merged
+    == sketching the whole table, bit-exactly."""
+    return partials.select("h").distinct().orderBy("h").limit(k)
+
+
+def _kmv_theta(n: Column, mx: Column, k: int) -> Column:
+    """theta = the k-th smallest normalized hash (sketch full) else 1.
+    u = (h + 1) / 2^32 so a retained set never yields theta = 0."""
+    return F.when(n < k, F.lit(1.0)).otherwise(
+        (mx + F.lit(1)) / F.lit(_KMV_SPACE)
+    )
+
+
+def kmv_estimate(kmv: DataFrame, k: int) -> DataFrame:
+    """NDV estimate from a bottom-k sketch frame: exact count while the
+    sketch is unsaturated, else the KMV estimator (k-1)/theta
+    (RSE ≈ 1/sqrt(k-2), pinned in tests). 1-row output
+    ``(n_retained, theta, ndv_est)``; the estimate is deterministic
+    (md5), so it value-hashes against the oracle — no tolerance rows."""
+    agg = kmv.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+    theta = _kmv_theta(F.col("n"), F.col("mx"), k)
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    return agg.select(
+        F.col("n").alias("n_retained"),
+        theta.alias("theta"),
+        F.round(est).cast("bigint").alias("ndv_est"),
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union sketch: bottom-k of the combined retained sets — the KMV
+    union is closed, so |A ∪ B| estimates through :func:`kmv_estimate`
+    with the same guarantees."""
+    return kmv_merge(a.select("h").unionByName(b.select("h")), k)
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """|A ∩ B| estimate — the theta-sketch set operation HLL has no
+    analog for: clip both retained sets at theta = min(theta_A,
+    theta_B), count common hashes strictly below theta (the
+    theta-defining element is excluded, mirroring the k-1 in the NDV
+    estimator), and scale by 1/theta. Every frame in play is ≤ k rows,
+    so the joins broadcast; 1-row output ``(n_common, inter_est)``."""
+    sa = a.agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("mxa"))
+    sb = b.agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("mxb"))
+    th = sa.crossJoin(sb).select(
+        F.least(
+            _kmv_theta(F.col("na"), F.col("mxa"), k),
+            _kmv_theta(F.col("nb"), F.col("mxb"), k),
+        ).alias("theta")
+    )
+    common = a.select("h").join(b.select("h"), "h")
+    cnt = (
+        common.crossJoin(F.broadcast(th))
+        .filter((F.col("h") + F.lit(1)) / F.lit(_KMV_SPACE) < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return cnt.crossJoin(F.broadcast(th)).select(
+        "n_common",
+        F.round(F.col("n_common") / F.col("theta")).cast("bigint").alias(
+            "inter_est"
+        ),
+    )
+
+
 def kll_partials(
     df: DataFrame, keys: list[str], value_col: str, shard_col: Column | str
 ) -> DataFrame:

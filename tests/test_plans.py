@@ -84,6 +84,7 @@ ALLOWED_NESTED_LOOP = {
     "l_bm25_multi",       # corpus stats = 1-row broadcast cross join
     "l_temperature_mix",  # power-sum total = 1-row broadcast cross join
     "k_n50",              # totals/n50 = 1-row broadcast cross joins
+    "x_sketch_kmv",       # est/exact assembly = 1-row broadcast cross joins
 }
 
 

@@ -128,6 +128,104 @@ def test_kll_quantile_labels_not_truncated(spark):
     assert out.columns == ["q29", "q56", "q57"]
 
 
+def test_kmv_merge_of_shards_equals_direct_sketch(spark, lineitem):
+    """Bottom-k of merged per-shard bottom-k sets == bottom-k of the
+    whole table: any global bottom-k hash is in its shard's bottom-k,
+    so sharding must not change a single retained hash."""
+    k = 32
+    direct = sketches.kmv_merge(
+        sketches.kmv_partials(lineitem, "l_partkey", k, F.lit(0)), k
+    )
+    sharded = sketches.kmv_merge(
+        sketches.kmv_partials(
+            lineitem, "l_partkey", k, F.expr("l_orderkey % 7")
+        ),
+        k,
+    )
+    assert sorted(r.h for r in direct.collect()) == sorted(
+        r.h for r in sharded.collect()
+    )
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above(spark, lineitem):
+    """Unsaturated sketch (k > NDV) returns the exact distinct count;
+    saturated sketch lands within 4x the KMV RSE of 1/sqrt(k-2)."""
+    ndv = lineitem.agg(F.countDistinct("l_partkey")).collect()[0][0]
+    big = sketches.kmv_estimate(
+        sketches.kmv_merge(
+            sketches.kmv_partials(lineitem, "l_partkey", 4096, F.lit(0)),
+            4096,
+        ),
+        4096,
+    ).collect()[0]
+    assert big.ndv_est == ndv and big.theta == 1.0
+    k = 64
+    est = sketches.kmv_estimate(
+        sketches.kmv_merge(
+            sketches.kmv_partials(lineitem, "l_partkey", k, F.lit(0)), k
+        ),
+        k,
+    ).collect()[0].ndv_est
+    assert abs(est - ndv) / ndv < 4.0 / (k - 2) ** 0.5, (est, ndv)
+
+
+def test_kmv_set_ops_track_exact_counts(spark, lineitem):
+    """Union/intersection estimates over the tiny-order vs bulk-order
+    part sets (overlapping but genuinely distinct) stay within loose
+    multiplicative bounds of the exact answers (set-op error compounds;
+    this pins sanity, the catalog query pins bit-exactness vs the
+    oracle)."""
+    k = 64
+    in_a = F.col("l_quantity") <= 2
+    in_b = F.col("l_quantity") >= 49
+    shard = F.expr("l_orderkey % 5")
+    ka = sketches.kmv_merge(
+        sketches.kmv_partials(
+            lineitem.filter(in_a), "l_partkey", k, shard
+        ),
+        k,
+    )
+    kb = sketches.kmv_merge(
+        sketches.kmv_partials(
+            lineitem.filter(in_b), "l_partkey", k, shard
+        ),
+        k,
+    )
+    union_est = sketches.kmv_estimate(
+        sketches.kmv_union(ka, kb, k), k
+    ).collect()[0].ndv_est
+    inter_est = sketches.kmv_intersect_estimate(ka, kb, k).collect()[0]
+    exact = (
+        lineitem.filter(in_a | in_b)
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.when(in_a, 1).otherwise(0)).alias("r"),
+            F.max(F.when(in_b, 1).otherwise(0)).alias("a"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("u"),
+            F.sum(F.col("r") * F.col("a")).alias("i"),
+        )
+        .collect()[0]
+    )
+    assert 0.5 * exact.u <= union_est <= 2.0 * exact.u, (union_est, exact.u)
+    assert 0.3 * exact.i <= inter_est.inter_est <= 3.0 * exact.i, (
+        inter_est.inter_est, exact.i,
+    )
+
+
+def test_kmv_intersect_disjoint_is_zero(spark):
+    """Disjoint domains share no hashes: the clipped common set is
+    empty and the estimate must be exactly 0, never NULL."""
+    a = spark.range(0, 500).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(0, 500).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    k = 32
+    ka = sketches.kmv_merge(sketches.kmv_partials(a, "v", k, F.lit(0)), k)
+    kb = sketches.kmv_merge(sketches.kmv_partials(b, "v", k, F.lit(0)), k)
+    row = sketches.kmv_intersect_estimate(ka, kb, k).collect()[0]
+    assert row.n_common == 0 and row.inter_est == 0
+
+
 def test_sketches_quote_exotic_column_names(spark):
     df = spark.range(50).select(
         (F.col("id") % 5).cast("double").alias("part key")

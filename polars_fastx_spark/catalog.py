@@ -3126,6 +3126,96 @@ def l_rrf_hybrid(spark, sf_dir):
     ).orderBy(F.col("rrf").desc(), F.col("doc_id").asc_nulls_first())
 
 
+def _mmr_oracle_sql(query_ids, pool_n: int, k: int, lam: float) -> str:
+    """Unrolled-greedy DuckDB twin of retrieval.mmr_rerank (the
+    l_kmeans chained-CTE pattern): each round anti-joins the selected
+    set, scores lam·rel − (1−lam)·max_sim over rounded-to-9dp cosines,
+    and picks the argmax with the same (score DESC, vec_id ASC)
+    tiebreak. Multipliers are embedded as repr() of the exact doubles
+    Spark computes (1.0 − 0.7 is NOT the double literal 0.3), so the
+    arithmetic replays bit-for-bit."""
+    ids = ", ".join(str(i) for i in query_ids)
+    lam_r, om_r = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({ids})),
+    pool AS (
+        SELECT qid, vec_id, v, rel FROM (
+            SELECT q.qid, e.vec_id, e.v,
+                   round(list_cosine_similarity(e.v, q.qv), 9) AS rel,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(list_cosine_similarity(e.v, q.qv), 9)
+                                DESC, e.vec_id ASC) AS rn
+            FROM q JOIN e ON e.vec_id <> q.qid
+        ) WHERE rn <= {pool_n}
+    ),
+    acc1 AS (
+        SELECT qid, vec_id, v, rel, 1 AS rank, rel AS mmr FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM pool
+        ) WHERE rn = 1
+    )"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+    cand{r} AS (
+        SELECT p.qid, p.vec_id, p.v, p.rel,
+               {lam_r} * p.rel - {om_r} *
+                   max(round(list_cosine_similarity(p.v, s.v), 9)) AS mmr
+        FROM pool p JOIN acc{r - 1} s USING (qid)
+        WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} a
+                          WHERE a.qid = p.qid AND a.vec_id = p.vec_id)
+        GROUP BY p.qid, p.vec_id, p.v, p.rel
+    ),
+    acc{r} AS (
+        SELECT * FROM acc{r - 1}
+        UNION ALL
+        SELECT qid, vec_id, v, rel, {r} AS rank, mmr FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY mmr DESC, vec_id ASC) AS rn
+            FROM cand{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT qid AS query_id, rank, vec_id, round(mmr, 6) AS mmr_score
+    FROM acc{k}
+    ORDER BY query_id NULLS FIRST, rank NULLS FIRST
+    """
+    )
+    return "".join(parts)
+
+
+@_q(
+    "l_mmr_rerank",
+    _mmr_oracle_sql((1, 2), 16, 5, 0.7),
+    "L3+/RAG: Maximal Marginal Relevance diversification (Carbonell & "
+    "Goldstein SIGIR'98) — per-query greedy top-5 balancing relevance "
+    "against redundancy to the already-selected set (lambda 0.7), "
+    "unrolled as 5 relational rounds with NO Python stage: pool cut to "
+    "16 per query first (broadcast query x corpus relevance pass + "
+    "window), then each round joins <= pool candidates against <= k "
+    "selected rows per query. Cosines rounded to 9dp before every "
+    "argmax so the DuckDB oracle replays the selection path "
+    "decision-for-decision.",
+)
+def l_mmr_rerank(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return retrieval.mmr_rerank(
+        e, "vec_id", "embedding", [1, 2], pool_n=16, k=5, lam=0.7
+    ).orderBy(
+        F.col("query_id").asc_nulls_first(), F.col("rank").asc_nulls_first()
+    )
+
+
 @_q(
     "l_quantize_int8",
     """

@@ -57,3 +57,132 @@ def rrf_fuse(
     return all_c.groupBy(id_col).agg(
         F.sum("__c").alias("rrf"), F.count("*").alias("n_sources")
     )
+
+
+def _cosine(a, b):
+    """Cosine via the shared JVM-side fold (operators.similarity) —
+    whole-stage-codegen, no Python. Callers round to 9 dp so last-ulp
+    association differences vs other engines collapse."""
+    from polars_fastx_spark.operators import similarity
+
+    return similarity.cosine(a, b, similarity.l2_norm(a), similarity.l2_norm(b))
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list,
+    pool_n: int = 16,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    re-rank each query's candidate pool so the selected set balances
+    relevance against redundancy — the standard diversity post-step
+    between ANN retrieval and a RAG context window.
+
+    Greedy selection, unrolled as ``k`` relational rounds (the
+    ``l_kmeans`` pattern — no Python stage, no driver loop): rank 1 is
+    pure relevance; rank r maximizes ``lam·rel − (1−lam)·max_sim`` to
+    the already-selected set, ties broken by id ascending. Scores are
+    rounded to 9 dp before every argmax so the selection path is
+    engine-reproducible (a DuckDB oracle replays it decision-for-
+    decision).
+
+    Scale shape: the pool is cut to ``pool_n`` per query FIRST (window
+    over the broadcast query×corpus relevance pass), so every greedy
+    round joins ≤ pool_n candidates against ≤ k selected rows per
+    query — bounded work per query, parallel across queries. The pool
+    frame is lazily persisted (a few KB) because every round references
+    it twice — without the cache the relevance pass would re-run ~2k
+    times.
+
+    Returns (query_id, rank, vec_id, mmr_score): rank 1..k per query,
+    ``mmr_score`` = the rounded score that won the round (rank 1: the
+    relevance itself).
+    """
+    if k < 1:
+        raise ValueError("mmr_rerank needs k >= 1")
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"), dbl.alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "v",
+            F.round(_cosine(F.col("qv"), F.col("v")), 9).alias("rel"),
+        )
+    )
+    w_pool = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    # Lazy persist: every greedy round references the pool twice, and
+    # without the cache each reference re-runs the full query x corpus
+    # relevance pass — ~2k redundant scans. The pool is <= queries x
+    # pool_n rows, so the cache is a few KB; first action fills it,
+    # every round after reads it. (Lazy, so the catalog contract of
+    # returning an unexecuted DataFrame holds.)
+    pool = (
+        cand.withColumn("__rn", F.row_number().over(w_pool))
+        .filter(F.col("__rn") <= pool_n)
+        .drop("__rn")
+        .persist()
+    )
+    # Each round's pick is persisted too: round r references the
+    # accumulated selection twice, so an unpersisted pick subtree is
+    # re-evaluated 2^(k-r) times — exponential stage blowup for a
+    # <= len(query_ids)-row frame.
+    sel = pool.withColumn("__rn", F.row_number().over(w_pool)).filter(
+        F.col("__rn") == 1
+    ).select(
+        "qid", "vec_id", "v", "rel",
+        F.lit(1).alias("rank"), F.col("rel").alias("mmr"),
+    ).persist()
+    for r in range(2, k + 1):
+        prev = sel.select("qid", F.col("vec_id").alias("svid"), F.col("v").alias("sv"))
+        remaining = pool.join(
+            sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        scored = (
+            remaining.join(prev, "qid")
+            .groupBy("qid", "vec_id")
+            .agg(
+                F.first("rel").alias("rel"),
+                F.first("v").alias("v"),
+                F.max(
+                    F.round(_cosine(F.col("v"), F.col("sv")), 9)
+                ).alias("max_sim"),
+            )
+            .select(
+                "qid", "vec_id", "v", "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim")
+                ).alias("mmr"),
+            )
+        )
+        w_pick = Window.partitionBy("qid").orderBy(
+            F.col("mmr").desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w_pick))
+            .filter(F.col("__rn") == 1)
+            .select("qid", "vec_id", "v", "rel", F.lit(r).alias("rank"), "mmr")
+            .persist()
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        F.col("qid").alias("query_id"),
+        "rank",
+        "vec_id",
+        F.round(F.col("mmr"), 6).alias("mmr_score"),
+    )

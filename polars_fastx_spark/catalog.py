@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from polars_fastx_spark.functions import seq as sq
 from polars_fastx_spark.functions import sketches
 from polars_fastx_spark.operators import (
+    bpe,
     dedup,
     multimodal,
     retrieval,
@@ -3124,6 +3125,110 @@ def l_rrf_hybrid(spark, sf_dir):
     return fused.select(
         "doc_id", F.round("rrf", 6).alias("rrf"), "n_sources"
     ).orderBy(F.col("rrf").desc(), F.col("doc_id").asc_nulls_first())
+
+
+def _bpe_oracle_sql(num_merges: int, tail: str = "rules") -> str:
+    """Chained-CTE DuckDB twin of bpe._train: each round counts
+    adjacent symbol pairs over the vocabulary state, takes the argmax
+    with the same (count DESC, lhs, rhs) tiebreak, and applies the
+    merge with literal replace() — leftmost-greedy non-overlapping in
+    both engines, so training replays merge-for-merge. ``tail`` picks
+    the projection: the learned rules, or the final token vocabulary
+    (the encode side)."""
+    parts = [
+        """
+    WITH w0 AS (
+        SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS state,
+               cnt
+        FROM (
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE word <> '' GROUP BY word
+        )
+    )"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(cnt) AS pair_count
+        FROM (SELECT string_split(state, ' ') AS s, cnt FROM w{r - 1}),
+             (SELECT unnest(generate_series(1, 63)) AS i) i
+        WHERE i < len(s)
+        GROUP BY lhs, rhs
+    ),
+    m{r} AS (
+        SELECT lhs, rhs, pair_count FROM p{r}
+        ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
+    ),
+    w{r} AS (
+        SELECT replace(state, lhs || ' ' || rhs, lhs || rhs) AS state, cnt
+        FROM w{r - 1}, m{r}
+    )"""
+        )
+    if tail == "rules":
+        union = "\n        UNION ALL ".join(
+            f"SELECT {r} AS round, lhs, rhs, pair_count::BIGINT AS pair_count "
+            f"FROM m{r}"
+            for r in range(1, num_merges + 1)
+        )
+        parts.append(
+            f"""
+    SELECT * FROM (
+        {union}
+    ) ORDER BY round NULLS FIRST
+    """
+        )
+    else:
+        parts.append(
+            f"""
+    SELECT token, sum(cnt)::BIGINT AS n
+    FROM (
+        SELECT unnest(string_split(state, ' ')) AS token, cnt
+        FROM w{num_merges}
+    )
+    GROUP BY token
+    ORDER BY token NULLS FIRST
+    """
+        )
+    return "".join(parts)
+
+
+@_q(
+    "l_bpe_merges",
+    _bpe_oracle_sql(6),
+    "L4: BPE tokenizer training (Sennrich et al. ACL'16) — 6 merge "
+    "rules learned over the document corpus. The distributed-scale "
+    "shape every production trainer uses: ONE corpus pass builds the "
+    "(word, cnt) vocabulary, then every round runs over the bounded "
+    "vocab table (pair explode + map-side-combined groupBy, 1-row "
+    "TakeOrderedAndProject argmax, broadcast merge via literal "
+    "leftmost-greedy replace on the space-joined symbol state). The "
+    "oracle unrolls the rounds as chained CTEs and replays training "
+    "merge-for-merge.",
+)
+def l_bpe_merges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return bpe.bpe_train(d, "text", 6).orderBy(
+        F.col("round").asc_nulls_first()
+    )
+
+
+@_q(
+    "l_bpe_encode",
+    _bpe_oracle_sql(6, tail="vocab"),
+    "L4: the encode side of BPE — the corpus token vocabulary after "
+    "the 6 learned merges (each vocab word's final symbol state "
+    "exploded back to tokens, weighted by corpus frequency). Shares "
+    "the training rounds with l_bpe_merges; the oracle chains the "
+    "same CTEs through the final merged state.",
+)
+def l_bpe_encode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return bpe.bpe_token_counts(d, "text", 6).orderBy(
+        F.col("token").asc_nulls_first()
+    )
 
 
 def _mmr_oracle_sql(query_ids, pool_n: int, k: int, lam: float) -> str:

@@ -1,0 +1,152 @@
+"""Relational BPE merge-rule training (tokenizer-training primitive).
+
+Byte-Pair Encoding (Sennrich et al., ACL 2016) learns a tokenizer by
+repeatedly merging the most frequent adjacent symbol pair. The
+distributed-scale trick — the same one every production tokenizer
+trainer uses — is that after the first aggregation NOTHING iterates
+over the corpus: rounds run over the (word, count) VOCABULARY table,
+which is bounded (~millions of rows at 100 TB) regardless of corpus
+size. Here each round is pure DataFrame algebra:
+
+1. pair counts: per vocab word, adjacent symbol pairs weighted by the
+   word's corpus frequency — explode + groupBy with map-side combine,
+   the shuffle moves ≤ |pair vocabulary| rows;
+2. argmax pair by (count DESC, lhs ASC, rhs ASC) — a 1-row
+   TakeOrderedAndProject, broadcast into
+3. the merge: leftmost-greedy non-overlapping pair fusion, expressed
+   as a LITERAL string replace over the space-joined symbol state
+   ("a a a a" + merge (a,a) → "aa aa") — both Spark's ``replace`` and
+   DuckDB's scan left-to-right over non-overlapping occurrences, so a
+   SQL oracle replays the whole training run merge-for-merge
+   (chained CTEs, the l_kmeans unrolling pattern).
+
+Symbols never contain the space separator (words are whitespace-split),
+so the literal pattern ``lhs + ' ' + rhs`` can only match at a symbol
+boundary. Each round's vocabulary state is lazily persisted: the next
+round references it twice (pair count + merge), so an unpersisted
+round-r state would be re-evaluated 2^(k-r) times.
+
+Reference parity: the reference has no text-pipeline surface; this is
+north-star extension surface per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, cnt) vocabulary: the ONE corpus-wide pass.
+    Whitespace tokenization matching the text tier's convention."""
+    w = F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    ).alias("word")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(w)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _adjacent_pairs(state, syms):
+    """Adjacent (lhs, rhs) symbol pairs of one space-joined state."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i + 1).alias("lhs"),
+                F.element_at(syms, i + 2).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def _train(docs: DataFrame, text_col: str, num_merges: int):
+    """Run the training rounds; returns ([(round, top_df)], final_state).
+    ``final_state`` has ALL ``num_merges`` merges applied — it IS the
+    BPE encoding of the vocabulary under the learned rules."""
+    if num_merges < 1:
+        raise ValueError("BPE training needs num_merges >= 1")
+    vocab = word_counts(docs, text_col)
+    # initial state: characters joined by the separator
+    state = vocab.select(
+        F.array_join(
+            F.expr("regexp_extract_all(word, '.', 0)"), " "
+        ).alias("state"),
+        "cnt",
+    ).persist()
+
+    rounds = []
+    for r in range(1, num_merges + 1):
+        syms = F.split(F.col("state"), " ")
+        pairs = state.select(
+            F.explode(_adjacent_pairs(F.col("state"), syms)).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .persist()
+        )
+        rounds.append((r, top))
+        state = (
+            state.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("state"),
+                    F.concat_ws(" ", F.col("lhs"), F.col("rhs")),
+                    F.concat(F.col("lhs"), F.col("rhs")),
+                ).alias("state"),
+                "cnt",
+            )
+            .persist()
+        )
+    return rounds, state
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str, num_merges: int
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merge rules over a document corpus.
+
+    Returns (round, lhs, rhs, pair_count): the rule learned each round
+    with the corpus-weighted frequency that won it, ties broken by
+    (lhs, rhs) ascending so training is fully deterministic.
+    """
+    rounds, _ = _train(docs, text_col, num_merges)
+    rules = None
+    for r, top in rounds:
+        rule = top.select(
+            F.lit(r).alias("round"), "lhs", "rhs", "pair_count"
+        )
+        rules = rule if rules is None else rules.unionByName(rule)
+    return rules
+
+
+def bpe_token_counts(
+    docs: DataFrame, text_col: str, num_merges: int
+) -> DataFrame:
+    """The encode side: corpus token vocabulary AFTER the learned
+    merges — each vocabulary word's final symbol state exploded back to
+    tokens, weighted by corpus word frequency. Returns (token, n).
+    (Encoding unseen text at inference time is the same chained literal
+    replace over its space-joined characters, applying the learned
+    rules in round order.)"""
+    _, state = _train(docs, text_col, num_merges)
+    return (
+        state.select(
+            F.explode(F.split(F.col("state"), " ")).alias("token"), "cnt"
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+    )

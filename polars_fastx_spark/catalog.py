@@ -3163,8 +3163,10 @@ def _bpe_oracle_sql(num_merges: int, tail: str = "rules") -> str:
         ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
     ),
     w{r} AS (
-        SELECT replace(state, lhs || ' ' || rhs, lhs || rhs) AS state, cnt
-        FROM w{r - 1}, m{r}
+        SELECT CASE WHEN m.lhs IS NULL THEN state
+                    ELSE replace(state, m.lhs || ' ' || m.rhs,
+                                 m.lhs || m.rhs) END AS state, cnt
+        FROM w{r - 1} LEFT JOIN m{r} m ON TRUE
     )"""
         )
     if tail == "rules":

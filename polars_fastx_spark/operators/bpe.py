@@ -99,14 +99,22 @@ def _train(docs: DataFrame, text_col: str, num_merges: int):
             .persist()
         )
         rounds.append((r, top))
+        # LEFT join, not crossJoin: when the corpus runs out of pairs
+        # (every word fully merged) the argmax frame is EMPTY, and a
+        # cross join would silently erase the whole vocabulary — the
+        # state must pass through unchanged instead.
         state = (
-            state.crossJoin(F.broadcast(top))
+            state.join(F.broadcast(top), F.lit(True), "left")
             .select(
-                F.replace(
-                    F.col("state"),
-                    F.concat_ws(" ", F.col("lhs"), F.col("rhs")),
-                    F.concat(F.col("lhs"), F.col("rhs")),
-                ).alias("state"),
+                F.when(F.col("lhs").isNull(), F.col("state"))
+                .otherwise(
+                    F.replace(
+                        F.col("state"),
+                        F.concat_ws(" ", F.col("lhs"), F.col("rhs")),
+                        F.concat(F.col("lhs"), F.col("rhs")),
+                    )
+                )
+                .alias("state"),
                 "cnt",
             )
             .persist()

@@ -108,3 +108,14 @@ def test_word_counts_skips_nulls_and_empties(spark):
     )
     got = {r.word: r.cnt for r in bpe.word_counts(d, "text").collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_bpe_survives_pair_exhaustion(spark):
+    """Once every word is fully merged, later rounds have no pairs:
+    the rule list just stops, and the vocabulary must pass through
+    UNCHANGED (an empty argmax cross-joined in would erase it)."""
+    d = _docs(spark, ["ab", "ab ab"])
+    rules = bpe.bpe_train(d, "text", 4).collect()
+    assert [(r["round"], r.lhs, r.rhs) for r in rules] == [(1, "a", "b")]
+    toks = {r.token: r.n for r in bpe.bpe_token_counts(d, "text", 4).collect()}
+    assert toks == {"ab": 3}

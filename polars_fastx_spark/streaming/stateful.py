@@ -14,6 +14,7 @@ aggregates, and feature backfills that windowed aggs can't express.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -21,8 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -170,6 +173,88 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.1) -> DataFrame:
         update,
         outputStructType=EWMA_OUTPUT,
         stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KMV_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("n_seen", LongType(), True),
+        StructField("n_retained", LongType(), True),
+        StructField("ndv_est", LongType(), True),
+    ]
+)
+
+_KMV_STATE = StructType(
+    [
+        StructField("hashes", ArrayType(LongType()), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def streaming_kmv(
+    stream: DataFrame, key_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Live per-key distinct-count estimates with O(k) state — the
+    streaming twin of the batch KMV sketch family
+    (``functions.sketches.kmv_*``).
+
+    Exact streaming count-distinct needs state proportional to the
+    distinct values seen (cf. ``stream_dedup``); the KMV bottom-k is
+    closed under incremental insertion, so the state store holds at
+    most ``k`` hashes per key FOREVER, and the running sketch after
+    any prefix of micro-batches equals the batch sketch over the same
+    rows hash-for-hash — so estimates match the batch
+    ``kmv_estimate`` exactly (pinned in tests), and persisted state
+    can be unioned with batch sketches via ``kmv_union``.
+
+    The md5 value-hash is computed JVM-side BEFORE the stateful
+    operator (one vectorized expression); the Python update only
+    merges small sorted int lists. Emits one
+    (key, n_seen, n_retained, ndv_est) row per key per micro-batch —
+    ``n_seen`` is monotone, so "latest row per key" is a max, not a
+    timestamp race.
+    """
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.functions.sketches import kmv_hash
+
+    hashed = stream.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("key"),
+        kmv_hash(F.col(value_col)).alias("h"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hashes, n_seen = state.get if state.exists else ([], 0)
+        retained = set(int(x) for x in hashes)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            retained.update(int(x) for x in pdf["h"])
+        merged = sorted(retained)[:k]
+        state.update((merged, n_seen))
+        n = len(merged)
+        if n == k:
+            theta = (merged[-1] + 1) / 4294967296.0
+            # half-up to mirror the batch estimator's F.round
+            est = int(math.floor((k - 1) / theta + 0.5))
+        else:
+            est = n
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n_seen],
+                "n_retained": [n],
+                "ndv_est": [est],
+            }
+        )
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUTPUT,
+        stateStructType=_KMV_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

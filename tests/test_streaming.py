@@ -715,3 +715,60 @@ def test_stream_cms_matches_batch_sketch(spark, srcdir, tmp_path):
     }
     assert est["click"] == 3 and est["view"] == 1 and est["purchase"] == 1
     assert est["absent"] >= 0
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, srcdir, tmp_path):
+    """Bottom-k is closed under incremental insertion: after two
+    micro-batches the per-key streaming KMV estimate must equal the
+    batch kmv_estimate over the union of all input — including a key
+    that SATURATES k, where the estimator (not the exact count) takes
+    over. n_seen is monotone, so the final row per key is its max."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.functions import sketches
+    from polars_fastx_spark.streaming.stateful import streaming_kmv
+
+    k = 4
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [_rows("2024-01-01T00:00:01Z", i, user=i, etype="click") for i in range(1, 7)]
+        + [_rows("2024-01-01T00:00:02Z", 10, user=1, etype="view")],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    kmv = streaming_kmv(events, "event_type", "user_id", k=k)
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, kmv, out, ck)
+    _write_batch(
+        srcdir,
+        "b1.json",
+        [_rows("2024-01-01T00:00:03Z", i + 20, user=i + 100, etype="click") for i in range(3)]
+        + [_rows("2024-01-01T00:00:04Z", 30, user=2, etype="view")],
+    )
+    got_df = _collect_parquet(spark, kmv, out, ck)
+    final = {}
+    for r in got_df.collect():
+        if r.key not in final or r.n_seen > final[r.key].n_seen:
+            final[r.key] = r
+
+    batch = spark.read.json(str(srcdir), schema=sp.EVENTS_STREAM_SCHEMA)
+    for key in ("click", "view"):
+        want = sketches.kmv_estimate(
+            sketches.kmv_merge(
+                sketches.kmv_partials(
+                    batch.filter(F.col("event_type") == key),
+                    "user_id",
+                    k,
+                    F.lit(0),
+                ),
+                k,
+            ),
+            k,
+        ).collect()[0]
+        got = final[key]
+        assert got.n_retained == want.n_retained, key
+        assert got.ndv_est == want.ndv_est, key
+    # click saw 9 distinct users > k=4: the sketch is saturated and the
+    # estimate comes from theta, not a plain count
+    assert final["click"].n_retained == k
+    assert final["view"].ndv_est == 2  # unsaturated: exact

@@ -3323,6 +3323,53 @@ def l_mmr_rerank(spark, sf_dir):
     )
 
 
+def _jl_oracle_sql(in_dim: int, out_dim: int, salt: str) -> str:
+    """DuckDB twin of vectors.random_project: rebuild the md5-seeded
+    sign matrix in a CTE, project with an ordered list-comprehension
+    sum (sequential like Spark's fold), scale by the exact double
+    1/sqrt(out_dim) via repr()."""
+    import math
+
+    inv = repr(1.0 / math.sqrt(out_dim))
+    return f"""
+    WITH r AS (
+        SELECT j.j AS j,
+               list(CASE WHEN ('0x' || substring(
+                                   md5('{salt}:' || j.j || ':' || i.i),
+                                   1, 8))::BIGINT % 2 = 0
+                         THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS s
+        FROM (SELECT unnest(generate_series(0, {out_dim - 1})) AS j) j,
+             (SELECT unnest(generate_series(0, {in_dim - 1})) AS i) i
+        GROUP BY j.j
+    )
+    SELECT e.vec_id AS id, r.j,
+           round(list_sum([e.embedding[i + 1]::DOUBLE * r.s[i + 1]
+                           for i in generate_series(0, {in_dim - 1})])
+                 * {inv}, 6) AS comp
+    FROM embeddings e, r
+    WHERE e.embedding IS NOT NULL
+    ORDER BY id NULLS FIRST, j NULLS FIRST
+    """
+
+
+@_q(
+    "l_random_project",
+    _jl_oracle_sql(64, 16, "jl"),
+    "L3: Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(Achlioptas +/-1 signs) — the ANN front end that shrinks vectors "
+    "4x while preserving pairwise geometry within O(1/sqrt(16)). The "
+    "sign matrix is md5-seeded (RNG-free, engine-reproducible) and "
+    "embedded as plan literals, so projection is ONE codegen'd map "
+    "pass: no matrix join, no shuffle, no Python. Long-form output "
+    "(id, j, comp) keeps the value hash float-format-safe.",
+)
+def l_random_project(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return vectors.random_project(
+        e, "vec_id", "embedding", 64, 16, salt="jl"
+    ).orderBy(F.col("id").asc_nulls_first(), F.col("j").asc_nulls_first())
+
+
 @_q(
     "l_quantize_int8",
     """

@@ -134,6 +134,70 @@ def kmeans(
     return assigned, cents
 
 
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas 2003) — the dimensionality-reduction front end of an
+    ANN index: pairwise distances/inner products are preserved within
+    O(1/sqrt(out_dim)) while vectors shrink in_dim/out_dim ×.
+
+    The sign matrix is md5-SEEDED, not RNG: sign(j, i) = parity of the
+    32-bit md5 prefix of ``salt:j:i`` — deterministic across runs,
+    engines, and partitionings (the DuckDB oracle rebuilds the same
+    matrix), same rationale as the sampling/minhash md5 families. The
+    matrix is embedded as LITERAL arrays in the plan (out_dim × in_dim
+    doubles — KBs for any practical width), so projection is one
+    codegen'd map pass: no matrix join, no shuffle, no Python.
+
+    Returns long form (id, j, comp): component j of the projected
+    vector, ``comp = round(dot(v, sign_j) / sqrt(out_dim), 6)``.
+    Reshape with ``groupBy(id).agg(sort_array(collect_list(...)))`` or
+    keep long for columnar math.
+    """
+    import hashlib
+    import math
+
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("random_project needs in_dim, out_dim >= 1")
+    inv = 1.0 / math.sqrt(out_dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(
+            *[
+                F.lit(
+                    1.0
+                    if int(
+                        hashlib.md5(
+                            f"{salt}:{j}:{i}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                )
+                for i in range(in_dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(dot * F.lit(inv), 6))
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*comps)).alias("j", "comp"),
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str,

@@ -338,3 +338,62 @@ def test_chunk_overlap_no_contained_trailing_chunk(spark):
         tb.setdefault(r.id, []).append((r.chunk_idx, r.chunk))
     assert sorted(tb[1]) == [(0, "t0 t1 t2 t3")]          # no 't2 t3' echo
     assert sorted(tb[2]) == [(0, "t0 t1 t2 t3"), (1, "t2 t3 t4")]
+
+
+# ------------------------------------------------------- random projection
+
+
+def test_random_project_preserves_pairwise_distances(spark):
+    """JL lemma sanity on the real embeddings: squared distances after
+    the 64->16 +/-1 projection stay within a generous multiplicative
+    band for every sampled pair (eps ~ 1/sqrt(16) regime)."""
+    import numpy as np
+
+    from polars_fastx_spark.operators import vectors
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(20)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    proj = vectors.random_project(emb, "vec_id", "embedding", 64, 16)
+    got = {}
+    for r in proj.collect():
+        got.setdefault(r.id, {})[r.j] = r.comp
+    pv = {i: np.array([got[i][j] for j in range(16)]) for i in got}
+    ids = sorted(orig)
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d_o = float(np.sum((orig[a] - orig[b]) ** 2))
+            d_p = float(np.sum((pv[a] - pv[b]) ** 2))
+            ratios.append(d_p / d_o)
+    assert len(ratios) == 190
+    # per-pair distortion is chi^2_16/16-distributed: the worst of 190
+    # pairs lands well inside [0.15, 2.5]; the bulk concentrates at 1
+    assert min(ratios) > 0.15 and max(ratios) < 2.5, (min(ratios), max(ratios))
+    assert 0.8 < float(np.median(ratios)) < 1.25, np.median(ratios)
+
+
+def test_random_project_deterministic_and_salt_sensitive(spark):
+    from polars_fastx_spark.operators import vectors
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    a1 = {(r.j): r.comp for r in vectors.random_project(emb, "vec_id", "embedding", 4, 4).collect()}
+    a2 = {(r.j): r.comp for r in vectors.random_project(emb, "vec_id", "embedding", 4, 4).collect()}
+    b = {(r.j): r.comp for r in vectors.random_project(emb, "vec_id", "embedding", 4, 4, salt="other").collect()}
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_random_project_rejects_bad_dims(spark):
+    import pytest as _pytest
+
+    from polars_fastx_spark.operators import vectors
+
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        vectors.random_project(emb, "vec_id", "embedding", 1, 0)

@@ -202,6 +202,35 @@ def main() -> None:
     )
     pairs.unpersist()
 
+    # KMV at volume: 10M values, 7M distinct — the distinct-first
+    # pre-aggregate gets map-side combine and the post-shuffle state is
+    # 64 shards x k rows; the estimate must land within ~3 RSE
+    from polars_fastx_spark.functions import sketches
+
+    def _kmv_10m():
+        vals = spark.range(10_000_000).select(
+            (F.col("id") % 7_000_000).alias("v"), F.col("id").alias("i")
+        )
+        est = sketches.kmv_estimate(
+            sketches.kmv_merge(
+                sketches.kmv_partials(vals, "v", 1024, F.expr("i % 64")),
+                1024,
+            ),
+            1024,
+        ).first()
+        err = abs(est.ndv_est - 7_000_000) / 7_000_000
+        assert err < 3.0 / (1024 - 2) ** 0.5, est
+        return f"ndv_est {est.ndv_est:,} (true 7,000,000, err {err:.2%})"
+
+    probe("kmv sketch (10M rows, k=1024)", _kmv_10m)
+
+    from polars_fastx_spark.operators import bpe
+
+    probe(
+        "bpe train 6 merges (50k docs)",
+        lambda: f"{bpe.bpe_train(docs, 'text', 6).count()} rules",
+    )
+
     print("\n| probe | seconds | result |")
     print("|---|---|---|")
     for name, dt, out in rows:

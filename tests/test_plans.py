@@ -86,8 +86,6 @@ ALLOWED_NESTED_LOOP = {
     "k_n50",              # totals/n50 = 1-row broadcast cross joins
     "x_sketch_kmv",       # est/exact assembly = 1-row broadcast cross joins
     "l_mmr_rerank",       # relevance pool = tiny broadcast query cross join
-    "l_bpe_merges",       # merge application = 1-row broadcast cross join
-    "l_bpe_encode",       # merge application = 1-row broadcast cross join
 }
 
 

@@ -4759,6 +4759,63 @@ def x_sketch_kmv(spark, sf_dir):
 
 
 @_q(
+    "x_sketch_join_size",
+    """
+    WITH src AS (
+        SELECT l_partkey::VARCHAR AS v
+        FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    ds AS (SELECT unnest(range(4)) AS d),
+    cms AS (
+        SELECT d,
+               ('0x' || substring(md5(d::VARCHAR || ':' || v), 1, 8))
+                   ::BIGINT % 64 AS bucket,
+               count(*) AS cnt
+        FROM src CROSS JOIN ds
+        GROUP BY d, bucket
+    ),
+    est AS (
+        SELECT min(ip)::BIGINT AS join_size_est
+        FROM (SELECT d, sum(cnt * cnt) AS ip FROM cms GROUP BY d)
+    ),
+    exact AS (
+        SELECT sum(n * n)::BIGINT AS join_size_exact
+        FROM (SELECT v, count(*) AS n FROM src GROUP BY v)
+    )
+    SELECT est.join_size_est, exact.join_size_exact,
+           est.join_size_est >= exact.join_size_exact AS never_undercounts
+    FROM est, exact
+    """,
+    "Sketch tier: equijoin-size estimation from CMS inner products "
+    "(AMS '96 / Cormode-Muthukrishnan '05) — the self-join size "
+    "(second frequency moment F2) of lineitem on l_partkey, estimated "
+    "as min over hash rows of sum(cnt^2) from the SAME fixed-size "
+    "relational sketch the frequency queries use. This is how a "
+    "planner sizes a join at 100 TB from two KB-sized sketches "
+    "without touching either table. md5 bucketing replays bit-exactly "
+    "in DuckDB so the estimate itself is value-hashed, next to the "
+    "exact F2 from one groupBy and the never-undercount guarantee.",
+)
+def x_sketch_join_size(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    cms = sketches.cms_table(li, "l_partkey", depth=4, width=64)
+    est = sketches.cms_inner_product(cms, cms)
+    exact = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).alias("join_size_exact"))
+    )
+    return est.crossJoin(exact).select(
+        "join_size_est",
+        "join_size_exact",
+        (F.col("join_size_est") >= F.col("join_size_exact")).alias(
+            "never_undercounts"
+        ),
+    )
+
+
+@_q(
     "q_scd2",
     """
     WITH marked AS (

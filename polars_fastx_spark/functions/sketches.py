@@ -313,6 +313,32 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     )
 
 
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Equijoin-size estimate from two relational CMS sketches built
+    with the SAME (depth, width): |A ⋈ B on v| = Σ_v fA(v)·fB(v) is
+    estimated by min over hash rows d of Σ_bucket cntA(d,b)·cntB(d,b)
+    — the classic AMS/CMS application that lets a planner size a join
+    from two fixed-size sketches without touching either table.
+    Never underestimates (collisions only add mass, same argument as
+    the point query); 1-row output ``(join_size_est,)``. Pass the same
+    sketch twice for the self-join size / second frequency moment F₂.
+    """
+    bb = b.select(
+        F.col("d").alias("d2"),
+        F.col("bucket").alias("bucket2"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    per_row = (
+        a.join(
+            F.broadcast(bb),
+            (F.col("d") == F.col("d2")) & (F.col("bucket") == F.col("bucket2")),
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("join_size_est"))
+
+
 def kll_partials(
     df: DataFrame, keys: list[str], value_col: str, shard_col: Column | str
 ) -> DataFrame:

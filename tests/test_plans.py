@@ -85,6 +85,7 @@ ALLOWED_NESTED_LOOP = {
     "l_temperature_mix",  # power-sum total = 1-row broadcast cross join
     "k_n50",              # totals/n50 = 1-row broadcast cross joins
     "x_sketch_kmv",       # est/exact assembly = 1-row broadcast cross joins
+    "x_sketch_join_size",  # est/exact assembly = 1-row broadcast cross join
     "l_mmr_rerank",       # relevance pool = tiny broadcast query cross join
 }
 

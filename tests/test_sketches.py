@@ -307,3 +307,38 @@ def test_cms_unknown_probe_estimates_without_undercount(spark, lineitem):
     wide = sketches.cms_table(lineitem, "l_suppkey", depth=4, width=4096)
     [row] = sketches.cms_query(wide, probes, "v", depth=4, width=4096).collect()
     assert row.est == 0
+
+
+def test_cms_inner_product_bounds_selfjoin_size(spark, lineitem):
+    """F2 estimate from the sketch: never under the exact self-join
+    size, and EXACT when width >> NDV (no collisions)."""
+    exact = (
+        lineitem.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")))
+        .collect()[0][0]
+    )
+    small = sketches.cms_table(lineitem, "l_partkey", depth=4, width=32)
+    est = sketches.cms_inner_product(small, small).collect()[0].join_size_est
+    assert est >= exact
+    # widening the sketch shrinks the collision mass: ≤ 10% over at
+    # width 4096 (never exact-equality — min-of-4-rows still carries
+    # birthday collisions at 200 NDV), and monotonically ≤ the narrow est
+    wide = sketches.cms_table(lineitem, "l_partkey", depth=4, width=4096)
+    est_w = sketches.cms_inner_product(wide, wide).collect()[0].join_size_est
+    assert exact <= est_w <= 1.10 * exact, (est_w, exact)
+    assert est_w <= est
+
+
+def test_cms_inner_product_cross_table_join_size(spark, lineitem):
+    """Cross-table: lineitem ⋈ supplier on suppkey is exactly
+    |lineitem| (FK); the sketch estimate must sit at-or-above it and
+    within a small collision margin at a wide width."""
+    sup = spark.table("supplier")
+    a = sketches.cms_table(lineitem, "l_suppkey", depth=4, width=2048)
+    b = sketches.cms_table(sup, "s_suppkey", depth=4, width=2048)
+    est = sketches.cms_inner_product(a, b).collect()[0].join_size_est
+    exact = lineitem.join(
+        sup, lineitem["l_suppkey"] == sup["s_suppkey"]
+    ).count()
+    assert exact <= est <= 1.10 * exact, (est, exact)

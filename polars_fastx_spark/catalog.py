@@ -4590,7 +4590,7 @@ def x_sketch_kll(spark, sf_dir):
     "column pins the CMS never-undercount guarantee per probe.",
 )
 def x_sketch_cms(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    li = _tp(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
     partials = sketches.cms_partials(
         li, "l_suppkey", F.expr("l_orderkey % 8"), depth=4, width=64
     )
@@ -4709,7 +4709,7 @@ def x_sketch_cms(spark, sf_dir):
 )
 def x_sketch_kmv(spark, sf_dir):
     k = 64
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _tp(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_orderkey"
     )
     in_a = F.col("l_quantity") <= 2
@@ -4797,7 +4797,7 @@ def x_sketch_kmv(spark, sf_dir):
     "exact F2 from one groupBy and the never-undercount guarantee.",
 )
 def x_sketch_join_size(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    li = _tp(spark, sf_dir, "lineitem").select("l_partkey")
     cms = sketches.cms_table(li, "l_partkey", depth=4, width=64)
     est = sketches.cms_inner_product(cms, cms)
     exact = (

@@ -94,9 +94,11 @@ def mmr_rerank(
     over the broadcast query×corpus relevance pass), so every greedy
     round joins ≤ pool_n candidates against ≤ k selected rows per
     query — bounded work per query, parallel across queries. The pool
-    frame is lazily persisted (a few KB) because every round references
-    it twice — without the cache the relevance pass would re-run ~2k
-    times.
+    and each round's pick are materialized through eager
+    ``localCheckpoint`` boundaries (executor storage, never the
+    driver): every round references both twice, so without the
+    lineage cut the STATIC plan — and Catalyst analysis time — grows
+    2^k even though caching would dedupe execution.
 
     Returns (query_id, rank, vec_id, mmr_score): rank 1..k per query,
     ``mmr_score`` = the rounded score that won the round (rank 1: the
@@ -125,28 +127,30 @@ def mmr_rerank(
     w_pool = Window.partitionBy("qid").orderBy(
         F.col("rel").desc(), F.col("vec_id").asc()
     )
-    # Lazy persist: every greedy round references the pool twice, and
-    # without the cache each reference re-runs the full query x corpus
-    # relevance pass — ~2k redundant scans. The pool is <= queries x
-    # pool_n rows, so the cache is a few KB; first action fills it,
-    # every round after reads it. (Lazy, so the catalog contract of
-    # returning an unexecuted DataFrame holds.)
+    # Eager localCheckpoint, not persist: every greedy round references
+    # the pool AND the accumulated selection twice, so under lazy
+    # caching the round-r subtree appears 2^(k-r) times in the STATIC
+    # plan — execution dedupes through the cache, but Catalyst analysis
+    # and the plan-audit exchange count blow up exponentially in k
+    # (measured: 484 exchanges in the static plan at k=5). A checkpoint
+    # truncates the lineage to a flat scan per round — the same
+    # materialization boundary the iterative graph loops use. The pool
+    # is <= queries x pool_n rows in EXECUTOR storage (never collected
+    # to the driver), so the boundary is cheap at any query-batch size.
     pool = (
         cand.withColumn("__rn", F.row_number().over(w_pool))
         .filter(F.col("__rn") <= pool_n)
         .drop("__rn")
-        .persist()
+        .localCheckpoint()
     )
-    # Each round's pick is persisted too: round r references the
-    # accumulated selection twice, so an unpersisted pick subtree is
-    # re-evaluated 2^(k-r) times — exponential stage blowup for a
-    # <= len(query_ids)-row frame.
+    # Each round's pick gets the same checkpoint boundary (a
+    # <= len(query_ids)-row frame), keeping the plan linear in k.
     sel = pool.withColumn("__rn", F.row_number().over(w_pool)).filter(
         F.col("__rn") == 1
     ).select(
         "qid", "vec_id", "v", "rel",
         F.lit(1).alias("rank"), F.col("rel").alias("mmr"),
-    ).persist()
+    ).localCheckpoint()
     for r in range(2, k + 1):
         prev = sel.select("qid", F.col("vec_id").alias("svid"), F.col("v").alias("sv"))
         remaining = pool.join(
@@ -177,7 +181,7 @@ def mmr_rerank(
             scored.withColumn("__rn", F.row_number().over(w_pick))
             .filter(F.col("__rn") == 1)
             .select("qid", "vec_id", "v", "rel", F.lit(r).alias("rank"), "mmr")
-            .persist()
+            .localCheckpoint()
         )
         sel = sel.unionByName(pick)
     return sel.select(

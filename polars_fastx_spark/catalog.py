@@ -1815,6 +1815,43 @@ def l_incr_dedup(spark, sf_dir):
 
 
 @_q(
+    "l_neardup_gate",
+    _LSH_BANDED_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id >= 400
+      AND d.doc_id NOT IN (
+        SELECT a.doc_id
+        FROM banded a JOIN banded b
+          ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        WHERE a.doc_id >= 400 AND b.doc_id < 400
+      )
+    ORDER BY doc_id NULLS FIRST
+    """,
+    "L2 INGEST GATE: the per-document drop decision over the persisted "
+    "corpus LSH index — incoming docs (doc_id >= 400) survive iff NO "
+    "band collides with the corpus (doc_id < 400). The companion of "
+    "l_incr_dedup (which emits the candidate PAIRS): one band "
+    "semi-join collapsed to hit ids, anti-joined back; shingle-less "
+    "docs carry no LSH evidence and pass. The streaming twin "
+    "(stream_neardup_gate) appends accepted bands to the on-disk index "
+    "per micro-batch so later batches gate against them.",
+)
+def l_neardup_gate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    index = dedup.minhash_band_table(
+        d.filter(F.col("doc_id") < 400), "doc_id", "text"
+    )
+    kept = dedup.neardup_gate(
+        d.filter(F.col("doc_id") >= 400), index, "doc_id", "text"
+    )
+    return kept.select("doc_id", "lang", "n_chars").orderBy(
+        F.col("doc_id").asc_nulls_first()
+    )
+
+
+@_q(
     "l_dedup_groups",
     _LSH_REACH_CTE
     + """

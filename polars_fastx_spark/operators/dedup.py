@@ -271,6 +271,54 @@ def minhash_lsh_candidates_between(
     )
 
 
+def neardup_gate(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    family: str = "md5",
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Ingest-time near-duplicate GATE: filter ``batch`` by whether
+    each document shares an LSH band with the corpus behind ``index``
+    (a persisted :func:`minhash_band_table` frame — history is never
+    recomputed, never re-scanned as text).
+
+    Default drops possible near-dups of the corpus (the ingest filter);
+    ``keep_hits=True`` keeps only them (route-to-verify topologies —
+    band collision is a CANDIDATE signal, calibrated by the usual
+    1-(1-j^r)^b curve, not a verified Jaccard). The decision is
+    per-DOCUMENT: one band hit anywhere drops the doc, so the band
+    semi-join collapses to distinct hit ids before rejoining the batch.
+
+    Shingle-less docs (NULL/short text) carry no LSH evidence and pass
+    the gate — same rule as :func:`minhash_band_table`. Intra-batch
+    near-dups are NOT mutually gated (the index is the corpus as of
+    the batch start); the streaming wiring
+    (:func:`polars_fastx_spark.streaming.pipelines.stream_neardup_gate`)
+    appends each batch's accepted bands to the index so LATER batches
+    see them. Cost: one equi-join on (band, band_key) scaling with the
+    batch; partition the stored index by ``band`` for pruned reads.
+    """
+    b = minhash_band_table(
+        batch, id_col, text_col, shingle_k, num_hashes, bands, family
+    )
+    hits = (
+        b.join(
+            index.select("band", "band_key"), ["band", "band_key"], "left_semi"
+        )
+        .select(F.col("__id").alias("__hit_id"))
+        .distinct()
+    )
+    how = "left_semi" if keep_hits else "left_anti"
+    return batch.join(
+        hits, F.col(id_col) == F.col("__hit_id"), how
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

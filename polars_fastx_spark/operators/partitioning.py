@@ -196,6 +196,11 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     """
     import re
 
+    if df.isStreaming:
+        # .rdd/executedPlan are illegal on an unstarted stream, and the
+        # hazard doesn't apply: micro-batch parallelism comes from the
+        # streaming source, not a row-group-bound file scan
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -322,6 +322,69 @@ def stream_bloom_filter(
     ).drop("__hit")
 
 
+def stream_neardup_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    family: str = "md5",
+):
+    """Streaming incremental near-duplicate dedup: gate each arriving
+    micro-batch against the GROWING on-disk LSH band index, write the
+    survivors, and append their bands to the index so LATER batches
+    see them — the live-ingest twin of the batch incremental path
+    (``dedup.neardup_gate`` + ``minhash_band_table``), completing the
+    streaming dedup ladder: exact (``stream_dedup``, state grows with
+    distinct keys), probabilistic membership (``stream_bloom_filter``,
+    static mask), NEAR-dup (this — durable index, no state store).
+
+    ``foreachBatch`` is the right vehicle: the per-document drop
+    decision needs a band semi-join collapsed to doc ids and joined
+    back — a stream-stream self-join shape no watermark expresses —
+    and the index append is a side effect. State lives in the PARQUET
+    index, not the state store, so it survives restarts and is
+    shared/queryable by the batch pipeline. Intra-batch near-dups
+    both survive their own batch (index-as-of-batch-start semantics);
+    at-least-once caveat: a retried epoch can re-append bands —
+    harmless for gating (duplicate index rows change no decision), and
+    the doc sink inherits foreachBatch's usual idempotence contract.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from polars_fastx_spark.operators import dedup as _dedup
+
+    def _gate(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            index = None
+        kept = (
+            batch
+            if index is None
+            else _dedup.neardup_gate(
+                batch, index, id_col, text_col,
+                shingle_k, num_hashes, bands, family,
+            )
+        )
+        kept.write.mode("append").parquet(out_path)
+        _dedup.minhash_band_table(
+            kept, id_col, text_col, shingle_k, num_hashes, bands, family
+        ).write.mode("append").parquet(index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_cms_counts(
     stream: DataFrame, col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

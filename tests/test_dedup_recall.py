@@ -260,3 +260,43 @@ def test_band_table_index_storage_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "band" in pf and pf.strip(), pf
+
+
+def test_neardup_gate_drops_index_neighbors_keeps_novel(spark):
+    """Per-document gating against a persisted band index: a
+    near-duplicate of an indexed doc is dropped, a novel doc passes,
+    and a shingle-less doc (no LSH evidence) passes; keep_hits=True
+    inverts the routing exactly."""
+    from polars_fastx_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.minhash_band_table(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [
+            # near-dup of doc 1 (one-word edit)
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            # novel content
+            (11, "nothing like anything the corpus has ever contained zzz"),
+            # shingle-less (shorter than k=5)
+            (12, "abc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in dedup.neardup_gate(batch, index, "doc_id", "text").collect()
+    }
+    assert 10 not in kept and {11, 12} <= kept
+    hits = {
+        r.doc_id
+        for r in dedup.neardup_gate(
+            batch, index, "doc_id", "text", keep_hits=True
+        ).collect()
+    }
+    assert hits == {10}

@@ -772,3 +772,66 @@ def test_streaming_kmv_matches_batch_sketch(spark, srcdir, tmp_path):
     # estimate comes from theta, not a plain count
     assert final["click"].n_retained == k
     assert final["view"].ndv_est == 2  # unsaturated: exact
+
+
+def test_stream_neardup_gate_grows_index_across_batches(spark, srcdir, tmp_path):
+    """Incremental streaming near-dedup: batch 1 seeds the on-disk LSH
+    index; a batch-2 near-duplicate of a batch-1 doc is dropped while
+    novel and shingle-less docs pass; accepted bands append to the
+    index so the corpus the gate sees GROWS with the stream."""
+    from polars_fastx_spark.streaming.pipelines import stream_neardup_gate
+
+    def _doc_batch(name, rows):
+        (srcdir / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+            + "\n"
+        )
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(srcdir))
+    )
+    idx, out, ck = tmp_path / "idx", tmp_path / "out", tmp_path / "ck"
+
+    _doc_batch(
+        "b0.json",
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus document about spark plans"),
+        ],
+    )
+    q = stream_neardup_gate(
+        docs, "doc_id", "text", str(idx), str(out), str(ck)
+    )
+    q.awaitTermination(120)
+    _doc_batch(
+        "b1.json",
+        [
+            # near-dup of batch-1 doc 1 -> must be dropped by the gate
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "nothing like anything the corpus has ever contained zzz"),
+            (12, "abc"),  # shingle-less: passes
+        ],
+    )
+    q = stream_neardup_gate(
+        docs, "doc_id", "text", str(idx), str(out), str(ck)
+    )
+    q.awaitTermination(120)
+    _doc_batch(
+        "b2.json",
+        [
+            # near-dup of doc 11, which was ACCEPTED in batch 2: only a
+            # grown index can drop it
+            (20, "nothing like anything the corpus has ever contained zzy"),
+            (21, "yet another entirely novel piece of training text qqq"),
+        ],
+    )
+    q = stream_neardup_gate(
+        docs, "doc_id", "text", str(idx), str(out), str(ck)
+    )
+    q.awaitTermination(120)
+
+    kept = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {1, 2, 11, 12, 21}
+    indexed = {r["__id"] for r in spark.read.parquet(str(idx)).collect()}
+    assert indexed == {1, 2, 11, 21}  # shingle-less doc 12 carries no bands

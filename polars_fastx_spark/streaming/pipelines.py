@@ -349,19 +349,19 @@ def stream_neardup_gate(
     and the index append is a side effect. State lives in the PARQUET
     index, not the state store, so it survives restarts and is
     shared/queryable by the batch pipeline. Intra-batch near-dups
-    both survive their own batch (index-as-of-batch-start semantics);
-    at-least-once caveat: a retried epoch can re-append bands —
-    harmless for gating (duplicate index rows change no decision), and
-    the doc sink inherits foreachBatch's usual idempotence contract.
+    both survive their own batch (index-as-of-batch-start semantics).
+    Both writes land in an ``epoch=<id>`` subdirectory overwritten
+    whole (the same idempotence move as the TSV foreachBatch sink), so
+    a retried epoch replaces its own output instead of duplicating it.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
     from polars_fastx_spark.operators import dedup as _dedup
 
-    def _gate(batch: DataFrame, _epoch: int) -> None:
+    def _gate(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
         try:
-            index = spark.read.parquet(index_path)
+            index = spark.read.parquet(f"{index_path}/epoch=*")
         except Exception:  # first batch: no index yet
             index = None
         kept = (
@@ -372,10 +372,10 @@ def stream_neardup_gate(
                 shingle_k, num_hashes, bands, family,
             )
         )
-        kept.write.mode("append").parquet(out_path)
+        kept.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
         _dedup.minhash_band_table(
             kept, id_col, text_col, shingle_k, num_hashes, bands, family
-        ).write.mode("append").parquet(index_path)
+        ).write.mode("overwrite").parquet(f"{index_path}/epoch={epoch}")
 
     return (
         stream.writeStream.foreachBatch(_gate)

@@ -3270,6 +3270,66 @@ def l_bpe_encode(spark, sf_dir):
     )
 
 
+@_q(
+    "l_hard_negatives",
+    """
+    SELECT anchor_id, rank, vec_id, cos FROM (
+        SELECT a.vec_id AS anchor_id, e.vec_id AS vec_id,
+               round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6)
+                       DESC, e.vec_id ASC) AS rank
+        FROM embeddings a JOIN embeddings e ON e.label <> a.label
+        WHERE a.vec_id < 5
+    ) WHERE rank <= 3
+    ORDER BY anchor_id NULLS FIRST, rank NULLS FIRST
+    """,
+    "L3+: hard-negative mining for contrastive embedding training — "
+    "for each anchor, the top-3 most-similar vectors with a DIFFERENT "
+    "label (the negatives that actually move the loss). Pure "
+    "composition: broadcast anchor set x label-mismatched candidates, "
+    "JVM-fold cosine rounded before ranking so the oracle replays the "
+    "cut deterministically. Bounded anchor sets ride this window "
+    "form; large query batches route through the blocked "
+    "knn_per_query path with a label-pruned candidate join.",
+)
+def l_hard_negatives(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", v.alias("v"))
+    anchors = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+    )
+    cand = F.broadcast(anchors).join(
+        base, F.col("label") != F.col("anchor_label")
+    )
+    cos = F.round(
+        similarity.cosine(
+            F.col("v"), F.col("av"),
+            similarity.l2_norm(F.col("v")), similarity.l2_norm(F.col("av")),
+        ),
+        6,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("anchor_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "rank", "vec_id", "cos")
+        .orderBy(
+            F.col("anchor_id").asc_nulls_first(),
+            F.col("rank").asc_nulls_first(),
+        )
+    )
+
+
 def _mmr_oracle_sql(query_ids, pool_n: int, k: int, lam: float) -> str:
     """Unrolled-greedy DuckDB twin of retrieval.mmr_rerank (the
     l_kmeans chained-CTE pattern): each round anti-joins the selected

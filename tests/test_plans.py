@@ -87,6 +87,7 @@ ALLOWED_NESTED_LOOP = {
     "x_sketch_kmv",       # est/exact assembly = 1-row broadcast cross joins
     "x_sketch_join_size",  # est/exact assembly = 1-row broadcast cross join
     "l_mmr_rerank",       # relevance pool = tiny broadcast query cross join
+    "l_hard_negatives",   # anchor set = tiny broadcast theta join
 }
 
 

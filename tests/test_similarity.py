@@ -234,3 +234,35 @@ def test_ivf_assign_tie_break_deterministic(spark):
     # and a second run gives the identical assignment
     assigned2, _ = sim.ivf_assign(df, "id", "v", num_cells=3)
     assert cells == {r["__id"]: r["cell"] for r in assigned2.collect()}
+
+
+def test_hard_negatives_mismatch_labels_and_rank_contiguously(spark):
+    """Every mined negative carries a label different from its
+    anchor's, and ranks run 1..3 per anchor (catalog composition
+    l_hard_negatives; value parity is pinned by the 3-scale oracle)."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["l_hard_negatives"].fn(spark, sf)
+    emb = spark.read.parquet(sf + "/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    joined = (
+        out.join(emb, "vec_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("label").alias("anchor_label"),
+            ),
+            "anchor_id",
+        )
+        .collect()
+    )
+    assert joined and all(r.label != r.anchor_label for r in joined)
+    ranks = {}
+    for r in joined:
+        ranks.setdefault(r.anchor_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
+    assert set(ranks) == {0, 1, 2, 3, 4}

@@ -278,3 +278,66 @@ def test_duplicated_span_stats_random_match_reference(spark):
         if ws
     }
     assert got == want
+
+
+def test_kmv_random_sets_match_python_reference(spark):
+    """KMV bottom-k, union, and intersection against a plain-Python
+    reference over adversarial random string sets (duplicates, unicode,
+    empty strings, heavy overlap), at saturating and non-saturating k
+    and across shardings — hash-for-hash and estimate-for-estimate."""
+    import hashlib
+
+    from polars_fastx_spark.functions import sketches
+
+    rng = random.Random(SEED)
+    pool = (
+        [f"v{i}" for i in range(300)]
+        + ["", " ", "naïve", "☃", "0", "00"]
+        + [f"dup{i % 7}" for i in range(50)]
+    )
+    a_vals = [rng.choice(pool) for _ in range(500)]
+    b_vals = [rng.choice(pool) for _ in range(400)] + a_vals[:100]
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    def ref_bottomk(vals, k):
+        return sorted({h(v) for v in vals})[:k]
+
+    def ref_estimate(ks, k):
+        n = len(ks)
+        if n < k:
+            return n, 1.0, n
+        theta = (ks[-1] + 1) / 4294967296.0
+        est = round(63.0 / theta) if k == 64 else round((k - 1) / theta)
+        return n, theta, est
+
+    adf = spark.createDataFrame([(i, v) for i, v in enumerate(a_vals)], "i long, v string")
+    bdf = spark.createDataFrame([(i, v) for i, v in enumerate(b_vals)], "i long, v string")
+    for k in (16, 64, 1024):
+        for shard in (F.lit(0), F.expr("i % 5")):
+            ka = sketches.kmv_merge(sketches.kmv_partials(adf, "v", k, shard), k)
+            got = sorted(r.h for r in ka.collect())
+            assert got == ref_bottomk(a_vals, k), k
+        kb = sketches.kmv_merge(sketches.kmv_partials(bdf, "v", k, F.lit(0)), k)
+        est = sketches.kmv_estimate(ka, k).collect()[0]
+        n, theta, e = ref_estimate(ref_bottomk(a_vals, k), k)
+        assert (est.n_retained, est.ndv_est) == (n, e), k
+        assert est.theta == pytest.approx(theta)
+        # union sketch == bottom-k of the combined value sets
+        got_u = sorted(
+            r.h for r in sketches.kmv_union(ka, kb, k).collect()
+        )
+        assert got_u == ref_bottomk(a_vals + b_vals, k), k
+        # intersection estimate == the reference theta-clip formula
+        ref_a, ref_b = ref_bottomk(a_vals, k), ref_bottomk(b_vals, k)
+        _, ta, _ = ref_estimate(ref_a, k)
+        _, tb, _ = ref_estimate(ref_b, k)
+        theta_i = min(ta, tb)
+        common = [
+            x for x in set(ref_a) & set(ref_b)
+            if (x + 1) / 4294967296.0 < theta_i
+        ]
+        row = sketches.kmv_intersect_estimate(ka, kb, k).collect()[0]
+        assert row.n_common == len(common), k
+        assert row.inter_est == round(len(common) / theta_i), k

@@ -3166,44 +3166,74 @@ def l_rrf_hybrid(spark, sf_dir):
 
 def _bpe_oracle_sql(num_merges: int, tail: str = "rules") -> str:
     """Chained-CTE DuckDB twin of bpe._train: each round counts
-    adjacent symbol pairs over the vocabulary state, takes the argmax
-    with the same (count DESC, lhs, rhs) tiebreak, and applies the
-    merge with literal replace() — leftmost-greedy non-overlapping in
-    both engines, so training replays merge-for-merge. ``tail`` picks
-    the projection: the learned rules, or the final token vocabulary
-    (the encode side)."""
+    adjacent symbol pairs over the vocabulary symbol arrays, takes the
+    argmax with the same (count DESC, lhs, rhs) tiebreak, and applies
+    the leftmost-greedy merge SET-WISE — Spark folds the array
+    sequentially; here match sites can only conflict inside
+    equal-symbol runs (site i+1 needs syms[i+1]=rhs=lhs), where greedy
+    selects alternating sites: islands of consecutive site positions +
+    row_number parity. A delimiter-joined string replace is NOT
+    equivalent (it crosses symbol boundaries when rhs prefixes the
+    next symbol — caught by the randomized differential). ``tail``
+    picks the projection: the learned rules, or the final token
+    vocabulary (the encode side). Assumes each round finds a pair
+    (true for the test corpora at 63-symbol words); the ENGINE handles
+    exhaustion by stopping early."""
     parts = [
         """
     WITH w0 AS (
-        SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS state,
-               cnt
+        SELECT word, regexp_extract_all(word, '.') AS syms, cnt
         FROM (
             SELECT word, count(*) AS cnt FROM (
                 SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
                 FROM documents WHERE text IS NOT NULL
             ) WHERE word <> '' GROUP BY word
         )
-    )"""
+    ),
+    pos AS (SELECT unnest(generate_series(1, 63)) AS i)"""
     ]
     for r in range(1, num_merges + 1):
         parts.append(
             f""",
     p{r} AS (
-        SELECT s[i] AS lhs, s[i + 1] AS rhs, sum(cnt) AS pair_count
-        FROM (SELECT string_split(state, ' ') AS s, cnt FROM w{r - 1}),
-             (SELECT unnest(generate_series(1, 63)) AS i) i
-        WHERE i < len(s)
-        GROUP BY lhs, rhs
+        SELECT w.syms[i.i] AS lhs, w.syms[i.i + 1] AS rhs,
+               sum(w.cnt) AS pair_count
+        FROM w{r - 1} w, pos i
+        WHERE i.i < len(w.syms)
+        GROUP BY 1, 2
     ),
-    m{r} AS (
+    m{r} AS MATERIALIZED (
         SELECT lhs, rhs, pair_count FROM p{r}
         ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1
     ),
-    w{r} AS (
-        SELECT CASE WHEN m.lhs IS NULL THEN state
-                    ELSE replace(state, m.lhs || ' ' || m.rhs,
-                                 m.lhs || m.rhs) END AS state, cnt
-        FROM w{r - 1} LEFT JOIN m{r} m ON TRUE
+    st{r} AS (
+        SELECT w.word, i.i AS i,
+               i.i - row_number() OVER (
+                   PARTITION BY w.word ORDER BY i.i) AS isl
+        FROM w{r - 1} w, m{r} m, pos i
+        WHERE i.i < len(w.syms)
+          AND w.syms[i.i] = m.lhs AND w.syms[i.i + 1] = m.rhs
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT word, i FROM (
+            SELECT word, i,
+                   row_number() OVER (
+                       PARTITION BY word, isl ORDER BY i) AS rn
+            FROM st{r}
+        ) WHERE rn % 2 = 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT w.word,
+               list(CASE WHEN s1.i IS NOT NULL THEN m.lhs || m.rhs
+                         ELSE w.syms[p.i] END ORDER BY p.i) AS syms,
+               w.cnt AS cnt
+        FROM w{r - 1} w
+        CROSS JOIN m{r} m
+        CROSS JOIN pos p
+        LEFT JOIN sel{r} s1 ON s1.word = w.word AND s1.i = p.i
+        LEFT JOIN sel{r} s2 ON s2.word = w.word AND s2.i = p.i - 1
+        WHERE p.i <= len(w.syms) AND s2.i IS NULL
+        GROUP BY w.word, w.cnt
     )"""
         )
     if tail == "rules":
@@ -3223,10 +3253,7 @@ def _bpe_oracle_sql(num_merges: int, tail: str = "rules") -> str:
         parts.append(
             f"""
     SELECT token, sum(cnt)::BIGINT AS n
-    FROM (
-        SELECT unnest(string_split(state, ' ')) AS token, cnt
-        FROM w{num_merges}
-    )
+    FROM (SELECT unnest(syms) AS token, cnt FROM w{num_merges})
     GROUP BY token
     ORDER BY token NULLS FIRST
     """

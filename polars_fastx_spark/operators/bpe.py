@@ -11,20 +11,26 @@ size. Here each round is pure DataFrame algebra:
 1. pair counts: per vocab word, adjacent symbol pairs weighted by the
    word's corpus frequency — explode + groupBy with map-side combine,
    the shuffle moves ≤ |pair vocabulary| rows;
-2. argmax pair by (count DESC, lhs ASC, rhs ASC) — a 1-row
-   TakeOrderedAndProject, broadcast into
-3. the merge: leftmost-greedy non-overlapping pair fusion, expressed
-   as a LITERAL string replace over the space-joined symbol state
-   ("a a a a" + merge (a,a) → "aa aa") — both Spark's ``replace`` and
-   DuckDB's scan left-to-right over non-overlapping occurrences, so a
-   SQL oracle replays the whole training run merge-for-merge
-   (chained CTEs, the l_kmeans unrolling pattern).
+2. argmax pair by (count DESC, lhs ASC, rhs ASC) — a bounded 1-row
+   collect (the kmeans/pq_train centroid-collect pattern), broadcast
+   as plan literals into
+3. the merge: leftmost-greedy non-overlapping pair fusion over the
+   SYMBOL ARRAY via a sequential ``F.aggregate`` fold carrying
+   (emitted, pending) — an honest one-pass symbol scan.
 
-Symbols never contain the space separator (words are whitespace-split),
-so the literal pattern ``lhs + ' ' + rhs`` can only match at a symbol
-boundary. Each round's argmax is a bounded 1-row collect (the
-kmeans/pq_train centroid-collect pattern), so the merge compiles to a
-literal replace and the plan stays shallow — see ``_train``.
+The merge must scan SYMBOLS, not a delimiter-joined string: a literal
+string replace of ``"lhs rhs"`` matches across a symbol boundary when
+``rhs`` is a proper prefix of the following symbol ("c cc" + merge
+(c, c) would corrupt the "cc" token), and boundary-anchored patterns
+consume the shared delimiter and mis-pair runs ("a a a a a a" pairs
+(1,2),(4,5) instead of greedy (1,2),(3,4),(5,6)). Caught by the
+randomized differential against a plain-Python reference in
+tests/test_bpe.py.
+
+The DuckDB oracle replays the same semantics set-wise (no fold
+needed): match sites conflict only in equal-symbol runs, where greedy
+selects alternating sites — islands of consecutive site positions +
+row-number parity (see catalog._bpe_oracle_sql).
 
 Reference parity: the reference has no text-pipeline surface; this is
 north-star extension surface per /root/repo/BASELINE.json:6.
@@ -50,8 +56,8 @@ def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _adjacent_pairs(state, syms):
-    """Adjacent (lhs, rhs) symbol pairs of one space-joined state."""
+def _adjacent_pairs(syms):
+    """Adjacent (lhs, rhs) symbol pairs of one symbol array."""
     n = F.size(syms)
     return F.when(
         n >= 2,
@@ -65,6 +71,39 @@ def _adjacent_pairs(state, syms):
     ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
 
 
+def _merge_pair(syms, lhs: str, rhs: str):
+    """Leftmost-greedy non-overlapping merge of (lhs, rhs) in one
+    symbol array — a sequential fold carrying (out, pending): pending
+    holds the last unmerged symbol; seeing ``rhs`` while pending is
+    ``lhs`` emits the fused token and clears pending (so a freshly
+    fused token can never re-match as its own left half, and runs pair
+    (1,2), (3,4), ... exactly like a scan)."""
+    fused = F.lit(lhs + rhs)
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("p"),
+    )
+
+    def step(acc, s):
+        flush = F.when(
+            acc["p"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["p"])))
+        return F.when(
+            acc["p"].eqNullSafe(F.lit(lhs)) & (s == F.lit(rhs)),
+            F.struct(
+                F.concat(acc["out"], F.array(fused)).alias("out"),
+                F.lit(None).cast("string").alias("p"),
+            ),
+        ).otherwise(F.struct(flush.alias("out"), s.alias("p")))
+
+    def finish(acc):
+        return F.when(acc["p"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["p"]))
+        )
+
+    return F.aggregate(syms, zero, step, finish)
+
+
 #: output schema of bpe_train — pair_count long to match SUM's type
 _RULES_SCHEMA = "round int, lhs string, rhs string, pair_count long"
 
@@ -72,35 +111,30 @@ _RULES_SCHEMA = "round int, lhs string, rhs string, pair_count long"
 def _train(docs: DataFrame, text_col: str, num_merges: int):
     """Run the training rounds; returns (rules, final_state) where
     ``rules`` is a driver-side list of (round, lhs, rhs, pair_count)
-    and ``final_state`` has ALL learned merges applied — it IS the BPE
-    encoding of the vocabulary under the rules.
+    and ``final_state`` (word, syms, cnt) has ALL learned merges
+    applied — it IS the BPE encoding of the vocabulary under the rules.
 
     Each round's argmax is a bounded 1-ROW collect (the same
     documented pattern as kmeans/pq_train's k-row centroid collects):
-    with the winning pair driver-side, the state update compiles to a
-    LITERAL replace — no join, no per-round persist, and the plan
-    stays SHALLOW (measured: the chained-lazy-frame formulation spent
-    more driver time in Catalyst analysis + cache lookup than in the
-    data, 24 s vs 6 s for 6 rounds at sf0.1). Only the vocabulary
-    frame is persisted; re-evaluating ≤ num_merges literal replaces
-    over it is trivial."""
+    with the winning pair driver-side, the merge compiles to a literal
+    fold — no join, no per-round persist, and the plan stays SHALLOW
+    (measured: the chained-lazy-frame formulation spent more driver
+    time in Catalyst analysis + cache lookup than in the data, 24 s vs
+    6 s for 6 rounds at sf0.1). Only the vocabulary frame is
+    persisted; re-evaluating ≤ num_merges folds over it is trivial."""
     if num_merges < 1:
         raise ValueError("BPE training needs num_merges >= 1")
     vocab = word_counts(docs, text_col)
-    # initial state: characters joined by the separator
     state = vocab.select(
-        F.array_join(
-            F.expr("regexp_extract_all(word, '.', 0)"), " "
-        ).alias("state"),
+        "word",
+        F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
         "cnt",
     ).persist()
 
     rules = []
     for r in range(1, num_merges + 1):
-        syms = F.split(F.col("state"), " ")
         pairs = state.select(
-            F.explode(_adjacent_pairs(F.col("state"), syms)).alias("p"),
-            "cnt",
+            F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt"
         )
         top = (
             pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
@@ -119,11 +153,8 @@ def _train(docs: DataFrame, text_col: str, num_merges: int):
             break
         rules.append((r, top["lhs"], top["rhs"], int(top["pair_count"])))
         state = state.select(
-            F.replace(
-                F.col("state"),
-                F.lit(top["lhs"] + " " + top["rhs"]),
-                F.lit(top["lhs"] + top["rhs"]),
-            ).alias("state"),
+            "word",
+            _merge_pair(F.col("syms"), top["lhs"], top["rhs"]).alias("syms"),
             "cnt",
         )
     return rules, state
@@ -148,14 +179,11 @@ def bpe_token_counts(
     """The encode side: corpus token vocabulary AFTER the learned
     merges — each vocabulary word's final symbol state exploded back to
     tokens, weighted by corpus word frequency. Returns (token, n).
-    (Encoding unseen text at inference time is the same chained literal
-    replace over its space-joined characters, applying the learned
-    rules in round order.)"""
+    (Encoding unseen text at inference time is the same fold over its
+    character array, applying the learned rules in round order.)"""
     _, state = _train(docs, text_col, num_merges)
     return (
-        state.select(
-            F.explode(F.split(F.col("state"), " ")).alias("token"), "cnt"
-        )
+        state.select(F.explode(F.col("syms")).alias("token"), "cnt")
         .groupBy("token")
         .agg(F.sum("cnt").alias("n"))
     )

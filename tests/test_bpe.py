@@ -57,31 +57,25 @@ def test_bpe_token_counts_conserve_characters(spark):
 
 
 def test_bpe_encode_matches_train_rules_replayed(spark):
-    """Applying bpe_train's rules manually (chained literal replaces
+    """Applying bpe_train's rules manually (chained greedy merge folds
     in round order) over the vocabulary must reproduce
     bpe_token_counts — train and encode cannot drift."""
     d = _docs(spark, ["banana band", "banana", "ban ban banana"])
     k = 4
     rules = bpe.bpe_train(d, "text", k).orderBy("round").collect()
     state = bpe.word_counts(d, "text").select(
-        F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), " ").alias(
-            "state"
-        ),
+        F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
         "cnt",
     )
     for r in rules:
         state = state.select(
-            F.replace(
-                F.col("state"),
-                F.lit(r.lhs + " " + r.rhs),
-                F.lit(r.lhs + r.rhs),
-            ).alias("state"),
+            bpe._merge_pair(F.col("syms"), r.lhs, r.rhs).alias("syms"),
             "cnt",
         )
     manual = {
         (r.token, r.n)
         for r in state.select(
-            F.explode(F.split("state", " ")).alias("token"), "cnt"
+            F.explode(F.col("syms")).alias("token"), "cnt"
         )
         .groupBy("token")
         .agg(F.sum("cnt").alias("n"))
@@ -119,3 +113,76 @@ def test_bpe_survives_pair_exhaustion(spark):
     assert [(r["round"], r.lhs, r.rhs) for r in rules] == [(1, "a", "b")]
     toks = {r.token: r.n for r in bpe.bpe_token_counts(d, "text", 4).collect()}
     assert toks == {"ab": 3}
+
+
+def test_bpe_random_corpora_match_python_reference(spark):
+    """Randomized differential: full training runs over adversarial
+    small corpora (tiny alphabets force deep merge chains and ties;
+    unicode; repeated words) must match a plain-Python greedy BPE
+    reference rule-for-rule and token-for-token."""
+    import random
+
+    rng = random.Random(20260815)
+
+    def ref_bpe(texts, k):
+        from collections import Counter
+
+        words = Counter()
+        for t in texts:
+            for w in t.split():
+                if w:
+                    words[w] += 1
+        state = {w: list(w) for w in words}
+        rules = []
+        for _ in range(k):
+            pairs = Counter()
+            for w, syms in state.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += words[w]
+            if not pairs:
+                break
+            (lhs, rhs), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            rules.append((lhs, rhs, cnt))
+            for w, syms in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                state[w] = out
+        toks = {}
+        for w, syms in state.items():
+            for s in syms:
+                toks[s] = toks.get(s, 0) + words[w]
+        return rules, toks
+
+    for trial in range(4):
+        alpha = ["a", "b", "c"] if trial < 2 else ["x", "y", "☃", "é"]
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(15)
+        ]
+        k = rng.randint(2, 7)
+        d = _docs(spark, texts)
+        want_rules, want_toks = ref_bpe(texts, k)
+        got_rules = [
+            (r.lhs, r.rhs, r.pair_count)
+            for r in bpe.bpe_train(d, "text", k).orderBy("round").collect()
+        ]
+        assert got_rules == want_rules, (trial, k)
+        got_toks = {
+            r.token: r.n for r in bpe.bpe_token_counts(d, "text", k).collect()
+        }
+        assert got_toks == want_toks, (trial, k)

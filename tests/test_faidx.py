@@ -1,0 +1,114 @@
+"""sources/faidx.py: samtools-faidx-style indexed FASTA region reads.
+
+Index build is hand-checked against the faidx spec; region reads run a
+randomized differential against substrings of the fully-parsed file."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from polars_fastx_spark.sources import faidx
+
+
+FASTA = (
+    ">chr1 description text\n"
+    "ACGTACGTAC\n"
+    "GTACGTACGT\n"
+    "ACG\n"
+    ">chr2\n"
+    "TTTTGGGGCC\n"
+    "AA\n"
+    ">empty_tail\n"
+    "CCCCCCCCCC\n"
+)
+
+
+@pytest.fixture()
+def fasta(tmp_path):
+    p = tmp_path / "ref.fasta"
+    p.write_text(FASTA)
+    return str(p)
+
+
+def test_build_fai_matches_spec(fasta):
+    idx = faidx.build_fai(fasta)
+    # name, length, offset(first seq byte), linebases, linewidth
+    # ">chr1 description text\n" is 23 bytes -> chr1 seq at 23; its
+    # 11+11+4 seq bytes end at 49; ">chr2\n" -> seq at 55; 11+3 bytes
+    # -> ">empty_tail\n" -> seq at 81
+    assert idx[0] == ("chr1", 23, 23, 10, 11)
+    assert idx[1] == ("chr2", 12, 55, 10, 11)
+    assert idx[2] == ("empty_tail", 10, 81, 10, 11)
+
+
+def test_build_fai_writes_tsv_roundtrip(spark, fasta, tmp_path):
+    fai_path = str(tmp_path / "ref.fasta.fai")
+    built = faidx.build_fai(fasta, fai_path)
+    loaded = [
+        (r.name, r.length, r.offset, r.linebases, r.linewidth)
+        for r in faidx.read_fai(spark, fai_path).collect()
+    ]
+    assert sorted(loaded) == sorted(built)
+
+
+def test_build_fai_rejects_ragged_records(tmp_path):
+    p = tmp_path / "bad.fasta"
+    p.write_text(">x\nACGTACGT\nACG\nACGTACGT\n")  # short INTERIOR line
+    with pytest.raises(ValueError, match="ragged"):
+        faidx.build_fai(str(p))
+
+
+def test_build_fai_rejects_headerless(tmp_path):
+    p = tmp_path / "bad.fasta"
+    p.write_text("ACGT\n")
+    with pytest.raises(ValueError, match="before any"):
+        faidx.build_fai(str(p))
+
+
+def test_region_reads_match_full_parse_substrings(spark, fasta):
+    """Randomized differential: every region slice equals the substring
+    of the record parsed whole — including line-boundary straddles,
+    whole records, clamped overshoots, and empty windows."""
+    full = {}
+    for block in FASTA.split(">")[1:]:
+        lines = block.splitlines()
+        full[lines[0].split()[0]] = "".join(lines[1:])
+
+    rng = random.Random(20260815)
+    cases = [
+        ("chr1", 0, 23), ("chr1", 9, 11), ("chr1", 10, 20),
+        ("chr1", 19, 23), ("chr2", 0, 12), ("chr2", 5, 5),
+        ("chr1", 20, 99), ("chr1", -3, 4), ("empty_tail", 3, 7),
+        ("nope", 0, 5),  # unknown name: dropped
+    ]
+    for _ in range(40):
+        name = rng.choice(list(full))
+        a = rng.randint(0, len(full[name]))
+        b = rng.randint(0, len(full[name]))
+        cases.append((name, min(a, b), max(a, b)))
+    regions = spark.createDataFrame(cases, "name string, start long, end long")
+    got = {
+        (r.name, r.start, r.end): r.seq
+        for r in faidx.read_fasta_regions(spark, fasta, regions).collect()
+    }
+    assert ("nope", 0, 5) not in got
+    for name, start, end in cases:
+        if name not in full:
+            continue
+        lo = max(0, start)
+        hi = min(len(full[name]), end)
+        want = full[name][lo:hi] if hi > lo else ""
+        assert got[(name, lo, hi)] == want, (name, start, end)
+
+
+def test_region_reads_accept_prebuilt_index(spark, fasta, tmp_path):
+    fai_path = str(tmp_path / "ref.fasta.fai")
+    faidx.build_fai(fasta, fai_path)
+    fai = faidx.read_fai(spark, fai_path)
+    regions = spark.createDataFrame(
+        [("chr2", 8, 12)], "name string, start long, end long"
+    )
+    rows = faidx.read_fasta_regions(spark, fasta, regions, fai=fai).collect()
+    assert [(r.name, r.seq) for r in rows] == [("chr2", "CCAA")]

@@ -173,6 +173,52 @@ def bpe_train(
     return docs.sparkSession.createDataFrame(rules, _RULES_SCHEMA)
 
 
+def bpe_apply(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple],
+) -> DataFrame:
+    """Inference-time encoding of (possibly unseen) documents under
+    learned merge rules: whitespace words → character symbols → each
+    rule's greedy fold applied IN ROUND ORDER → tokens re-assembled in
+    document order. ``rules`` is ``bpe_train`` output collected (or
+    the list form ``_train`` returns): tuples whose [-3:-1] or [0:2]
+    carry (lhs, rhs) — both ``(round, lhs, rhs, cnt)`` rows and bare
+    ``(lhs, rhs)`` pairs work.
+
+    Returns (id, tokens array<string>). One map pass over the corpus:
+    the per-word folds chain as expressions (no joins, no shuffle
+    beyond the final per-document re-assembly, which reuses the
+    document id partitioning). Unknown characters simply survive as
+    single-character tokens — BPE's natural OOV behavior.
+    """
+    pairs = []
+    for r in rules:
+        t = tuple(r)
+        pairs.append((t[1], t[2]) if len(t) >= 3 else (t[0], t[1]))
+    words = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    syms = F.expr("regexp_extract_all(word, '.', 0)")
+    for lhs, rhs in pairs:
+        syms = _merge_pair(syms, lhs, rhs)
+    toks = words.select("id", "pos", syms.alias("syms"))
+    return (
+        toks.groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "syms"))
+                ).getField("syms")
+            ).alias("tokens")
+        )
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame, text_col: str, num_merges: int
 ) -> DataFrame:

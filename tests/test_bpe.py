@@ -186,3 +186,77 @@ def test_bpe_random_corpora_match_python_reference(spark):
             r.token: r.n for r in bpe.bpe_token_counts(d, "text", k).collect()
         }
         assert got_toks == want_toks, (trial, k)
+
+
+def test_bpe_apply_encodes_unseen_text(spark):
+    """Inference path: rules learned on one corpus encode NEW documents
+    — known merges apply in round order, unknown characters pass
+    through as single-char tokens, token order follows the document."""
+    train = _docs(spark, ["banana band banana", "ban ban"])
+    rules = [
+        (r["round"], r.lhs, r.rhs, r.pair_count)
+        for r in bpe.bpe_train(train, "text", 3).orderBy("round").collect()
+    ]
+
+    def ref_encode(text, pairs):
+        out = []
+        for w in text.split():
+            syms = list(w)
+            for lhs, rhs in pairs:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        nxt.append(lhs + rhs)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            out.extend(syms)
+        return out
+
+    pairs = [(r[1], r[2]) for r in rules]
+    unseen = [
+        (0, "bandana banana"),
+        (1, "zebra ban"),
+        (2, "qqq"),
+    ]
+    new = spark.createDataFrame(unseen, "doc_id long, text string")
+    got = {
+        r.id: list(r.tokens)
+        for r in bpe.bpe_apply(new, "doc_id", "text", rules).collect()
+    }
+    for i, text in unseen:
+        assert got[i] == ref_encode(text, pairs), (i, text)
+
+
+def test_bpe_apply_matches_token_counts_on_training_corpus(spark):
+    """Encoding the training corpus with its own rules must reproduce
+    bpe_token_counts exactly (apply == train-state explode)."""
+    from pyspark.sql import functions as F
+
+    texts = ["banana band", "banana", "ban ban banana"]
+    d = _docs(spark, [(t) for t in texts])
+    k = 4
+    rules = [
+        (r["round"], r.lhs, r.rhs, r.pair_count)
+        for r in bpe.bpe_train(d, "text", k).orderBy("round").collect()
+    ]
+    ids = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    applied = (
+        bpe.bpe_apply(ids, "doc_id", "text", rules)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .count()
+    )
+    got = {r.token: r["count"] for r in applied.collect()}
+    want = {
+        r.token: r.n for r in bpe.bpe_token_counts(d, "text", k).collect()
+    }
+    assert got == want

@@ -9,6 +9,15 @@ src/polars_fastx/__init__.py:1, src/polars_fastx/fastx_parsers.py:137).
         [--fields header,length,gc_content,...] [--kmer-length K]
 
 Writes TSV to OUT_DIR (distributed) or stdout when no -o.
+
+faidx subcommands (sources/faidx.py):
+
+    python -m polars_fastx_spark faidx ref.fasta [-o ref.fasta.fai]
+    python -m polars_fastx_spark regions ref.fasta chr1:0-100 chr2:5-12
+
+``faidx`` builds the samtools-style index (default output:
+``<input>.fai``); ``regions`` slices 0-based half-open windows through
+the index and prints ``name<TAB>start<TAB>end<TAB>seq``.
 """
 
 from __future__ import annotations
@@ -17,7 +26,53 @@ import argparse
 import sys
 
 
+def _main_faidx(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="polars_fastx_spark faidx")
+    p.add_argument("input", help="FASTA file")
+    p.add_argument("-o", "--output", default=None, help="index path (default <input>.fai)")
+    args = p.parse_args(argv)
+    from polars_fastx_spark.sources.faidx import build_fai
+
+    out = args.output or args.input + ".fai"
+    records = build_fai(args.input, out)
+    print(f"{out}: {len(records)} records indexed", file=sys.stderr)
+    return 0
+
+
+def _main_regions(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="polars_fastx_spark regions")
+    p.add_argument("input", help="FASTA file (indexed on the fly if no --fai)")
+    p.add_argument("regions", nargs="+", help="name:start-end (0-based half-open)")
+    p.add_argument("--fai", default=None, help="existing .fai path")
+    args = p.parse_args(argv)
+
+    from polars_fastx_spark.session import get_spark
+    from polars_fastx_spark.sources import faidx
+
+    rows = []
+    for spec in args.regions:
+        name, _, rng = spec.rpartition(":")
+        lo, _, hi = rng.partition("-")
+        if not name or not lo or not hi:
+            p.error(f"bad region {spec!r}; expected name:start-end")
+        rows.append((name, int(lo), int(hi)))
+    spark = get_spark("faidx-regions-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    fai = faidx.read_fai(spark, args.fai) if args.fai else None
+    regions = spark.createDataFrame(rows, "name string, start long, end long")
+    for r in faidx.read_fasta_regions(
+        spark, args.input, regions, fai=fai
+    ).orderBy("name", "start").collect():
+        print(f"{r['name']}\t{r.start}\t{r.end}\t{r.seq}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "faidx":
+        return _main_faidx(argv[1:])
+    if argv and argv[0] == "regions":
+        return _main_regions(argv[1:])
     p = argparse.ArgumentParser(
         prog="polars_fastx_spark",
         description="FASTA/FASTQ stats pipeline (Spark)",

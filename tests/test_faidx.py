@@ -112,3 +112,19 @@ def test_region_reads_accept_prebuilt_index(spark, fasta, tmp_path):
     )
     rows = faidx.read_fasta_regions(spark, fasta, regions, fai=fai).collect()
     assert [(r.name, r.seq) for r in rows] == [("chr2", "CCAA")]
+
+
+def test_cli_faidx_and_regions(fasta, tmp_path, capsys):
+    """CLI: `faidx` writes the index, `regions` slices through it."""
+    from polars_fastx_spark.__main__ import main
+
+    fai_path = str(tmp_path / "ref.fai")
+    assert main(["faidx", fasta, "-o", fai_path]) == 0
+    lines = open(fai_path).read().splitlines()
+    assert len(lines) == 3 and lines[0].startswith("chr1\t23\t23\t10\t11")
+    capsys.readouterr()
+    assert main(
+        ["regions", fasta, "chr1:0-10", "chr2:8-12", "--fai", fai_path]
+    ) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == ["chr1\t0\t10\tACGTACGTAC", "chr2\t8\t12\tCCAA"]

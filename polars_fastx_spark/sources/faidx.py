@@ -80,12 +80,25 @@ def build_fai(fasta_path: str, fai_path: str | None = None) -> list[tuple]:
                 if linebases is None:
                     linebases, linewidth = len(line), len(raw)
                     offset = line_start
-                elif prev_len is not None and prev_len != linebases:
-                    raise ValueError(
-                        f"{fasta_path}: record {name!r} has ragged line "
-                        f"widths ({prev_len} then {linebases}-base lines) — "
-                        "faidx requires uniform interior lines"
-                    )
+                else:
+                    if len(line) > linebases:
+                        # longer than the established width: offsets
+                        # computed with `linebases` would silently
+                        # misaddress every base after this line
+                        raise ValueError(
+                            f"{fasta_path}: record {name!r} has a "
+                            f"{len(line)}-base line after "
+                            f"{linebases}-base lines — faidx requires "
+                            "uniform interior lines"
+                        )
+                    if prev_len is not None and prev_len != linebases:
+                        # a SHORT line is only legal as the last line
+                        raise ValueError(
+                            f"{fasta_path}: record {name!r} has ragged "
+                            f"line widths ({prev_len} then another "
+                            "line) — faidx requires uniform interior "
+                            "lines"
+                        )
                 prev_len = len(line)
                 length += len(line)
         _close()

@@ -58,6 +58,9 @@ def test_build_fai_rejects_ragged_records(tmp_path):
     p.write_text(">x\nACGTACGT\nACG\nACGTACGT\n")  # short INTERIOR line
     with pytest.raises(ValueError, match="ragged"):
         faidx.build_fai(str(p))
+    p.write_text(">x\nACG\nACGTACGT\n")  # LONGER-than-first line
+    with pytest.raises(ValueError, match="base line after"):
+        faidx.build_fai(str(p))
 
 
 def test_build_fai_rejects_headerless(tmp_path):

@@ -123,6 +123,42 @@ def windowed_distinct_users(
     )
 
 
+def windowed_quantiles(
+    events: DataFrame,
+    probs: list[float] | None = None,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window VALUE QUANTILES via the KLL rank
+    sketch aggregate — the streaming latency-percentile metric. Exact
+    percentiles are not streamable (state would hold every value); the
+    KLL sketch keeps a few KB of mergeable state per window with
+    ~1.7% normalized rank error, the quantile leg of the same
+    bounded-state family as :func:`windowed_distinct_users` (HLL) and
+    :func:`stream_cms_counts` (frequencies). Emits one column per
+    requested probability (``q50``-style names, matching the batch
+    ``sketches.kll_quantiles``)."""
+    probs = probs or [0.5, 0.95]
+    qcols = [
+        F.expr(
+            "kll_sketch_get_quantile_double("
+            f"kll_sketch_agg_double(value), {p})"
+        ).alias(f"q{round(p * 100)}")
+        for p in probs
+    ]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(*qcols)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            *[f"q{round(p * 100)}" for p in probs],
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     width: str = "1 hour",

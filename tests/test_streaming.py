@@ -835,3 +835,33 @@ def test_stream_neardup_gate_grows_index_across_batches(spark, srcdir, tmp_path)
     assert kept == {1, 2, 11, 12, 21}
     indexed = {r["__id"] for r in spark.read.parquet(str(idx)).collect()}
     assert indexed == {1, 2, 11, 21}  # shingle-less doc 12 carries no bands
+
+
+def test_windowed_quantiles_kll(spark, srcdir, tmp_path):
+    """Streaming latency-percentile metric: KLL sketch state per
+    window, exact on tiny cardinalities, windows finalized by the
+    watermark — and identical to the batch KLL over the same rows."""
+    _write_batch(
+        srcdir,
+        "b0.json",
+        [
+            _rows("2024-01-01T00:05:00Z", 1, value=10.0),
+            _rows("2024-01-01T00:10:00Z", 2, value=20.0),
+            _rows("2024-01-01T00:20:00Z", 3, value=30.0),
+            _rows("2024-01-01T01:10:00Z", 4, value=5.0),
+        ],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    agg = sp.windowed_quantiles(
+        events, probs=[0.5], width="1 hour", watermark="10 minutes"
+    )
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, agg, out, ck)
+    _write_batch(srcdir, "b1.json", [_rows("2024-01-01T09:00:00Z", 5)])
+    result = _collect_parquet(spark, agg, out, ck)
+    got = {
+        r["window_start"].isoformat(): r["q50"] for r in result.collect()
+    }
+    # KLL at 3 values returns an exact rank — the middle value
+    assert got["2024-01-01T00:00:00"] == 20.0
+    assert got["2024-01-01T01:00:00"] == 5.0

@@ -3269,10 +3269,11 @@ def _bpe_oracle_sql(num_merges: int, tail: str = "rules") -> str:
     "shape every production trainer uses: ONE corpus pass builds the "
     "(word, cnt) vocabulary, then every round runs over the bounded "
     "vocab table (pair explode + map-side-combined groupBy, 1-row "
-    "TakeOrderedAndProject argmax, broadcast merge via literal "
-    "leftmost-greedy replace on the space-joined symbol state). The "
-    "oracle unrolls the rounds as chained CTEs and replays training "
-    "merge-for-merge.",
+    "TakeOrderedAndProject argmax collected as one bounded row, merge "
+    "as a leftmost-greedy SYMBOL-SCAN fold over the symbol arrays). "
+    "The oracle unrolls the rounds as chained MATERIALIZED CTEs with "
+    "the set-wise equivalent of the greedy scan (run-parity site "
+    "selection) and replays training merge-for-merge.",
 )
 def l_bpe_merges(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")

@@ -154,3 +154,60 @@ def test_asof_payload_handles_exotic_column_names(spark):
     right = spark.createDataFrame([(1, 90, 1.5)], "k long, t long, `price.usd` double")
     out = join_asof(left, right, on="t", by="k").collect()[0]
     assert out["price.usd"] == 1.5
+
+
+def test_asof_random_differential_vs_pandas_merge_asof(spark):
+    """Randomized differential against pandas.merge_asof — the
+    industry-reference as-of implementation — across all three
+    strategies, with and without tolerance, grouped by key, with
+    duplicate timestamps on both sides and keys missing from either
+    side. Tie/exact-match semantics must agree row-for-row."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from polars_fastx_spark.operators.asof import join_asof
+
+    rng = random.Random(20260815)
+    left_rows = [
+        (i, rng.choice(["a", "b", "c", "lonely"]), rng.randint(0, 100))
+        for i in range(120)
+    ]
+    right_rows = [
+        (rng.choice(["a", "b", "c", "roamer"]), rng.randint(0, 100), float(j))
+        for j in range(80)
+    ]
+    ldf = spark.createDataFrame(left_rows, "lid long, k string, t long")
+    rdf = spark.createDataFrame(right_rows, "k string, t long, payload double")
+
+    lpd = pd.DataFrame(left_rows, columns=["lid", "k", "t"]).sort_values("t", kind="mergesort")
+    rpd = (
+        pd.DataFrame(right_rows, columns=["k", "t", "payload"])
+        # pandas requires sorted 'on'; break timestamp ties by payload so
+        # the picked row is deterministic on BOTH engines (the Spark
+        # side's window orders the same way)
+        .sort_values(["t", "payload"], kind="mergesort")
+    )
+
+    for strategy in ("backward", "forward", "nearest"):
+        for tol in (None, 7):
+            got = {
+                r.lid: r.payload
+                for r in join_asof(
+                    ldf, rdf, on="t", by="k",
+                    strategy=strategy, tolerance=tol,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lpd, rpd, on="t", by="k", direction=strategy,
+                tolerance=tol,
+            )
+            want = dict(zip(want_df["lid"], want_df["payload"]))
+            assert set(got) == set(want), strategy
+            for lid in want:
+                g, w = got[lid], want[lid]
+                if w is None or (isinstance(w, float) and math.isnan(w)):
+                    assert g is None, (strategy, tol, lid, g)
+                else:
+                    assert g == w, (strategy, tol, lid, g, w)

@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
     "x_sketch_kmv", "l_mmr_rerank", "l_bpe_merges", "l_bpe_encode",
-    "l_random_project", "x_sketch_join_size", "l_neardup_gate", "l_hard_negatives",
+    "l_random_project", "x_sketch_join_size", "l_neardup_gate", "l_hard_negatives", "x_sketch_kmv_by_key",
     "q_tpch15", "x_sketch_cms", "x_sketch_kll",
     "l_pq_topk_pinned", "l_ivfpq_topk_pinned", "l_minhash_collapse",
     "j_asof_nearest", "x_sketch_hll_exact",

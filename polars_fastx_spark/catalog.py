@@ -4884,6 +4884,69 @@ def x_sketch_kmv(spark, sf_dir):
 
 
 @_q(
+    "x_sketch_kmv_by_key",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    kk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= 64
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n, max(h) AS mx
+        FROM kk GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type, n::BIGINT AS n_retained,
+               round(CASE WHEN n < 64 THEN n::DOUBLE
+                          ELSE 63.0 / ((mx + 1) / 4294967296.0) END
+               )::BIGINT AS ndv_est
+        FROM s
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_ndv
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT est.event_type AS event_type, est.n_retained, est.ndv_est,
+           exact.exact_ndv
+    FROM est JOIN exact ON est.event_type IS NOT DISTINCT FROM exact.event_type
+    ORDER BY est.event_type NULLS FIRST
+    """,
+    "Sketch tier: GROUPED KMV — per-event_type distinct users from one "
+    "bottom-64 pass (the daily-uniques-per-segment production shape; "
+    "one sketch per key, state bounded per key like the streaming "
+    "twin streaming_kmv). Estimates value-hash bit-exactly like "
+    "x_sketch_kmv, next to the exact per-key NDV; below-k keys are "
+    "exact by construction, above-k keys exercise the (k-1)/theta "
+    "estimator.",
+)
+def x_sketch_kmv_by_key(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_type", "user_id")
+    est = sketches.kmv_by_key(e, ["event_type"], "user_id", 64)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_ndv"))
+    )
+    return (
+        est.join(
+            exact, est["event_type"].eqNullSafe(exact["event_type"])
+        )
+        .drop(exact["event_type"])
+        .select("event_type", "n_retained", "ndv_est", "exact_ndv")
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+@_q(
     "x_sketch_join_size",
     """
     WITH src AS (

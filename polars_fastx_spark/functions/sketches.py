@@ -277,6 +277,41 @@ def kmv_estimate(kmv: DataFrame, k: int) -> DataFrame:
     )
 
 
+def kmv_by_key(
+    df: DataFrame, keys: list[str], col: str, k: int
+) -> DataFrame:
+    """Grouped KMV: per-key bottom-k retained sets folded straight to
+    per-key NDV estimates — the daily-uniques-per-segment production
+    shape (one sketch per key, all in one pass). Same estimator and
+    guarantees as :func:`kmv_estimate`; returns
+    ``(*keys, n_retained, theta, ndv_est)``. The distinct-first
+    pre-aggregate gets map-side combine; the rank window streams each
+    key's sorted run keeping k — state bounded per key like the
+    streaming twin (``streaming_kmv``)."""
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, kmv_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    bottomk = hashes.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    agg = bottomk.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("mx")
+    )
+    theta = _kmv_theta(F.col("n"), F.col("mx"), k)
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    return agg.select(
+        *keys,
+        F.col("n").alias("n_retained"),
+        theta.alias("theta"),
+        F.round(est).cast("bigint").alias("ndv_est"),
+    )
+
+
 def kmv_union(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     """Union sketch: bottom-k of the combined retained sets — the KMV
     union is closed, so |A ∪ B| estimates through :func:`kmv_estimate`

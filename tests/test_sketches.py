@@ -342,3 +342,32 @@ def test_cms_inner_product_cross_table_join_size(spark, lineitem):
         sup, lineitem["l_suppkey"] == sup["s_suppkey"]
     ).count()
     assert exact <= est <= 1.10 * exact, (est, exact)
+
+
+def test_kmv_by_key_matches_per_key_sketches(spark, lineitem):
+    """Grouped KMV == running the single-set sketch per key, including
+    a NULL group key, exact below k and estimated above."""
+    df = lineitem.select(
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_returnflag"))
+        .alias("g"),
+        "l_partkey",
+    )
+    k = 32
+    got = {
+        r.g: (r.n_retained, r.ndv_est)
+        for r in sketches.kmv_by_key(df, ["g"], "l_partkey", k).collect()
+    }
+    for g in got:
+        cond = F.col("g").isNull() if g is None else (F.col("g") == g)
+        single = sketches.kmv_estimate(
+            sketches.kmv_merge(
+                sketches.kmv_partials(
+                    df.filter(cond), "l_partkey", k, F.lit(0)
+                ),
+                k,
+            ),
+            k,
+        ).collect()[0]
+        assert got[g] == (single.n_retained, single.ndv_est), g
+    assert None in got and len(got) >= 3

@@ -358,6 +358,22 @@ def stream_bloom_filter(
     ).drop("__hit")
 
 
+def stream_sample_gate(
+    stream: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Stateless ingest-time downsampling: keep each arriving row iff
+    its content-addressed md5 bucket falls in the first ``fraction`` of
+    the space — the streaming twin of
+    ``sampling.deterministic_sample``, sharing its exact bucket
+    formula, so stream == batch row-for-row on the same ids (pinned in
+    tests), the sample is stable across restarts/reprocessing (no RNG,
+    no state), and samples NEST: a later fraction-f' re-run of the
+    archive agrees with the live f-sample wherever f' >= f."""
+    from polars_fastx_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(stream, id_col, fraction, salt)
+
+
 def stream_neardup_gate(
     stream: DataFrame,
     id_col: str,

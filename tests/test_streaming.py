@@ -865,3 +865,38 @@ def test_windowed_quantiles_kll(spark, srcdir, tmp_path):
     # KLL at 3 values returns an exact rank — the middle value
     assert got["2024-01-01T00:00:00"] == 20.0
     assert got["2024-01-01T01:00:00"] == 5.0
+
+
+def test_stream_sample_gate_matches_batch_sample(spark, srcdir, tmp_path):
+    """Stateless deterministic sampling on the stream == the batch
+    deterministic_sample over the same rows, id-for-id, across two
+    micro-batches and restarts (no RNG, no state)."""
+    from polars_fastx_spark.operators.sampling import deterministic_sample
+    from polars_fastx_spark.streaming.pipelines import stream_sample_gate
+
+    _write_batch(
+        srcdir, "b0.json",
+        [_rows("2024-01-01T00:00:01Z", i, user=i) for i in range(1, 60)],
+    )
+    events = sp.stream_events(spark, str(srcdir))
+    gated = stream_sample_gate(events, "event_id", 0.4, salt="ingest")
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _collect_parquet(spark, gated, out, ck)
+    _write_batch(
+        srcdir, "b1.json",
+        [_rows("2024-01-01T00:00:02Z", i, user=i) for i in range(60, 120)],
+    )
+    got_df = _collect_parquet(spark, gated, out, ck)
+    got = {r.event_id for r in got_df.collect()}
+    batch = spark.read.json(str(srcdir), schema=sp.EVENTS_STREAM_SCHEMA)
+    want = {
+        r.event_id
+        for r in deterministic_sample(batch, "event_id", 0.4, salt="ingest").collect()
+    }
+    assert got == want and 0 < len(got) < 119
+    # nesting: the 0.2 sample is a subset of the 0.4 sample
+    sub = {
+        r.event_id
+        for r in deterministic_sample(batch, "event_id", 0.2, salt="ingest").collect()
+    }
+    assert sub <= got

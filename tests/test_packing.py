@@ -60,3 +60,60 @@ def test_redact_pii_all_kinds(spark):
     )
     got = df.select(text.redact_pii("t").alias("r")).collect()[0].r
     assert got == "write [EMAIL] or call [PHONE] from [IPV4] ok"
+
+
+def test_pack_ffd_matches_naive_first_fit_reference(spark):
+    """Randomized differential: the segment-tree first-fit inside
+    pack_ffd must assign exactly the bins a naive linear first-fit
+    scan assigns (same doc order: length desc, id asc; lowest-index
+    bin with room wins; oversize docs bin alone)."""
+    import random
+
+    from polars_fastx_spark.operators.packing import pack_ffd
+
+    rng = random.Random(20260815)
+    budget = 100
+    for trial in range(3):
+        docs = [
+            (i, rng.choice([1, 2, 3, 7, 33, 49, 50, 51, 99, 100, 150]))
+            for i in range(200)
+        ]
+        rng.shuffle(docs)
+        df = (
+            spark.createDataFrame(docs, "doc_id long, n long")
+            .repartition(1)  # single partition -> comparable to global FFD
+        )
+        got = {
+            r.doc_id: (r.bin_id, r.bin_fill)
+            for r in pack_ffd(df, "doc_id", "n", budget, partitions=1).collect()
+        }
+        # naive reference
+        bins = []  # remaining per bin
+        assign = {}
+        for i, n in sorted(docs, key=lambda d: (-d[1], d[0])):
+            placed = None
+            if n <= budget:
+                for b, rem in enumerate(bins):
+                    if rem >= n:
+                        placed = b
+                        break
+            if placed is None:
+                bins.append(max(budget, n))
+                placed = len(bins) - 1
+            bins[placed] -= n
+            assign[i] = placed
+        fills = {}
+        for i, n in docs:
+            fills[assign[i]] = fills.get(assign[i], 0) + n
+        # bin ids are namespaced by partition id; compare by GROUPING,
+        # fill, and count rather than raw label
+        label_map = {}
+        for i, n in docs:
+            g, f = got[i]
+            w = assign[i]
+            assert f == fills[w], (trial, i)
+            if w in label_map:
+                assert label_map[w] == g, (trial, i)
+            else:
+                assert g not in label_map.values(), (trial, i, g)
+                label_map[w] = g

@@ -187,11 +187,16 @@ def bpe_apply(
     carry (lhs, rhs) — both ``(round, lhs, rhs, cnt)`` rows and bare
     ``(lhs, rhs)`` pairs work.
 
-    Returns (id, tokens array<string>). One map pass over the corpus:
-    the per-word folds chain as expressions (no joins, no shuffle
-    beyond the final per-document re-assembly, which reuses the
-    document id partitioning). Unknown characters simply survive as
-    single-character tokens — BPE's natural OOV behavior.
+    Returns (id, tokens array<string>) with EVERY input document
+    present: empty / whitespace-only / null-text docs encode to
+    ``tokens = []`` rather than vanishing from the output (the
+    zero-row restore pattern of ``unigram_logprob_score`` — a
+    downstream inner join on the encoded corpus must not silently
+    lose docs). One map pass over the corpus: the per-word folds
+    chain as expressions (no joins beyond the left re-attach of the
+    id spine, no shuffle beyond the final per-document re-assembly).
+    Unknown characters simply survive as single-character tokens —
+    BPE's natural OOV behavior.
     """
     pairs = []
     for r in rules:
@@ -207,7 +212,7 @@ def bpe_apply(
     for lhs, rhs in pairs:
         syms = _merge_pair(syms, lhs, rhs)
     toks = words.select("id", "pos", syms.alias("syms"))
-    return (
+    encoded = (
         toks.groupBy("id")
         .agg(
             F.flatten(
@@ -215,6 +220,16 @@ def bpe_apply(
                     F.collect_list(F.struct("pos", "syms"))
                 ).getField("syms")
             ).alias("tokens")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(encoded, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
         )
     )
 

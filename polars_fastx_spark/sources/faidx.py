@@ -51,6 +51,7 @@ def build_fai(fasta_path: str, fai_path: str | None = None) -> list[tuple]:
     linebases = None
     linewidth = None
     prev_len = None  # bases on the previous seq line (ragged check)
+    blank_in_record = False  # blank seen after seq lines of open record
 
     def _close() -> None:
         if name is None:
@@ -66,16 +67,34 @@ def build_fai(fasta_path: str, fai_path: str | None = None) -> list[tuple]:
             pos += len(raw)
             line = raw.rstrip(b"\r\n")
             if not line:
+                # A blank line's newline byte has no home in the
+                # (offset, linebases, linewidth) addressing model, so a
+                # blank BETWEEN sequence lines would silently misaddress
+                # every base after it. Legal only at a record boundary
+                # (between records / before the first header / trailing
+                # EOF whitespace) — samtools faidx likewise rejects
+                # blanks inside a record. Remember we saw one; raise
+                # only if more sequence follows the same record.
+                blank_in_record = name is not None and prev_len is not None
                 continue
             if line.startswith(b">"):
                 _close()
                 name = line[1:].split()[0].decode()
                 length, offset = 0, pos
                 linebases = linewidth = prev_len = None
+                blank_in_record = False
             else:
                 if name is None:
                     raise ValueError(
                         f"{fasta_path}: sequence data before any '>' header"
+                    )
+                if blank_in_record:
+                    raise ValueError(
+                        f"{fasta_path}: record {name!r} has a blank "
+                        "line between sequence lines — its newline "
+                        "byte is unaddressable in the faidx "
+                        "(offset, linebases, linewidth) model; "
+                        "samtools faidx rejects such files"
                     )
                 if linebases is None:
                     linebases, linewidth = len(line), len(raw)

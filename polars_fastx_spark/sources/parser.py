@@ -322,7 +322,15 @@ def parse_fastq_bgzf_range(
     (which reads through gzip transparently)."""
     from polars_fastx_spark.sources import bgzf
 
-    it = bgzf.iter_lines_range(path, start, end, prev)
+    # Skip blank lines (interior separators from file concatenation)
+    # BEFORE the 4-line framing loop, mirroring parse_fastq_range's
+    # blank-tolerance — bgzip-compressing a corpus must not change its
+    # parse. The ownership flag of each surviving line is untouched.
+    it = (
+        item
+        for item in bgzf.iter_lines_range(path, start, end, prev)
+        if item[1]
+    )
     window: list[tuple[bool, bytes]] = []
     for item in it:
         window.append(item)

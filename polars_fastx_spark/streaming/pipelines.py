@@ -405,29 +405,23 @@ def stream_neardup_gate(
     Both writes land in an ``epoch=<id>`` subdirectory overwritten
     whole (the same idempotence move as the TSV foreachBatch sink), so
     a retried epoch replaces its own output instead of duplicating it.
+    Crucially the index read EXCLUDES the current epoch's partition:
+    on an at-least-once retry, the failed attempt's own bands are
+    already on disk under ``epoch=<id>``, and gating the batch against
+    them would drop every previously-kept doc (self-collision) and
+    overwrite the epoch with a near-empty frame — silent data loss.
+    Reading ``epoch`` as a partition column and filtering
+    ``epoch < current`` makes the retry see exactly the index the
+    first attempt saw.
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from polars_fastx_spark.operators import dedup as _dedup
 
     def _gate(batch: DataFrame, epoch: int) -> None:
-        spark = batch.sparkSession
-        try:
-            index = spark.read.parquet(f"{index_path}/epoch=*")
-        except Exception:  # first batch: no index yet
-            index = None
-        kept = (
-            batch
-            if index is None
-            else _dedup.neardup_gate(
-                batch, index, id_col, text_col,
-                shingle_k, num_hashes, bands, family,
-            )
+        _neardup_gate_epoch(
+            batch, epoch, index_path, out_path,
+            id_col, text_col, shingle_k, num_hashes, bands, family,
         )
-        kept.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
-        _dedup.minhash_band_table(
-            kept, id_col, text_col, shingle_k, num_hashes, bands, family
-        ).write.mode("overwrite").parquet(f"{index_path}/epoch={epoch}")
 
     return (
         stream.writeStream.foreachBatch(_gate)
@@ -435,6 +429,50 @@ def stream_neardup_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _neardup_gate_epoch(
+    batch: DataFrame,
+    epoch: int,
+    index_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    family: str = "md5",
+) -> None:
+    """One micro-batch of :func:`stream_neardup_gate`, exposed at
+    module level so the at-least-once RETRY path is directly
+    testable: calling it twice with the same ``epoch`` must be
+    idempotent (the retry reads only ``epoch < current`` partitions,
+    never the failed attempt's own bands)."""
+    from polars_fastx_spark.operators import dedup as _dedup
+    from pyspark.errors import AnalysisException
+
+    spark = batch.sparkSession
+    try:
+        index = (
+            spark.read.option("basePath", index_path)
+            .parquet(f"{index_path}/epoch=*")
+            .filter(F.col("epoch") < F.lit(epoch))
+            .drop("epoch")
+        )
+    except AnalysisException:  # first batch: no index yet
+        index = None
+    kept = (
+        batch
+        if index is None
+        else _dedup.neardup_gate(
+            batch, index, id_col, text_col,
+            shingle_k, num_hashes, bands, family,
+        )
+    )
+    kept.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
+    _dedup.minhash_band_table(
+        kept, id_col, text_col, shingle_k, num_hashes, bands, family
+    ).write.mode("overwrite").parquet(f"{index_path}/epoch={epoch}")
 
 
 def stream_cms_counts(

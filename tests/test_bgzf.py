@@ -120,6 +120,33 @@ def test_bgzf_fastq_scan_splits_and_matches_whole(spark, tmp_path):
     assert got["q7 m"][0] == "ACGTN" * (4 + 7 % 9)
 
 
+def test_bgzf_fastq_tolerates_blank_separator_lines(tmp_path):
+    """Interior blank lines (file-concatenation separators) parse
+    identically through the plain-text ranged path and the BGZF ranged
+    path — compressing a corpus must not change its parse."""
+    recs = []
+    for i in range(80):
+        seq = "ACGT" * (3 + i % 5)
+        sep = "\n" if i % 7 == 3 else ""  # blank line after some records
+        recs.append(f"@r{i}\n{seq}\n+\n{'F' * len(seq)}\n{sep}")
+    payload = "".join(recs).encode()
+    plain = tmp_path / "cat.fastq"
+    plain.write_bytes(payload)
+    whole = list(parser.parse_file(str(plain), is_fastq=True))
+    assert len(whole) == 80
+    path = str(tmp_path / "cat.fastq.gz")
+    (tmp_path / "cat.fastq.gz").write_bytes(
+        bgzf.compress(payload, block_data=400)
+    )
+    size = os.path.getsize(path)
+    idx = bgzf.block_index(path)
+    for split in (600, 1500, 10**9):
+        got = []
+        for s, e, prev in bgzf.split_ranges(idx, split, size):
+            got.extend(parser.parse_fastq_bgzf_range(path, s, e, prev))
+        assert got == whole, f"split={split}"
+
+
 def test_raw_gzip_still_whole_file_partition(spark, tmp_path):
     p = tmp_path / "raw.fasta.gz"
     with gzip.open(p, "wb") as f:

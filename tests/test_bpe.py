@@ -234,6 +234,30 @@ def test_bpe_apply_encodes_unseen_text(spark):
         assert got[i] == ref_encode(text, pairs), (i, text)
 
 
+def test_bpe_apply_keeps_empty_docs_as_empty_token_arrays(spark):
+    """Empty / whitespace-only / null-text documents must appear in the
+    output with tokens=[] — not vanish (a downstream inner join on the
+    encoded corpus would silently lose them). Same zero-row restore
+    contract as unigram_logprob_score."""
+    train = _docs(spark, ["banana band banana"])
+    rules = [
+        (r["round"], r.lhs, r.rhs, r.pair_count)
+        for r in bpe.bpe_train(train, "text", 2).orderBy("round").collect()
+    ]
+    new = spark.createDataFrame(
+        [(0, "ban"), (1, ""), (2, "   "), (3, None), (4, "\t\n")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: list(r.tokens)
+        for r in bpe.bpe_apply(new, "doc_id", "text", rules).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0]  # real text still encodes
+    for i in (1, 2, 3, 4):
+        assert got[i] == [], i
+
+
 def test_bpe_apply_matches_token_counts_on_training_corpus(spark):
     """Encoding the training corpus with its own rules must reproduce
     bpe_token_counts exactly (apply == train-state explode)."""

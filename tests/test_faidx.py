@@ -70,6 +70,26 @@ def test_build_fai_rejects_headerless(tmp_path):
         faidx.build_fai(str(p))
 
 
+def test_build_fai_rejects_blank_inside_record(tmp_path):
+    """A blank line BETWEEN sequence lines is unaddressable in the
+    (offset, linebases, linewidth) model — silently skipping it would
+    misread every base after it ('ACGT\\n\\nACGT' indexes as lb=4/lw=5
+    but bases 4..8 land on the blank). samtools faidx also rejects."""
+    p = tmp_path / "bad.fasta"
+    p.write_text(">x\nACGT\n\nACGT\n")
+    with pytest.raises(ValueError, match="blank line between"):
+        faidx.build_fai(str(p))
+
+
+def test_build_fai_accepts_blanks_at_record_boundaries(tmp_path):
+    """Blanks BETWEEN records, before the first header, and trailing at
+    EOF don't touch any record's addressing — still legal."""
+    p = tmp_path / "ok.fasta"
+    p.write_text("\n>x\nACGT\nAC\n\n\n>y\nGGGG\n\n")
+    idx = faidx.build_fai(str(p))
+    assert [(r[0], r[1]) for r in idx] == [("x", 6), ("y", 4)]
+
+
 def test_region_reads_match_full_parse_substrings(spark, fasta):
     """Randomized differential: every region slice equals the substring
     of the record parsed whole — including line-boundary straddles,

@@ -837,6 +837,44 @@ def test_stream_neardup_gate_grows_index_across_batches(spark, srcdir, tmp_path)
     assert indexed == {1, 2, 11, 21}  # shingle-less doc 12 carries no bands
 
 
+def test_stream_neardup_gate_epoch_retry_is_idempotent(spark, tmp_path):
+    """At-least-once retry: re-running an epoch whose first attempt
+    already wrote its own bands to epoch=<id> must NOT gate the batch
+    against that attempt's index (every doc would self-collide and be
+    dropped, silently emptying the epoch). The retry reads only
+    epoch < current, so its output is identical to the first run's."""
+    from polars_fastx_spark.streaming.pipelines import _neardup_gate_epoch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            # near-dup of epoch-0 doc 1 -> dropped
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "nothing like anything the corpus has ever contained zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    _neardup_gate_epoch(b0, 0, idx, out, "doc_id", "text")
+    _neardup_gate_epoch(b1, 1, idx, out, "doc_id", "text")
+    first = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2, 11}
+    # simulate the failure-after-write retry of BOTH epochs: the prior
+    # attempt's epoch=<id> band parquet is on disk when we rerun
+    _neardup_gate_epoch(b0, 0, idx, out, "doc_id", "text")
+    _neardup_gate_epoch(b1, 1, idx, out, "doc_id", "text")
+    retried = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert retried == first  # no silent self-collision data loss
+    indexed = {r["__id"] for r in spark.read.parquet(idx).collect()}
+    assert indexed == {1, 2, 11}
+
+
 def test_windowed_quantiles_kll(spark, srcdir, tmp_path):
     """Streaming latency-percentile metric: KLL sketch state per
     window, exact on tiny cardinalities, windows finalized by the

@@ -116,7 +116,18 @@ def _coverage_order(names: list[str]) -> list[str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
-    never-driver-checked first (see :func:`_coverage_order`)."""
+    never-driver-checked first (see :func:`_coverage_order`).
+
+    Queries with no DuckDB oracle (iterative k-means training,
+    partition-parallel FFD fold, opaque HLL registers) are NOT
+    exported: under the driver protocol an oracle-less row records as
+    ``err: no_oracle`` even though nothing is broken. Each has a
+    driver-green pinned/exact companion in the catalog that IS
+    exported (``l_pq_topk_pinned``, ``l_ivfpq_topk_pinned``,
+    ``l_pack_ffd_1p``, ``x_sketch_hll_exact``); the oracle-less forms
+    remain first-class API covered by pytest (recall bounds,
+    differential vs naive references, three-scale SELFCHECK).
+    """
     from polars_fastx_spark.catalog import QUERIES
 
     def _wrap(fn):
@@ -126,9 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    exported = [n for n in QUERIES if QUERIES[n].oracle is not None]
     return {
         name: _wrap(QUERIES[name].fn)
-        for name in _coverage_order(list(QUERIES))
+        for name in _coverage_order(exported)
     }
 
 

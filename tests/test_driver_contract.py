@@ -84,3 +84,26 @@ print("TUNED-OK")
         capture_output=True, text=True, timeout=600,
     )
     assert "TUNED-OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def test_every_exported_query_is_oracle_backed():
+    """The driver records an oracle-less queries() entry as
+    ``err: no_oracle`` even when nothing is broken, so the entry module
+    exports only oracle-backed queries; the no-oracle forms stay in the
+    catalog (API + pytest coverage) behind their pinned companions."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as E
+    from polars_fastx_spark.catalog import QUERIES
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(qs) <= set(osql), sorted(set(qs) - set(osql))
+    dropped = {n for n in QUERIES if QUERIES[n].oracle is None}
+    assert dropped == {
+        "l_pq_topk", "l_ivfpq_topk", "l_pack_ffd", "x_sketch_hll"
+    }
+    # each dropped form's driver-green companion IS exported
+    for twin in (
+        "l_pq_topk_pinned", "l_ivfpq_topk_pinned",
+        "l_pack_ffd_1p", "x_sketch_hll_exact",
+    ):
+        assert twin in qs, twin

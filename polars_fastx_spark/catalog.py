@@ -4825,8 +4825,12 @@ def x_sketch_cms(spark, sf_dir):
     "(qty >= 49) — genuinely overlapping-but-distinct sets at every "
     "scale — from per-shard bottom-64 md5-hash partials merged "
     "shard-independently; every "
-    "retained set is ≤ 64 rows so the set ops broadcast, and the "
-    "shuffle moves ≤ shards x 64 rows regardless of input size. "
+    "retained set is ≤ 64 rows so the set algebra runs as ARRAY "
+    "EXPRESSIONS on a one-row frame — no joins between tiny frames. "
+    "ONE lineitem scan feeds both the sketch and the exact companion: "
+    "the per-part membership bitmap is the shared distinct base (its "
+    "exchange is reused across both branches), so the whole report is "
+    "a handful of exchanges instead of one per composed sub-frame. "
     "Unlike HLL/KLL the ESTIMATES value-hash: md5 bottom-k replays "
     "bit-exactly in DuckDB (theta, (k-1)/theta, and the clipped "
     "intersection count are all deterministic), alongside the exact "
@@ -4834,27 +4838,11 @@ def x_sketch_cms(spark, sf_dir):
 )
 def x_sketch_kmv(spark, sf_dir):
     k = 64
-    li = _tp(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_orderkey"
-    )
+    li = _tp(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     in_a = F.col("l_quantity") <= 2
     in_b = F.col("l_quantity") >= 49
-    shard = F.expr("l_orderkey % 8")
-    ka = sketches.kmv_merge(
-        sketches.kmv_partials(li.filter(in_a), "l_partkey", k, shard), k
-    )
-    kb = sketches.kmv_merge(
-        sketches.kmv_partials(li.filter(in_b), "l_partkey", k, shard), k
-    )
-    ea = sketches.kmv_estimate(ka, k).select(F.col("ndv_est").alias("est_a"))
-    eb = sketches.kmv_estimate(kb, k).select(F.col("ndv_est").alias("est_b"))
-    eu = sketches.kmv_estimate(sketches.kmv_union(ka, kb, k), k).select(
-        F.col("ndv_est").alias("est_union")
-    )
-    ei = sketches.kmv_intersect_estimate(ka, kb, k).select(
-        F.col("inter_est").alias("est_inter")
-    )
-    # exact companion in ONE pass: per-part membership bitmap, then sums
+    # shared distinct base: per-part membership bitmap from ONE scan —
+    # feeds the exact companion AND the sketch (ReusedExchange)
     flags = (
         li.filter((in_a | in_b) & F.col("l_partkey").isNotNull())
         .groupBy("l_partkey")
@@ -4871,15 +4859,70 @@ def x_sketch_kmv(spark, sf_dir):
             "exact_inter"
         ),
     )
-    return (
-        ea.crossJoin(eb)
-        .crossJoin(eu)
-        .crossJoin(ei)
-        .crossJoin(exact)
-        .select(
-            "est_a", "exact_a", "est_b", "exact_b",
-            "est_union", "exact_union", "est_inter", "exact_inter",
+    # sketch side: label each distinct part with its set memberships,
+    # dedupe at the HASH level (md5 collisions: the sketch retains
+    # distinct hashes, not distinct values), bottom-k per set
+    member = flags.select(
+        sketches.kmv_hash(F.col("l_partkey")).alias("h"),
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("has_r") == 1, F.lit("a")),
+                    F.when(F.col("has_a") == 1, F.lit("b")),
+                )
+            )
+        ).alias("s"),
+    ).distinct()
+    w = Window.partitionBy("s").orderBy("h")
+    bottomk = member.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    # both ≤k retained sets as sorted arrays on ONE row; the whole
+    # estimator algebra (A, B, A∪B, A∩B) is then plain array math
+    arrs = bottomk.agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("s") == "a", F.col("h")))
+        ).alias("ha"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("s") == "b", F.col("h")))
+        ).alias("hb"),
+    )
+    space = 4294967296.0
+
+    def _est(arr):
+        n = F.size(arr)
+        theta = F.when(n < k, F.lit(1.0)).otherwise(
+            (F.element_at(arr, -1) + F.lit(1)) / F.lit(space)
         )
+        return F.round(
+            F.when(n < k, n.cast("double")).otherwise(
+                F.lit(float(k - 1)) / theta
+            )
+        ).cast("bigint"), theta
+
+    est_a, theta_a = _est(F.col("ha"))
+    est_b, theta_b = _est(F.col("hb"))
+    hu = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ha"), F.col("hb")))),
+        1, k,
+    )
+    est_u, _ = _est(hu)
+    theta = F.least(theta_a, theta_b)
+    n_common = F.size(
+        F.filter(
+            F.array_intersect(F.col("ha"), F.col("hb")),
+            lambda h: (h + F.lit(1)) / F.lit(space) < theta,
+        )
+    )
+    ests = arrs.select(
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.round(n_common / theta).cast("bigint").alias("est_inter"),
+    )
+    return ests.crossJoin(F.broadcast(exact)).select(
+        "est_a", "exact_a", "est_b", "exact_b",
+        "est_union", "exact_union", "est_inter", "exact_inter",
     )
 
 

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from polars_fastx_spark.functions import seq as sq
 from polars_fastx_spark.functions import sketches
 from polars_fastx_spark.operators import (
+    ann_index,
     bpe,
     dedup,
     multimodal,
@@ -7672,6 +7673,216 @@ def l_ivfpq_topk_pinned(spark, sf_dir):
         e, "vec_id", "v", q, k=10, num_cells=16, nprobe=4, m=8, pq_k=8,
         pinned_books=True,
     ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+@_q(
+    "l_ann_index_search",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1,65), i -> a.v[i] - c.cvec[i]) AS r
+      FROM asg a JOIN cent c USING (cell)
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(t.r, js.j*8+1, js.j*8+8) AS sv
+      FROM resid t, js
+    ),"""
+    + _PQ_SEEDS_SQL.format(subs="rsubs", cell_sel=", s.cell")
+    + """,
+    q AS (SELECT v FROM base WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cell, c.cvec
+      FROM cent c, q
+      ORDER BY list_dot_product(q.v, c.cvec)
+                 / (coalesce(nullif(sqrt(list_sum(
+                        list_transform(q.v, x -> x*x))), 0), 1)
+                    * coalesce(nullif(c.cnorm, 0), 1)) DESC,
+               c.cell ASC
+      LIMIT 4
+    ),
+    qres AS (
+      SELECT p.cell,
+             list_transform(range(1,65), i -> q.v[i] - p.cvec[i]) AS qr
+      FROM probed p, q
+    ),
+    qrsubs AS (
+      SELECT t.cell, js.j, list_slice(t.qr, js.j*8+1, js.j*8+8) AS sv
+      FROM qres t, js
+    ),
+    dtab AS (
+      SELECT qs.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qs.sv[i]-d.sv[i])*(qs.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qs JOIN seeds d ON qs.j = d.j
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS adc_dist
+    FROM adc ORDER BY raw ASC, vec_id ASC LIMIT 10
+    """,
+    "L3+ PERSISTED ANN index lifecycle (operators/ann_index.py): "
+    "index_build materializes IVF cells + pinned PQ codebooks + "
+    "residual codes as parquet tables, index_search reopens them and "
+    "ranks by ADC through the SAME adc_search code path as the "
+    "in-query ivfpq_topk — so the l_ivfpq_topk_pinned oracle replays "
+    "the full build → parquet → reopen → search roundtrip (doubles "
+    "round-trip parquet exactly). The 100 TB shape: build once, every "
+    "query opens KB-sized centroid/book tables + the m-bytes/vector "
+    "code table; nothing data-sized touches the driver.",
+)
+def l_ann_index_search(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    path = tempfile.mkdtemp(prefix="pfs_ann_idx_")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    return ann_index.index_search(spark, path, q, k=10, nprobe=4).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
+
+
+@_q(
+    "l_ann_index_add",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    build AS (SELECT * FROM base
+              WHERE substr(md5(vec_id::VARCHAR || ':split'), 1, 1) <> 'f'),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM build ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1,65), i -> a.v[i] - c.cvec[i]) AS r
+      FROM asg a JOIN cent c USING (cell)
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(t.r, js.j*8+1, js.j*8+8) AS sv
+      FROM resid t, js
+    ),
+    seeds AS (
+      SELECT j, c, sv FROM (
+        SELECT j, sv,
+               row_number() OVER (PARTITION BY j
+                 ORDER BY md5(vec_id::VARCHAR || ':' || j::VARCHAR)) - 1 AS c
+        FROM rsubs
+        WHERE substr(md5(vec_id::VARCHAR || ':split'), 1, 1) <> 'f'
+      ) WHERE c < 8
+    ),
+    assigned AS (
+      SELECT s.vec_id, s.cell, s.j,
+             arg_min(d.c,
+               list_sum(list_transform(range(1,9),
+                 i -> (s.sv[i]-d.sv[i])*(s.sv[i]-d.sv[i])))) AS c
+      FROM rsubs s JOIN seeds d USING (j)
+      GROUP BY s.vec_id, s.cell, s.j
+    ),
+    q AS (SELECT v FROM base WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cell, c.cvec
+      FROM cent c, q
+      ORDER BY list_dot_product(q.v, c.cvec)
+                 / (coalesce(nullif(sqrt(list_sum(
+                        list_transform(q.v, x -> x*x))), 0), 1)
+                    * coalesce(nullif(c.cnorm, 0), 1)) DESC,
+               c.cell ASC
+      LIMIT 4
+    ),
+    qres AS (
+      SELECT p.cell,
+             list_transform(range(1,65), i -> q.v[i] - p.cvec[i]) AS qr
+      FROM probed p, q
+    ),
+    qrsubs AS (
+      SELECT t.cell, js.j, list_slice(t.qr, js.j*8+1, js.j*8+8) AS sv
+      FROM qres t, js
+    ),
+    dtab AS (
+      SELECT qs.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qs.sv[i]-d.sv[i])*(qs.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qs JOIN seeds d ON qs.j = d.j
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS adc_dist
+    FROM adc ORDER BY raw ASC, vec_id ASC LIMIT 10
+    """,
+    "L3+ INCREMENTAL ANN ingest: the index is built on the ~15/16 "
+    "md5-split build subset, then the held-out tail is index_add'ed — "
+    "encoded against the FROZEN coarse cells and codebooks and "
+    "appended as codes/epoch=1 (history never recomputed; cost scales "
+    "with the batch, the band-index-gate contract). The oracle derives "
+    "cells and codebook seeds from the BUILD subset only but codes for "
+    "EVERY vector — exactly what frozen-quantizer routing means — and "
+    "the search spans both epochs. Companion of l_ann_index_search "
+    "(one-shot build) and the add==rebuild parity test.",
+)
+def l_ann_index_add(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    split = F.substring(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":split"))),
+        1, 1,
+    )
+    head = e.filter(split != "f")
+    tail = e.filter(split == "f")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    path = tempfile.mkdtemp(prefix="pfs_ann_add_")
+    ann_index.index_build(
+        head, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    ann_index.index_add(tail, "v", path)
+    return ann_index.index_search(spark, path, q, k=10, nprobe=4).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )
 
 
 @_q(

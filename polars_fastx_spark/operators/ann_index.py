@@ -1,0 +1,219 @@
+"""Persisted IVF-PQ ANN index — build once, serve many queries.
+
+The LSH band table (operators/dedup.py:minhash_band_table +
+neardup_gate) established this engine's persisted-index pattern:
+materialize per-item evidence as a parquet table, gate/extend
+incrementally, never recompute history. This module is the
+similarity-search twin. A 100 TB deployment builds the index in one
+pass, then every query opens three tiny tables (centroids, codebooks,
+meta — KBs) plus the code table (m bytes per vector), and every
+ingest batch encodes ONLY its own vectors against the frozen
+quantizers — cost scales with the batch, like the band-index gate.
+
+Layout under ``path/``::
+
+    meta/           one row: id_col, num_cells, m, pq_k, dim, pinned
+    centroids/      (cell, centroid_vec, centroid_norm)  ≤num_cells rows
+    books/          (j, c, cvec)                          m·pq_k rows
+    codes/epoch=N/  (__id, cell, codes)                   1 row/vector
+
+Search math is :func:`polars_fastx_spark.operators.vectors.adc_search`
+— the SAME code path as the in-query ``ivfpq_topk``, so a search over
+the persisted index replays the pinned-codebook oracle bit-for-bit
+(doubles round-trip parquet exactly).
+
+Reference parity: the reference (apcamargo/polars-fastx) has no
+vector surface; north-star extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.operators import vectors
+
+#: meta table schema (one row per index)
+META_SCHEMA = (
+    "id_col string, num_cells int, m int, pq_k int, dim int, pinned boolean"
+)
+
+
+def index_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    num_cells: int = 16,
+    m: int = 8,
+    pq_k: int = 8,
+    pinned: bool = False,
+    iterations: int = 3,
+) -> None:
+    """One-pass index build: IVF-assign the corpus, product-quantize
+    the RESIDUALS (v − cell centroid — the classic IVFPQ encoding),
+    and land centroids/books/meta (tiny, single-file) plus the code
+    table (``codes/epoch=0``) as parquet.
+
+    ``pinned=True`` uses the md5-seeded zero-training codebooks
+    (fully SQL-replayable — the oracle-checkable configuration);
+    ``pinned=False`` (production default) runs the multi-subspace
+    k-means of ``vectors.pq_train`` for ``iterations`` rounds. Either
+    way only num_cells + m·pq_k centroid rows ever reach the driver.
+    """
+    from polars_fastx_spark.operators.similarity import ivf_assign
+
+    spark = df.sparkSession
+    assigned, centroids = ivf_assign(df, id_col, vec_col, num_cells)
+    with_cent = assigned.join(F.broadcast(centroids), "cell")
+    # persisted across the eager codebook-construction jobs (dim probe,
+    # seed collect, training collects) — same lifecycle as ivfpq_topk
+    resid = with_cent.select(
+        "__id", "cell",
+        F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
+    ).persist()
+    try:
+        if pinned:
+            books = vectors.pq_seed_books(resid, "__id", "__r", m=m, k=pq_k)
+            codes = vectors.pq_encode(resid, "__id", "__r", books)
+        else:
+            codes, books = vectors.pq_train(
+                resid, "__id", "__r", m=m, k=pq_k, iterations=iterations
+            )
+        coded = codes.join(resid.select("__id", "cell"), "__id")
+        dim = m * len(books[0][0])
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        )
+        spark.createDataFrame(
+            [(j, c, books[j][c]) for j in range(m) for c in range(pq_k)],
+            "j int, c int, cvec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+        spark.createDataFrame(
+            [(id_col, num_cells, m, pq_k, dim, pinned)], META_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        coded.write.mode("overwrite").parquet(f"{path}/codes/epoch=0")
+    finally:
+        resid.unpersist()
+
+
+def index_add(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    id_col: str | None = None,
+) -> int:
+    """Incremental add: encode a NEW batch of vectors against the
+    index's FROZEN centroids and codebooks and append the codes as
+    ``codes/epoch=<next>`` — history is never recomputed, cost scales
+    with the batch (the band-index-gate contract). Routing goes
+    through the exact assignment (``similarity.ivf_assign_to``) and
+    encode (``vectors.pq_encode``) paths the build used, so
+    add == rebuild code-for-code under the same quantizers (pinned in
+    tests). Returns the epoch id written.
+
+    Epoch directories are overwritten whole, so a retried add with the
+    same epoch id replaces itself instead of duplicating (the same
+    idempotence move as ``stream_neardup_gate``).
+    """
+    from polars_fastx_spark.operators.similarity import ivf_assign_to
+
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    id_col = id_col or meta["id_col"]
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = _load_books(spark, path, meta["m"], meta["pq_k"])
+    assigned = ivf_assign_to(df, id_col, vec_col, centroids)
+    resid = assigned.join(F.broadcast(centroids), "cell").select(
+        "__id", "cell",
+        F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
+    )
+    codes = vectors.pq_encode(resid, "__id", "__r", books)
+    coded = codes.join(resid.select("__id", "cell"), "__id")
+    epoch = _next_epoch(spark, f"{path}/codes")
+    coded.write.mode("overwrite").parquet(f"{path}/codes/epoch={epoch}")
+    return epoch
+
+
+def index_search(
+    spark: SparkSession,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k ADC search over the persisted index: open centroids +
+    books (bounded collects — KBs), stream the code table across all
+    epochs, and rank with :func:`vectors.adc_search` — the identical
+    query path ``ivfpq_topk`` uses, so persisted == in-query search
+    result-for-result. Returns (<id_col>, adc_dist)."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    books = _load_books(spark, path, meta["m"], meta["pq_k"])
+    coded = (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes/epoch=*")
+        .drop("epoch")
+    )
+    return vectors.adc_search(
+        coded, cent_rows, books, query, meta["id_col"], k=k, nprobe=nprobe
+    )
+
+
+def index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Observability twin of ``lsh_bucket_profile``: per-cell vector
+    counts and epoch span, so an operator can see skewed cells (one
+    hot cell → one slow probe task) and ingest growth. Returns
+    (cell, n_vectors, n_epochs) — ≤ num_cells rows."""
+    coded = spark.read.option("basePath", f"{path}/codes").parquet(
+        f"{path}/codes/epoch=*"
+    )
+    return coded.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("epoch").alias("n_epochs"),
+    )
+
+
+def _load_books(
+    spark: SparkSession, path: str, m: int, pq_k: int
+) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/books").collect()  # m·pq_k rows
+    books: list[list[list[float]]] = [[None] * pq_k for _ in range(m)]
+    for r in rows:
+        books[r["j"]][r["c"]] = [float(x) for x in r["cvec"]]
+    missing = [(j, c) for j in range(m) for c in range(pq_k) if books[j][c] is None]
+    if missing:
+        raise ValueError(f"{path}/books: missing codebook entries {missing[:4]}")
+    return books
+
+
+def _next_epoch(spark: SparkSession, codes_path: str) -> int:
+    """Next epoch id from a filesystem LISTING (Hadoop FS API, so it
+    works on any supported filesystem) — never a scan of the code
+    table, which is data-sized.
+
+    Only COMMITTED epochs (dirs carrying the ``_SUCCESS`` marker)
+    advance the counter: a crashed add leaves an uncommitted dir at
+    max+1, and the retry — landing on the same id with
+    mode("overwrite") — replaces it instead of stranding partial
+    codes beside a duplicate epoch."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(codes_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    mx = -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        try:
+            eid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{codes_path}/{name}/_SUCCESS"
+        )
+        if fs.exists(marker):
+            mx = max(mx, eid)
+    return mx + 1

@@ -535,6 +535,32 @@ def ivf_assign(
             F.col("__n").alias("centroid_norm"),
         )
     )
+    return _assign_to_centroids(base, centroids), centroids
+
+
+def ivf_assign_to(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Assign vectors to their nearest cell of a FIXED centroid table
+    ``(cell, centroid_vec, centroid_norm)`` — the frozen-coarse-
+    quantizer path: incremental adds to a persisted ANN index route
+    new vectors through the exact broadcast-cosine assignment that
+    built the index, so add == rebuild code-for-code under the same
+    quantizers. Returns (__id, __v, __n, cell)."""
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    return _assign_to_centroids(base, centroids)
+
+
+def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = base.join(F.broadcast(centroids)).select(
         "__id", "__v", "__n", "cell",
         cosine(
@@ -542,7 +568,7 @@ def ivf_assign(
             F.col("__n"), F.col("centroid_norm"),
         ).alias("__sim"),
     )
-    assigned = (
+    return (
         scored.groupBy("__id")
         .agg(
             # max over (sim, cell) structs, not max_by(cell, sim):
@@ -557,7 +583,6 @@ def ivf_assign(
             F.first("__n").alias("__n"),
         )
     )
-    return assigned, centroids
 
 
 def ivf_topk(

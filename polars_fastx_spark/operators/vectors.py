@@ -462,6 +462,70 @@ def pq_topk(
     )
 
 
+def adc_search(
+    coded: DataFrame,
+    cent_rows: list,
+    books: list[list[list[float]]],
+    query: list[float],
+    id_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The QUERY half of IVF-PQ, shared by :func:`ivfpq_topk` (index
+    built in-query) and ``ann_index.index_search`` (index read from
+    parquet) — one code path, so a persisted-index search replays the
+    pinned-oracle math bit-for-bit.
+
+    ``coded`` is the (__id, cell, codes) table; ``cent_rows`` the
+    collected centroid rows (cell, centroid_vec, centroid_norm) —
+    bounded at num_cells, never data-sized. Probe the ``nprobe`` cells
+    whose centroids are nearest the query by cosine (ties broken by
+    cell id ascending), build the (cell, j, c) →
+    ||q_resid_j − code_jc||² table of nprobe·m·pq_k rows, broadcast
+    it, and resolve candidates with explode-join-groupBy +
+    TakeOrderedAndProject. The scan moves m small ints per candidate
+    in nprobe/num_cells of the corpus — codes never decompress.
+    """
+    m = len(books)
+    pq_k = len(books[0])
+    sub = len(books[0][0])
+    q = [float(x) for x in query]
+    qn = sum(x * x for x in q) ** 0.5 or 1.0
+
+    def _cos(c):
+        cv = list(c["centroid_vec"])
+        cn = float(c["centroid_norm"]) or 1.0
+        return sum(a * b for a, b in zip(q, cv)) / (qn * cn)
+
+    probed = sorted(cent_rows, key=lambda c: (-_cos(c), c["cell"]))[:nprobe]
+    dt_rows = []
+    for c in probed:
+        qres = [a - b for a, b in zip(q, c["centroid_vec"])]
+        for j in range(m):
+            qj = qres[j * sub : (j + 1) * sub]
+            for ci in range(pq_k):
+                dt_rows.append(
+                    (c["cell"], j, ci,
+                     float(sum((a - b) ** 2
+                               for a, b in zip(qj, books[j][ci]))))
+                )
+    sp = coded.sparkSession
+    dt = F.broadcast(
+        sp.createDataFrame(dt_rows, "cell string, j int, c int, _d double")
+    )
+    ex = coded.select(
+        "__id", "cell", F.posexplode("codes").alias("j", "c")
+    )
+    return (
+        ex.join(dt, ["cell", "j", "c"])  # probed-cell filter IS the join
+        .groupBy("__id")
+        .agg(F.sum("_d").alias("adc_dist"))
+        .select(F.col("__id").alias(id_col), "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     id_col: str,
@@ -517,43 +581,9 @@ def ivfpq_topk(
             codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
                                     iterations=iterations)
         coded = codes.join(resid.select("__id", "cell"), "__id")
-
         cent_rows = centroids.collect()  # num_cells rows — bounded
-        q = [float(x) for x in query]
-        qn = sum(x * x for x in q) ** 0.5 or 1.0
-
-        def _cos(c):
-            cv = list(c["centroid_vec"])
-            cn = float(c["centroid_norm"]) or 1.0
-            return sum(a * b for a, b in zip(q, cv)) / (qn * cn)
-
-        probed = sorted(cent_rows, key=lambda c: (-_cos(c), c["cell"]))[:nprobe]
-        sub = len(books[0][0])
-        dt_rows = []
-        for c in probed:
-            qres = [a - b for a, b in zip(q, c["centroid_vec"])]
-            for j in range(m):
-                qj = qres[j * sub : (j + 1) * sub]
-                for ci in range(pq_k):
-                    dt_rows.append(
-                        (c["cell"], j, ci,
-                         float(sum((a - b) ** 2
-                                   for a, b in zip(qj, books[j][ci]))))
-                    )
-        sp = df.sparkSession
-        dt = F.broadcast(
-            sp.createDataFrame(dt_rows, "cell string, j int, c int, _d double")
-        )
-        ex = coded.select(
-            "__id", "cell", F.posexplode("codes").alias("j", "c")
-        )
-        return (
-            ex.join(dt, ["cell", "j", "c"])  # probed-cell filter IS the join
-            .groupBy("__id")
-            .agg(F.sum("_d").alias("adc_dist"))
-            .select(F.col("__id").alias(id_col), "adc_dist")
-            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-            .limit(k)
+        return adc_search(
+            coded, cent_rows, books, query, id_col, k=k, nprobe=nprobe
         )
     finally:
         resid.unpersist()

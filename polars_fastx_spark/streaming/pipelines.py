@@ -385,6 +385,7 @@ def stream_neardup_gate(
     num_hashes: int = 16,
     bands: int = 4,
     family: str = "md5",
+    compact_every: int | None = 8,
 ):
     """Streaming incremental near-duplicate dedup: gate each arriving
     micro-batch against the GROWING on-disk LSH band index, write the
@@ -414,6 +415,16 @@ def stream_neardup_gate(
     ``epoch < current`` makes the retry see exactly the index the
     first attempt saw.
 
+    ``compact_every`` bounds the index's FILE count over a long-running
+    stream: once ≥ that many committed epoch partitions have accreted,
+    they are folded into the newest one before the batch gates (each
+    tiny epoch dir otherwise costs a list entry + a read task forever —
+    the 100 TB small-files failure mode). Compaction is crash-safe:
+    the union is staged to an epoch-stamped ``_compact_tmp_e<id>`` dir
+    first, sources are deleted only once the stage is COMMITTED
+    (_SUCCESS), and a retried batch resumes the swap from the stage
+    instead of rebuilding from half-deleted sources. ``None`` disables.
+
     Returns the started StreamingQuery (availableNow trigger).
     """
 
@@ -421,6 +432,7 @@ def stream_neardup_gate(
         _neardup_gate_epoch(
             batch, epoch, index_path, out_path,
             id_col, text_col, shingle_k, num_hashes, bands, family,
+            compact_every,
         )
 
     return (
@@ -442,16 +454,20 @@ def _neardup_gate_epoch(
     num_hashes: int = 16,
     bands: int = 4,
     family: str = "md5",
+    compact_every: int | None = None,
 ) -> None:
     """One micro-batch of :func:`stream_neardup_gate`, exposed at
     module level so the at-least-once RETRY path is directly
     testable: calling it twice with the same ``epoch`` must be
     idempotent (the retry reads only ``epoch < current`` partitions,
-    never the failed attempt's own bands)."""
+    never the failed attempt's own bands; a retried compaction
+    resumes its staged swap)."""
     from polars_fastx_spark.operators import dedup as _dedup
     from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
+    if compact_every:
+        _compact_index_epochs(spark, index_path, epoch, compact_every)
     try:
         index = (
             spark.read.option("basePath", index_path)
@@ -473,6 +489,102 @@ def _neardup_gate_epoch(
     _dedup.minhash_band_table(
         kept, id_col, text_col, shingle_k, num_hashes, bands, family
     ).write.mode("overwrite").parquet(f"{index_path}/epoch={epoch}")
+
+
+def _compact_index_epochs(
+    spark, index_path: str, current_epoch: int, compact_every: int
+) -> None:
+    """Fold the committed ``epoch < current`` band-index partitions
+    into the newest one when ≥ ``compact_every`` have accreted,
+    bounding the stream's file count. Runs BEFORE the batch gates, so
+    the gate's ``epoch < current`` read sees the same band set either
+    way (membership is what the semi-join gate consumes; which epoch
+    dir a band sits in is irrelevant as long as its id stays below the
+    current epoch).
+
+    Crash-safe staged swap, re-entrant under at-least-once retries:
+
+    1. stage the union of sources to ``_compact_tmp_e<target>``
+       (skipped if that exact stage is already COMMITTED — a retry
+       after step 2 started must not rebuild from half-deleted
+       sources);
+    2. delete the source epoch dirs;
+    3. rename the stage to ``epoch=<target>`` (atomic on local/HDFS).
+
+    A crash in 1 → retry overwrites the stage. A crash in 2 → the
+    stage is committed, retry resumes deletion. A crash in 3 → retry
+    finds no sources but a committed stage and completes the rename.
+    Duplicate bands during the window (sources + stage both present
+    are never read together: sources ≥ stage) cannot occur; even if
+    they could, band membership is existence-based, so duplicates
+    would only cost, not corrupt.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+
+    def _p(rel: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{index_path}/{rel}")
+
+    def _scan():
+        epochs, stages = [], []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                try:
+                    eid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if eid < current_epoch and fs.exists(_p(f"{name}/_SUCCESS")):
+                    epochs.append(eid)
+            elif name.startswith("_compact_tmp_e"):
+                stages.append(name)
+        return epochs, stages
+
+    def _swap(stage_name: str, target: int, sources: list[int]) -> None:
+        for eid in sources:
+            if eid <= target:
+                fs.delete(_p(f"epoch={eid}"), True)
+        dst = _p(f"epoch={target}")
+        if fs.exists(dst):  # crashed between delete and rename last time
+            fs.delete(dst, True)
+        fs.rename(_p(stage_name), dst)
+
+    committed, stages = _scan()
+    # Recover interrupted swaps FIRST — the stage dir's name carries
+    # its target, so a retry after partial source deletion never
+    # mis-derives it from the (now smaller) max committed epoch. A
+    # committed stage subsumes every source epoch <= its target
+    # (no later epoch can have committed while its batch was
+    # retrying); an uncommitted stage is a crashed step-1 rebuild —
+    # sources intact, so just drop the garbage.
+    for sname in stages:
+        try:
+            t = int(sname[len("_compact_tmp_e"):])
+        except ValueError:
+            continue
+        if t < current_epoch and fs.exists(_p(f"{sname}/_SUCCESS")):
+            _swap(sname, t, committed)
+        else:
+            fs.delete(_p(sname), True)
+    if stages:
+        committed, _ = _scan()
+    if len(committed) < compact_every:
+        return
+    target = max(committed)
+    stage_name = f"_compact_tmp_e{target}"
+    (
+        spark.read.option("basePath", index_path)
+        .parquet(f"{index_path}/epoch=*")
+        .filter(F.col("epoch") < F.lit(current_epoch))
+        .drop("epoch")
+        .coalesce(max(1, len(committed) // compact_every))
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/{stage_name}")
+    )
+    _swap(stage_name, target, committed)
 
 
 def stream_cms_counts(

@@ -875,6 +875,88 @@ def test_stream_neardup_gate_epoch_retry_is_idempotent(spark, tmp_path):
     assert indexed == {1, 2, 11}
 
 
+def test_neardup_gate_compaction_bounds_epoch_count(spark, tmp_path):
+    """20 micro-batches with compact_every=5: the band index's epoch
+    partitions stay bounded (folded into the newest committed epoch
+    before each gate) and the gate's drop behavior is unchanged — a
+    near-dup of a batch-0 doc is still dropped at batch 19, after its
+    bands have been through multiple compactions."""
+    import os
+
+    from polars_fastx_spark.streaming.pipelines import _neardup_gate_epoch
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog tonight",
+        7: "completely unrelated corpus document about spark plans",
+    }
+
+    def _batch(e, rows):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        _neardup_gate_epoch(
+            b, e, idx, out, "doc_id", "text", compact_every=5
+        )
+
+    for e in range(19):
+        _batch(e, [(e * 10, texts.get(e, f"novel doc number {e} {'x' * e} qq"))])
+    # batch 19 carries near-dups of docs first seen at epochs 0 and 7
+    _batch(19, [
+        (500, "the quick brown fox jumps over the lazy cat tonight"),
+        (501, "completely unrelated corpus document about spark plans!"),
+        (502, "genuinely fresh text that matches nothing before it zz"),
+    ])
+    epochs = [d for d in os.listdir(idx) if d.startswith("epoch=")]
+    assert len(epochs) <= 6, epochs  # bounded, not 20
+    assert not [d for d in os.listdir(idx) if d.startswith("_compact")]
+    kept19 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/epoch=19").collect()
+    }
+    assert kept19 == {502}
+    # every accepted doc's bands survived the compactions
+    indexed = {r["__id"] for r in spark.read.parquet(idx).collect()}
+    assert {0, 70, 502} <= indexed and 500 not in indexed
+
+
+def test_neardup_gate_compaction_recovers_interrupted_swap(spark, tmp_path):
+    """Crash between stage-commit and source-deletion: the retry must
+    finish the swap from the COMMITTED stage (named for its target),
+    not rebuild the union from half-deleted sources."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.streaming.pipelines import (
+        _compact_index_epochs,
+        _neardup_gate_epoch,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    for e in range(6):
+        b = spark.createDataFrame(
+            [(e, f"document number {e} with plenty of distinct words {e}")],
+            "doc_id long, text string",
+        )
+        _neardup_gate_epoch(b, e, idx, out, "doc_id", "text")
+    before = {r["__id"] for r in spark.read.parquet(idx).collect()}
+    # simulate epoch 6's compaction crashing mid-step-2: stage committed,
+    # one source epoch already deleted
+    (
+        spark.read.option("basePath", idx).parquet(f"{idx}/epoch=*")
+        .filter(F.col("epoch") < 6).drop("epoch")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{idx}/_compact_tmp_e5")
+    )
+    shutil.rmtree(f"{idx}/epoch=3")
+    _compact_index_epochs(spark, idx, 6, compact_every=5)
+    assert {d for d in os.listdir(idx) if d.startswith("epoch=")} == {
+        "epoch=5"
+    }
+    after = {r["__id"] for r in spark.read.parquet(idx).collect()}
+    assert after == before  # nothing lost, including the deleted source's
+
+
 def test_windowed_quantiles_kll(spark, srcdir, tmp_path):
     """Streaming latency-percentile metric: KLL sketch state per
     window, exact on tiny cardinalities, windows finalized by the

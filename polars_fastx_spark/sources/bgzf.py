@@ -229,3 +229,38 @@ def compress(data: bytes, level: int = 6, block_data: int = MAX_BLOCK_DATA) -> b
         out += encode_block(data[i : i + block_data], level)
     out += EOF_BLOCK
     return bytes(out)
+
+
+def recompress_to_bgzf(
+    src_path: str,
+    dst_path: str,
+    level: int = 6,
+    block_data: int = MAX_BLOCK_DATA,
+) -> int:
+    """One-pass gzip→BGZF migration: stream-decompress a raw-gzip (or
+    plain) file and re-emit it as independent BGZF blocks + the EOF
+    marker. Returns the data-block count.
+
+    Raw gzip is one DEFLATE stream — a scan gets exactly one task per
+    file no matter how big it is. This utility is the one-time escape
+    hatch: after migration the archive splits into byte-range
+    partitions like any BGZF input (``scan_fastx`` detects it
+    automatically), and ``build_gzi``/``read_fasta_regions`` can
+    random-access it. Constant memory (one ≤64 KiB block in flight);
+    run per-file, fan the file list out with a parallel driver loop or
+    a binaryFile-listing job at archive scale.
+    """
+    from polars_fastx_spark.sources.parser import open_maybe_gzip
+
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError("recompress_to_bgzf must write to a different path")
+    n = 0
+    with open_maybe_gzip(src_path) as src, open(dst_path, "wb") as dst:
+        while True:
+            chunk = src.read(block_data)
+            if not chunk:
+                break
+            dst.write(encode_block(chunk, level))
+            n += 1
+        dst.write(EOF_BLOCK)
+    return n

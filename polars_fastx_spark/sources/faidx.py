@@ -22,12 +22,26 @@ Indexing requires the standard faidx constraint: within a record all
 sequence lines except the last have identical width (``samtools``
 rejects ragged records too; :func:`build_fai` raises ``ValueError``).
 
+BGZF composition (the actual samtools deployment layout — references
+ship bgzip-compressed with a ``.fai`` + ``.gzi`` pair): for a
+BGZF-compressed FASTA, :func:`build_fai` indexes DECOMPRESSED
+coordinates (what samtools writes), :func:`build_gzi` materializes
+the block map ``(compressed offset, uncompressed offset)`` in the
+htslib ``.gzi`` binary format, and :func:`read_fasta_regions` routes
+each task's byte-range reads through the block map — decompressing
+only the ≤64 KiB blocks a region touches, so bytes read still scale
+with bases requested. Raw (non-BGZF) gzip has no block structure to
+seek into; region reads over it raise (recompress with
+``bgzf.compress`` / ``recompress_to_bgzf`` first).
+
 Reference parity: extends the reference's FASTA surface
 (src/polars_fastx/fastx_parsers.py:70-129 parses whole files only);
 random access is new capability in the same domain.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,7 +56,10 @@ def build_fai(fasta_path: str, fai_path: str | None = None) -> list[tuple]:
     Returns ``[(name, length, offset, linebases, linewidth), ...]`` in
     file order. ``name`` is the header token up to the first
     whitespace (samtools convention). Raises ``ValueError`` on ragged
-    interior line widths or an empty/invalid FASTA.
+    interior line widths or an empty/invalid FASTA. A gzip/BGZF input
+    is read through transparently and indexed in DECOMPRESSED
+    coordinates — the samtools convention for bgzipped references
+    (pair the ``.fai`` with :func:`build_gzi` to seek).
     """
     records: list[tuple] = []
     name = None
@@ -60,7 +77,9 @@ def build_fai(fasta_path: str, fai_path: str | None = None) -> list[tuple]:
             (name, length, offset, linebases or 0, linewidth or 0)
         )
 
-    with open(fasta_path, "rb") as f:
+    from polars_fastx_spark.sources.parser import open_maybe_gzip
+
+    with open_maybe_gzip(fasta_path) as f:
         pos = 0
         for raw in f:
             line_start = pos
@@ -137,11 +156,95 @@ def read_fai(spark: SparkSession, fai_path: str) -> DataFrame:
     )
 
 
+def build_gzi(
+    bgzf_path: str, gzi_path: str | None = None
+) -> list[tuple[int, int]]:
+    """Block map of a BGZF file: ``[(compressed_offset,
+    uncompressed_offset), ...]`` for every block, derived from one
+    header-only walk (``bgzf.block_index`` — no decompression).
+    Optionally writes the htslib ``.gzi`` binary sidecar: LE uint64
+    entry count, then (compressed, uncompressed) uint64 pairs for
+    every block AFTER the first (block 0 is implicitly (0, 0))."""
+    from polars_fastx_spark.sources import bgzf
+
+    if not bgzf.is_bgzf_file(bgzf_path):
+        raise ValueError(
+            f"{bgzf_path}: not BGZF — .gzi block maps require "
+            "block-compressed gzip (bgzip); recompress raw gzip first"
+        )
+    blocks = []
+    uoff = 0
+    for coff, isize in bgzf.block_index(bgzf_path):
+        blocks.append((coff, uoff))
+        uoff += isize
+    if gzi_path:
+        with open(gzi_path, "wb") as out:
+            out.write(struct.pack("<Q", len(blocks) - 1))
+            for coff, u in blocks[1:]:
+                out.write(struct.pack("<QQ", coff, u))
+    return blocks
+
+
+def read_gzi(gzi_path: str) -> list[tuple[int, int]]:
+    """Load an htslib-format ``.gzi`` sidecar back into the block map
+    (re-prepending the implicit (0, 0) first block)."""
+    with open(gzi_path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        blocks = [(0, 0)]
+        for _ in range(n):
+            blocks.append(struct.unpack("<QQ", f.read(16)))
+    return blocks
+
+
+class _BGZFRangeReader:
+    """Random access into the DECOMPRESSED stream of a BGZF file via
+    its block map: ``read(uoffset, length)`` bisects to the first
+    touching block, then decompresses only the blocks the range
+    covers (≤64 KiB each). A one-block cache makes the per-region
+    loop cheap when consecutive regions land in the same block."""
+
+    def __init__(self, f, blocks: list[tuple[int, int]]):
+        self._f = f
+        self._blocks = blocks
+        self._uoffs = [u for _, u in blocks]
+        self._cached: tuple[int, bytes] | None = None
+
+    def _block(self, i: int) -> bytes:
+        if self._cached is not None and self._cached[0] == i:
+            return self._cached[1]
+        from polars_fastx_spark.sources import bgzf
+
+        _, data = bgzf._read_block(self._f, self._blocks[i][0])
+        self._cached = (i, data)
+        return data
+
+    def read(self, uoffset: int, length: int) -> bytes:
+        import bisect
+
+        out = []
+        need = length
+        i = bisect.bisect_right(self._uoffs, uoffset) - 1
+        pos = uoffset
+        while need > 0 and i < len(self._blocks):
+            data = self._block(i)
+            lo = pos - self._uoffs[i]
+            if lo >= len(data):  # zero-length block / EOF marker
+                i += 1
+                continue
+            take = data[lo : lo + need]
+            out.append(take)
+            need -= len(take)
+            pos += len(take)
+            i += 1
+        return b"".join(out)
+
+
 def read_fasta_regions(
     spark: SparkSession,
     fasta_path: str,
     regions: DataFrame,
     fai: DataFrame | None = None,
+    gzi: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Distributed random-access slice read: for each region row
     ``(name, start, end)`` (0-based, half-open, clamped to the record)
@@ -154,7 +257,18 @@ def read_fasta_regions(
     newlines), never with the file. Regions whose ``name`` is not in
     the index are dropped (inner join), mirroring ``samtools faidx``
     failing on unknown sequence names.
+
+    A BGZF-compressed FASTA works the same way through its block map
+    (``gzi``, built on demand via :func:`build_gzi` or loaded with
+    :func:`read_gzi`): the ``.fai`` coordinates address the
+    DECOMPRESSED stream and each task decompresses only the ≤64 KiB
+    blocks its regions touch. Raw gzip cannot seek — raises.
     """
+    from polars_fastx_spark.sources.parser import is_gzip_file
+
+    compressed = is_gzip_file(fasta_path)
+    if compressed and gzi is None:
+        gzi = build_gzi(fasta_path)  # raises on raw (non-BGZF) gzip
     if fai is None:
         fai = spark.createDataFrame(build_fai(fasta_path), FAI_SCHEMA)
     r = (
@@ -176,6 +290,14 @@ def read_fasta_regions(
         import pandas as pd
 
         with open(fasta_path, "rb") as f:
+            rdr = _BGZFRangeReader(f, gzi) if compressed else None
+
+            def _range_read(byte_from, byte_to):
+                if rdr is not None:
+                    return rdr.read(byte_from, byte_to - byte_from)
+                f.seek(byte_from)
+                return f.read(byte_to - byte_from)
+
             for pdf in batches:
                 seqs = []
                 for name, start, end, off, lb, lw in zip(
@@ -189,8 +311,7 @@ def read_fasta_regions(
                     lb, lw = int(lb), int(lw)
                     byte_from = int(off) + (start // lb) * lw + start % lb
                     byte_to = int(off) + ((end - 1) // lb) * lw + (end - 1) % lb + 1
-                    f.seek(byte_from)
-                    raw = f.read(byte_to - byte_from)
+                    raw = _range_read(byte_from, byte_to)
                     seqs.append(
                         raw.replace(b"\n", b"").replace(b"\r", b"").decode()
                     )

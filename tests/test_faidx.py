@@ -151,3 +151,133 @@ def test_cli_faidx_and_regions(fasta, tmp_path, capsys):
     ) == 0
     out = capsys.readouterr().out.splitlines()
     assert out == ["chr1\t0\t10\tACGTACGTAC", "chr2\t8\t12\tCCAA"]
+
+
+def _mk_big_fasta(n=60, seed=3):
+    out = []
+    import random as _r
+
+    rng = _r.Random(seed)
+    for i in range(n):
+        seq = "".join(rng.choice("ACGT") for _ in range(50 + (i * 37) % 400))
+        lines = [seq[j : j + 60] for j in range(0, len(seq), 60)]
+        out.append(f">ctg{i} meta{i}\n" + "\n".join(lines) + "\n")
+    return "".join(out)
+
+
+def test_gzi_roundtrip_matches_block_index(tmp_path):
+    from polars_fastx_spark.sources import bgzf
+
+    payload = _mk_big_fasta().encode()
+    p = tmp_path / "ref.fasta.gz"
+    p.write_bytes(bgzf.compress(payload, block_data=1000))
+    gzi_path = str(tmp_path / "ref.fasta.gz.gzi")
+    blocks = faidx.build_gzi(str(p), gzi_path)
+    assert blocks[0] == (0, 0)
+    # uncompressed offsets are the running sum of block isizes
+    assert blocks[-1][1] + dict(
+        (o, s) for o, s in bgzf.block_index(str(p))
+    )[blocks[-1][0]] == len(payload)
+    assert faidx.read_gzi(gzi_path) == blocks
+
+
+def test_bgzf_region_reads_match_plain_text_reads(spark, tmp_path):
+    """The samtools deployment layout: .fai (decompressed coords) +
+    .gzi over a bgzip-compressed reference. Randomized differential:
+    every region read through the block map equals the same read on
+    the uncompressed file."""
+    from polars_fastx_spark.sources import bgzf
+
+    text = _mk_big_fasta()
+    plain = tmp_path / "ref.fasta"
+    plain.write_text(text)
+    comp = tmp_path / "ref.fasta.gz"
+    comp.write_bytes(bgzf.compress(text.encode(), block_data=700))
+    # identical .fai either way: decompressed coordinates
+    assert faidx.build_fai(str(plain)) == faidx.build_fai(str(comp))
+
+    full = {}
+    for block in text.split(">")[1:]:
+        lines = block.splitlines()
+        full[lines[0].split()[0]] = "".join(lines[1:])
+    rng = random.Random(5)
+    cases = []
+    for _ in range(80):
+        name = rng.choice(list(full))
+        a, b = rng.randint(0, len(full[name])), rng.randint(0, len(full[name]))
+        cases.append((name, min(a, b), max(a, b)))
+    regions = spark.createDataFrame(cases, "name string, start long, end long")
+    got_c = {
+        (r.name, r.start, r.end): r.seq
+        for r in faidx.read_fasta_regions(
+            spark, str(comp), regions
+        ).collect()
+    }
+    got_p = {
+        (r.name, r.start, r.end): r.seq
+        for r in faidx.read_fasta_regions(
+            spark, str(plain), regions
+        ).collect()
+    }
+    assert got_c == got_p
+    for name, start, end in cases:
+        assert got_c[(name, start, end)] == full[name][start:end]
+
+
+def test_bgzf_region_reads_accept_prebuilt_gzi(spark, tmp_path):
+    from polars_fastx_spark.sources import bgzf
+
+    text = _mk_big_fasta(10)
+    comp = tmp_path / "r.fa.gz"
+    comp.write_bytes(bgzf.compress(text.encode(), block_data=500))
+    gzi_path = str(tmp_path / "r.fa.gz.gzi")
+    faidx.build_gzi(str(comp), gzi_path)
+    regions = spark.createDataFrame(
+        [("ctg3", 5, 25)], "name string, start long, end long"
+    )
+    rows = faidx.read_fasta_regions(
+        spark, str(comp), regions, gzi=faidx.read_gzi(gzi_path)
+    ).collect()
+    full = {}
+    for block in text.split(">")[1:]:
+        lines = block.splitlines()
+        full[lines[0].split()[0]] = "".join(lines[1:])
+    assert [(r.name, r.seq) for r in rows] == [("ctg3", full["ctg3"][5:25])]
+
+
+def test_raw_gzip_region_reads_raise(spark, tmp_path):
+    import gzip as _gz
+
+    p = tmp_path / "raw.fa.gz"
+    with _gz.open(p, "wb") as f:
+        f.write(_mk_big_fasta(5).encode())
+    regions = spark.createDataFrame(
+        [("ctg0", 0, 5)], "name string, start long, end long"
+    )
+    with pytest.raises(ValueError, match="not BGZF"):
+        faidx.read_fasta_regions(spark, str(p), regions)
+
+
+def test_recompress_to_bgzf_splits_and_preserves_content(spark, tmp_path):
+    """gzip→BGZF migration e2e: a raw-gzip archive (1 task forever)
+    recompresses in one pass, scans with >1 partition, parses to the
+    identical records, and becomes region-readable."""
+    import gzip as _gz
+
+    from polars_fastx_spark.sources import bgzf
+    from polars_fastx_spark.sources.fastx import scan_fastx
+
+    text = _mk_big_fasta(400)
+    raw = tmp_path / "arch.fasta.gz"
+    with _gz.open(raw, "wb") as f:
+        f.write(text.encode())
+    dst = tmp_path / "arch.bgzf.fasta.gz"
+    nblocks = bgzf.recompress_to_bgzf(str(raw), str(dst), block_data=2000)
+    assert nblocks > 3 and bgzf.is_bgzf_file(str(dst))
+    assert _gz.open(dst, "rb").read() == text.encode()  # stock-readable
+    split = scan_fastx(spark, str(dst), split_bytes=4096)
+    assert split.rdd.getNumPartitions() > 1
+    whole = scan_fastx(spark, str(raw))
+    a = sorted((r["header"], r["sequence"]) for r in split.collect())
+    b = sorted((r["header"], r["sequence"]) for r in whole.collect())
+    assert a == b and len(a) == 400

@@ -7769,6 +7769,114 @@ def l_ann_index_search(spark, sf_dir):
 
 
 @_q(
+    "l_ann_index_search_many",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1,65), i -> a.v[i] - c.cvec[i]) AS r
+      FROM asg a JOIN cent c USING (cell)
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(t.r, js.j*8+1, js.j*8+8) AS sv
+      FROM resid t, js
+    ),"""
+    + _PQ_SEEDS_SQL.format(subs="rsubs", cell_sel=", s.cell")
+    + """,
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM base
+           WHERE vec_id IN (0, 1, 2)),
+    probed AS (
+      SELECT query_id, cell, cvec, qv FROM (
+        SELECT qs.query_id, c.cell, c.cvec, qs.qv,
+               row_number() OVER (PARTITION BY qs.query_id
+                 ORDER BY list_dot_product(qs.qv, c.cvec)
+                   / nullif(sqrt(list_sum(list_transform(qs.qv, x -> x*x)))
+                            * c.cnorm, 0) DESC,
+                 c.cell ASC) AS rn
+        FROM qs CROSS JOIN cent c
+      ) WHERE rn <= 4
+    ),
+    qres AS (
+      SELECT query_id, cell,
+             list_transform(range(1,65), i -> qv[i] - cvec[i]) AS qr
+      FROM probed
+    ),
+    qrsubs AS (
+      SELECT t.query_id, t.cell, js.j,
+             list_slice(t.qr, js.j*8+1, js.j*8+8) AS sv
+      FROM qres t, js
+    ),
+    dtab AS (
+      SELECT qt.query_id, qt.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qt.sv[i]-d.sv[i])*(qt.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qt JOIN seeds d ON qt.j = d.j
+    ),
+    adc AS (
+      SELECT t.query_id, a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      GROUP BY t.query_id, a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, raw,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY raw ASC, vec_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, vec_id, round(raw, 6) AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "L3+ BATCH retrieval over the persisted ANN index "
+    "(ann_index.index_search_many): a TABLE of queries resolves in one "
+    "fully-relational pass — per-query probed cells via one window over "
+    "nq x num_cells broadcast-cosine rows, the (query, cell, j, c) ADC "
+    "table built by executors (never the driver), one equi-join against "
+    "the exploded code table, one per-query top-k window. A "
+    "million-query batch plans identically to this 3-query one; no "
+    "per-query driver loop anywhere. Tie-breaks mirror index_search "
+    "(pinned by the 1-row parity test).",
+)
+def l_ann_index_search_many(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    path = tempfile.mkdtemp(prefix="pfs_ann_many_")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    return ann_index.index_search_many(
+        spark, path, queries, k=5, nprobe=4
+    ).select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+@_q(
     "l_ann_index_add",
     """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -28,7 +28,7 @@ vector surface; north-star extension per /root/repo/BASELINE.json:6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_fastx_spark.operators import vectors
@@ -157,6 +157,102 @@ def index_search(
     )
     return vectors.adc_search(
         coded, cent_rows, books, query, meta["id_col"], k=k, nprobe=nprobe
+    )
+
+
+def index_search_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "qvec",
+) -> DataFrame:
+    """Top-k ADC search for a TABLE of queries in one pass — the batch
+    retrieval shape (training-pair mining, nightly eval suites), fully
+    RELATIONAL: unlike :func:`index_search`, no per-query driver work
+    at all, so a million-query batch plans exactly like a ten-query
+    batch.
+
+    Dataflow: queries × broadcast centroid table → cosine → per-query
+    top-``nprobe`` cells (one window over nq·num_cells rows) → query
+    residuals per probed cell → × broadcast codebook table → the
+    (query, cell, j, c) ADC distance table (nq·nprobe·m·pq_k rows,
+    built by executors, broadcast if small) → equi-join the exploded
+    code table on (cell, j, c) — the probed-cell filter IS the join —
+    → groupBy(query, id) → per-query top-k window. Cell/rank
+    tie-breaks mirror :func:`index_search` (cosine desc, cell asc;
+    dist asc, id asc), so a 1-row queries table reproduces it.
+
+    Returns (query_id, <id_col>, adc_dist, rank).
+    """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+    from polars_fastx_spark.operators.similarity import cosine, l2_norm
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    m, pq_k = meta["m"], meta["pq_k"]
+    sub = meta["dim"] // m
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/books")
+    q = ensure_min_parallelism(queries).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__q"),
+    ).withColumn("__qn", l2_norm(F.col("__q")))
+
+    scored = q.join(F.broadcast(centroids)).select(
+        "query_id", "__q", "cell", "centroid_vec",
+        cosine(
+            F.col("__q"), F.col("centroid_vec"),
+            F.col("__qn"), F.col("centroid_norm"),
+        ).alias("__sim"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cell").asc()
+    )
+    probed = (
+        scored.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "query_id", "cell",
+            F.zip_with(
+                "__q", "centroid_vec", lambda a, b: a - b
+            ).alias("__qr"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("__qr"), F.col("j") * sub + 1, sub),
+            F.col("cvec"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = probed.join(F.broadcast(books)).select(
+        "query_id", "cell", "j", "c", dist.alias("_d")
+    )
+    coded = (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes/epoch=*")
+        .drop("epoch")
+    )
+    ex = coded.select("__id", "cell", F.posexplode("codes").alias("j", "c"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("__id").asc()
+    )
+    return (
+        ex.join(dtab, ["cell", "j", "c"])
+        .groupBy("query_id", "__id")
+        .agg(F.sum("_d").alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias(meta["id_col"]),
+            "adc_dist",
+            "rank",
+        )
     )
 
 

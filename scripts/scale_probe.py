@@ -109,6 +109,33 @@ def generate(workdir: str) -> None:
         os.path.join(workdir, "edges.parquet"),
         row_group_size=8192,
     )
+    generate_clustered(workdir)
+
+
+def generate_clustered(workdir: str) -> None:
+    """Planted-cluster embeddings for the ANN recall probe: 500
+    well-separated centers x 100 members. (The i.i.d. gaussian table is
+    the WRONG recall substrate — with random vectors all distances
+    concentrate and recall@k is meaningless by construction, the same
+    argument as tests/test_pq.py.)"""
+    path = os.path.join(workdir, "embeddings_clustered.parquet")
+    if os.path.exists(path):
+        return
+    rng = np.random.RandomState(77)
+    centers = rng.randn(500, 64).astype(np.float32) * 10.0
+    vecs = centers.repeat(100, axis=0) + 0.05 * rng.randn(
+        50_000, 64
+    ).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50_000), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        ),
+        path,
+        row_group_size=4096,
+    )
 
 
 def main() -> None:
@@ -117,6 +144,7 @@ def main() -> None:
         t0 = time.time()
         generate(workdir)
         print(f"generated {workdir} in {time.time() - t0:.1f}s")
+    generate_clustered(workdir)  # self-guarded; fills in older workdirs
 
     import polars_fastx_spark as pfs
     from pyspark.sql import functions as F
@@ -230,6 +258,103 @@ def main() -> None:
         "bpe train 6 merges (50k docs)",
         lambda: f"{bpe.bpe_train(docs, 'text', 6).count()} rules",
     )
+
+    # ---- text tier: the (doc,word)/(band,key)-shuffle family --------
+    from polars_fastx_spark.operators import text
+
+    probe(
+        "tokenize_to_ids (50k docs, 3M words)",
+        lambda: (
+            lambda out: f"{out.count():,} docs, "
+            f"{out.agg(F.sum('n_tokens')).first()[0]:,} tokens"
+        )(text.tokenize_to_ids(docs, "doc_id", "text", min_count=2)),
+    )
+    qt = spark.createDataFrame(
+        [(i, VOCAB[(i * 7 + j) % len(VOCAB)]) for i in range(50) for j in range(3)],
+        "query_id int, term string",
+    )
+    probe(
+        "bm25_multi (50 queries x 50k docs)",
+        lambda: f"{text.bm25_multi(docs, qt, 'doc_id', 'text').count():,} (q,doc) pairs",
+    )
+    probe(
+        "winnow_fingerprints (50k docs)",
+        lambda: f"{docs.select(F.explode(text.winnow_fingerprints('text')).alias('f')).count():,} fingerprints",
+    )
+
+    def _line_dedup():
+        segs = text.chunk_tokens(docs, "text", size=20).select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("pos"),
+            F.col("chunk").alias("seg"),
+        )
+        out = text.line_dedup(
+            segs, id_col="doc_id", seg_col="seg", pos_col="pos",
+            min_docs=2, joiner=" ",
+        )
+        kept = out.agg(
+            F.sum("n_segments").alias("s"), F.sum("n_kept").alias("k")
+        ).first()
+        return f"{kept['s']:,} segs -> {kept['k']:,} kept"
+
+    probe("line_dedup (50k docs, 20-word segs)", _line_dedup)
+
+    # ---- persisted ANN index: build / incremental add / search ------
+    # recall measured on planted clusters (500 centers x 100) — the
+    # substrate where exact-NN gaps exceed quantization distortion
+    import shutil
+    import tempfile
+
+    from polars_fastx_spark.operators import ann_index
+
+    embc = spark.read.parquet(
+        os.path.join(workdir, "embeddings_clustered.parquet")
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx_path = tempfile.mkdtemp(prefix="scale_ann_")
+    try:
+        probe(
+            "ann index_build (45k vecs, trained)",
+            lambda: (
+                ann_index.index_build(
+                    embc.filter("vec_id < 45000"), "vec_id", "v", idx_path,
+                    num_cells=64, m=8, pq_k=16, pinned=False, iterations=3,
+                ),
+                "64 cells, 8x16 books",
+            )[1],
+        )
+        probe(
+            "ann index_add (5k vec batch)",
+            lambda: f"epoch {ann_index.index_add(embc.filter('vec_id >= 45000'), 'v', idx_path)}",
+        )
+
+        def _search_recall():
+            qv = [float(x) for x in embc.filter("vec_id = 123").first()["v"]]
+            approx = {
+                r["vec_id"]
+                for r in ann_index.index_search(
+                    spark, idx_path, qv, k=10, nprobe=8
+                ).collect()
+            }
+            lit_q = F.array(*[F.lit(x) for x in qv])
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), lit_q, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            exact = {
+                r["vec_id"]
+                for r in embc.select("vec_id", d2.alias("d"))
+                .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+                .limit(10)
+                .collect()
+            }
+            rec = len(approx & exact) / 10
+            assert rec >= 0.8, (sorted(approx), sorted(exact))
+            return f"recall@10 {rec:.0%} vs exact L2"
+
+        probe("ann index_search (persisted, nprobe=8)", _search_recall)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
 
     print("\n| probe | seconds | result |")
     print("|---|---|---|")

@@ -163,3 +163,32 @@ def test_crashed_add_epoch_is_reused_on_retry(spark, tmp_path):
         .count()
     )
     assert n == 60  # no duplicates, no stranded partial
+
+
+def test_search_many_matches_single_query_search(spark, tmp_path):
+    """The relational batch search with a 1-row queries table must
+    reproduce index_search exactly (same tie-breaks, same math); with
+    3 queries, each partition of the output matches its own
+    single-query run."""
+    e = _emb(spark)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(e, "vec_id", "v", path, pinned=True)
+    qrows = [
+        (i, [float(x) for x in e.filter(F.col("vec_id") == i).first()["v"]])
+        for i in (0, 1, 2)
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, qvec array<double>")
+    many = ann_index.index_search_many(spark, path, qdf, k=7, nprobe=4)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], round(r["adc_dist"], 9))
+        for r in many.collect()
+    }
+    assert len(got) == 21
+    for qid, qv in qrows:
+        single = [
+            (r["vec_id"], round(r["adc_dist"], 9))
+            for r in ann_index.index_search(
+                spark, path, qv, k=7, nprobe=4
+            ).collect()
+        ]
+        assert [got[(qid, rk)] for rk in range(1, 8)] == single, qid

@@ -102,6 +102,7 @@ def index_add(
     vec_col: str,
     path: str,
     id_col: str | None = None,
+    epoch: int | None = None,
 ) -> int:
     """Incremental add: encode a NEW batch of vectors against the
     index's FROZEN centroids and codebooks and append the codes as
@@ -114,7 +115,12 @@ def index_add(
 
     Epoch directories are overwritten whole, so a retried add with the
     same epoch id replaces itself instead of duplicating (the same
-    idempotence move as ``stream_neardup_gate``).
+    idempotence move as ``stream_neardup_gate``). Pass an explicit
+    ``epoch`` when the CALLER owns delivery semantics (the streaming
+    ingest pins epoch ids to the micro-batch id, so a
+    committed-but-redelivered batch overwrites itself — duplicate
+    codes would DOUBLE a vector's ADC distance, not just duplicate a
+    row); the default self-assigns the next uncommitted id.
     """
     from polars_fastx_spark.operators.similarity import ivf_assign_to
 
@@ -130,7 +136,8 @@ def index_add(
     )
     codes = vectors.pq_encode(resid, "__id", "__r", books)
     coded = codes.join(resid.select("__id", "cell"), "__id")
-    epoch = _next_epoch(spark, f"{path}/codes")
+    if epoch is None:
+        epoch = _next_epoch(spark, f"{path}/codes")
     coded.write.mode("overwrite").parquet(f"{path}/codes/epoch={epoch}")
     return epoch
 
@@ -254,6 +261,29 @@ def index_search_many(
             "rank",
         )
     )
+
+
+def index_compact(
+    spark: SparkSession,
+    path: str,
+    min_epochs: int = 2,
+    upto_epoch: int | None = None,
+) -> None:
+    """Maintenance: fold the committed code epochs below ``upto_epoch``
+    (default: all of them) into one partition — the same crash-safe
+    staged swap the streaming band index uses
+    (``sinks.compact_epoch_partitions``), bounding file count after
+    many incremental adds. Search results are unaffected: the code
+    table's CONTENT is what ADC consumes, not its epoch layout. A
+    caller that may RE-WRITE an epoch (the streaming ingest's
+    redelivered batch) must pass that epoch as ``upto_epoch`` so its
+    codes are never folded into history and then written again."""
+    from polars_fastx_spark.sources.sinks import compact_epoch_partitions
+
+    codes = f"{path}/codes"
+    if upto_epoch is None:
+        upto_epoch = _next_epoch(spark, codes)
+    compact_epoch_partitions(spark, codes, upto_epoch, min_epochs=min_epochs)
 
 
 def index_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -243,3 +243,97 @@ def compact_parquet(
         "overwrite"
     ).parquet(out_path)
     return n
+
+
+def compact_epoch_partitions(
+    spark,
+    path: str,
+    upto_epoch: int,
+    min_epochs: int = 2,
+) -> None:
+    """Fold the committed ``epoch=<id>`` partitions with
+    ``id < upto_epoch`` of an append-by-epoch parquet dataset into the
+    newest one, once at least ``min_epochs`` have accreted — the
+    maintenance move for every persisted-index surface that appends an
+    epoch dir per batch (the streaming near-dup band index, the ANN
+    code table): each tiny dir otherwise costs a list entry + a read
+    task forever, the 100 TB small-files failure mode.
+
+    Crash-safe staged swap, re-entrant under at-least-once retries:
+
+    1. stage the union of sources to ``_compact_tmp_e<target>``
+       (an already-COMMITTED stage is never rebuilt — a retry after
+       step 2 started must not re-derive the union from half-deleted
+       sources);
+    2. delete the source epoch dirs;
+    3. rename the stage to ``epoch=<target>`` (atomic on local/HDFS).
+
+    A crash in 1 → retry overwrites the stage. A crash in 2 → the
+    stage is committed, retry resumes deletion. A crash in 3 → retry
+    finds no sources but a committed stage and completes the rename.
+    The stage dir's NAME carries its target epoch, so recovery never
+    depends on the (possibly half-deleted) source listing.
+    """
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+
+    def _p(rel: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+
+    def _scan():
+        epochs, stages = [], []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                try:
+                    eid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if eid < upto_epoch and fs.exists(_p(f"{name}/_SUCCESS")):
+                    epochs.append(eid)
+            elif name.startswith("_compact_tmp_e"):
+                stages.append(name)
+        return epochs, stages
+
+    def _swap(stage_name: str, target: int, sources: list[int]) -> None:
+        for eid in sources:
+            if eid <= target:
+                fs.delete(_p(f"epoch={eid}"), True)
+        dst = _p(f"epoch={target}")
+        if fs.exists(dst):  # crashed between delete and rename last time
+            fs.delete(dst, True)
+        fs.rename(_p(stage_name), dst)
+
+    committed, stages = _scan()
+    # recover interrupted swaps FIRST; an uncommitted stage is a
+    # crashed step-1 rebuild (sources intact) — drop the garbage
+    for sname in stages:
+        try:
+            t = int(sname[len("_compact_tmp_e"):])
+        except ValueError:
+            continue
+        if t < upto_epoch and fs.exists(_p(f"{sname}/_SUCCESS")):
+            _swap(sname, t, committed)
+        else:
+            fs.delete(_p(sname), True)
+    if stages:
+        committed, _ = _scan()
+    if len(committed) < min_epochs:
+        return
+    target = max(committed)
+    stage_name = f"_compact_tmp_e{target}"
+    (
+        spark.read.option("basePath", path)
+        .parquet(f"{path}/epoch=*")
+        .filter(F.col("epoch") < F.lit(upto_epoch))
+        .drop("epoch")
+        .coalesce(max(1, len(committed) // min_epochs))
+        .write.mode("overwrite")
+        .parquet(f"{path}/{stage_name}")
+    )
+    _swap(stage_name, target, committed)

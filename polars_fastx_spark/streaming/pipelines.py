@@ -500,91 +500,92 @@ def _compact_index_epochs(
     the gate's ``epoch < current`` read sees the same band set either
     way (membership is what the semi-join gate consumes; which epoch
     dir a band sits in is irrelevant as long as its id stays below the
-    current epoch).
+    current epoch). Thin wrapper over the generic
+    :func:`polars_fastx_spark.sources.sinks.compact_epoch_partitions`
+    (shared with the persisted ANN index's ``index_compact``)."""
+    from polars_fastx_spark.sources.sinks import compact_epoch_partitions
 
-    Crash-safe staged swap, re-entrant under at-least-once retries:
-
-    1. stage the union of sources to ``_compact_tmp_e<target>``
-       (skipped if that exact stage is already COMMITTED — a retry
-       after step 2 started must not rebuild from half-deleted
-       sources);
-    2. delete the source epoch dirs;
-    3. rename the stage to ``epoch=<target>`` (atomic on local/HDFS).
-
-    A crash in 1 → retry overwrites the stage. A crash in 2 → the
-    stage is committed, retry resumes deletion. A crash in 3 → retry
-    finds no sources but a committed stage and completes the rename.
-    Duplicate bands during the window (sources + stage both present
-    are never read together: sources ≥ stage) cannot occur; even if
-    they could, band membership is existence-based, so duplicates
-    would only cost, not corrupt.
-    """
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return
-
-    def _p(rel: str):
-        return jvm.org.apache.hadoop.fs.Path(f"{index_path}/{rel}")
-
-    def _scan():
-        epochs, stages = [], []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("epoch="):
-                try:
-                    eid = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if eid < current_epoch and fs.exists(_p(f"{name}/_SUCCESS")):
-                    epochs.append(eid)
-            elif name.startswith("_compact_tmp_e"):
-                stages.append(name)
-        return epochs, stages
-
-    def _swap(stage_name: str, target: int, sources: list[int]) -> None:
-        for eid in sources:
-            if eid <= target:
-                fs.delete(_p(f"epoch={eid}"), True)
-        dst = _p(f"epoch={target}")
-        if fs.exists(dst):  # crashed between delete and rename last time
-            fs.delete(dst, True)
-        fs.rename(_p(stage_name), dst)
-
-    committed, stages = _scan()
-    # Recover interrupted swaps FIRST — the stage dir's name carries
-    # its target, so a retry after partial source deletion never
-    # mis-derives it from the (now smaller) max committed epoch. A
-    # committed stage subsumes every source epoch <= its target
-    # (no later epoch can have committed while its batch was
-    # retrying); an uncommitted stage is a crashed step-1 rebuild —
-    # sources intact, so just drop the garbage.
-    for sname in stages:
-        try:
-            t = int(sname[len("_compact_tmp_e"):])
-        except ValueError:
-            continue
-        if t < current_epoch and fs.exists(_p(f"{sname}/_SUCCESS")):
-            _swap(sname, t, committed)
-        else:
-            fs.delete(_p(sname), True)
-    if stages:
-        committed, _ = _scan()
-    if len(committed) < compact_every:
-        return
-    target = max(committed)
-    stage_name = f"_compact_tmp_e{target}"
-    (
-        spark.read.option("basePath", index_path)
-        .parquet(f"{index_path}/epoch=*")
-        .filter(F.col("epoch") < F.lit(current_epoch))
-        .drop("epoch")
-        .coalesce(max(1, len(committed) // compact_every))
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/{stage_name}")
+    compact_epoch_partitions(
+        spark, index_path, current_epoch, min_epochs=compact_every
     )
-    _swap(stage_name, target, committed)
+
+
+def stream_index_add(
+    stream: DataFrame,
+    vec_col: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str | None = None,
+    compact_every: int | None = 8,
+):
+    """Streaming ingest into a PERSISTED ANN index
+    (operators/ann_index.py): each micro-batch of vectors is encoded
+    against the index's frozen coarse cells and codebooks and appended
+    as a code epoch — the similarity-search twin of
+    :func:`stream_neardup_gate`'s growing band index, completing the
+    persisted-index pair (near-dup gate ↔ ANN index; both live in
+    parquet, both queryable by the batch side mid-stream, both cost
+    per-batch, never per-history).
+
+    The index must already exist (``ann_index.index_build`` — the
+    quantizers are FROZEN; training belongs to the build, not the
+    stream). Epoch ids are PINNED to ``base + micro_batch_id`` (base =
+    the index's next free epoch when the stream first writes, recorded
+    once in ``codes/_stream_base``): a retried OR
+    committed-but-redelivered batch overwrites its own epoch instead
+    of appending a duplicate — duplicate codes would DOUBLE a vector's
+    summed ADC distance, corrupting every later search, not just
+    duplicating rows. ``compact_every`` bounds the code-table file
+    count; compaction is capped below the current batch's pinned epoch
+    so a redelivered batch's history is never folded and re-written.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from polars_fastx_spark.operators import ann_index
+
+    def _add(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        base = _stream_epoch_base(spark, index_path)
+        if compact_every:
+            ann_index.index_compact(
+                spark, index_path, min_epochs=compact_every,
+                upto_epoch=base + epoch,
+            )
+        ann_index.index_add(
+            batch, vec_col, index_path, id_col=id_col, epoch=base + epoch
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_add)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _stream_epoch_base(spark, index_path: str) -> int:
+    """The stream's epoch-id offset into the index's code table,
+    recorded ONCE (first writer wins, create-exclusive) so every retry
+    and restart maps micro-batch N to the same ``epoch=base+N`` dir."""
+    from polars_fastx_spark.operators.ann_index import _next_epoch
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/codes/_stream_base")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        base = _next_epoch(spark, f"{index_path}/codes")
+        try:
+            out = fs.create(p, False)  # exclusive: concurrent loser re-reads
+            out.write(bytearray(str(base).encode()))
+            out.close()
+        except Exception:
+            pass
+    stream_in = fs.open(p)
+    try:
+        raw = bytes(stream_in.readAllBytes())
+    finally:
+        stream_in.close()
+    return int(raw.decode().strip())
 
 
 def stream_cms_counts(

@@ -192,3 +192,53 @@ def test_search_many_matches_single_query_search(spark, tmp_path):
             ).collect()
         ]
         assert [got[(qid, rk)] for rk in range(1, 8)] == single, qid
+
+
+def test_index_compact_folds_epochs_search_unchanged(spark, tmp_path):
+    e = _emb(spark)
+    rows = [(r["vec_id"], list(r["v"])) for r in e.collect()]
+    tail_ids = sorted(_seed_safe_tail(rows))
+    half = set(tail_ids[: len(tail_ids) // 2])
+    rest = set(tail_ids) - half
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        e.filter(~F.col("vec_id").isin(tail_ids)), "vec_id", "v", path,
+        pinned=True,
+    )
+    ann_index.index_add(e.filter(F.col("vec_id").isin(list(half))), "v", path)
+    ann_index.index_add(e.filter(F.col("vec_id").isin(list(rest))), "v", path)
+    q = _query(e)
+    before = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    import os
+
+    assert len([d for d in os.listdir(f"{path}/codes")
+                if d.startswith("epoch=")]) == 3
+    ann_index.index_compact(spark, path)
+    assert [d for d in os.listdir(f"{path}/codes")
+            if d.startswith("epoch=")] == ["epoch=2"]
+    after = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    assert after == before
+
+
+def test_redelivered_pinned_epoch_add_is_idempotent(spark, tmp_path):
+    """A committed-but-redelivered batch (explicit epoch id) must
+    overwrite itself: duplicate codes would DOUBLE the summed ADC
+    distance for its vectors, silently corrupting every search."""
+    e = _emb(spark)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(e.filter("vec_id < 100"), "vec_id", "v", path,
+                          num_cells=8, pinned=True)
+    batch = e.filter("vec_id >= 100 and vec_id < 130")
+    ann_index.index_add(batch, "v", path, epoch=1)
+    ann_index.index_add(batch, "v", path, epoch=1)  # redelivery
+    coded = spark.read.option("basePath", f"{path}/codes").parquet(
+        f"{path}/codes/epoch=*"
+    )
+    assert coded.count() == 130
+    assert coded.select("__id").distinct().count() == 130

@@ -957,6 +957,66 @@ def test_neardup_gate_compaction_recovers_interrupted_swap(spark, tmp_path):
     assert after == before  # nothing lost, including the deleted source's
 
 
+def test_stream_index_add_grows_persisted_ann_index(spark, srcdir, tmp_path):
+    """Streaming ANN ingest: vectors arriving across micro-batches are
+    encoded against the frozen quantizers and appended with epoch ids
+    pinned to base + batch id; a later search over the persisted index
+    finds them, and restarting the stream reuses the recorded base."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators import ann_index
+    from polars_fastx_spark.streaming.pipelines import stream_index_add
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = str(tmp_path / "idx")
+    ann_index.index_build(
+        emb.filter("vec_id < 100"), "vec_id", "v", idx, num_cells=8,
+        pinned=True,
+    )
+    rows = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter("vec_id >= 100 and vec_id < 140").collect()
+    }
+
+    def _vec_batch(name, ids):
+        (srcdir / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "v": rows[i]}) for i in ids
+            )
+            + "\n"
+        )
+
+    vecs = spark.readStream.schema("vec_id long, v array<double>").json(
+        str(srcdir)
+    )
+    ck = str(tmp_path / "ck")
+    ids = sorted(rows)
+    _vec_batch("b0.json", ids[:20])
+    stream_index_add(vecs, "v", idx, ck).awaitTermination(120)
+    _vec_batch("b1.json", ids[20:])
+    stream_index_add(vecs, "v", idx, ck).awaitTermination(120)
+
+    coded = spark.read.option("basePath", f"{idx}/codes").parquet(
+        f"{idx}/codes/epoch=*"
+    )
+    assert coded.count() == 140
+    assert coded.select("__id").distinct().count() == 140
+    # epochs pinned at base(=1) + batch id
+    got_epochs = {r["epoch"] for r in coded.select("epoch").distinct().collect()}
+    assert got_epochs == {0, 1, 2}
+    # an ingested vector is findable with a full probe
+    probe = ids[-1]
+    hits = {
+        r["vec_id"]
+        for r in ann_index.index_search(
+            spark, idx, rows[probe], k=5, nprobe=8
+        ).collect()
+    }
+    assert probe in hits
+
+
 def test_windowed_quantiles_kll(spark, srcdir, tmp_path):
     """Streaming latency-percentile metric: KLL sketch state per
     window, exact on tiny cardinalities, windows finalized by the

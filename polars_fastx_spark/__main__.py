@@ -18,6 +18,15 @@ faidx subcommands (sources/faidx.py):
 ``faidx`` builds the samtools-style index (default output:
 ``<input>.fai``); ``regions`` slices 0-based half-open windows through
 the index and prints ``name<TAB>start<TAB>end<TAB>seq``.
+
+BGZF subcommands (sources/bgzf.py, sources/faidx.py):
+
+    python -m polars_fastx_spark bgzip in.fastq.gz out.fastq.gz
+    python -m polars_fastx_spark gzi ref.fasta.gz [-o ref.fasta.gz.gzi]
+
+``bgzip`` recompresses a raw-gzip (or plain) file to splittable BGZF;
+``gzi`` writes the htslib-format block map that pairs with ``.fai``
+for random access into a bgzip-compressed reference.
 """
 
 from __future__ import annotations
@@ -67,12 +76,43 @@ def _main_regions(argv: list[str]) -> int:
     return 0
 
 
+def _main_bgzip(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="polars_fastx_spark bgzip")
+    p.add_argument("input", help="raw-gzip or plain file")
+    p.add_argument("output", help="BGZF output path")
+    p.add_argument("--level", type=int, default=6)
+    args = p.parse_args(argv)
+    from polars_fastx_spark.sources.bgzf import recompress_to_bgzf
+
+    n = recompress_to_bgzf(args.input, args.output, level=args.level)
+    print(f"{args.output}: {n} BGZF blocks", file=sys.stderr)
+    return 0
+
+
+def _main_gzi(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="polars_fastx_spark gzi")
+    p.add_argument("input", help="BGZF-compressed file")
+    p.add_argument("-o", "--output", default=None,
+                   help="block-map path (default <input>.gzi)")
+    args = p.parse_args(argv)
+    from polars_fastx_spark.sources.faidx import build_gzi
+
+    out = args.output or args.input + ".gzi"
+    blocks = build_gzi(args.input, out)
+    print(f"{out}: {len(blocks)} blocks mapped", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "faidx":
         return _main_faidx(argv[1:])
     if argv and argv[0] == "regions":
         return _main_regions(argv[1:])
+    if argv and argv[0] == "bgzip":
+        return _main_bgzip(argv[1:])
+    if argv and argv[0] == "gzi":
+        return _main_gzi(argv[1:])
     p = argparse.ArgumentParser(
         prog="polars_fastx_spark",
         description="FASTA/FASTQ stats pipeline (Spark)",

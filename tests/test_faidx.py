@@ -281,3 +281,30 @@ def test_recompress_to_bgzf_splits_and_preserves_content(spark, tmp_path):
     a = sorted((r["header"], r["sequence"]) for r in split.collect())
     b = sorted((r["header"], r["sequence"]) for r in whole.collect())
     assert a == b and len(a) == 400
+
+
+def test_cli_bgzip_and_gzi(spark, tmp_path, capsys):
+    """CLI: `bgzip` migrates raw gzip to BGZF, `gzi` writes the block
+    map, and `regions` then slices the compressed reference."""
+    import gzip as _gz
+
+    from polars_fastx_spark.__main__ import main
+    from polars_fastx_spark.sources import bgzf
+
+    text = _mk_big_fasta(8)
+    raw = str(tmp_path / "r.fa.gz")
+    with _gz.open(raw, "wb") as f:
+        f.write(text.encode())
+    dst = str(tmp_path / "r.bgzf.fa.gz")
+    assert main(["bgzip", raw, dst]) == 0
+    assert bgzf.is_bgzf_file(dst)
+    assert main(["gzi", dst]) == 0
+    assert faidx.read_gzi(dst + ".gzi")[0] == (0, 0)
+    capsys.readouterr()
+    assert main(["regions", dst, "ctg1:2-12"]) == 0
+    out = capsys.readouterr().out.strip()
+    full = {}
+    for block in text.split(">")[1:]:
+        lines = block.splitlines()
+        full[lines[0].split()[0]] = "".join(lines[1:])
+    assert out == f"ctg1\t2\t12\t{full['ctg1'][2:12]}"

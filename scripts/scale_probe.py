@@ -113,17 +113,21 @@ def generate(workdir: str) -> None:
 
 
 def generate_clustered(workdir: str) -> None:
-    """Planted-cluster embeddings for the ANN recall probe: 500
-    well-separated centers x 100 members. (The i.i.d. gaussian table is
-    the WRONG recall substrate — with random vectors all distances
-    concentrate and recall@k is meaningless by construction, the same
-    argument as tests/test_pq.py.)"""
+    """Planted-cluster embeddings for the ANN recall probe: 5000
+    well-separated centers x 10 members, so the exact top-10 of a
+    member query IS its cluster — recall then measures whether IVF+PQ
+    routes to and ranks the right CLUSTER, robust to intra-cluster ADC
+    ties (quantization collapses near-identical residuals to identical
+    codes, so a finer-than-cluster ranking is not the contract). The
+    i.i.d. gaussian table is the WRONG recall substrate — with random
+    vectors all distances concentrate and recall@k is meaningless by
+    construction, the same argument as tests/test_pq.py."""
     path = os.path.join(workdir, "embeddings_clustered.parquet")
     if os.path.exists(path):
         return
     rng = np.random.RandomState(77)
-    centers = rng.randn(500, 64).astype(np.float32) * 10.0
-    vecs = centers.repeat(100, axis=0) + 0.05 * rng.randn(
+    centers = rng.randn(5000, 64).astype(np.float32) * 10.0
+    vecs = centers.repeat(10, axis=0) + 0.05 * rng.randn(
         50_000, 64
     ).astype(np.float32)
     pq.write_table(

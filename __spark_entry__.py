@@ -56,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
     "l_ann_index_search", "l_ann_index_add", "l_ann_index_search_many",
+    "l_ann_index_stats",
     "x_sketch_kmv", "l_mmr_rerank", "l_bpe_merges", "l_bpe_encode",
     "l_random_project", "x_sketch_join_size", "l_neardup_gate", "l_hard_negatives", "x_sketch_kmv_by_key",
     "q_tpch15", "x_sketch_cms", "x_sketch_kll",

@@ -7769,6 +7769,49 @@ def l_ann_index_search(spark, sf_dir):
 
 
 @_q(
+    "l_ann_index_stats",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id
+    )
+    SELECT cell, count(*)::BIGINT AS n_vectors, 1::BIGINT AS n_epochs
+    FROM asg GROUP BY cell
+    ORDER BY cell
+    """,
+    "L3+ persisted-index OBSERVABILITY (ann_index.index_stats), the "
+    "similarity twin of lsh_bucket_profile: per-cell vector counts and "
+    "epoch span straight off the code table's parquet footprint — the "
+    "table an operator reads to spot skewed cells (one hot cell = one "
+    "slow probe task) and watch ingest growth, <= num_cells rows. The "
+    "oracle replays the deterministic cell assignment and counts.",
+)
+def l_ann_index_stats(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    path = tempfile.mkdtemp(prefix="pfs_ann_stats_")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    return ann_index.index_stats(spark, path).orderBy("cell")
+
+
+@_q(
     "l_ann_index_search_many",
     """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

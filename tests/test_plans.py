@@ -89,6 +89,7 @@ ALLOWED_NESTED_LOOP = {
     "l_mmr_rerank",       # relevance pool = tiny broadcast query cross join
     "l_hard_negatives",   # anchor set = tiny broadcast theta join
     "l_ann_index_search",  # IVF assignment in build = broadcast × centroids
+    "l_ann_index_stats",  # same build shape, stats read side
     "l_ann_index_add",    # same build shape + frozen-centroid assignment
     "l_ann_index_search_many",  # queries × ≤num_cells centroids and
     # probed × m·pq_k books: both broadcast crosses of bounded tables

@@ -12,10 +12,20 @@ quantizers — cost scales with the batch, like the band-index gate.
 
 Layout under ``path/``::
 
-    meta/           one row: id_col, num_cells, m, pq_k, dim, pinned
-    centroids/      (cell, centroid_vec, centroid_norm)  ≤num_cells rows
-    books/          (j, c, cvec)                          m·pq_k rows
-    codes/epoch=N/  (__id, cell, codes)                   1 row/vector
+    meta/                one row: id_col, num_cells, m, pq_k, dim, pinned
+    centroids/           (cell, centroid_vec, centroid_norm) ≤num_cells rows
+    books/               (j, c, cvec)                        m·pq_k rows
+    codes/epoch=N/       (__id, cell, codes)                 1 row/vector
+    tombstones/epoch=N/  (__id)                              1 row/deletion
+
+Adds and deletes share ONE monotone epoch counter (max over both
+directories), so their relative order is durable: a tombstone at epoch
+T hides code rows with epoch < T and nothing else — delete-then-re-add
+revives (the re-add lands at a higher epoch), add-then-delete hides,
+and a redelivered batch with a pinned epoch replaces itself on either
+side. ``index_compact`` applies tombstones while folding (LSM-style
+major compaction), so the hidden rows and their tombstones are
+physically dropped together.
 
 Search math is :func:`polars_fastx_spark.operators.vectors.adc_search`
 — the SAME code path as the in-query ``ivfpq_topk``, so a search over
@@ -97,6 +107,36 @@ def index_build(
         resid.unpersist()
 
 
+def index_build_if_absent(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    **build_kwargs,
+) -> bool:
+    """Build the index at ``path`` unless a COMPLETE one is already
+    there — the serve-many half of the build-once contract: N queries
+    against the same corpus share one build instead of paying it N
+    times (pinned builds are deterministic, so a cached and a fresh
+    index answer identically — test-pinned).
+
+    Completeness = ``meta/`` committed AND ``codes/epoch=0``
+    committed. ``index_build`` writes meta before codes, so a crash
+    anywhere mid-build leaves the pair incomplete and the next caller
+    rebuilds over the partial output (every sub-write is
+    mode("overwrite")). Callers are expected not to race concurrent
+    builds of the same path (same single-maintainer assumption as
+    ``index_compact``). Returns True if this call built."""
+    spark = df.sparkSession
+    meta_ok = _hfs(spark, f"{path}/meta/_SUCCESS")[1].exists(
+        _hfs(spark, f"{path}/meta/_SUCCESS")[0]
+    )
+    if meta_ok and 0 in _committed_epochs(spark, f"{path}/codes"):
+        return False
+    index_build(df, id_col, vec_col, path, **build_kwargs)
+    return True
+
+
 def index_add(
     df: DataFrame,
     vec_col: str,
@@ -137,9 +177,102 @@ def index_add(
     codes = vectors.pq_encode(resid, "__id", "__r", books)
     coded = codes.join(resid.select("__id", "cell"), "__id")
     if epoch is None:
-        epoch = _next_epoch(spark, f"{path}/codes")
+        epoch = _next_index_epoch(spark, path)
     coded.write.mode("overwrite").parquet(f"{path}/codes/epoch={epoch}")
     return epoch
+
+
+def index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame | list,
+    epoch: int | None = None,
+) -> int:
+    """Delete vectors by id: land a TOMBSTONE epoch
+    (``tombstones/epoch=<next>`` on the shared add/delete counter, one
+    ``__id`` row per deletion) — never a rewrite of the data-sized
+    code table, so a takedown/opt-out batch costs what the batch
+    costs. Every read path (:func:`_live_codes`) hides code rows with
+    epoch below the tombstone's; a later :func:`index_add` of the same
+    id lands above it and revives. :func:`index_compact` applies
+    tombstones physically and drops them (LSM major compaction).
+
+    ``ids`` is a one-column DataFrame (any column name) or a plain
+    Python list; values are cast to the code table's id type so the
+    hide-join never misses on a type mismatch. Same pinned-``epoch``
+    idempotence contract as :func:`index_add` for redelivered batches.
+    Returns the epoch written."""
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias("__id")).distinct()
+    else:
+        df = spark.createDataFrame([(i,) for i in ids], ["__id"]).distinct()
+    code_eps = _committed_epochs(spark, f"{path}/codes")
+    if code_eps:
+        id_type = (
+            spark.read.parquet(f"{path}/codes/epoch={code_eps[0]}")
+            .schema["__id"].dataType
+        )
+        df = df.select(F.col("__id").cast(id_type).alias("__id"))
+    if epoch is None:
+        epoch = _next_index_epoch(spark, path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/tombstones/epoch={epoch}"
+    )
+    return epoch
+
+
+def index_upsert(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    id_col: str | None = None,
+    epoch: int | None = None,
+) -> tuple[int, int]:
+    """Replace-or-insert a batch: tombstone the batch's ids, then add
+    its vectors at the NEXT epoch — the only safe update path, because
+    a bare re-add of a live id would leave two code rows whose ADC
+    distances SUM (corrupting every search), not shadow each other.
+    Pass ``epoch`` (the tombstone slot; the add takes ``epoch+1``)
+    when the caller owns delivery semantics, exactly as in
+    :func:`index_add`. Returns (delete_epoch, add_epoch)."""
+    spark = df.sparkSession
+    if id_col is None:
+        id_col = spark.read.parquet(f"{path}/meta").first()["id_col"]
+    if epoch is None:
+        epoch = _next_index_epoch(spark, path)
+    del_epoch = index_delete(spark, path, df.select(id_col), epoch=epoch)
+    add_epoch = index_add(df, vec_col, path, id_col=id_col, epoch=epoch + 1)
+    return del_epoch, add_epoch
+
+
+def _live_codes(spark: SparkSession, path: str) -> DataFrame:
+    """The index's effective code table: every epoch of ``codes/``
+    minus the rows hidden by tombstones (a tombstone at epoch T hides
+    that id's code rows with epoch < T — strictly below, so a re-add
+    AT or above the tombstone's epoch survives). The anti-join's build
+    side is the tombstone table — deletions, tiny next to the corpus —
+    so the filter broadcasts and costs one map-side probe per code
+    row. Keeps the ``epoch`` column; callers drop it if unneeded."""
+    coded = spark.read.option("basePath", f"{path}/codes").parquet(
+        f"{path}/codes/epoch=*"
+    )
+    tomb_eps = _committed_epochs(spark, f"{path}/tombstones")
+    if not tomb_eps:
+        return coded
+    tomb = (
+        spark.read.option("basePath", f"{path}/tombstones")
+        .parquet(*[f"{path}/tombstones/epoch={e}" for e in tomb_eps])
+        .select(
+            F.col("__id").alias("__tomb_id"),
+            F.col("epoch").alias("__tomb_epoch"),
+        )
+    )
+    return coded.join(
+        F.broadcast(tomb),
+        (coded["__id"] == tomb["__tomb_id"])
+        & (coded["epoch"] < tomb["__tomb_epoch"]),
+        "left_anti",
+    )
 
 
 def index_search(
@@ -150,18 +283,15 @@ def index_search(
     nprobe: int = 4,
 ) -> DataFrame:
     """Top-k ADC search over the persisted index: open centroids +
-    books (bounded collects — KBs), stream the code table across all
-    epochs, and rank with :func:`vectors.adc_search` — the identical
-    query path ``ivfpq_topk`` uses, so persisted == in-query search
+    books (bounded collects — KBs), stream the live code table across
+    all epochs (tombstone-filtered — :func:`_live_codes`), and rank
+    with :func:`vectors.adc_search` — the identical query path
+    ``ivfpq_topk`` uses, so persisted == in-query search
     result-for-result. Returns (<id_col>, adc_dist)."""
     meta = spark.read.parquet(f"{path}/meta").first()
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     books = _load_books(spark, path, meta["m"], meta["pq_k"])
-    coded = (
-        spark.read.option("basePath", f"{path}/codes")
-        .parquet(f"{path}/codes/epoch=*")
-        .drop("epoch")
-    )
+    coded = _live_codes(spark, path).drop("epoch")
     return vectors.adc_search(
         coded, cent_rows, books, query, meta["id_col"], k=k, nprobe=nprobe
     )
@@ -239,11 +369,7 @@ def index_search_many(
     dtab = probed.join(F.broadcast(books)).select(
         "query_id", "cell", "j", "c", dist.alias("_d")
     )
-    coded = (
-        spark.read.option("basePath", f"{path}/codes")
-        .parquet(f"{path}/codes/epoch=*")
-        .drop("epoch")
-    )
+    coded = _live_codes(spark, path).drop("epoch")
     ex = coded.select("__id", "cell", F.posexplode("codes").alias("j", "c"))
     wk = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("__id").asc()
@@ -277,23 +403,158 @@ def index_compact(
     table's CONTENT is what ADC consumes, not its epoch layout. A
     caller that may RE-WRITE an epoch (the streaming ingest's
     redelivered batch) must pass that epoch as ``upto_epoch`` so its
-    codes are never folded into history and then written again."""
+    codes are never folded into history and then written again.
+
+    With tombstones present this is the LSM **major compaction**: the
+    fold drops the hidden rows physically and deletes the applied
+    tombstone epochs (only those ≤ ``upto_epoch`` — all of them by
+    default), in an order that survives a crash at any step (see
+    :func:`_compact_codes_with_tombstones`). Folding WITHOUT applying
+    tombstones would be wrong, not just wasteful: folded rows land at
+    the target epoch, above the tombstones that used to hide them."""
     from polars_fastx_spark.sources.sinks import compact_epoch_partitions
 
     codes = f"{path}/codes"
     if upto_epoch is None:
-        upto_epoch = _next_epoch(spark, codes)
-    compact_epoch_partitions(spark, codes, upto_epoch, min_epochs=min_epochs)
+        upto_epoch = _next_index_epoch(spark, path)
+    tomb_eps = [
+        e
+        for e in _committed_epochs(spark, f"{path}/tombstones")
+        if e <= upto_epoch
+    ]
+    stale_stage = any(
+        "_t" in n for n in _stage_names(spark, codes)
+    )
+    if tomb_eps or stale_stage:
+        _compact_codes_with_tombstones(
+            spark, path, upto_epoch, min_epochs
+        )
+    else:
+        compact_epoch_partitions(
+            spark, codes, upto_epoch, min_epochs=min_epochs
+        )
+
+
+def _stage_names(spark: SparkSession, codes_path: str) -> list[str]:
+    p, fs = _hfs(spark, codes_path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("_compact_tmp_e")
+    ]
+
+
+def _compact_codes_with_tombstones(
+    spark: SparkSession,
+    path: str,
+    upto_epoch: int,
+    min_epochs: int,
+) -> None:
+    """Tombstone-applying fold of ``codes/`` — the same crash-safe
+    staged swap as ``sinks.compact_epoch_partitions`` with one more
+    deletion class. Stage names carry BOTH the fold target and the
+    tombstone bound (``_compact_tmp_e<target>_t<upto>``), so recovery
+    after a crash knows exactly which tombstone epochs the committed
+    stage already applied — it never re-derives that from the
+    (possibly half-deleted) listing. The plain compactor int-parses
+    its stage suffix and skips ours, so the two never adopt each
+    other's stages.
+
+    Swap order: delete source code epochs, delete applied tombstones,
+    THEN rename the stage in. A crash before the rename leaves the
+    committed stage to resume from; tombstones are never deleted after
+    the rename, because a crash between those two steps would leave
+    tombstones re-hiding the folded rows (which now sit at the target
+    epoch) — silent resurrection of deletions."""
+    codes = f"{path}/codes"
+    tombs = f"{path}/tombstones"
+    _, fs = _hfs(spark, codes)
+
+    def _p(rel: str):
+        return _hfs(spark, f"{codes}/{rel}")[0]
+
+    def _swap(stage_name: str, target: int, tomb_upto: int) -> None:
+        for eid in _committed_epochs(spark, codes):
+            if eid <= target:
+                fs.delete(_p(f"epoch={eid}"), True)
+        for tid in _committed_epochs(spark, tombs):
+            if tid <= tomb_upto:
+                fs.delete(_hfs(spark, f"{tombs}/epoch={tid}")[0], True)
+        dst = _p(f"epoch={target}")
+        if fs.exists(dst):  # crashed between delete and rename last time
+            fs.delete(dst, True)
+        fs.rename(_p(stage_name), dst)
+
+    # recover interrupted swaps FIRST; an uncommitted stage is a
+    # crashed step-1 rebuild (sources intact) — drop the garbage
+    for sname in _stage_names(spark, codes):
+        body = sname[len("_compact_tmp_e"):]
+        if "_t" not in body:
+            continue  # the plain compactor's stage, not ours
+        try:
+            t_s, u_s = body.split("_t", 1)
+            target, t_upto = int(t_s), int(u_s)
+        except ValueError:
+            continue
+        if fs.exists(_p(f"{sname}/_SUCCESS")):
+            _swap(sname, target, t_upto)
+        else:
+            fs.delete(_p(sname), True)
+
+    committed = [
+        e for e in _committed_epochs(spark, codes) if e < upto_epoch
+    ]
+    tomb_eps = [
+        e for e in _committed_epochs(spark, tombs) if e <= upto_epoch
+    ]
+    if not committed:
+        # nothing to fold; every remaining code epoch is >= upto_epoch,
+        # above every tombstone <= upto_epoch — those hide nothing now
+        for tid in tomb_eps:
+            fs.delete(_hfs(spark, f"{tombs}/epoch={tid}")[0], True)
+        return
+    if len(committed) < min_epochs and not tomb_eps:
+        return
+    target = max(committed)
+    stage_name = f"_compact_tmp_e{target}_t{upto_epoch}"
+    coded = (
+        spark.read.option("basePath", codes)
+        .parquet(f"{codes}/epoch=*")
+        .filter(F.col("epoch") < F.lit(upto_epoch))
+    )
+    if tomb_eps:
+        tomb = (
+            spark.read.option("basePath", tombs)
+            .parquet(*[f"{tombs}/epoch={e}" for e in tomb_eps])
+            .select(
+                F.col("__id").alias("__tomb_id"),
+                F.col("epoch").alias("__tomb_epoch"),
+            )
+        )
+        coded = coded.join(
+            F.broadcast(tomb),
+            (coded["__id"] == tomb["__tomb_id"])
+            & (coded["epoch"] < tomb["__tomb_epoch"]),
+            "left_anti",
+        )
+    (
+        coded.drop("epoch")
+        .coalesce(max(1, len(committed) // max(1, min_epochs)))
+        .write.mode("overwrite")
+        .parquet(f"{codes}/{stage_name}")
+    )
+    _swap(stage_name, target, upto_epoch)
 
 
 def index_stats(spark: SparkSession, path: str) -> DataFrame:
-    """Observability twin of ``lsh_bucket_profile``: per-cell vector
-    counts and epoch span, so an operator can see skewed cells (one
-    hot cell → one slow probe task) and ingest growth. Returns
+    """Observability twin of ``lsh_bucket_profile``: per-cell LIVE
+    vector counts (tombstone-hidden rows excluded, like every search)
+    and epoch span, so an operator can see skewed cells (one hot cell
+    → one slow probe task) and ingest growth. Returns
     (cell, n_vectors, n_epochs) — ≤ num_cells rows."""
-    coded = spark.read.option("basePath", f"{path}/codes").parquet(
-        f"{path}/codes/epoch=*"
-    )
+    coded = _live_codes(spark, path)
     return coded.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.count_distinct("epoch").alias("n_epochs"),
@@ -313,22 +574,24 @@ def _load_books(
     return books
 
 
-def _next_epoch(spark: SparkSession, codes_path: str) -> int:
-    """Next epoch id from a filesystem LISTING (Hadoop FS API, so it
-    works on any supported filesystem) — never a scan of the code
-    table, which is data-sized.
-
-    Only COMMITTED epochs (dirs carrying the ``_SUCCESS`` marker)
-    advance the counter: a crashed add leaves an uncommitted dir at
-    max+1, and the retry — landing on the same id with
-    mode("overwrite") — replaces it instead of stranding partial
-    codes beside a duplicate epoch."""
+def _hfs(spark: SparkSession, path: str):
+    """(jvm Path, FileSystem) for ``path`` — Hadoop FS API so every
+    listing/existence check works on any supported filesystem."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(codes_path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _committed_epochs(spark: SparkSession, dir_path: str) -> list[int]:
+    """Sorted ids of COMMITTED ``epoch=<id>`` children (dirs carrying
+    the ``_SUCCESS`` marker) — a filesystem listing, never a data scan.
+    Uncommitted dirs (a crashed write) are invisible, so a retry
+    landing on the same id with mode("overwrite") replaces the partial
+    output instead of stranding it beside a duplicate epoch."""
+    p, fs = _hfs(spark, dir_path)
     if not fs.exists(p):
-        return 0
-    mx = -1
+        return []
+    out = []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if not name.startswith("epoch="):
@@ -337,9 +600,25 @@ def _next_epoch(spark: SparkSession, codes_path: str) -> int:
             eid = int(name.split("=", 1)[1])
         except ValueError:
             continue
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{codes_path}/{name}/_SUCCESS"
-        )
-        if fs.exists(marker):
-            mx = max(mx, eid)
-    return mx + 1
+        if fs.exists(_hfs(spark, f"{dir_path}/{name}/_SUCCESS")[0]):
+            out.append(eid)
+    return sorted(out)
+
+
+def _next_epoch(spark: SparkSession, codes_path: str) -> int:
+    """Next epoch id over ONE epoch directory (see
+    :func:`_committed_epochs` for the committed-only contract)."""
+    eps = _committed_epochs(spark, codes_path)
+    return (eps[-1] + 1) if eps else 0
+
+
+def _next_index_epoch(spark: SparkSession, path: str) -> int:
+    """Next id on the index's SHARED add/delete epoch counter: the max
+    over ``codes/`` and ``tombstones/`` plus one. Sharing one counter
+    is what makes add/delete ordering durable — a tombstone hides
+    exactly the code epochs below it, so two writers can never land an
+    add and a delete at the same position."""
+    return max(
+        _next_epoch(spark, f"{path}/codes"),
+        _next_epoch(spark, f"{path}/tombstones"),
+    )

@@ -567,13 +567,16 @@ def _stream_epoch_base(spark, index_path: str) -> int:
     """The stream's epoch-id offset into the index's code table,
     recorded ONCE (first writer wins, create-exclusive) so every retry
     and restart maps micro-batch N to the same ``epoch=base+N`` dir."""
-    from polars_fastx_spark.operators.ann_index import _next_epoch
+    from polars_fastx_spark.operators.ann_index import _next_index_epoch
 
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/codes/_stream_base")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
-        base = _next_epoch(spark, f"{index_path}/codes")
+        # Shared add/delete counter, not codes-only: a tombstone epoch
+        # above the last code epoch must not swallow the stream's
+        # first batches (tombstone at T hides code epochs < T).
+        base = _next_index_epoch(spark, index_path)
         try:
             out = fs.create(p, False)  # exclusive: concurrent loser re-reads
             out.write(bytearray(str(base).encode()))

@@ -242,3 +242,145 @@ def test_redelivered_pinned_epoch_add_is_idempotent(spark, tmp_path):
     )
     assert coded.count() == 130
     assert coded.select("__id").distinct().count() == 130
+
+
+def test_delete_hides_and_readd_revives(spark, tmp_path):
+    """index_delete tombstones an id (search + stats stop seeing it);
+    a later index_add of the same id lands ABOVE the tombstone on the
+    shared epoch counter and revives it."""
+    e = _emb(spark).filter("vec_id < 60")
+    path = str(tmp_path / "idx")
+    ann_index.index_build(e, "vec_id", "v", path, num_cells=4, pinned=True)
+    target = 7
+    qv = [float(x) for x in e.filter(F.col("vec_id") == target).first()["v"]]
+
+    def hits():
+        return {
+            r["vec_id"]
+            for r in ann_index.index_search(
+                spark, path, qv, k=60, nprobe=4
+            ).collect()
+        }
+
+    assert target in hits()
+    ep = ann_index.index_delete(spark, path, [target])
+    assert ep == 1
+    assert target not in hits()
+    st = ann_index.index_stats(spark, path)
+    assert st.agg(F.sum("n_vectors")).first()[0] == 59
+
+    row = e.filter(F.col("vec_id") == target)
+    ep2 = ann_index.index_add(row, "v", path)
+    assert ep2 == 2  # shared counter skipped the tombstone's slot
+    assert target in hits()
+    st = ann_index.index_stats(spark, path)
+    assert st.agg(F.sum("n_vectors")).first()[0] == 60  # old row hidden
+
+
+def test_upsert_replaces_vector_without_doubling(spark, tmp_path):
+    """index_upsert = tombstone + add at consecutive epochs: the
+    batch's live code rows are replaced, never duplicated (a bare
+    re-add would SUM two ADC distances for the same id)."""
+    e = _emb(spark).filter("vec_id < 40")
+    path = str(tmp_path / "idx")
+    ann_index.index_build(e, "vec_id", "v", path, num_cells=4, pinned=True)
+    batch = _emb(spark).filter("vec_id >= 35 and vec_id < 45")
+    del_ep, add_ep = ann_index.index_upsert(batch, "v", path)
+    assert (del_ep, add_ep) == (1, 2)
+    live = ann_index._live_codes(spark, path)
+    assert live.count() == 45
+    assert live.select("__id").distinct().count() == 45
+    qv = [float(x) for x in e.filter("vec_id = 36").first()["v"]]
+    got = ann_index.index_search(spark, path, qv, k=45, nprobe=4).collect()
+    assert [r["vec_id"] for r in got].count(36) == 1
+
+
+def test_compact_applies_tombstones_and_drops_them(spark, tmp_path):
+    """Major compaction: the fold physically drops tombstone-hidden
+    rows AND the applied tombstone epochs, and search results are
+    bit-identical before/after — in particular no resurrection (folded
+    rows land at the target epoch, above where the tombstones were)."""
+    e = _emb(spark).filter("vec_id < 80")
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        e.filter("vec_id < 50"), "vec_id", "v", path, num_cells=4,
+        pinned=True,
+    )
+    ann_index.index_add(e.filter("vec_id >= 50"), "v", path)
+    dead = [3, 57]  # one from each code epoch
+    ann_index.index_delete(spark, path, dead)
+    q = _query(_emb(spark))
+    before = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=20, nprobe=4)
+        .collect()
+    ]
+    ann_index.index_compact(spark, path)
+    import os
+
+    assert [d for d in os.listdir(f"{path}/codes")
+            if d.startswith("epoch=")] == ["epoch=1"]
+    tombs = f"{path}/tombstones"
+    assert not [d for d in os.listdir(tombs) if d.startswith("epoch=")]
+    after = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=20, nprobe=4)
+        .collect()
+    ]
+    assert after == before
+    # the folded rows must NOT have been re-hidden or revived
+    coded = spark.read.parquet(f"{path}/codes/epoch=1")
+    ids = {r["__id"] for r in coded.select("__id").collect()}
+    assert not (set(dead) & ids) and len(ids) == 78
+    for d in dead:
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == d).first()["v"]
+        ]
+        hit = {
+            r["vec_id"]
+            for r in ann_index.index_search(
+                spark, path, qv, k=78, nprobe=4
+            ).collect()
+        }
+        assert d not in hit
+
+
+def test_build_if_absent_reuses_complete_rebuilds_partial(spark, tmp_path):
+    """Second build_if_absent over a complete index is a no-op (same
+    bytes served); over a crash-partial index (meta landed, codes
+    missing) it rebuilds."""
+    import os
+
+    e = _emb(spark).filter("vec_id < 60")
+    path = str(tmp_path / "idx")
+    assert ann_index.index_build_if_absent(
+        e, "vec_id", "v", path, num_cells=4, pinned=True
+    )
+    q = _query(_emb(spark))
+    first = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    stamp = os.path.getmtime(f"{path}/codes/epoch=0/_SUCCESS")
+    assert not ann_index.index_build_if_absent(
+        e, "vec_id", "v", path, num_cells=4, pinned=True
+    )
+    assert os.path.getmtime(f"{path}/codes/epoch=0/_SUCCESS") == stamp
+    again = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    assert again == first
+    # simulate a crash between the meta and codes writes
+    import shutil
+
+    shutil.rmtree(f"{path}/codes")
+    assert ann_index.index_build_if_absent(
+        e, "vec_id", "v", path, num_cells=4, pinned=True
+    )
+    rebuilt = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    assert rebuilt == first

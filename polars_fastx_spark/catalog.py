@@ -2168,6 +2168,86 @@ def l_ngram_jaccard(spark, sf_dir):
 
 
 @_q(
+    "l_containment",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, length(text) - 7),
+               i -> substr(text, i, 8)))) AS shingle
+      FROM documents
+    ), nd AS (SELECT count(*) AS n FROM documents),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    post AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d USING (shingle), nd
+      WHERE d.df <= floor(0.04 * nd.n)
+    ),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM post a JOIN post b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+           round(common::DOUBLE / sa.sz, 6) AS containment_a_in_b,
+           round(common::DOUBLE / sb.sz, 6) AS containment_b_in_a,
+           round(greatest(common::DOUBLE / sa.sz,
+                          common::DOUBLE / sb.sz), 6) AS max_containment
+    FROM common JOIN sizes sa ON common.id_a = sa.doc_id
+                JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE greatest(common::DOUBLE / sa.sz, common::DOUBLE / sb.sz) >= 0.15
+    ORDER BY id_a, id_b
+    """,
+    "L2: asymmetric containment near-dup (|A∩B|/|A| over 8-shingles) — "
+    "the quotation/excerpt case symmetric Jaccard LSH misses; "
+    "inverted-index equi-join on shingle (Bayardo all-pairs shape), "
+    "boilerplate cut at df > 4% of the corpus (scale-invariant "
+    "fractional cap, corpus count as a 1-row broadcast)",
+)
+def l_containment(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.containment_pairs(
+            d, "doc_id", "text", k=8, threshold=0.15, max_shingle_df=0.04
+        )
+        .select(
+            "id_a", "id_b", "common", "size_a", "size_b",
+            F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+            F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+            F.round("max_containment", 6).alias("max_containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@_q(
+    "l_shingle_df_profile",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, length(text) - 7),
+               i -> substr(text, i, 8)))) AS shingle
+      FROM documents
+    ), dfreq AS (SELECT shingle, count(*) AS doc_freq FROM sh GROUP BY shingle)
+    SELECT doc_freq, count(*) AS n_shingles,
+           (count(*) * doc_freq * (doc_freq - 1) / 2)::BIGINT AS join_pairs
+    FROM dfreq GROUP BY doc_freq
+    ORDER BY doc_freq
+    """,
+    "L2 observability: document-frequency histogram of the shingle "
+    "inverted index — Σ df² is the containment join's cost; the table "
+    "read before choosing a max_shingle_df cap (mirror of "
+    "l_lsh_bucket_profile for the containment path)",
+)
+def l_shingle_df_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.shingle_df_profile(d, "doc_id", "text", k=8).orderBy(
+        "doc_freq"
+    )
+
+
+@_q(
     "l_simhash_neardup",
     """
     WITH tok AS (

@@ -517,6 +517,143 @@ def ngram_jaccard(
     )
 
 
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The inverted-index postings table: one (``__id``, ``shingle``)
+    row per DISTINCT character k-shingle per document — the relational
+    form every containment/all-pairs-similarity operator joins on.
+    Built by a row-local explode (no shuffle); dedup within a doc is
+    array_distinct before the explode, so the explode never emits a
+    duplicate posting."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_shingles(text_col, k)).alias("shingle"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup detection: pairs where the
+    smaller document's shingles are mostly a subset of the other's —
+    quotation, excerpt, and boilerplate-inclusion cases that symmetric
+    Jaccard LSH structurally misses (a 200-char doc fully quoted
+    inside a 20k-char doc has Jaccard ≈ 0.01 but containment 1.0; no
+    banding scheme tuned for Jaccard ≥ 0.5 ever pairs them).
+
+    ``containment(a in b) = |S(a) ∩ S(b)| / |S(a)|`` over distinct
+    character ``k``-shingles. Returns one row per unordered pair
+    (id_a < id_b) with ``common``, both set sizes, both directed
+    containments, and ``max_containment``; filtered to
+    ``max_containment >= threshold``.
+
+    Dataflow is the Bayardo/WWW'07 all-pairs inverted-index shape,
+    fully relational: postings (doc, shingle) → self-equi-join ON
+    SHINGLE (the inverted index IS the join key — candidate pairs only
+    materialize where a shingle is shared, never O(n²)) → count per
+    pair → join two ≤n-row size tables. At 100 TB the only quadratic
+    risk is a hot shingle shared by many documents; ``max_shingle_df``
+    is the standard frequency cut — shingles whose document frequency
+    exceeds the cap are dropped from the index (computed with one
+    co-partitioned groupBy on the same shingle key the join shuffles
+    on). A dropped shingle can only REMOVE evidence, so reported
+    containment is a lower bound for pairs touching hot shingles and
+    recall is what degrades, never precision — same trade as
+    ``minhash_lsh_candidates(bucket_cap=...)``, and
+    :func:`shingle_df_profile` is the observability table to read
+    before choosing the cap.
+
+    A float cap in (0, 1) is RELATIVE: shingles in more than
+    ``floor(frac · n_docs)`` documents are cut. An absolute cap tuned
+    at one corpus size silently over-prunes at 10× (the same shared
+    vocabulary is 10× hotter); the fraction keeps the cut's meaning —
+    "boilerplate = appears in more than x% of the corpus" — scale-
+    invariant. The corpus count enters relationally (1-row broadcast
+    cross-join, the totals-as-broadcast pattern), never a collect.
+    """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    post = shingle_postings(ensure_min_parallelism(df), id_col, text_col, k)
+    sizes = post.groupBy("__id").agg(F.count("*").alias("__sz"))
+    if max_shingle_df is not None:
+        dfreq = post.groupBy("shingle").agg(F.count("*").alias("__df"))
+        if isinstance(max_shingle_df, float):
+            assert 0.0 < max_shingle_df < 1.0, (
+                "fractional max_shingle_df must be in (0, 1)"
+            )
+            ndocs = df.agg(F.count("*").alias("__ndocs"))
+            post = (
+                post.join(dfreq, "shingle")
+                .crossJoin(F.broadcast(ndocs))
+                .filter(
+                    F.col("__df")
+                    <= F.floor(F.lit(max_shingle_df) * F.col("__ndocs"))
+                )
+                .select("__id", "shingle")
+            )
+        else:
+            post = (
+                post.join(dfreq, "shingle")
+                .filter(F.col("__df") <= max_shingle_df)
+                .select("__id", "shingle")
+            )
+    a, b = post.alias("a"), post.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("size_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("size_b"))
+    c_ab = F.col("common") / F.col("size_a")
+    c_ba = F.col("common") / F.col("size_b")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "common", "size_a", "size_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+            F.greatest(c_ab, c_ba).alias("max_containment"),
+        )
+        .filter(F.col("max_containment") >= threshold)
+    )
+
+
+def shingle_df_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Document-frequency histogram of the shingle inverted index —
+    the observability companion to ``containment_pairs(
+    max_shingle_df=...)``: one row per df value with the shingle count
+    and the pair volume that frequency class generates in the
+    inverted-index join (df·(df-1)/2 per shingle). Σ df² is the join
+    cost; this is the table you read before choosing a cap (mirror of
+    :func:`lsh_bucket_profile` for the containment path)."""
+    post = shingle_postings(df, id_col, text_col, k)
+    dfreq = post.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    return dfreq.groupBy("doc_freq").agg(
+        F.count("*").alias("n_shingles"),
+        (F.count("*") * F.col("doc_freq") * (F.col("doc_freq") - 1) / 2)
+        .cast("bigint")
+        .alias("join_pairs"),
+    )
+
+
 # ------------------------------------------------------------- SimHash (L2)
 
 def _md5_bits64(token: F.Column) -> F.Column:

@@ -300,3 +300,120 @@ def test_neardup_gate_drops_index_neighbors_keeps_novel(spark):
         ).collect()
     }
     assert hits == {10}
+
+
+# ----------------------------------------------------- containment (L2)
+
+def _py_shingles(text, k=8):
+    return {text[i : i + k] for i in range(len(text) - k + 1)}
+
+
+def test_containment_detects_quotation_jaccard_misses(spark):
+    """The motivating asymmetric case: a short doc quoted verbatim
+    inside a much longer one has containment 1.0 but Jaccard far below
+    any LSH band threshold — Jaccard-tuned candidate generation
+    structurally misses it, containment_pairs finds it."""
+    quote = "the defendant stated on the record that the contract was void"
+    host = (
+        "opening remarks about procedure and jurisdiction went on at "
+        "length before the transcript reached the key passage where "
+        + quote
+        + " and the court adjourned for further deliberation on costs "
+        "and the schedule of the remaining witnesses for the week"
+    )
+    rows = [(1, quote), (2, host), (3, "entirely unrelated filler text "
+            "about gardening tools and seasonal vegetable planting")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", k=8, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in got and len(got) == 1
+    r = got[(1, 2)]
+    assert r["containment_a_in_b"] == 1.0  # quote fully inside host
+    jac = r["common"] / (r["size_a"] + r["size_b"] - r["common"])
+    assert jac < 0.35  # symmetric similarity can't see this pair
+    # and indeed Jaccard-tuned LSH (deterministic md5 family) misses it
+    lsh = {
+        (p["id_a"], p["id_b"])
+        for p in dedup.minhash_lsh_candidates(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) not in lsh
+
+
+def test_containment_matches_python_reference(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+        "completely different content with no overlap whatsoever here",
+        "alpha beta gamma delta",
+        "zeta eta theta iota kappa lambda mu nu xi omicron pi rho",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["common"], r["size_a"], r["size_b"],
+            r["containment_a_in_b"], r["containment_b_in_a"],
+        )
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", k=8, threshold=0.0
+        ).collect()
+    }
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+            c = len(sa & sb)
+            if c:
+                want[(a, b)] = (c, len(sa), len(sb), c / len(sa), c / len(sb))
+    assert got == want
+
+
+def test_containment_fractional_cap_equals_absolute(spark):
+    rows = [(i, f"shared prefix words here doc {i} " + "tail " * (i + 1))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    frac = dedup.containment_pairs(
+        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=0.5
+    ).collect()
+    absolute = dedup.containment_pairs(
+        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=4
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(tuple, frac), key=None) == sorted(map(tuple, absolute), key=None)
+
+
+def test_containment_cap_only_removes_evidence(spark):
+    """The df cut is recall-only: capped containment is a lower bound
+    pairwise, and the capped pair set is a subset of the uncapped."""
+    rows = [(i, "very common boilerplate header line " + f"unique body {i} "
+            + "more unique trailing content number " + str(i) * 3)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r["id_a"], r["id_b"]): r["max_containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", k=8, threshold=0.0
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["max_containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=3
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(capped[p] <= full[p] for p in capped)
+    assert capped != full  # the boilerplate shingles really were cut
+
+
+def test_shingle_df_profile_accounts_for_every_posting(spark):
+    rows = [(i, f"document number {i} with some shared words") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = dedup.shingle_df_profile(df, "doc_id", "text", k=8).collect()
+    postings = dedup.shingle_postings(df, "doc_id", "text", k=8).count()
+    assert sum(r["doc_freq"] * r["n_shingles"] for r in prof) == postings
+    for r in prof:
+        assert r["join_pairs"] == r["n_shingles"] * r["doc_freq"] * (r["doc_freq"] - 1) // 2

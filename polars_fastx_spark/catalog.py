@@ -2222,6 +2222,51 @@ def l_containment(spark, sf_dir):
 
 
 @_q(
+    "l_containment_decontam",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, length(text) - 7),
+               i -> substr(text, i, 8)))) AS shingle
+      FROM documents
+    ),
+    bp AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 97 = 0),
+    cp AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    bs AS (SELECT bench_id, count(*) AS size_bench FROM bp GROUP BY 1),
+    common AS (
+      SELECT corpus_id, bench_id, count(*) AS common
+      FROM cp JOIN bp USING (shingle) GROUP BY 1, 2
+    )
+    SELECT corpus_id, bench_id, common, size_bench,
+           round(common::DOUBLE / size_bench, 6) AS containment
+    FROM common JOIN bs USING (bench_id)
+    WHERE common::DOUBLE / size_bench >= 0.25
+    ORDER BY corpus_id, bench_id
+    """,
+    "L4+: GRADED containment decontamination — how much of WHICH "
+    "benchmark item each corpus doc contains (|S(bench)∩S(doc)|/"
+    "|S(bench)| over 8-shingles), the thresholded removal score, vs "
+    "l_decontaminate's binary any-n-gram flag; benchmark postings "
+    "broadcast (MBs vs a 100 TB corpus), corpus side streams — the "
+    "only exchange is the per-pair count groupBy",
+)
+def l_containment_decontam(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    return (
+        dedup.containment_pairs_between(
+            corpus, benchmark, "doc_id", "text", k=8, threshold=0.25
+        )
+        .select(
+            "corpus_id", "bench_id", "common", "size_bench",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("corpus_id", "bench_id")
+    )
+
+
+@_q(
     "l_shingle_df_profile",
     """
     WITH sh AS (

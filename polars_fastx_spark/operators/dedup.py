@@ -634,6 +634,71 @@ def containment_pairs(
     )
 
 
+def containment_pairs_between(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Directed containment of each BENCHMARK document inside each
+    CORPUS document — the graded decontamination score: ``|S(bench) ∩
+    S(corpus_doc)| / |S(bench)|`` over distinct character
+    ``k``-shingles, per (corpus_id, bench_id) pair. Where
+    :func:`polars_fastx_spark.operators.text.decontaminate` answers
+    "does this corpus doc share ANY n-gram with the eval suite"
+    (binary, one bit per doc), this answers "HOW MUCH of WHICH
+    benchmark item does it contain" — the thresholded removal score
+    production pipelines apply (a doc quoting 90% of an eval item is
+    contamination; one sharing a stock phrase is not).
+
+    Same inverted-index shape as :func:`containment_pairs`, but the
+    join is corpus-postings × BROADCAST benchmark-postings — eval
+    suites are MBs against a 100 TB corpus, so the benchmark side
+    ships to every executor and the corpus side streams with no
+    shuffle at all on the corpus postings (the groupBy on
+    (corpus_id, bench_id) is the only exchange). ``max_shingle_df``
+    cuts corpus-hot shingles by ABSOLUTE document frequency (the
+    corpus side of the Bayardo frequency filter); as in
+    :func:`containment_pairs` a cut only removes evidence, so scores
+    are lower bounds and recall is what degrades.
+
+    Returns (corpus_id, bench_id, common, size_bench, containment)
+    filtered to ``containment >= threshold``.
+    """
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    cpost = shingle_postings(
+        ensure_min_parallelism(corpus), id_col, text_col, k
+    ).withColumnRenamed("__id", "corpus_id")
+    if max_shingle_df is not None:
+        dfreq = cpost.groupBy("shingle").agg(F.count("*").alias("__df"))
+        cpost = (
+            cpost.join(dfreq, "shingle")
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("corpus_id", "shingle")
+        )
+    bpost = shingle_postings(benchmark, id_col, text_col, k).withColumnRenamed(
+        "__id", "bench_id"
+    )
+    bsizes = bpost.groupBy("bench_id").agg(F.count("*").alias("size_bench"))
+    common = (
+        cpost.join(F.broadcast(bpost), "shingle")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(F.broadcast(bsizes), "bench_id")
+        .select(
+            "corpus_id", "bench_id", "common", "size_bench",
+            (F.col("common") / F.col("size_bench")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def shingle_df_profile(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

@@ -417,3 +417,47 @@ def test_shingle_df_profile_accounts_for_every_posting(spark):
     assert sum(r["doc_freq"] * r["n_shingles"] for r in prof) == postings
     for r in prof:
         assert r["join_pairs"] == r["n_shingles"] * r["doc_freq"] * (r["doc_freq"] - 1) // 2
+
+
+def test_containment_between_scores_planted_quote(spark):
+    bench = spark.createDataFrame(
+        [(100, "what is the boiling point of water at sea level exactly")],
+        ["doc_id", "text"],
+    )
+    quoted = ("intro paragraph before the question section asks "
+              "what is the boiling point of water at sea level exactly "
+              "and then the article moves on to discuss altitude effects")
+    corpus = spark.createDataFrame(
+        [(1, quoted), (2, "totally unrelated prose about mountain trails")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["corpus_id"], r["bench_id"]): r["containment"]
+        for r in dedup.containment_pairs_between(
+            corpus, bench, "doc_id", "text", k=8, threshold=0.25
+        ).collect()
+    }
+    assert got == {(1, 100): 1.0}  # fully quoted; unrelated doc filtered
+
+
+def test_containment_between_matches_python_reference(spark):
+    btexts = {10: "alpha beta gamma delta epsilon", 11: "zeta eta theta iota"}
+    ctexts = {0: "alpha beta gamma delta epsilon zeta eta theta iota",
+              1: "beta gamma delta words and more words trailing on",
+              2: "no shared material at all in this one honestly"}
+    bench = spark.createDataFrame(list(btexts.items()), ["doc_id", "text"])
+    corpus = spark.createDataFrame(list(ctexts.items()), ["doc_id", "text"])
+    got = {
+        (r["corpus_id"], r["bench_id"]): (r["common"], r["size_bench"], r["containment"])
+        for r in dedup.containment_pairs_between(
+            corpus, bench, "doc_id", "text", k=8, threshold=0.0
+        ).collect()
+    }
+    want = {}
+    for cid, ct in ctexts.items():
+        for bid, bt in btexts.items():
+            sb, sc = _py_shingles(bt), _py_shingles(ct)
+            c = len(sb & sc)
+            if c:
+                want[(cid, bid)] = (c, len(sb), c / len(sb))
+    assert got == want

@@ -443,6 +443,64 @@ def stream_neardup_gate(
     )
 
 
+def stream_decontam_gate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+):
+    """Streaming contamination gate: drop arriving documents that
+    CONTAIN a benchmark/eval item (graded shingle containment ≥
+    ``threshold`` — ``dedup.containment_pairs_between``) and write the
+    clean remainder — the decontamination twin of
+    :func:`stream_neardup_gate`, completing the ingest-gate family:
+    exact (``stream_dedup``), membership (``stream_bloom_filter``),
+    near-dup (``stream_neardup_gate``), sample (``stream_sample_gate``),
+    contamination (this).
+
+    Unlike the near-dup gate there is NO growing index — the benchmark
+    is static — so every batch gates against the same persisted
+    benchmark postings (cached once here; at 100 TB the benchmark side
+    is MBs and broadcasts). ``foreachBatch`` only because the per-doc
+    drop decision aggregates shingle hits per (doc, bench item) — a
+    groupBy no unwatermarked append stream expresses. Each batch's
+    output lands in ``out_path/epoch=<id>`` overwritten whole, so an
+    at-least-once retry replaces itself (idempotent); with a static
+    benchmark a retry trivially sees the state the first attempt saw —
+    no epoch-exclusion subtlety needed.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from polars_fastx_spark.operators import dedup as _dedup
+
+    bench = benchmark.persist()
+
+    def _gate(batch: DataFrame, epoch: int) -> None:
+        hits = (
+            _dedup.containment_pairs_between(
+                batch, bench, id_col, text_col,
+                k=k, threshold=threshold, max_shingle_df=max_shingle_df,
+            )
+            .select(F.col("corpus_id").alias(id_col))
+            .distinct()
+        )
+        batch.join(hits, id_col, "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/epoch={epoch}")
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _neardup_gate_epoch(
     batch: DataFrame,
     epoch: int,

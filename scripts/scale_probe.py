@@ -360,6 +360,67 @@ def main() -> None:
     finally:
         shutil.rmtree(idx_path, ignore_errors=True)
 
+    # ---- containment tier: inverted shingle index at 10× ------------
+    # Substrate matters here: containment's cost is Σ df² over the
+    # shingle index, so the probe corpus is the shape the operator is
+    # FOR — 50k mostly-unique docs, 5% of which quote one of 100 source
+    # passages, and EVERY doc carrying the same boilerplate header
+    # (df = 50k). Uncapped, the header alone would join ~50k²/2 ≈ 1.2B
+    # pairs per header shingle; the fractional df cap must cut it and
+    # keep the join linear in the planted-quote volume.
+    cont_path = os.path.join(workdir, "documents_containment.parquet")
+    if not os.path.exists(cont_path):
+        rng = np.random.RandomState(77)
+        passages = [
+            " ".join(f"passage{p}word{w}" for w in range(12))
+            for p in range(100)
+        ]
+        texts, ids = [], []
+        for i in range(N_DOCS):
+            body = " ".join(f"u{i}x{j}" for j in range(40))
+            quote = passages[i % 100] + " " if i % 20 == 0 else ""
+            texts.append("standard corpus license header line " + quote + body)
+            ids.append(i)
+        # the passage pool itself rides along as docs 1M+ (the
+        # "benchmark" side of the between probe)
+        for p, t in enumerate(passages):
+            ids.append(1_000_000 + p)
+            texts.append(t)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts)}),
+            cont_path,
+        )
+    cdocs = spark.read.parquet(cont_path).filter("doc_id < 1000000")
+    cbench = spark.read.parquet(cont_path).filter("doc_id >= 1000000")
+
+    def _containment():
+        out = dedup.containment_pairs(
+            cdocs, "doc_id", "text", k=8, threshold=0.5,
+            max_shingle_df=0.04,
+        )
+        n = out.count()
+        # every planted (quoting, quoting) same-passage pair is found:
+        # 2.5k quoting docs in 100 passage groups of 25 -> 25*24/2 per
+        # group is the candidate clique; threshold 0.5 keeps pairs
+        # whose shared quote dominates the smaller doc — spot-check
+        # volume is in the planted order of magnitude, not ~1.2B
+        assert n < 1_000_000, n
+        return f"{n:,} pairs (header df=50k cut by 4% cap)"
+
+    probe("containment 50k docs (frac cap)", _containment)
+
+    def _containment_between():
+        out = dedup.containment_pairs_between(
+            cdocs, cbench, "doc_id", "text", k=8, threshold=0.9,
+            max_shingle_df=2_000,
+        )
+        n = out.count()
+        assert n == 2_500, n  # exactly the planted quoting docs
+        return f"{n:,} (doc, passage) hits == planted 2,500"
+
+    probe("containment_between (100 bench)", _containment_between)
+
     print("\n| probe | seconds | result |")
     print("|---|---|---|")
     for name, dt, out in rows:

@@ -1080,3 +1080,64 @@ def test_stream_sample_gate_matches_batch_sample(spark, srcdir, tmp_path):
         for r in deterministic_sample(batch, "event_id", 0.2, salt="ingest").collect()
     }
     assert sub <= got
+
+
+def test_stream_decontam_gate_drops_contaminated_docs(spark, srcdir, tmp_path):
+    """The streaming contamination gate: docs quoting a benchmark item
+    (containment >= threshold) are dropped across micro-batches; clean
+    docs and batch==stream parity with the batch operator hold."""
+    from polars_fastx_spark.operators import dedup
+    from polars_fastx_spark.streaming.pipelines import stream_decontam_gate
+
+    bench_text = "what is the capital of france and when was it founded"
+    benchmark = spark.createDataFrame(
+        [(900, bench_text)], ["doc_id", "text"]
+    )
+
+    def _doc_batch(name, rows):
+        (srcdir / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+            + "\n"
+        )
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(srcdir))
+    )
+    out, ck = tmp_path / "out", tmp_path / "ck"
+
+    b0 = [
+        (1, "an article that asks " + bench_text + " among other things"),
+        (2, "perfectly clean document about gardening and hiking trails"),
+    ]
+    _doc_batch("b0.json", b0)
+    q = stream_decontam_gate(
+        docs, benchmark, "doc_id", "text", str(out), str(ck), threshold=0.9
+    )
+    q.awaitTermination(120)
+
+    b1 = [
+        (10, "another quiz page containing " + bench_text + " verbatim"),
+        (11, "novel clean training text with no benchmark overlap at all"),
+    ]
+    _doc_batch("b1.json", b1)
+    q = stream_decontam_gate(
+        docs, benchmark, "doc_id", "text", str(out), str(ck), threshold=0.9
+    )
+    q.awaitTermination(120)
+
+    kept = {
+        r.doc_id for r in spark.read.parquet(str(out)).collect()
+    }
+    assert kept == {2, 11}
+
+    # stream == batch parity: the batch operator's hit set is the
+    # complement of what the stream kept
+    allb = spark.createDataFrame(b0 + b1, ["doc_id", "text"])
+    batch_hits = {
+        r["corpus_id"]
+        for r in dedup.containment_pairs_between(
+            allb, benchmark, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert batch_hits == {1, 10}

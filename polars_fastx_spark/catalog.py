@@ -8162,6 +8162,99 @@ def l_ann_index_add(spark, sf_dir):
 
 
 @_q(
+    "l_ann_index_search_filtered",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1,65), i -> a.v[i] - c.cvec[i]) AS r
+      FROM asg a JOIN cent c USING (cell)
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(t.r, js.j*8+1, js.j*8+8) AS sv
+      FROM resid t, js
+    ),"""
+    + _PQ_SEEDS_SQL.format(subs="rsubs", cell_sel=", s.cell")
+    + """,
+    q AS (SELECT v FROM base WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cell, c.cvec
+      FROM cent c, q
+      ORDER BY list_dot_product(q.v, c.cvec)
+                 / (coalesce(nullif(sqrt(list_sum(
+                        list_transform(q.v, x -> x*x))), 0), 1)
+                    * coalesce(nullif(c.cnorm, 0), 1)) DESC,
+               c.cell ASC
+      LIMIT 4
+    ),
+    qres AS (
+      SELECT p.cell,
+             list_transform(range(1,65), i -> q.v[i] - p.cvec[i]) AS qr
+      FROM probed p, q
+    ),
+    qrsubs AS (
+      SELECT t.cell, js.j, list_slice(t.qr, js.j*8+1, js.j*8+8) AS sv
+      FROM qres t, js
+    ),
+    dtab AS (
+      SELECT qs.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qs.sv[i]-d.sv[i])*(qs.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qs JOIN seeds d ON qs.j = d.j
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      WHERE a.vec_id % 3 = 0
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS adc_dist
+    FROM adc ORDER BY raw ASC, vec_id ASC LIMIT 10
+    """,
+    "L3+ METADATA-FILTERED ANN search: the allowed id set (a predicate "
+    "on a dimension table in production — here vec_id % 3 = 0) "
+    "semi-joins onto the code scan BEFORE ADC ranking, so k results "
+    "survive any selectivity (post-filtering a top-k silently "
+    "truncates); oracle = the pinned replay restricted to the allowed "
+    "split. Composes with tombstones (filter on top of the hide "
+    "anti-join — test-pinned).",
+)
+def l_ann_index_search_filtered(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    path = tempfile.mkdtemp(prefix="pfs_ann_filt_")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    allow = e.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return ann_index.index_search(
+        spark, path, q, k=10, nprobe=4, id_filter=allow
+    ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+@_q(
     "l_ann_index_delete",
     """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -275,23 +275,63 @@ def _live_codes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _filtered_codes(
+    spark: SparkSession, path: str, id_filter
+) -> DataFrame:
+    """The live code table, optionally PRE-filtered to an allowed id
+    set — filtered ANN done the correct way round: restricting
+    CANDIDATES before ranking guarantees k results whenever k allowed
+    vectors exist, where post-filtering a top-k would silently return
+    fewer (the classic filtered-search truncation bug under selective
+    predicates). ``id_filter`` is a one-column DataFrame (any column
+    name — e.g. the output of a metadata predicate on a dimension
+    table) or a plain Python list; values are cast to the code table's
+    id type, same contract as :func:`index_delete`. The allowed set
+    semi-joins onto the code scan — broadcast when small, shuffle-hash
+    when the predicate side is data-sized — so the ADC math never sees
+    a disallowed candidate."""
+    coded = _live_codes(spark, path).drop("epoch")
+    if id_filter is None:
+        return coded
+    if isinstance(id_filter, DataFrame):
+        allow = id_filter.select(
+            F.col(id_filter.columns[0]).alias("__allow_id")
+        ).distinct()
+    else:
+        allow = spark.createDataFrame(
+            [(i,) for i in id_filter], ["__allow_id"]
+        ).distinct()
+    allow = allow.select(
+        F.col("__allow_id").cast(coded.schema["__id"].dataType).alias(
+            "__allow_id"
+        )
+    )
+    return coded.join(
+        allow, coded["__id"] == allow["__allow_id"], "left_semi"
+    )
+
+
 def index_search(
     spark: SparkSession,
     path: str,
     query: list[float],
     k: int = 10,
     nprobe: int = 4,
+    id_filter: DataFrame | list | None = None,
 ) -> DataFrame:
     """Top-k ADC search over the persisted index: open centroids +
     books (bounded collects — KBs), stream the live code table across
     all epochs (tombstone-filtered — :func:`_live_codes`), and rank
     with :func:`vectors.adc_search` — the identical query path
     ``ivfpq_topk`` uses, so persisted == in-query search
-    result-for-result. Returns (<id_col>, adc_dist)."""
+    result-for-result. ``id_filter`` restricts candidates to an
+    allowed id set BEFORE ranking (:func:`_filtered_codes` — metadata-
+    filtered ANN, e.g. one language or license tier). Returns
+    (<id_col>, adc_dist)."""
     meta = spark.read.parquet(f"{path}/meta").first()
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     books = _load_books(spark, path, meta["m"], meta["pq_k"])
-    coded = _live_codes(spark, path).drop("epoch")
+    coded = _filtered_codes(spark, path, id_filter)
     return vectors.adc_search(
         coded, cent_rows, books, query, meta["id_col"], k=k, nprobe=nprobe
     )
@@ -305,6 +345,7 @@ def index_search_many(
     nprobe: int = 4,
     query_id_col: str = "query_id",
     vec_col: str = "qvec",
+    id_filter: DataFrame | list | None = None,
 ) -> DataFrame:
     """Top-k ADC search for a TABLE of queries in one pass — the batch
     retrieval shape (training-pair mining, nightly eval suites), fully
@@ -321,6 +362,8 @@ def index_search_many(
     → groupBy(query, id) → per-query top-k window. Cell/rank
     tie-breaks mirror :func:`index_search` (cosine desc, cell asc;
     dist asc, id asc), so a 1-row queries table reproduces it.
+    ``id_filter`` restricts candidates BEFORE the per-query top-k
+    (:func:`_filtered_codes`), shared by every query in the batch.
 
     Returns (query_id, <id_col>, adc_dist, rank).
     """
@@ -369,7 +412,7 @@ def index_search_many(
     dtab = probed.join(F.broadcast(books)).select(
         "query_id", "cell", "j", "c", dist.alias("_d")
     )
-    coded = _live_codes(spark, path).drop("epoch")
+    coded = _filtered_codes(spark, path, id_filter)
     ex = coded.select("__id", "cell", F.posexplode("codes").alias("j", "c"))
     wk = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("__id").asc()

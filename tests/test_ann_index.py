@@ -384,3 +384,62 @@ def test_build_if_absent_reuses_complete_rebuilds_partial(spark, tmp_path):
         for r in ann_index.index_search(spark, path, q, k=10).collect()
     ]
     assert rebuilt == first
+
+
+def test_filtered_search_prefilters_candidates(spark, tmp_path):
+    """id_filter restricts candidates BEFORE ranking: only allowed ids
+    return, k results survive a selective filter (post-filtering a
+    top-k would truncate), the ranking equals the unfiltered ranking
+    restricted to the allowed set, and both arg forms (DataFrame /
+    list) agree. Also covers index_search_many's shared filter."""
+    e = _emb(spark)
+    q = _query(e)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    allowed = [r["vec_id"] for r in e.filter("vec_id % 7 = 0").collect()]
+
+    big = ann_index.index_search(spark, path, q, k=10_000, nprobe=4).collect()
+    want = [r["vec_id"] for r in big if r["vec_id"] in set(allowed)][:10]
+
+    got_list = ann_index.index_search(
+        spark, path, q, k=10, nprobe=4, id_filter=allowed
+    ).collect()
+    assert [r["vec_id"] for r in got_list] == want
+    assert len(got_list) == 10  # pre-filter keeps k under selectivity
+
+    allow_df = e.filter("vec_id % 7 = 0").select("vec_id")
+    got_df = ann_index.index_search(
+        spark, path, q, k=10, nprobe=4, id_filter=allow_df
+    ).collect()
+    assert [tuple(r) for r in got_df] == [tuple(r) for r in got_list]
+
+    qdf = spark.createDataFrame([(0, q)], ["query_id", "qvec"])
+    many = ann_index.index_search_many(
+        spark, path, qdf, k=10, nprobe=4, id_filter=allow_df
+    ).collect()
+    assert [r["vec_id"] for r in sorted(many, key=lambda r: r["rank"])] == want
+
+
+def test_filtered_search_composes_with_tombstones(spark, tmp_path):
+    """The filter semi-join applies on top of the tombstone anti-join:
+    an id that is allowed but deleted must still not return."""
+    e = _emb(spark)
+    q = _query(e)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    allowed = [r["vec_id"] for r in e.filter("vec_id % 2 = 0").collect()]
+    base = ann_index.index_search(
+        spark, path, q, k=5, nprobe=4, id_filter=allowed
+    ).collect()
+    victim = base[0]["vec_id"]
+    ann_index.index_delete(spark, path, [victim])
+    after = ann_index.index_search(
+        spark, path, q, k=5, nprobe=4, id_filter=allowed
+    ).collect()
+    ids_after = [r["vec_id"] for r in after]
+    assert victim not in ids_after and len(after) == 5
+    assert ids_after == [r["vec_id"] for r in base[1:]] + ids_after[-1:]

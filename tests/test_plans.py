@@ -95,6 +95,7 @@ ALLOWED_NESTED_LOOP = {
     # probed × m·pq_k books: both broadcast crosses of bounded tables
     "l_containment",      # corpus doc-count = 1-row broadcast cross join
     "l_ann_index_delete",  # same build shape as l_ann_index_search
+    "l_ann_index_search_filtered",  # same build shape as l_ann_index_search
 }
 
 

@@ -518,17 +518,35 @@ def ngram_jaccard(
 
 
 def shingle_postings(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """The inverted-index postings table: one (``__id``, ``shingle``)
     row per DISTINCT character k-shingle per document — the relational
     form every containment/all-pairs-similarity operator joins on.
     Built by a row-local explode (no shuffle); dedup within a doc is
     array_distinct before the explode, so the explode never emits a
-    duplicate posting."""
+    duplicate posting.
+
+    ``hash_shingles=True`` maps shingles to xxhash64 longs BEFORE the
+    explode, so every downstream shuffle/join moves 8-byte keys
+    instead of k-char strings — count-identical up to 64-bit
+    collisions (~n²/2⁶⁵, negligible at any corpus size that fits an
+    index) but not replayable by an ANSI-SQL oracle (the md5-vs-
+    xxhash64 family split the MinHash tier already makes). Measured
+    NEUTRAL at k=8 (the string key is already 8 bytes; the hash pass
+    offsets the shrink) — it pays when shingles are long: word
+    n-grams or k ≫ 8, where the uncompressed key would be 5-10× the
+    long."""
+    sh = char_shingles(text_col, k)
+    if hash_shingles:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     return df.select(
         F.col(id_col).alias("__id"),
-        F.explode(char_shingles(text_col, k)).alias("shingle"),
+        F.explode(sh).alias("shingle"),
     )
 
 
@@ -539,6 +557,7 @@ def containment_pairs(
     k: int = 8,
     threshold: float = 0.5,
     max_shingle_df: int | float | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Asymmetric containment near-dup detection: pairs where the
     smaller document's shingles are mostly a subset of the other's —
@@ -579,7 +598,9 @@ def containment_pairs(
     """
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 
-    post = shingle_postings(ensure_min_parallelism(df), id_col, text_col, k)
+    post = shingle_postings(
+        ensure_min_parallelism(df), id_col, text_col, k, hash_shingles
+    )
     sizes = post.groupBy("__id").agg(F.count("*").alias("__sz"))
     if max_shingle_df is not None:
         dfreq = post.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -642,6 +663,7 @@ def containment_pairs_between(
     k: int = 8,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Directed containment of each BENCHMARK document inside each
     CORPUS document — the graded decontamination score: ``|S(bench) ∩
@@ -671,7 +693,7 @@ def containment_pairs_between(
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 
     cpost = shingle_postings(
-        ensure_min_parallelism(corpus), id_col, text_col, k
+        ensure_min_parallelism(corpus), id_col, text_col, k, hash_shingles
     ).withColumnRenamed("__id", "corpus_id")
     if max_shingle_df is not None:
         dfreq = cpost.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -680,9 +702,9 @@ def containment_pairs_between(
             .filter(F.col("__df") <= max_shingle_df)
             .select("corpus_id", "shingle")
         )
-    bpost = shingle_postings(benchmark, id_col, text_col, k).withColumnRenamed(
-        "__id", "bench_id"
-    )
+    bpost = shingle_postings(
+        benchmark, id_col, text_col, k, hash_shingles
+    ).withColumnRenamed("__id", "bench_id")
     bsizes = bpost.groupBy("bench_id").agg(F.count("*").alias("size_bench"))
     common = (
         cpost.join(F.broadcast(bpost), "shingle")

@@ -376,13 +376,13 @@ def test_containment_fractional_cap_equals_absolute(spark):
             for i in range(8)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     frac = dedup.containment_pairs(
-        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=0.5
+        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=0.875
     ).collect()
     absolute = dedup.containment_pairs(
-        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=4
+        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=7
     ).collect()
-    key = lambda r: (r["id_a"], r["id_b"])
-    assert sorted(map(tuple, frac), key=None) == sorted(map(tuple, absolute), key=None)
+    assert sorted(map(tuple, frac)) == sorted(map(tuple, absolute))
+    assert frac  # the cap left evidence: the comparison is not vacuous
 
 
 def test_containment_cap_only_removes_evidence(spark):
@@ -461,3 +461,27 @@ def test_containment_between_matches_python_reference(spark):
             if c:
                 want[(cid, bid)] = (c, len(sb), c / len(sb))
     assert got == want
+
+
+def test_containment_hashed_shingles_match_strings(spark):
+    """hash_shingles=True (8-byte join keys) is count-identical to the
+    string-keyed path on both containment operators."""
+    rows = [(i, f"shared prefix words here doc {i} " + "tail " * (i + 1))
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(tuple(r) for r in dedup.containment_pairs(
+        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=7
+    ).collect())
+    b = sorted(tuple(r) for r in dedup.containment_pairs(
+        df, "doc_id", "text", k=8, threshold=0.0, max_shingle_df=7,
+        hash_shingles=True,
+    ).collect())
+    assert a == b and a
+    bench = spark.createDataFrame([(99, rows[3][1])], ["doc_id", "text"])
+    c = sorted(tuple(r) for r in dedup.containment_pairs_between(
+        df, bench, "doc_id", "text", k=8, threshold=0.5
+    ).collect())
+    d = sorted(tuple(r) for r in dedup.containment_pairs_between(
+        df, bench, "doc_id", "text", k=8, threshold=0.5, hash_shingles=True
+    ).collect())
+    assert c == d and c

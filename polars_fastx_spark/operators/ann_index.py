@@ -591,6 +591,77 @@ def _compact_codes_with_tombstones(
     _swap(stage_name, target, upto_epoch)
 
 
+def index_recall(
+    spark: SparkSession,
+    path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """MEASURED recall@k of the persisted index against exact L2 over
+    a query sample — the tuning table for (num_cells, m, pq_k, nprobe):
+    quantization parameters are chosen by reading this, not guessed.
+    ``vectors`` is the original corpus table (the index stores only PQ
+    codes, so ground truth needs the caller's vector column — present
+    in any deployment that built the index).
+
+    Both sides are relational: the approximate side is one
+    :func:`index_search_many` pass (the whole sample shares each
+    probed cell's scan); the exact side is vectors × BROADCAST queries
+    with an L2 fold and a per-query top-k window — deliberately
+    brute-force because a recall report runs over a ~100-query sample,
+    where nq·n dot products is the cheap, unarguable ground truth.
+    Ties (equal distance) break by id ascending on BOTH sides, so
+    recall is deterministic. Returns (query_id, n_hits, recall) — one
+    row per query; aggregate for the headline number."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    id_col = meta["id_col"]
+    approx = index_search_many(
+        spark, path, queries, k=k, nprobe=nprobe,
+        query_id_col=query_id_col, vec_col=qvec_col,
+    ).select("query_id", F.col(id_col).alias("__hit"))
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("__q"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("__hit"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("__v", "__q", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("__hit").asc()
+    )
+    exact = (
+        v.join(F.broadcast(q))
+        .select("query_id", "__hit", d2.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "__hit")
+    )
+    hits = exact.join(approx, ["query_id", "__hit"], "left_semi").groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(k)).alias("recall"),
+        )
+    )
+
+
 def index_stats(spark: SparkSession, path: str) -> DataFrame:
     """Observability twin of ``lsh_bucket_profile``: per-cell LIVE
     vector counts (tombstone-hidden rows excluded, like every search)

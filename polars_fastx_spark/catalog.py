@@ -8255,6 +8255,132 @@ def l_ann_index_search_filtered(spark, sf_dir):
 
 
 @_q(
+    "l_ann_index_recall",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1,65), i -> a.v[i] - c.cvec[i]) AS r
+      FROM asg a JOIN cent c USING (cell)
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(t.r, js.j*8+1, js.j*8+8) AS sv
+      FROM resid t, js
+    ),"""
+    + _PQ_SEEDS_SQL.format(subs="rsubs", cell_sel=", s.cell")
+    + """,
+    qs AS (SELECT vec_id AS query_id, v AS qv FROM base
+           WHERE vec_id % 29 = 0),
+    probed AS (
+      SELECT query_id, cell, cvec, qv FROM (
+        SELECT qs.query_id, c.cell, c.cvec, qs.qv,
+               row_number() OVER (PARTITION BY qs.query_id
+                 ORDER BY list_dot_product(qs.qv, c.cvec)
+                   / nullif(sqrt(list_sum(list_transform(qs.qv, x -> x*x)))
+                            * c.cnorm, 0) DESC,
+                 c.cell ASC) AS rn
+        FROM qs CROSS JOIN cent c
+      ) WHERE rn <= 4
+    ),
+    qres AS (
+      SELECT query_id, cell,
+             list_transform(range(1,65), i -> qv[i] - cvec[i]) AS qr
+      FROM probed
+    ),
+    qrsubs AS (
+      SELECT t.query_id, t.cell, js.j,
+             list_slice(t.qr, js.j*8+1, js.j*8+8) AS sv
+      FROM qres t, js
+    ),
+    dtab AS (
+      SELECT qt.query_id, qt.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qt.sv[i]-d.sv[i])*(qt.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qt JOIN seeds d ON qt.j = d.j
+    ),
+    adc AS (
+      SELECT t.query_id, a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      GROUP BY t.query_id, a.vec_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY raw ASC, vec_id ASC) AS rank
+        FROM adc
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, b.vec_id,
+               row_number() OVER (PARTITION BY qs.query_id
+                 ORDER BY list_sum(list_transform(range(1,65),
+                   i -> (b.v[i]-qs.qv[i])*(b.v[i]-qs.qv[i]))) ASC,
+                 b.vec_id ASC) AS rn
+        FROM qs CROSS JOIN base b
+      ) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall
+    FROM qs q LEFT JOIN hits h USING (query_id)
+    ORDER BY q.query_id
+    """,
+    "L3+ MEASURED recall@5 of the persisted ANN index vs exact L2 over "
+    "a deterministic query sample (ann_index.index_recall) — the table "
+    "quantization parameters are tuned from. Approx side = the batch "
+    "search's relational pass; exact side = brute-force broadcast over "
+    "the sample (nq·n dot products, the unarguable ground truth); "
+    "both tie-break by id so recall is deterministic. The oracle "
+    "replays BOTH sides and the per-query intersection.",
+)
+def l_ann_index_recall(spark, sf_dir):
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    path = tempfile.mkdtemp(prefix="pfs_ann_rec_")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    queries = e.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    return (
+        ann_index.index_recall(spark, path, e, queries, k=5, nprobe=4)
+        .select(
+            "query_id", "n_hits", F.round("recall", 6).alias("recall")
+        )
+        .orderBy("query_id")
+    )
+
+
+@_q(
     "l_ann_index_delete",
     """
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -96,6 +96,7 @@ ALLOWED_NESTED_LOOP = {
     "l_containment",      # corpus doc-count = 1-row broadcast cross join
     "l_ann_index_delete",  # same build shape as l_ann_index_search
     "l_ann_index_search_filtered",  # same build shape as l_ann_index_search
+    "l_ann_index_recall",  # build shape + deliberate brute-force exact side
 }
 
 

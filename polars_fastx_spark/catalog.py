@@ -7800,6 +7800,38 @@ def l_ivfpq_topk_pinned(spark, sf_dir):
     ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+#: session-scoped build-once cache for the READ-ONLY ANN catalog
+#: queries: one pinned full-corpus index per sf_dir per process.
+_ANN_SHARED: dict = {}
+
+
+def _ann_shared_index(spark, sf_dir):
+    """The pinned full-corpus IVF-PQ index this session's read-only
+    ANN queries share — index_build_if_absent makes the second and
+    later callers reuse the first build (pinned builds are
+    deterministic, so cached == fresh, test-pinned), which is both the
+    production serve-many contract made driver-visible and a real
+    sweep saving (one build instead of five per catalog pass).
+    Deliberately SESSION-scoped (a module dict, fresh mkdtemp per
+    process), never a durable /tmp key: a stale cross-run cache could
+    answer with an index built by older code. MUTATING queries
+    (l_ann_index_delete) and subset builds (l_ann_index_add) keep
+    private directories — a shared index must never see a tombstone."""
+    import tempfile
+
+    path = _ANN_SHARED.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_ann_shared_")
+        _ANN_SHARED[sf_dir] = path
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ann_index.index_build_if_absent(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    return path, e
+
+
 @_q(
     "l_ann_index_search",
     """
@@ -7878,16 +7910,8 @@ def l_ivfpq_topk_pinned(spark, sf_dir):
     "code table; nothing data-sized touches the driver.",
 )
 def l_ann_index_search(spark, sf_dir):
-    import tempfile
-
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    path, e = _ann_shared_index(spark, sf_dir)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
-    path = tempfile.mkdtemp(prefix="pfs_ann_idx_")
-    ann_index.index_build(
-        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
-    )
     return ann_index.index_search(spark, path, q, k=10, nprobe=4).select(
         "vec_id", F.round("adc_dist", 6).alias("adc_dist")
     )
@@ -7924,15 +7948,7 @@ def l_ann_index_search(spark, sf_dir):
     "oracle replays the deterministic cell assignment and counts.",
 )
 def l_ann_index_stats(spark, sf_dir):
-    import tempfile
-
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    path = tempfile.mkdtemp(prefix="pfs_ann_stats_")
-    ann_index.index_build(
-        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
-    )
+    path, _ = _ann_shared_index(spark, sf_dir)
     return ann_index.index_stats(spark, path).orderBy("cell")
 
 
@@ -8024,15 +8040,7 @@ def l_ann_index_stats(spark, sf_dir):
     "(pinned by the 1-row parity test).",
 )
 def l_ann_index_search_many(spark, sf_dir):
-    import tempfile
-
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    path = tempfile.mkdtemp(prefix="pfs_ann_many_")
-    ann_index.index_build(
-        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
-    )
+    path, e = _ann_shared_index(spark, sf_dir)
     queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
     )
@@ -8238,16 +8246,8 @@ def l_ann_index_add(spark, sf_dir):
     "anti-join — test-pinned).",
 )
 def l_ann_index_search_filtered(spark, sf_dir):
-    import tempfile
-
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    path, e = _ann_shared_index(spark, sf_dir)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
-    path = tempfile.mkdtemp(prefix="pfs_ann_filt_")
-    ann_index.index_build(
-        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
-    )
     allow = e.filter(F.col("vec_id") % 3 == 0).select("vec_id")
     return ann_index.index_search(
         spark, path, q, k=10, nprobe=4, id_filter=allow
@@ -8359,15 +8359,7 @@ def l_ann_index_search_filtered(spark, sf_dir):
     "replays BOTH sides and the per-query intersection.",
 )
 def l_ann_index_recall(spark, sf_dir):
-    import tempfile
-
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    path = tempfile.mkdtemp(prefix="pfs_ann_rec_")
-    ann_index.index_build(
-        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
-    )
+    path, e = _ann_shared_index(spark, sf_dir)
     queries = e.filter(F.col("vec_id") % 29 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
     )

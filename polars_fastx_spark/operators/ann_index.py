@@ -205,6 +205,12 @@ def index_delete(
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(ids.columns[0]).alias("__id")).distinct()
     else:
+        if not ids:
+            raise ValueError(
+                "index_delete: empty id list (a schema-less empty "
+                "createDataFrame would fail below anyway; pass a typed "
+                "empty DataFrame if an empty tombstone epoch is intended)"
+            )
         df = spark.createDataFrame([(i,) for i in ids], ["__id"]).distinct()
     code_eps = _committed_epochs(spark, f"{path}/codes")
     if code_eps:
@@ -298,6 +304,8 @@ def _filtered_codes(
             F.col(id_filter.columns[0]).alias("__allow_id")
         ).distinct()
     else:
+        if not id_filter:  # empty allow set: nothing may match
+            return coded.limit(0)
         allow = spark.createDataFrame(
             [(i,) for i in id_filter], ["__allow_id"]
         ).distinct()

@@ -486,3 +486,21 @@ def test_index_recall_report(spark, tmp_path):
         want = len(set(exact) & set(approx))
         assert rep[qid] == (want, want / 5), qid
         assert 0.0 <= rep[qid][1] <= 1.0
+
+
+def test_empty_id_edge_cases(spark, tmp_path):
+    """An empty allow LIST means 'nothing may match' (0 rows, not a
+    schema-inference crash); an empty delete list raises clearly."""
+    import pytest
+
+    e = _emb(spark)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        e, "vec_id", "v", path, num_cells=16, m=8, pq_k=8, pinned=True
+    )
+    q = _query(e)
+    assert ann_index.index_search(
+        spark, path, q, k=5, nprobe=4, id_filter=[]
+    ).count() == 0
+    with pytest.raises(ValueError, match="empty id list"):
+        ann_index.index_delete(spark, path, [])

@@ -848,12 +848,24 @@ def simhash_near_duplicates(
     """
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 
-    chunks = max_distance + 1
-    width = 64 // chunks
     df = ensure_min_parallelism(df)  # 64-bit/token hashing fans out row-locally
     sig = df.select(
         F.col(id_col).alias("__id"), simhash(text_col, family=family).alias("__sig")
     )
+    return hamming_near_duplicates(sig, max_distance)
+
+
+def hamming_near_duplicates(
+    sig: DataFrame, max_distance: int = 3
+) -> DataFrame:
+    """Pairs within hamming distance ``max_distance`` over ANY 64-bit
+    signature table (``__id``, ``__sig`` array<int> of bits) — the
+    pigeonhole banding + exact-verify engine extracted from the
+    SimHash path so other modalities reuse it (image dHash:
+    ``multimodal.image_near_duplicates``). EXACT, never O(n²): a pair
+    within distance d must agree on one of d+1 signature chunks."""
+    chunks = max_distance + 1
+    width = 64 // chunks
     banded = sig.select(
         "__id", "__sig",
         F.explode(

@@ -88,8 +88,8 @@ def _pixel_features(arr, width: int, height: int, channels: int) -> dict[str, An
     }
 
 
-def decode_pnm(content: bytes) -> dict[str, Any]:
-    """Binary PNM: P5 (gray, 1ch) / P6 (RGB, 3ch), maxval ≤ 255."""
+def pnm_pixels(content: bytes):
+    """(pixels, width, height, channels) of a binary PNM (P5/P6)."""
     import numpy as np
 
     magic = content[:2]
@@ -113,13 +113,21 @@ def decode_pnm(content: bytes) -> dict[str, Any]:
         raise ValueError("PNM maxval > 255 (16-bit) not supported")
     n = width * height * channels
     raster = np.frombuffer(content, dtype=np.uint8, count=n, offset=i)
-    return _pixel_features(raster, width, height, channels)
+    return raster, width, height, channels
 
 
-def decode_bmp(content: bytes) -> dict[str, Any]:
-    """Uncompressed (BI_RGB) 24/32-bit BMP; rows are 4-byte aligned,
-    stored bottom-up (top-down when height < 0) — row order does not
-    change mean/std features, but cropping the padding matters."""
+def decode_pnm(content: bytes) -> dict[str, Any]:
+    """Binary PNM: P5 (gray, 1ch) / P6 (RGB, 3ch), maxval ≤ 255."""
+    return _pixel_features(*pnm_pixels(content))
+
+
+def bmp_pixels(content: bytes):
+    """(pixels, width, height, channels) of an uncompressed (BI_RGB)
+    24/32-bit BMP. Rows are 4-byte aligned and stored bottom-up
+    (top-down when the header height is negative); bottom-up rasters
+    are FLIPPED here so every consumer sees one orientation —
+    mean/std features are row-order-free, but spatial consumers
+    (dHash) are not."""
     import struct
 
     import numpy as np
@@ -133,20 +141,29 @@ def decode_bmp(content: bytes) -> dict[str, Any]:
     if compression != 0 or bpp not in (24, 32):
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     channels = bpp // 8
+    flip = height > 0  # positive height = bottom-up storage
     height = abs(height)
     stride = (width * channels + 3) // 4 * 4
     rows = np.frombuffer(
         content, dtype=np.uint8, count=stride * height, offset=pixel_off
     ).reshape(height, stride)[:, : width * channels]
-    return _pixel_features(rows, width, height, channels)
+    if flip:
+        rows = rows[::-1]
+    return rows, width, height, channels
+
+
+def decode_bmp(content: bytes) -> dict[str, Any]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP (see :func:`bmp_pixels`)."""
+    return _pixel_features(*bmp_pixels(content))
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → channels
 
 
-def decode_png(content: bytes) -> dict[str, Any]:
-    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) with
-    stdlib zlib; scanline filters 0-4 un-applied per the spec."""
+def png_pixels(content: bytes):
+    """(pixels, width, height, channels) of an 8-bit non-interlaced
+    PNG (gray / gray+alpha / RGB / RGBA) with stdlib zlib; scanline
+    filters 0-4 un-applied per the spec."""
     import zlib
 
     import numpy as np
@@ -217,7 +234,12 @@ def decode_png(content: bytes) -> dict[str, Any]:
                 v = line[x] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
             cur[x] = v & 0xFF
         out[y] = cur
-    return _pixel_features(out, width, height, channels)
+    return out, width, height, channels
+
+
+def decode_png(content: bytes) -> dict[str, Any]:
+    """8-bit non-interlaced PNG (see :func:`png_pixels`)."""
+    return _pixel_features(*png_pixels(content))
 
 
 def default_image_decoder(content: bytes) -> dict[str, Any]:
@@ -235,6 +257,107 @@ def default_image_decoder(content: bytes) -> dict[str, Any]:
         "unsupported image format (builtin: BMP, PNM P5/P6, PNG-8); "
         "inject decoder=... for other codecs"
     )
+
+
+def default_pixels(content: bytes):
+    """Raw-pixel companion of :func:`default_image_decoder`:
+    (pixels, width, height, channels) for the builtin formats."""
+    if content[:2] in (b"P5", b"P6"):
+        return pnm_pixels(content)
+    if content[:2] == b"BM":
+        return bmp_pixels(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixels(content)
+    raise NotImplementedError(
+        "unsupported image format (builtin: BMP, PNM P5/P6, PNG-8); "
+        "inject pixels=... for other codecs"
+    )
+
+
+def dhash_bits(pixels, width: int, height: int, channels: int,
+               hash_size: int = 8) -> list[int]:
+    """Deterministic 64-bit difference hash (dHash) as a bit list:
+    grayscale by channel mean, area-average downsample to a
+    ``hash_size × (hash_size+1)`` grid, 1 bit per horizontal gradient
+    (left < right). Codec-free and dependency-free — robust to
+    re-encoding, resizing, and small edits, the standard cheap
+    perceptual signature for image near-dup detection. Block edges
+    are ``max(lo+1, ...)``-guarded so images smaller than the grid
+    still hash (blocks degrade toward nearest-neighbor sampling)."""
+    import numpy as np
+
+    px = (
+        np.asarray(pixels, dtype=np.float64)
+        .reshape(height, width, channels)
+        .mean(axis=2)
+    )
+    rows, cols = hash_size, hash_size + 1
+    g = np.empty((rows, cols))
+    for r in range(rows):
+        ylo = r * height // rows
+        yhi = max(ylo + 1, (r + 1) * height // rows)
+        for c in range(cols):
+            xlo = c * width // cols
+            xhi = max(xlo + 1, (c + 1) * width // cols)
+            g[r, c] = px[ylo:yhi, xlo:xhi].mean()
+    return [int(b) for b in (g[:, :-1] < g[:, 1:]).flatten()]
+
+
+def image_dhash(
+    df: DataFrame,
+    pixels: Callable[[bytes], tuple] = default_pixels,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Per-image dHash signatures over a ``read_media`` frame — the
+    image-modality entry into the shared 64-bit hamming dedup engine.
+    Arrow-batched mapInPandas like every decode path; null/broken
+    content yields a null signature row (kept, so a corrupt file is
+    visible downstream instead of silently vanishing). Returns
+    (path, sig array<int> of 64 bits, width, height)."""
+
+    def do(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "sig": [], "width": [], "height": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out["path"].append(path)
+                try:
+                    arr, w, h, ch = pixels(
+                        bytes(content) if content is not None else b""
+                    )
+                    out["sig"].append(dhash_bits(arr, w, h, ch, hash_size))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                except Exception:
+                    out["sig"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(
+        do, "path string, sig array<int>, width int, height int"
+    )
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    max_distance: int = 6,
+    pixels: Callable[[bytes], tuple] = default_pixels,
+) -> DataFrame:
+    """Image near-dup pairs: dHash signatures fed through the SAME
+    pigeonhole hamming engine the SimHash text path uses
+    (``dedup.hamming_near_duplicates`` — exact, banded, never O(n²)),
+    extending the dedup family across modalities: a re-encoded,
+    slightly-cropped, or lightly-edited copy lands within a few
+    gradient-bit flips of its source. Returns (id_a, id_b, hamming)
+    keyed by path; undecodable images (null signature) never band."""
+    from polars_fastx_spark.operators import dedup
+
+    sig = image_dhash(df, pixels).filter(F.col("sig").isNotNull()).select(
+        F.col("path").alias("__id"), F.col("sig").alias("__sig")
+    )
+    return dedup.hamming_near_duplicates(sig, max_distance)
 
 
 def pillow_image_decoder(content: bytes) -> dict[str, Any]:

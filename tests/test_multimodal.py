@@ -351,3 +351,72 @@ def test_decode_png_filter1_tall_image_matches_reference(spark):
     px = RNG.integers(0, 256, (64, 3, 3), dtype=np.uint8)
     data = make_png(px, 3, 64, 3)
     _check(mm.decode_png(data), _expected(px, 3, 64, 3))
+
+
+# ------------------------------------------------------- dHash / image dedup
+
+def test_dhash_identical_across_codecs():
+    """The same pixel raster must hash identically through PPM, BMP,
+    and PNG — pinning grayscale order, the BMP bottom-up flip, and the
+    PNG filter un-application against each other."""
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    outs = []
+    for blob in (
+        make_ppm(px, 16, 16),
+        make_bmp(px, 16, 16),
+        make_png(px, 16, 16, 3),
+    ):
+        arr, w, h, c = mm.default_pixels(blob)
+        outs.append(mm.dhash_bits(arr, w, h, c))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 64 and set(outs[0]) <= {0, 1}
+
+
+def test_dhash_known_gradient():
+    """A strict left-to-right brightness ramp sets every gradient bit
+    (left < right everywhere); the reversed ramp clears every bit."""
+    ramp = np.tile(
+        np.linspace(0, 255, 18, dtype=np.uint8), (16, 1)
+    ).reshape(16, 18, 1)
+    assert mm.dhash_bits(ramp, 18, 16, 1) == [1] * 64
+    rev = ramp[:, ::-1, :].copy()
+    assert mm.dhash_bits(rev, 18, 16, 1) == [0] * 64
+
+
+def test_dhash_smaller_than_grid_still_hashes():
+    tiny = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    bits = mm.dhash_bits(tiny, 4, 3, 1)
+    assert len(bits) == 64
+
+
+def test_image_near_duplicates_spark(spark):
+    """A lightly-edited copy pairs with its source at a small hamming
+    distance; an unrelated image does not; a corrupt blob yields a
+    null signature and is skipped, not crashed on."""
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    edited = base.copy()
+    edited[12:16, 12:16] = 255  # small local edit
+    other = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("a.bmp", bytearray(make_bmp(base, 32, 32))),
+        ("b.bmp", bytearray(make_bmp(edited, 32, 32))),
+        ("c.png", bytearray(make_png(other, 32, 32, 3))),
+        ("broken.jpg", bytearray(b"\xff\xd8 not really a jpeg")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+
+    sigs = {r["path"]: r["sig"] for r in mm.image_dhash(df).collect()}
+    assert sigs["broken.jpg"] is None
+    ham_ab = sum(x != y for x, y in zip(sigs["a.bmp"], sigs["b.bmp"]))
+    assert 0 < ham_ab <= 6  # local edit flips a few gradient bits
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_duplicates(df, max_distance=6).collect()
+    }
+    assert ("a.bmp", "b.bmp") in pairs
+    assert pairs[("a.bmp", "b.bmp")] == ham_ab
+    assert not any("c.png" in p for p in pairs)
+    assert not any("broken.jpg" in p for p in pairs)

@@ -542,12 +542,11 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def decode_wav(content: bytes) -> dict[str, Any]:
-    """RIFF/WAVE PCM decode with the standard library + numpy alone:
-    integer PCM (8-bit unsigned, 16/32-bit signed) and 32-bit IEEE
-    float, any channel count. Samples normalize to [-1, 1]; features
-    are per-channel RMS then per-channel peak (each zero-padded to 4),
-    mirroring the image tier's mean/std embedding layout."""
+def wav_samples(content: bytes):
+    """(samples[n, channels] float64 in [-1, 1], sample_rate, channels)
+    of a RIFF/WAVE PCM file — stdlib + numpy alone: integer PCM (8-bit
+    unsigned, 16/32-bit signed) and 32-bit IEEE float, any channel
+    count."""
     import struct
 
     import numpy as np
@@ -578,17 +577,111 @@ def decode_wav(content: bytes) -> dict[str, Any]:
         raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
     n = len(x) // channels
     x = x[: n * channels].reshape(n, channels)
+    return x, int(sample_rate), int(channels)
+
+
+def decode_wav(content: bytes) -> dict[str, Any]:
+    """WAV features over :func:`wav_samples`: per-channel RMS then
+    per-channel peak (each zero-padded to 4), mirroring the image
+    tier's mean/std embedding layout."""
+    import numpy as np
+
+    x, sample_rate, channels = wav_samples(content)
+    n = len(x)
     rms = np.sqrt((x * x).mean(axis=0)) if n else np.zeros(channels)
     peak = np.abs(x).max(axis=0) if n else np.zeros(channels)
     pad = [0.0] * (4 - channels) if channels < 4 else []
     emb = [float(v) for v in rms[:4]] + pad + [float(v) for v in peak[:4]] + pad
     return {
-        "sample_rate": int(sample_rate),
-        "n_channels": int(channels),
+        "sample_rate": sample_rate,
+        "n_channels": channels,
         "n_samples": int(n),
         "duration_s": (n / sample_rate) if sample_rate else None,
         "embedding": emb,
     }
+
+
+def audio_fingerprint_bits(x, sample_rate: int, channels: int,
+                           n_frames: int = 65) -> list[int]:
+    """64-bit energy-gradient audio fingerprint — the temporal analog
+    of image dHash: downmix to mono (channel mean), split into
+    ``n_frames`` equal frames, per-frame RMS, one bit per consecutive-
+    frame gradient (rising energy = 1). GAIN-INVARIANT by construction
+    (a volume change scales every frame's RMS by the same factor, and
+    the gradient comparison only uses order), so the same clip at a
+    different volume or sample width fingerprints identically. NOT
+    time-shift-invariant — alignment-robust matching needs real
+    spectral landmarks (a Chromaprint-style codec would be injected
+    like an image decoder). Frame edges are max(lo+1,·)-guarded so
+    clips shorter than the grid still hash."""
+    import numpy as np
+
+    mono = np.asarray(x, dtype=np.float64).reshape(-1, channels).mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        raise ValueError("empty audio stream")
+    e = np.empty(n_frames)
+    for i in range(n_frames):
+        lo = i * n // n_frames
+        hi = max(lo + 1, (i + 1) * n // n_frames)
+        seg = mono[lo:hi]
+        e[i] = float(np.sqrt((seg * seg).mean()))
+    return [int(b) for b in (e[:-1] < e[1:])]
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    samples: Callable[[bytes], tuple] = wav_samples,
+    n_frames: int = 65,
+) -> DataFrame:
+    """Per-clip audio fingerprints over a ``read_media`` frame —
+    Arrow-batched mapInPandas like every decode path; null/broken
+    content yields a null signature row. Returns
+    (path, sig array<int>, sample_rate, n_samples)."""
+
+    def do(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"path": [], "sig": [], "sample_rate": [], "n_samples": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out["path"].append(path)
+                try:
+                    x, rate, ch = samples(
+                        bytes(content) if content is not None else b""
+                    )
+                    out["sig"].append(
+                        audio_fingerprint_bits(x, rate, ch, n_frames)
+                    )
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(x))
+                except Exception:
+                    out["sig"].append(None)
+                    out["sample_rate"].append(None)
+                    out["n_samples"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select("path", "content").mapInPandas(
+        do, "path string, sig array<int>, sample_rate int, n_samples long"
+    )
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    max_distance: int = 6,
+    samples: Callable[[bytes], tuple] = wav_samples,
+) -> DataFrame:
+    """Audio near-dup pairs through the SAME pigeonhole hamming engine
+    as text SimHash and image dHash (dedup.hamming_near_duplicates) —
+    a re-encoded, re-gained, or lightly-edited copy of a clip lands
+    within a few energy-gradient bit flips of its source. Returns
+    (id_a, id_b, hamming) keyed by path."""
+    from polars_fastx_spark.operators import dedup
+
+    sig = audio_fingerprint(df, samples).filter(
+        F.col("sig").isNotNull()
+    ).select(F.col("path").alias("__id"), F.col("sig").alias("__sig"))
+    return dedup.hamming_near_duplicates(sig, max_distance)
 
 
 def default_audio_decoder(content: bytes) -> dict[str, Any]:

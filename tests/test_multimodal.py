@@ -420,3 +420,56 @@ def test_image_near_duplicates_spark(spark):
     assert pairs[("a.bmp", "b.bmp")] == ham_ab
     assert not any("c.png" in p for p in pairs)
     assert not any("broken.jpg" in p for p in pairs)
+
+
+# ------------------------------------------------- audio fingerprint dedup
+
+def _f32_wav(samples: np.ndarray, rate: int) -> bytes:
+    """32-bit IEEE-float mono WAV (the stdlib wave writer is int-only)."""
+    data = samples.astype("<f4").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, rate, rate * 4, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def test_audio_fingerprint_gain_and_width_invariant():
+    """The same clip fingerprints identically across sample widths and
+    volume scaling — RMS order is preserved by any positive gain."""
+    rng = np.random.RandomState(3)
+    clip = rng.randn(8000) * 0.2
+    i16 = (np.clip(clip, -1, 1) * 32767).astype(np.int16)
+    b16 = _wav_bytes(i16, 8000, 2)
+    bf32 = _f32_wav(i16.astype(np.float64) / 32768.0, 8000)
+    bhalf = _f32_wav(i16.astype(np.float64) / 32768.0 * 0.5, 8000)
+    sigs = []
+    for blob in (b16, bf32, bhalf):
+        x, rate, ch = mm.wav_samples(blob)
+        sigs.append(mm.audio_fingerprint_bits(x, rate, ch))
+    assert sigs[0] == sigs[1] == sigs[2]
+    assert len(sigs[0]) == 64 and set(sigs[0]) <= {0, 1}
+
+
+def test_audio_near_duplicates_spark(spark):
+    rng = np.random.RandomState(9)
+    base = rng.randn(16000) * 0.2
+    edited = base.copy()
+    edited[7000:8000] = 0.0  # drop a segment's energy
+    other = rng.randn(16000) * 0.2
+    rows = [
+        ("a.wav", bytearray(_f32_wav(base, 16000))),
+        ("b.wav", bytearray(_f32_wav(edited, 16000))),
+        ("c.wav", bytearray(_f32_wav(other, 16000))),
+        ("broken.wav", bytearray(b"RIFFxxxxNOPE")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    sigs = {r["path"]: r["sig"] for r in mm.audio_fingerprint(df).collect()}
+    assert sigs["broken.wav"] is None
+    ham = sum(x != y for x, y in zip(sigs["a.wav"], sigs["b.wav"]))
+    assert 0 < ham <= 6
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.audio_near_duplicates(df, max_distance=6).collect()
+    }
+    assert ("a.wav", "b.wav") in pairs and pairs[("a.wav", "b.wav")] == ham
+    assert not any("c.wav" in p for p in pairs)

@@ -378,7 +378,7 @@ def main() -> None:
         texts, ids = [], []
         for i in range(N_DOCS):
             body = " ".join(f"u{i}x{j}" for j in range(40))
-            quote = passages[i % 100] + " " if i % 20 == 0 else ""
+            quote = passages[(i // 20) % 100] + " " if i % 20 == 0 else ""
             texts.append("standard corpus license header line " + quote + body)
             ids.append(i)
         # the passage pool itself rides along as docs 1M+ (the
@@ -411,15 +411,77 @@ def main() -> None:
     probe("containment 50k docs (frac cap)", _containment)
 
     def _containment_between():
+        # NO corpus-df cap here, deliberately: the decontam join's
+        # fan-out is bounded by the BENCHMARK postings side (only
+        # bench shingles join; the df-50k header never enters), so
+        # uncapped is the correct default — and a cap would cut quote
+        # shingles shared across popular passages, dropping recall
+        # (measured: threshold-0.9 hits fall to 0 with cap=2000).
         out = dedup.containment_pairs_between(
             cdocs, cbench, "doc_id", "text", k=8, threshold=0.9,
-            max_shingle_df=2_000,
         )
         n = out.count()
         assert n == 2_500, n  # exactly the planted quoting docs
         return f"{n:,} (doc, passage) hits == planted 2,500"
 
     probe("containment_between (100 bench)", _containment_between)
+
+    # ---- multimodal tier: image dHash near-dup at volume ------------
+    # 20k 32×32 BMPs (1k of them lightly-edited copies of other
+    # corpus members), binary column through Arrow mapInPandas decode
+    # + the shared pigeonhole hamming engine. Measures the Python
+    # decode throughput (the modality's real cost) and pins that the
+    # banded join stays linear in the planted-pair volume.
+    img_path = os.path.join(workdir, "images.parquet")
+    if not os.path.exists(img_path):
+        import struct as _struct
+
+        def _bmp(px):
+            h, w, _ = px.shape
+            stride = (w * 3 + 3) // 4 * 4
+            body = b"".join(
+                r.tobytes() + b"\x00" * (stride - w * 3) for r in px[::-1]
+            )
+            hdr = b"BM" + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            hdr += _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+            )
+            return hdr + body
+
+        rng = np.random.RandomState(21)
+        paths, blobs = [], []
+        originals = []
+        for i in range(19_000):
+            px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+            originals.append(px)
+            paths.append(f"img{i:05d}.bmp")
+            blobs.append(_bmp(px))
+        for i in range(1_000):  # planted near-dups of the first 1k
+            px = originals[i].copy()
+            px[10:14, 10:14] = 255
+            paths.append(f"dup{i:05d}.bmp")
+            blobs.append(_bmp(px))
+        pq.write_table(
+            pa.table({"path": pa.array(paths),
+                      "content": pa.array(blobs, pa.binary())}),
+            img_path,
+        )
+
+    from polars_fastx_spark.operators import multimodal
+
+    imgs = spark.read.parquet(img_path)
+
+    def _image_neardup():
+        pairs = multimodal.image_near_duplicates(imgs, max_distance=6)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        planted = sum(
+            1 for a, b in got
+            if a.startswith("dup") != b.startswith("dup")
+            and a[3:8] == b[3:8]
+        )
+        return f"{len(got):,} pairs, {planted:,}/1,000 planted edits found"
+
+    probe("image dhash near-dup (20k BMPs)", _image_neardup)
 
     print("\n| probe | seconds | result |")
     print("|---|---|---|")

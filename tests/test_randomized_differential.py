@@ -341,3 +341,89 @@ def test_kmv_random_sets_match_python_reference(spark):
         row = sketches.kmv_intersect_estimate(ka, kb, k).collect()[0]
         assert row.n_common == len(common), k
         assert row.inter_est == round(len(common) / theta_i), k
+
+
+def test_containment_random_corpus_matches_reference(spark):
+    """containment_pairs over an adversarial random corpus (repeats,
+    shared prefixes, unicode, short/empty/None docs, duplicate texts)
+    equals a plain-Python all-pairs reference, with and without a df
+    cap, across two shingle widths."""
+    from polars_fastx_spark.operators import dedup
+
+    rng = random.Random(SEED + 7)
+    vocab = ["abc", "déjà", "xy", "qqq", "na", "  ", "zz9"]
+    docs = []
+    for i in range(60):
+        kind = rng.random()
+        if kind < 0.1:
+            t = ""
+        elif kind < 0.15:
+            t = None
+        elif kind < 0.3 and docs:  # exact duplicate of an earlier doc
+            t = rng.choice(docs)[1]
+        else:
+            t = "".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        docs.append((i, t))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def sh(t, k):
+        if t is None:
+            return set()
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    for k in (3, 8):
+        for cap in (None, 5):
+            got = {
+                (r["id_a"], r["id_b"]): (
+                    r["common"], r["size_a"], r["size_b"]
+                )
+                for r in dedup.containment_pairs(
+                    df, "doc_id", "text", k=k, threshold=0.0,
+                    max_shingle_df=cap,
+                ).collect()
+            }
+            dfreq = {}
+            for _, t in docs:
+                for s in sh(t, k):
+                    dfreq[s] = dfreq.get(s, 0) + 1
+            want = {}
+            for a in range(60):
+                for b in range(a + 1, 60):
+                    sa, sb = sh(docs[a][1], k), sh(docs[b][1], k)
+                    inter = sa & sb
+                    if cap is not None:
+                        inter = {s for s in inter if dfreq[s] <= cap}
+                    if inter:
+                        want[(a, b)] = (len(inter), len(sa), len(sb))
+            assert got == want, (k, cap)
+
+
+def test_dhash_random_pixels_match_loop_reference(spark):
+    """dhash_bits (numpy) equals a from-the-definition pure-loop
+    reference over random images of awkward shapes, including images
+    smaller than the hash grid."""
+    import numpy as np
+
+    from polars_fastx_spark.operators import multimodal
+
+    rng = np.random.RandomState(SEED % (2**31))
+    for w, h, c in [(32, 32, 3), (9, 8, 1), (5, 3, 4), (100, 7, 2),
+                    (1, 1, 1), (17, 64, 3)]:
+        px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        got = multimodal.dhash_bits(px, w, h, c)
+
+        gray = [[sum(int(px[y][x][ch]) for ch in range(c)) / c
+                 for x in range(w)] for y in range(h)]
+        rows, cols = 8, 9
+        grid = [[0.0] * cols for _ in range(rows)]
+        for r in range(rows):
+            ylo, yhi = r * h // rows, max(r * h // rows + 1, (r + 1) * h // rows)
+            for cc in range(cols):
+                xlo = cc * w // cols
+                xhi = max(xlo + 1, (cc + 1) * w // cols)
+                vals = [gray[y][x] for y in range(ylo, yhi)
+                        for x in range(xlo, xhi)]
+                grid[r][cc] = sum(vals) / len(vals)
+        want = [int(grid[r][cc] < grid[r][cc + 1])
+                for r in range(rows) for cc in range(cols - 1)]
+        assert got == want, (w, h, c)

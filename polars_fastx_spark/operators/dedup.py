@@ -855,18 +855,20 @@ def simhash_near_duplicates(
     return hamming_near_duplicates(sig, max_distance)
 
 
-def hamming_near_duplicates(
+def hamming_band_table(
     sig: DataFrame, max_distance: int = 3
 ) -> DataFrame:
-    """Pairs within hamming distance ``max_distance`` over ANY 64-bit
-    signature table (``__id``, ``__sig`` array<int> of bits) — the
-    pigeonhole banding + exact-verify engine extracted from the
-    SimHash path so other modalities reuse it (image dHash:
-    ``multimodal.image_near_duplicates``). EXACT, never O(n²): a pair
-    within distance d must agree on one of d+1 signature chunks."""
+    """(__id, __sig, chunk, chunk_val) — the persistable hamming INDEX
+    of a 64-bit signature corpus: the pigeonhole banding of
+    :func:`hamming_near_duplicates` exposed as a table, the exact
+    analog of :func:`minhash_band_table` for the hamming family. Write
+    it partitioned by ``chunk`` and later batches gate against it
+    (:func:`hamming_gate`) without recomputing or re-decoding history
+    — the full signature rides along (64 small ints), so gate
+    decisions can verify EXACT hamming, not just band collision."""
     chunks = max_distance + 1
     width = 64 // chunks
-    banded = sig.select(
+    return sig.select(
         "__id", "__sig",
         F.explode(
             F.array(
@@ -886,6 +888,19 @@ def hamming_near_duplicates(
             )
         ).alias("c"),
     ).select("__id", "__sig", "c.chunk", "c.chunk_val")
+
+
+def hamming_near_duplicates(
+    sig: DataFrame, max_distance: int = 3
+) -> DataFrame:
+    """Pairs within hamming distance ``max_distance`` over ANY 64-bit
+    signature table (``__id``, ``__sig`` array<int> of bits) — the
+    pigeonhole banding + exact-verify engine extracted from the
+    SimHash path so other modalities reuse it (image dHash:
+    ``multimodal.image_near_duplicates``; audio energy fingerprints:
+    ``multimodal.audio_near_duplicates``). EXACT, never O(n²): a pair
+    within distance d must agree on one of d+1 signature chunks."""
+    banded = hamming_band_table(sig, max_distance)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -904,3 +919,41 @@ def hamming_near_duplicates(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_distance)
+
+
+def hamming_gate(
+    batch_sig: DataFrame,
+    index: DataFrame,
+    max_distance: int = 3,
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Ingest-time near-duplicate gate for the hamming family: filter
+    a batch's signature table against the corpus behind ``index`` (a
+    persisted :func:`hamming_band_table` frame). Candidates come from
+    the chunk equi-join; UNLIKE the LSH gate the decision is then
+    verified by exact hamming against the index row's stored full
+    signature — signatures are 64 small ints, so the index affords
+    carrying them and the gate is exact, not candidate-level. History
+    is never re-decoded (the point, for media: decode cost dominates).
+    Returns the batch_sig rows that pass (``keep_hits=True``: only the
+    hits — route-to-review topologies). Incremental contract mirrors
+    :func:`neardup_gate`: intra-batch dups are not mutually gated;
+    append the accepted rows' band table to the index so later batches
+    see them."""
+    banded = hamming_band_table(batch_sig, max_distance)
+    idx = index.select(
+        F.col("__sig").alias("__isig"), "chunk", "chunk_val"
+    )
+    hits = (
+        banded.join(idx, ["chunk", "chunk_val"])
+        .filter(
+            hamming_distance(F.col("__sig"), F.col("__isig"))
+            <= max_distance
+        )
+        .select(F.col("__id").alias("__hit_id"))
+        .distinct()
+    )
+    how = "left_semi" if keep_hits else "left_anti"
+    return batch_sig.join(
+        hits, F.col("__id") == F.col("__hit_id"), how
+    )

@@ -360,6 +360,57 @@ def image_near_duplicates(
     return dedup.hamming_near_duplicates(sig, max_distance)
 
 
+def image_signature_index(
+    df: DataFrame,
+    max_distance: int = 6,
+    pixels: Callable[[bytes], tuple] = default_pixels,
+) -> DataFrame:
+    """The persistable image near-dup INDEX: dHash signatures banded
+    by ``dedup.hamming_band_table`` — write it partitioned by
+    ``chunk`` and gate later ingest batches with
+    :func:`image_neardup_gate` WITHOUT ever re-decoding history (the
+    point, for media: pixels dominate the cost, signatures are 64
+    ints). Undecodable content carries no signature and never
+    indexes."""
+    from polars_fastx_spark.operators import dedup
+
+    sig = image_dhash(df, pixels).filter(F.col("sig").isNotNull()).select(
+        F.col("path").alias("__id"), F.col("sig").alias("__sig")
+    )
+    return dedup.hamming_band_table(sig, max_distance)
+
+
+def image_neardup_gate(
+    batch: DataFrame,
+    index: DataFrame,
+    max_distance: int = 6,
+    pixels: Callable[[bytes], tuple] = default_pixels,
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Ingest-time image near-dup gate: drop batch images within
+    ``max_distance`` hamming of ANY already-indexed image
+    (:func:`image_signature_index`) — decision verified by exact
+    hamming against the index's stored signatures
+    (``dedup.hamming_gate``), so unlike the text LSH gate there is no
+    candidate-level false-positive drop. Undecodable content passes
+    (no signature = no evidence, the media analog of shingle-less
+    docs). Same incremental contract as the text gate: intra-batch
+    dups are not mutually gated; append the accepted batch's
+    :func:`image_signature_index` to the stored index so later batches
+    see them. Returns surviving batch rows (``keep_hits=True``: only
+    the flagged ones)."""
+    from polars_fastx_spark.operators import dedup
+
+    sig = image_dhash(batch, pixels).filter(
+        F.col("sig").isNotNull()
+    ).select(F.col("path").alias("__id"), F.col("sig").alias("__sig"))
+    hits = dedup.hamming_gate(
+        sig, index, max_distance, keep_hits=True
+    ).select(F.col("__id").alias("path"))
+    how = "left_semi" if keep_hits else "left_anti"
+    return batch.join(hits, "path", how)
+
+
 def pillow_image_decoder(content: bytes) -> dict[str, Any]:
     """JPEG/WebP/GIF/... decode through Pillow — the worked example of
     the ``decoder=`` injection seam. Same signature and feature

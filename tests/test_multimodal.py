@@ -473,3 +473,52 @@ def test_audio_near_duplicates_spark(spark):
     }
     assert ("a.wav", "b.wav") in pairs and pairs[("a.wav", "b.wav")] == ham
     assert not any("c.wav" in p for p in pairs)
+
+
+def test_image_neardup_gate_grows_like_text_gate(spark):
+    """Incremental image dedup: a batch near-dup of an INDEXED image
+    drops; novel and undecodable content passes; appending the
+    accepted batch's signature index makes a later near-dup of an
+    accepted image drop too — the media analog of the text gate's
+    grown-index contract, with history never re-decoded."""
+    rng = np.random.RandomState(23)
+
+    def img(seed_arr, edit=False):
+        px = seed_arr.copy()
+        if edit:
+            px[4:8, 4:8] = 255
+        return bytearray(make_bmp(px, 32, 32))
+
+    base0 = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    novel1 = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    corpus = spark.createDataFrame(
+        [("c0.bmp", img(base0))], "path string, content binary"
+    )
+    index = mm.image_signature_index(corpus)
+
+    batch1 = spark.createDataFrame(
+        [
+            ("b0.bmp", img(base0, edit=True)),   # near-dup of indexed
+            ("b1.bmp", img(novel1)),             # novel
+            ("bad.bin", bytearray(b"not an image")),  # undecodable
+        ],
+        "path string, content binary",
+    )
+    kept1 = mm.image_neardup_gate(batch1, index)
+    assert {r["path"] for r in kept1.collect()} == {"b1.bmp", "bad.bin"}
+    hits1 = mm.image_neardup_gate(batch1, index, keep_hits=True)
+    assert {r["path"] for r in hits1.collect()} == {"b0.bmp"}
+
+    # grow the index with the accepted batch, then a near-dup of the
+    # ACCEPTED novel image must drop — only a grown index can do that
+    grown = index.unionByName(mm.image_signature_index(kept1))
+    batch2 = spark.createDataFrame(
+        [
+            ("d0.bmp", img(novel1, edit=True)),  # near-dup of b1
+            ("d1.bmp", img(rng.randint(0, 256, size=(32, 32, 3),
+                                       dtype=np.uint8))),
+        ],
+        "path string, content binary",
+    )
+    kept2 = mm.image_neardup_gate(batch2, grown)
+    assert {r["path"] for r in kept2.collect()} == {"d1.bmp"}

@@ -775,3 +775,42 @@ def extract_audio_features(
     return df.select("path", "content").mapInPandas(
         decode_batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+def audio_signature_index(
+    df: DataFrame,
+    max_distance: int = 6,
+    samples: Callable[[bytes], tuple] = wav_samples,
+) -> DataFrame:
+    """Persistable audio near-dup index — :func:`image_signature_index`
+    with energy fingerprints instead of dHash; same banding, same gate
+    machinery, history never re-decoded."""
+    from polars_fastx_spark.operators import dedup
+
+    sig = audio_fingerprint(df, samples).filter(
+        F.col("sig").isNotNull()
+    ).select(F.col("path").alias("__id"), F.col("sig").alias("__sig"))
+    return dedup.hamming_band_table(sig, max_distance)
+
+
+def audio_neardup_gate(
+    batch: DataFrame,
+    index: DataFrame,
+    max_distance: int = 6,
+    samples: Callable[[bytes], tuple] = wav_samples,
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Ingest-time audio near-dup gate — :func:`image_neardup_gate`
+    for clips: exact-hamming-verified against the stored fingerprints,
+    undecodable content passes, same grown-index incremental
+    contract."""
+    from polars_fastx_spark.operators import dedup
+
+    sig = audio_fingerprint(batch, samples).filter(
+        F.col("sig").isNotNull()
+    ).select(F.col("path").alias("__id"), F.col("sig").alias("__sig"))
+    hits = dedup.hamming_gate(
+        sig, index, max_distance, keep_hits=True
+    ).select(F.col("__id").alias("path"))
+    how = "left_semi" if keep_hits else "left_anti"
+    return batch.join(hits, "path", how)

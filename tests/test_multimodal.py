@@ -522,3 +522,28 @@ def test_image_neardup_gate_grows_like_text_gate(spark):
     )
     kept2 = mm.image_neardup_gate(batch2, grown)
     assert {r["path"] for r in kept2.collect()} == {"d1.bmp"}
+
+
+def test_audio_neardup_gate(spark):
+    rng = np.random.RandomState(31)
+    base = rng.randn(16000) * 0.2
+    novel = rng.randn(16000) * 0.2
+    corpus = spark.createDataFrame(
+        [("c0.wav", bytearray(_f32_wav(base, 16000)))],
+        "path string, content binary",
+    )
+    index = mm.audio_signature_index(corpus)
+    edited = base.copy()
+    edited[7000:8000] = 0.0
+    batch = spark.createDataFrame(
+        [
+            ("b0.wav", bytearray(_f32_wav(edited, 16000))),  # near-dup
+            ("b1.wav", bytearray(_f32_wav(novel, 16000))),   # novel
+            ("bad.wav", bytearray(b"RIFFxxxxNOPE")),         # broken
+        ],
+        "path string, content binary",
+    )
+    kept = mm.audio_neardup_gate(batch, index)
+    assert {r["path"] for r in kept.collect()} == {"b1.wav", "bad.wav"}
+    hits = mm.audio_neardup_gate(batch, index, keep_hits=True)
+    assert {r["path"] for r in hits.collect()} == {"b0.wav"}

@@ -82,6 +82,13 @@ HEADLINE = {
     "l_ivfpq_topk": "IVF-PQ: broadcast centroid assignment, residual "
     "PQ codes, ADC via broadcast (cell, j, c) distance-table join — "
     "candidates restricted to probed cells BY the join key itself.",
+    "l_containment": "Asymmetric containment: inverted-index self-join "
+    "ON SHINGLE (pairs only materialize where a shingle is shared), "
+    "df cap co-partitioned on the same key, corpus count a 1-row "
+    "broadcast — never n².",
+    "l_containment_decontam": "Graded decontamination: benchmark "
+    "postings broadcast; the corpus side streams — the only exchange "
+    "is the per-(doc, bench) count groupBy.",
 }
 
 

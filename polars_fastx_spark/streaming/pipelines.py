@@ -481,17 +481,10 @@ def stream_decontam_gate(
     bench = benchmark.persist()
 
     def _gate(batch: DataFrame, epoch: int) -> None:
-        hits = (
-            _dedup.containment_pairs_between(
-                batch, bench, id_col, text_col,
-                k=k, threshold=threshold, max_shingle_df=max_shingle_df,
-            )
-            .select(F.col("corpus_id").alias(id_col))
-            .distinct()
+        _decontam_gate_epoch(
+            batch, epoch, bench, out_path, id_col, text_col,
+            k, threshold, max_shingle_df,
         )
-        batch.join(hits, id_col, "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{out_path}/epoch={epoch}")
 
     return (
         stream.writeStream.foreachBatch(_gate)
@@ -499,6 +492,38 @@ def stream_decontam_gate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _decontam_gate_epoch(
+    batch: DataFrame,
+    epoch: int,
+    benchmark: DataFrame,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> None:
+    """One micro-batch of :func:`stream_decontam_gate`, module-level so
+    the at-least-once RETRY path is directly testable (the same
+    exposure move as ``_neardup_gate_epoch``): replaying an epoch
+    overwrites its own output — with a STATIC benchmark there is no
+    index to self-collide with, so idempotence is just the epoch-dir
+    overwrite."""
+    from polars_fastx_spark.operators import dedup as _dedup
+
+    hits = (
+        _dedup.containment_pairs_between(
+            batch, benchmark, id_col, text_col,
+            k=k, threshold=threshold, max_shingle_df=max_shingle_df,
+        )
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    batch.join(hits, id_col, "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/epoch={epoch}")
 
 
 def _neardup_gate_epoch(

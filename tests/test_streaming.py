@@ -1141,3 +1141,29 @@ def test_stream_decontam_gate_drops_contaminated_docs(spark, srcdir, tmp_path):
         ).collect()
     }
     assert batch_hits == {1, 10}
+
+
+def test_stream_decontam_gate_epoch_retry_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (at-least-once redelivery) overwrites its own
+    output: same kept set, no duplicates."""
+    from polars_fastx_spark.streaming.pipelines import _decontam_gate_epoch
+
+    bench_text = "what is the capital of france and when was it founded"
+    benchmark = spark.createDataFrame([(900, bench_text)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (1, "quiz doc containing " + bench_text + " in full"),
+            (2, "clean document about winter cycling equipment care"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = str(tmp_path / "out")
+    _decontam_gate_epoch(
+        batch, 0, benchmark, out, "doc_id", "text", 8, 0.9, None
+    )
+    first = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    _decontam_gate_epoch(  # redelivered epoch 0
+        batch, 0, benchmark, out, "doc_id", "text", 8, 0.9, None
+    )
+    second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert first == second == [2]

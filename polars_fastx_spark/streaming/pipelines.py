@@ -593,6 +593,105 @@ def _compact_index_epochs(
     )
 
 
+def stream_media_neardup_gate(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_distance: int = 6,
+    signer=None,
+    compact_every: int | None = 8,
+):
+    """Streaming incremental near-dup dedup for MEDIA (image/audio
+    binary columns): gate each arriving micro-batch against the
+    growing on-disk hamming signature index, write survivors, append
+    their signatures so later batches see them — the media member of
+    the streaming gate family, riding the same epoch discipline as
+    :func:`stream_neardup_gate` (epoch-overwrite idempotence, the
+    retry reads only ``epoch < current`` partitions, staged-swap
+    compaction bounding file count).
+
+    ``signer`` maps a (path, content, ...) batch to a signature frame
+    with (path, sig array<int>) columns — default
+    ``multimodal.image_dhash``; pass ``multimodal.audio_fingerprint``
+    for clips. The per-batch decode runs ONCE (the signature frame is
+    persisted for the batch — decode dominates media cost); gate
+    decisions are exact-hamming-verified against stored signatures
+    (``dedup.hamming_gate``); undecodable content passes and never
+    indexes. Returns the started StreamingQuery (availableNow)."""
+
+    def _gate(batch: DataFrame, epoch: int) -> None:
+        _media_gate_epoch(
+            batch, epoch, index_path, out_path,
+            max_distance, signer, compact_every,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _media_gate_epoch(
+    batch: DataFrame,
+    epoch: int,
+    index_path: str,
+    out_path: str,
+    max_distance: int = 6,
+    signer=None,
+    compact_every: int | None = None,
+) -> None:
+    """One micro-batch of :func:`stream_media_neardup_gate`, exposed
+    module-level so the retry path is directly testable — same
+    contract as :func:`_neardup_gate_epoch`: replaying an epoch is
+    idempotent because the index read excludes the current epoch's
+    own partition."""
+    from pyspark.errors import AnalysisException
+
+    from polars_fastx_spark.operators import dedup as _dedup
+    from polars_fastx_spark.operators import multimodal as _mm
+
+    spark = batch.sparkSession
+    if signer is None:
+        signer = _mm.image_dhash
+    if compact_every:
+        _compact_index_epochs(spark, index_path, epoch, compact_every)
+    sig = (
+        signer(batch)
+        .filter(F.col("sig").isNotNull())
+        .select(F.col("path").alias("__id"), F.col("sig").alias("__sig"))
+        .persist()  # decode once: hits AND the index append read it
+    )
+    try:
+        try:
+            index = (
+                spark.read.option("basePath", index_path)
+                .parquet(f"{index_path}/epoch=*")
+                .filter(F.col("epoch") < F.lit(epoch))
+                .drop("epoch")
+            )
+        except AnalysisException:  # first batch: no index yet
+            index = None
+        if index is None:
+            kept = batch
+        else:
+            hits = _dedup.hamming_gate(
+                sig, index, max_distance, keep_hits=True
+            ).select(F.col("__id").alias("path"))
+            kept = batch.join(hits, "path", "left_anti")
+        kept.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
+        kept_sig = sig.join(
+            kept.select(F.col("path").alias("__id")), "__id", "left_semi"
+        )
+        _dedup.hamming_band_table(kept_sig, max_distance).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/epoch={epoch}")
+    finally:
+        sig.unpersist()
+
+
 def stream_index_add(
     stream: DataFrame,
     vec_col: str,

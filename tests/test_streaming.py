@@ -1167,3 +1167,88 @@ def test_stream_decontam_gate_epoch_retry_is_idempotent(spark, tmp_path):
     )
     second = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert first == second == [2]
+
+
+def _bmp32(px):
+    import struct as _struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = b"".join(r.tobytes() + b"\x00" * (stride - w * 3) for r in px[::-1])
+    hdr = b"BM" + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return bytearray(hdr + body)
+
+
+def test_stream_media_neardup_gate_grows_index(spark, tmp_path):
+    """Streaming image dedup: batch 1 seeds the signature index; a
+    batch-2 near-dup of a batch-1 image drops while novel and
+    undecodable content passes; the index GROWS (a near-dup of a
+    batch-2 acceptee drops in batch 3); a retried epoch is idempotent."""
+    import numpy as np
+
+    from polars_fastx_spark.streaming.pipelines import (
+        _media_gate_epoch,
+        stream_media_neardup_gate,
+    )
+
+    rng = np.random.RandomState(41)
+    base = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    novel = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    def edited(px):
+        q = px.copy()
+        q[4:8, 4:8] = 255
+        return q
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx, out, ck = tmp_path / "idx", tmp_path / "out", tmp_path / "ck"
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            rows, "path string, content binary"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    stream_df = lambda: spark.readStream.schema(
+        "path string, content binary"
+    ).option("recursiveFileLookup", "true").parquet(str(src))
+
+    _write("b0", [("c0.bmp", _bmp32(base))])
+    q = stream_media_neardup_gate(stream_df(), str(idx), str(out), str(ck))
+    q.awaitTermination(120)
+
+    _write("b1", [
+        ("d0.bmp", _bmp32(edited(base))),       # near-dup of c0 -> drop
+        ("d1.bmp", _bmp32(novel)),              # novel -> keep
+        ("bad.bin", bytearray(b"not an image")),  # undecodable -> pass
+    ])
+    q = stream_media_neardup_gate(stream_df(), str(idx), str(out), str(ck))
+    q.awaitTermination(120)
+
+    _write("b2", [
+        ("e0.bmp", _bmp32(edited(novel))),      # near-dup of ACCEPTED d1
+        ("e1.bmp", _bmp32(rng.randint(0, 256, size=(32, 32, 3),
+                                      dtype=np.uint8))),
+    ])
+    q = stream_media_neardup_gate(stream_df(), str(idx), str(out), str(ck))
+    q.awaitTermination(120)
+
+    kept = {r.path for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {"c0.bmp", "d1.bmp", "bad.bin", "e1.bmp"}
+
+    # retried epoch: replay the LAST batch with its own index partition
+    # already on disk — must not self-collide (e1 stays kept)
+    batch2 = spark.createDataFrame(
+        [("e0.bmp", _bmp32(edited(novel))),
+         ("e1.bmp", _bmp32(rng.randint(0, 256, size=(32, 32, 3),
+                                       dtype=np.uint8)))],
+        "path string, content binary",
+    )
+    last_epoch = max(
+        int(p.name.split("=")[1])
+        for p in (tmp_path / "out").iterdir() if p.name.startswith("epoch=")
+    )
+    _media_gate_epoch(batch2, last_epoch, str(idx), str(out))
+    kept2 = {r.path for r in spark.read.parquet(str(out)).collect()}
+    assert "e1.bmp" in kept2 and "e0.bmp" not in kept2

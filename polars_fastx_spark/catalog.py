@@ -2222,6 +2222,62 @@ def l_containment(spark, sf_dir):
 
 
 @_q(
+    "l_containment_drop",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, length(text) - 7),
+               i -> substr(text, i, 8)))) AS shingle
+      FROM documents
+    ), nd AS (SELECT count(*) AS n FROM documents),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    post AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d USING (shingle), nd
+      WHERE d.df <= floor(0.04 * nd.n)
+    ),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM post a JOIN post b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             common::DOUBLE / sa.sz AS ca,
+             common::DOUBLE / sb.sz AS cb
+      FROM common JOIN sizes sa ON common.id_a = sa.doc_id
+                  JOIN sizes sb ON common.id_b = sb.doc_id
+      WHERE greatest(common::DOUBLE / sa.sz, common::DOUBLE / sb.sz) >= 0.15
+    ),
+    drops AS (
+      SELECT CASE WHEN ca >= 0.15 AND NOT cb >= 0.15 THEN id_a
+                  ELSE id_b END AS doc_id,
+             CASE WHEN ca >= 0.15 AND NOT cb >= 0.15 THEN id_b
+                  ELSE id_a END AS dup_of
+      FROM scored
+    )
+    SELECT doc_id, min(dup_of) AS dup_of
+    FROM drops GROUP BY doc_id ORDER BY doc_id
+    """,
+    "L2: the containment dedup DECISION — the CONTAINED side of each "
+    "pair drops (the quoted excerpt adds little novel content, not its "
+    "host); mutual containment drops the larger id (min-id survivor, "
+    "the exact-dedup/SemDeDup rule); multiple hosts report min dup_of "
+    "so the decision is deterministic and re-runnable",
+)
+def l_containment_drop(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        d, "doc_id", "text", k=8, threshold=0.15, max_shingle_df=0.04
+    )
+    return dedup.containment_drop_decision(pairs, threshold=0.15).orderBy(
+        "doc_id"
+    )
+
+
+@_q(
     "l_containment_decontam",
     """
     WITH sh AS (

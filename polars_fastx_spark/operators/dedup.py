@@ -655,6 +655,37 @@ def containment_pairs(
     )
 
 
+def containment_drop_decision(
+    pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """The dedup DECISION over :func:`containment_pairs` output: which
+    document of each containment pair is redundant and drops. A doc
+    mostly contained in another adds little novel content, so the
+    CONTAINED side drops (the quoted excerpt, not its host); mutual
+    containment (both directions ≥ threshold — near-identical sets)
+    drops the larger id, keeping min-id as the survivor — the same
+    deterministic-survivor rule as the exact-dedup and SemDeDup
+    decisions. A doc contained in several hosts reports its smallest
+    ``dup_of`` so the decision is re-runnable. Returns
+    (doc_id, dup_of) for dropped docs — anti-join the corpus on
+    ``doc_id`` to apply."""
+    ca, cb = F.col("containment_a_in_b"), F.col("containment_b_in_a")
+    hit = pairs.filter(F.greatest(ca, cb) >= threshold)
+    only_a = (ca >= threshold) & ~(cb >= threshold)
+    return (
+        hit.select(
+            F.when(only_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "doc_id"
+            ),
+            F.when(only_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "dup_of"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+
+
 def containment_pairs_between(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -485,3 +485,30 @@ def test_containment_hashed_shingles_match_strings(spark):
         df, bench, "doc_id", "text", k=8, threshold=0.5, hash_shingles=True
     ).collect())
     assert c == d and c
+
+
+def test_containment_drop_decision_rules(spark):
+    """Contained side drops; mutual containment drops the larger id;
+    multi-host docs report their smallest dup_of."""
+    pairs = spark.createDataFrame(
+        [
+            # a contained in b only -> drop a, dup_of b
+            (1, 2, 10, 10, 40, 1.0, 0.25, 1.0),
+            # b contained in a only -> drop b, dup_of a
+            (3, 4, 10, 40, 10, 0.25, 1.0, 1.0),
+            # mutual -> drop larger id (6), keep 5
+            (5, 6, 10, 11, 10, 0.9, 1.0, 1.0),
+            # doc 1 also contained in 9 -> dup_of stays min(2, 9) = 2
+            (1, 9, 10, 10, 50, 1.0, 0.2, 1.0),
+            # below threshold -> no decision
+            (7, 8, 2, 40, 40, 0.05, 0.05, 0.05),
+        ],
+        "id_a long, id_b long, common long, size_a long, size_b long, "
+        "containment_a_in_b double, containment_b_in_a double, "
+        "max_containment double",
+    )
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup.containment_drop_decision(pairs, 0.5).collect()
+    }
+    assert got == {1: 2, 4: 3, 6: 5}

@@ -94,6 +94,7 @@ ALLOWED_NESTED_LOOP = {
     "l_ann_index_search_many",  # queries × ≤num_cells centroids and
     # probed × m·pq_k books: both broadcast crosses of bounded tables
     "l_containment",      # corpus doc-count = 1-row broadcast cross join
+    "l_containment_drop",  # same corpus doc-count broadcast shape
     "l_ann_index_delete",  # same build shape as l_ann_index_search
     "l_ann_index_search_filtered",  # same build shape as l_ann_index_search
     "l_ann_index_recall",  # build shape + deliberate brute-force exact side

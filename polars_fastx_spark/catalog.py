@@ -7194,6 +7194,90 @@ def l_span_dedup(spark, sf_dir):
 
 
 @_q(
+    "l_quality_model",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(toks) + 1),
+               i -> list_reduce(
+                      [strpos('0123456789abcdef', x) - 1
+                       for x in string_split(substr(md5(toks[i]), 1, 8), '')],
+                      (a, b) -> a * 16 + b) % 256)) AS bucket
+      FROM t WHERE len(toks) >= 1
+    ),
+    w AS (
+      SELECT b AS bucket,
+             (list_reduce(
+                [strpos('0123456789abcdef', x) - 1
+                 for x in string_split(
+                     substr(md5(b::VARCHAR || ':w'), 1, 8), '')],
+                (a, b2) -> a * 16 + b2) % 2001 - 1000) / 1000.0 AS weight
+      FROM range(256) t(b)
+    ),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_features, sum(w.weight) AS z
+      FROM f JOIN w USING (bucket) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           coalesce(p.n_features, 0) AS n_features,
+           round(1.0 / (1.0 + exp(-coalesce(p.z, 0.0))), 6) AS score
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id NULLS FIRST
+    """,
+    "L4+: model-based quality scoring — fastText/VW-style hashing-"
+    "trick linear classifier application (the CCNet/GPT-3 quality-"
+    "filter step): hashed unigram features via the DSIR md5 bucket "
+    "map, a broadcast 256-row weight table standing in for the "
+    "offline-trained model (weights content-addressed from the bucket "
+    "id so both engines derive the identical model), score = "
+    "sigmoid(Σ weights); zero-token docs keep sigmoid(0)",
+)
+def l_quality_model(spark, sf_dir):
+    d = _tp(spark, sf_dir, "documents")
+    weights = spark.range(256).select(
+        F.col("id").alias("bucket"),
+        (
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.encode(
+                                    F.concat(
+                                        F.col("id").cast("string"),
+                                        F.lit(":w"),
+                                    ),
+                                    "UTF-8",
+                                )
+                            ),
+                            1, 8,
+                        ),
+                        16, 10,
+                    ).cast("long"),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 1000.0
+        ).alias("weight"),
+    )
+    return (
+        text.hashed_linear_score(d, weights, num_buckets=256, n=1)
+        .select(
+            "doc_id", "n_features", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
+
+
+@_q(
     "l_dsir_sample",
     """
     WITH t AS (

@@ -943,6 +943,54 @@ def hashed_ngram_buckets(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 256,
+    n: int = 1,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText/VW-style hashing-trick linear classifier APPLICATION —
+    the model-based quality-filter step (CCNet / GPT-3-class pipelines
+    score every document with a small linear model and threshold):
+    hashed word n-gram features via the SAME engine-portable md5
+    bucket map DSIR uses (:func:`hashed_ngram_buckets`), a broadcast
+    ``(bucket, weight)`` table standing in for the offline-trained
+    model, ``score = sigmoid(bias + Σ_features weight[bucket])``.
+    Features count MULTIPLICITY (the bag the linear model was trained
+    on); unseen buckets contribute 0. Docs with fewer than ``n``
+    tokens carry no features and score ``sigmoid(bias)`` — kept, not
+    dropped (the downstream threshold decides). The model is
+    ≤ num_buckets rows (MBs at real fastText dims) and broadcasts; the
+    corpus side is one explode + one groupBy(id) — no shuffle carries
+    text. Returns (id, n_features, score)."""
+    feats = hashed_ngram_buckets(df, id_col, text_col, num_buckets, n)
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce("weight", F.lit(0.0))).alias("__z"),
+        )
+    )
+    z = F.lit(float(bias)) + F.coalesce("__z", F.lit(0.0))
+    return (
+        df.select(_col(id_col).alias(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        )
+    )
+
+
 def dsir_logratio(
     features: DataFrame,
     target_ids: DataFrame,

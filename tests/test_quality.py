@@ -138,3 +138,41 @@ def test_profile_and_rules_survive_exotic_column_names(spark):
     assert got["not_null:a-b"] == 1
     assert got["unique:my col"] == 0
     assert got["in_range:a.b"] == 1
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    """Score equals a hand-computed sigmoid over the hashed bag; a
+    repeated token counts twice; a zero-token doc scores sigmoid(bias)
+    with 0 features."""
+    import hashlib
+    import math
+
+    from polars_fastx_spark.operators import text as T
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+
+    wmap = {bucket("good"): 2.0, bucket("bad"): -3.0}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, weight double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unseen words only"), (3, "   ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_features"], r["score"])
+        for r in T.hashed_linear_score(
+            docs, weights, num_buckets=256, n=1, bias=0.5
+        ).collect()
+    }
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))
+    # doc 1: 2*good + bad (unless an unseen token hash-collides with a
+    # weighted bucket, impossible here by construction of wmap keys)
+    z1 = 0.5 + 2 * 2.0 + (-3.0)
+    assert got[1][0] == 3 and got[1][1] == pytest.approx(sig(z1), abs=1e-12)
+    assert got[2][0] == 3 and got[2][1] == pytest.approx(
+        sig(0.5 + sum(wmap.get(bucket(t), 0.0) for t in "unseen words only".split())),
+        abs=1e-12,
+    )
+    assert got[3] == (0, pytest.approx(sig(0.5), abs=1e-12))

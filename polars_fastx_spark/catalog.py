@@ -8619,7 +8619,8 @@ def l_ann_index_delete(spark, sf_dir):
     """
     WITH st AS (SELECT source, count(*)::BIGINT AS n_total
                 FROM documents GROUP BY source),
-    tot AS (SELECT sum(pow(n_total, 0.5)) AS s FROM st),
+    tot AS (SELECT list_reduce(list_sort(list(pow(n_total, 0.5))),
+                            (a, b) -> a + b) AS s FROM st),
     q AS (
       SELECT source, n_total,
              floor(200 * pow(n_total, 0.5) / tot.s)::BIGINT AS quota
@@ -8652,7 +8653,19 @@ def l_ann_index_delete(spark, sf_dir):
 def l_temperature_mix(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     st = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    tot = st.agg(F.sum(F.pow("n_total", 0.5)).alias("s"))
+    # the power-sum feeds a FLOOR: a plain double sum's association
+    # varies with the physical aggregation (AQE coalescing), and a
+    # quota sitting on an integer boundary then flips run-to-run (one
+    # observed sf0.1 selfcheck flake). Sorted sequential fold fixes
+    # the association AND matches the oracle's identical fold
+    # bit-for-bit, so the floor is deterministic in both engines.
+    tot = st.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.pow("n_total", 0.5))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s")
+    )
     q = (
         st.crossJoin(F.broadcast(tot))
         .select(

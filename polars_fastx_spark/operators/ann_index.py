@@ -74,6 +74,19 @@ def index_build(
     from polars_fastx_spark.operators.similarity import ivf_assign
 
     spark = df.sparkSession
+    # Rebuild hygiene: a build into a previously-used path must start
+    # from a clean slate. mode("overwrite") below only replaces
+    # meta/centroids/books/codes/epoch=0 — it would leave (a) stale
+    # tombstones that HIDE the fresh epoch-0 codes (tombstone at T
+    # hides epoch < T), (b) extra code epochs whose per-id ADC
+    # distances would SUM with the fresh ones, and (c) a stale
+    # streaming base that misplaces the next streamed epoch. Delete
+    # all three before writing anything.
+    _, fs = _hfs(spark, path)
+    for stale in ("tombstones", "codes"):
+        sp = _hfs(spark, f"{path}/{stale}")[0]
+        if fs.exists(sp):
+            fs.delete(sp, True)
     assigned, centroids = ivf_assign(df, id_col, vec_col, num_cells)
     with_cent = assigned.join(F.broadcast(centroids), "cell")
     # persisted across the eager codebook-construction jobs (dim probe,
@@ -120,18 +133,24 @@ def index_build_if_absent(
     times (pinned builds are deterministic, so a cached and a fresh
     index answer identically — test-pinned).
 
-    Completeness = ``meta/`` committed AND ``codes/epoch=0``
-    committed. ``index_build`` writes meta before codes, so a crash
-    anywhere mid-build leaves the pair incomplete and the next caller
-    rebuilds over the partial output (every sub-write is
-    mode("overwrite")). Callers are expected not to race concurrent
-    builds of the same path (same single-maintainer assumption as
-    ``index_compact``). Returns True if this call built."""
+    Completeness = ``meta/`` committed AND at least one committed
+    ``codes/epoch=*`` directory. ``index_build`` writes meta before
+    codes, so a crash anywhere mid-build leaves the pair incomplete
+    and the next caller rebuilds (``index_build`` clears the path
+    first, so a rebuild never inherits partial output). The check is
+    ANY committed epoch, not epoch 0: ``index_compact`` folds epoch 0
+    into the highest epoch, and misreading a compacted-but-complete
+    index as partial would rebuild epoch 0 UNDER the surviving folded
+    epochs — stale and fresh code rows would union and their per-id
+    ADC distances would sum, silently corrupting every search.
+    Callers are expected not to race concurrent builds of the same
+    path (same single-maintainer assumption as ``index_compact``).
+    Returns True if this call built."""
     spark = df.sparkSession
     meta_ok = _hfs(spark, f"{path}/meta/_SUCCESS")[1].exists(
         _hfs(spark, f"{path}/meta/_SUCCESS")[0]
     )
-    if meta_ok and 0 in _committed_epochs(spark, f"{path}/codes"):
+    if meta_ok and _committed_epochs(spark, f"{path}/codes"):
         return False
     index_build(df, id_col, vec_col, path, **build_kwargs)
     return True

@@ -285,7 +285,7 @@ def compact_epoch_partitions(
     def _p(rel: str):
         return jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
 
-    def _scan():
+    def _scan(bound: int | None = upto_epoch):
         epochs, stages = [], []
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -294,7 +294,9 @@ def compact_epoch_partitions(
                     eid = int(name.split("=", 1)[1])
                 except ValueError:
                     continue
-                if eid < upto_epoch and fs.exists(_p(f"{name}/_SUCCESS")):
+                if (bound is None or eid < bound) and fs.exists(
+                    _p(f"{name}/_SUCCESS")
+                ):
                     epochs.append(eid)
             elif name.startswith("_compact_tmp_e"):
                 stages.append(name)
@@ -310,15 +312,23 @@ def compact_epoch_partitions(
         fs.rename(_p(stage_name), dst)
 
     committed, stages = _scan()
-    # recover interrupted swaps FIRST; an uncommitted stage is a
-    # crashed step-1 rebuild (sources intact) — drop the garbage
+    # recover interrupted swaps FIRST. A COMMITTED stage is completed
+    # regardless of this call's upto_epoch: a prior call with a LARGER
+    # bound that crashed inside its swap may have already deleted some
+    # source epoch dirs, leaving the stage as the only surviving copy
+    # of those rows — deleting it because t >= our (smaller) bound
+    # would destroy data. Its sources are every committed epoch
+    # <= its target (target = max of its sources by construction), so
+    # the completion scans UNBOUNDED. Only a stage without _SUCCESS (a
+    # crashed step-1 rebuild, sources intact) is garbage to drop.
     for sname in stages:
         try:
             t = int(sname[len("_compact_tmp_e"):])
         except ValueError:
             continue
-        if t < upto_epoch and fs.exists(_p(f"{sname}/_SUCCESS")):
-            _swap(sname, t, committed)
+        if fs.exists(_p(f"{sname}/_SUCCESS")):
+            all_committed, _ = _scan(bound=None)
+            _swap(sname, t, all_committed)
         else:
             fs.delete(_p(sname), True)
     if stages:

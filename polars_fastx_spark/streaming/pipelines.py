@@ -474,9 +474,15 @@ def stream_decontam_gate(
     benchmark a retry trivially sees the state the first attempt saw —
     no epoch-exclusion subtlety needed.
 
+    The benchmark is cached for the QUERY's lifetime only: a
+    StreamingQueryListener unpersists it (and deregisters itself) on
+    this query's terminated event, so repeated gate runs in a
+    long-lived session don't each pin a copy of the benchmark in
+    executor memory.
+
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from polars_fastx_spark.operators import dedup as _dedup
+    from pyspark.sql.streaming import StreamingQueryListener
 
     bench = benchmark.persist()
 
@@ -486,12 +492,35 @@ def stream_decontam_gate(
             k, threshold, max_shingle_df,
         )
 
-    return (
+    query = (
         stream.writeStream.foreachBatch(_gate)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+    spark = stream.sparkSession
+    qid = str(query.id)
+
+    class _UnpersistOnTerminate(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == qid:
+                try:
+                    bench.unpersist()
+                finally:
+                    spark.streams.removeListener(self)
+
+    spark.streams.addListener(_UnpersistOnTerminate())
+    return query
 
 
 def _decontam_gate_epoch(

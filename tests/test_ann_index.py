@@ -504,3 +504,95 @@ def test_empty_id_edge_cases(spark, tmp_path):
     ).count() == 0
     with pytest.raises(ValueError, match="empty id list"):
         ann_index.index_delete(spark, path, [])
+
+
+def test_build_if_absent_after_compact_is_noop(spark, tmp_path):
+    """Compaction folds epoch 0 into the highest epoch; a complete-
+    but-compacted index must still read as COMPLETE. The old epoch-0
+    check rebuilt over it, leaving the folded epochs in place so stale
+    and fresh code rows unioned and per-id ADC distances summed —
+    silent corruption of every subsequent search (ADVICE r5 #1)."""
+    import os
+
+    e = _emb(spark)
+    rows = [(r["vec_id"], list(r["v"])) for r in e.collect()]
+    tail_ids = sorted(_seed_safe_tail(rows))
+    path = str(tmp_path / "idx")
+    head = e.filter(~F.col("vec_id").isin(tail_ids))
+    assert ann_index.index_build_if_absent(
+        head, "vec_id", "v", path, pinned=True
+    )
+    ann_index.index_add(
+        e.filter(F.col("vec_id").isin(tail_ids)), "v", path
+    )
+    ann_index.index_compact(spark, path)
+    eps = [d for d in os.listdir(f"{path}/codes") if d.startswith("epoch=")]
+    assert "epoch=0" not in eps and len(eps) == 1  # compacted layout
+    q = _query(e)
+    before = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    # must be recognized as complete — no rebuild, layout untouched
+    assert not ann_index.index_build_if_absent(
+        head, "vec_id", "v", path, pinned=True
+    )
+    assert [
+        d for d in os.listdir(f"{path}/codes") if d.startswith("epoch=")
+    ] == eps
+    after = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    assert after == before
+    # and no id gained a second (summing) code row
+    coded = spark.read.option("basePath", f"{path}/codes").parquet(
+        f"{path}/codes/epoch=*"
+    )
+    assert coded.count() == coded.select("__id").distinct().count()
+
+
+def test_rebuild_into_used_path_starts_clean(spark, tmp_path):
+    """index_build over a previously-used path must clear stale
+    tombstones, extra code epochs, and the streaming base: otherwise a
+    rebuild inherits tombstones that HIDE its fresh epoch-0 codes and
+    extra epochs whose ADC distances sum (ADVICE r5 #2)."""
+    import os
+
+    e = _emb(spark)
+    path = str(tmp_path / "idx")
+    fresh_path = str(tmp_path / "fresh")
+    ann_index.index_build(
+        e.filter("vec_id < 100"), "vec_id", "v", path, num_cells=8,
+        pinned=True,
+    )
+    ann_index.index_add(
+        e.filter("vec_id >= 100 and vec_id < 140"), "v", path
+    )
+    ann_index.index_delete(spark, path, list(range(0, 50)))
+    os.makedirs(f"{path}/codes", exist_ok=True)
+    with open(f"{path}/codes/_stream_base", "w") as fh:
+        fh.write("7")
+    # rebuild with a DIFFERENT corpus slice over the dirty path
+    corpus = e.filter("vec_id < 120")
+    ann_index.index_build(
+        corpus, "vec_id", "v", path, num_cells=8, pinned=True
+    )
+    assert not os.path.exists(f"{path}/tombstones")
+    assert not os.path.exists(f"{path}/codes/_stream_base")
+    assert [
+        d for d in os.listdir(f"{path}/codes") if d.startswith("epoch=")
+    ] == ["epoch=0"]
+    ann_index.index_build(
+        corpus, "vec_id", "v", fresh_path, num_cells=8, pinned=True
+    )
+    q = _query(e)
+    got = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, path, q, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, fresh_path, q, k=10).collect()
+    ]
+    assert got == want and len(got) == 10

@@ -80,3 +80,51 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     want = ev.filter(F.col("event_type") == "click").count()
     assert joined.count() == want
+
+
+def test_compact_recovery_completes_stage_despite_smaller_upto(spark, tmp_path):
+    """A prior compaction with a LARGE upto_epoch crashed inside its
+    swap after deleting some source epoch dirs — the committed stage is
+    the only surviving copy of those rows. A later call with a SMALLER
+    upto_epoch must COMPLETE that swap, not delete the stage because
+    its target is >= the new bound (ADVICE r5 #3: that deletion
+    destroyed the rows forever)."""
+    import os
+    import shutil
+
+    from polars_fastx_spark.sources.sinks import compact_epoch_partitions
+
+    root = str(tmp_path / "ds")
+    for e in range(6):
+        spark.createDataFrame(
+            [(e * 10 + i,) for i in range(3)], "id long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/epoch={e}")
+    before = {
+        r["id"]
+        for r in spark.read.option("basePath", root)
+        .parquet(f"{root}/epoch=*").collect()
+    }
+    # simulate: compact(upto=6) staged epochs 0..5 to _compact_tmp_e5
+    # (committed), then crashed mid-step-2 having deleted epoch=2 and 3
+    (
+        spark.read.option("basePath", root).parquet(f"{root}/epoch=*")
+        .filter(F.col("epoch") < 6).drop("epoch")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"{root}/_compact_tmp_e5")
+    )
+    shutil.rmtree(f"{root}/epoch=2")
+    shutil.rmtree(f"{root}/epoch=3")
+    # retry with a SMALLER bound — old code deleted the committed stage
+    compact_epoch_partitions(spark, root, upto_epoch=2)
+    assert not [
+        d for d in os.listdir(root) if d.startswith("_compact_tmp")
+    ]
+    after = {
+        r["id"]
+        for r in spark.read.option("basePath", root)
+        .parquet(f"{root}/epoch=*").collect()
+    }
+    assert after == before  # epochs 2 and 3's rows survive via the stage
+    assert {d for d in os.listdir(root) if d.startswith("epoch=")} == {
+        "epoch=5"
+    }

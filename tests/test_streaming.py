@@ -1252,3 +1252,38 @@ def test_stream_media_neardup_gate_grows_index(spark, tmp_path):
     _media_gate_epoch(batch2, last_epoch, str(idx), str(out))
     kept2 = {r.path for r in spark.read.parquet(str(out)).collect()}
     assert "e1.bmp" in kept2 and "e0.bmp" not in kept2
+
+
+def test_stream_decontam_gate_unpersists_benchmark_on_terminate(
+    spark, srcdir, tmp_path
+):
+    """The gate caches the benchmark for the QUERY's lifetime only:
+    after the query terminates, the listener unpersists it — repeated
+    gate runs in a long-lived session must not each pin a copy in
+    executor memory forever (ADVICE r5 #4)."""
+    import time
+
+    from polars_fastx_spark.streaming.pipelines import stream_decontam_gate
+
+    benchmark = spark.createDataFrame(
+        [(900, "what is the capital of france")], ["doc_id", "text"]
+    )
+    (srcdir / "b0.json").write_text(
+        json.dumps({"doc_id": 1, "text": "clean doc about gardening"})
+        + "\n"
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(srcdir))
+    )
+    q = stream_decontam_gate(
+        docs, benchmark, "doc_id", "text",
+        str(tmp_path / "out"), str(tmp_path / "ck"), threshold=0.9,
+    )
+    q.awaitTermination(120)
+    # listener delivery is async — poll for the unpersist
+    for _ in range(60):
+        if not benchmark.is_cached:
+            break
+        time.sleep(0.5)
+    assert not benchmark.is_cached

@@ -55,6 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (l_quantize_int8, now JSON-canonicalized) and the block that had no
 #: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
+    # round-6 additions first: the zero-err invariant needs their
+    # driver rows this round
+    "l_containment_gate", "l_ann_index_drift",
     "l_ann_index_search", "l_ann_index_add", "l_ann_index_search_many",
     "l_ann_index_stats",
     "x_sketch_kmv", "l_mmr_rerank", "l_bpe_merges", "l_bpe_encode",

@@ -94,17 +94,27 @@ def main() -> int:
         except Exception:
             pass
 
+    # n=5 with full dispersion reported: the uniform +18% r4→r5 drift
+    # was unattributable from a bare min — medians and maxima make an
+    # environment-wide shift (all maxima move together) distinguishable
+    # from a real per-query regression (one query's MIN moves).
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     for label, qname in SUITE.items():
         fn = QUERIES[qname].fn
-        best = None
-        for _ in range(3):  # min-of-3: drops scheduler/GC jitter, stays warm
+        runs = []
+        for _ in range(5):
             t0 = time.time()
             rows = fn(spark, sf_dir).collect()
-            dt = time.time() - t0
+            runs.append(time.time() - t0)
             assert rows is not None
-            best = dt if best is None else min(best, dt)
-        timings[label] = round(best, 3)
+        runs.sort()
+        timings[label] = round(runs[0], 3)  # headline stays min (cont.)
+        dispersion[label] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -112,6 +122,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "dispersion": dispersion,
+        "runs_per_query": 5,
         "sf": sf,
     }))
     return 0

@@ -702,6 +702,205 @@ def index_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def index_drift_stats(
+    spark: SparkSession,
+    path: str,
+    vectors_df: DataFrame,
+    vec_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The DRIFT monitor ``index_stats`` can't be: per-cell residual
+    quantization distortion and fill skew of ``vectors_df`` under the
+    index's FROZEN quantizers. ``index_add`` encodes against frozen
+    centroids/codebooks forever (correct — add == rebuild is pinned),
+    so after heavy distribution drift recall decays with no signal in
+    the code table itself; distortion IS that signal, computable from
+    any vector sample (the whole corpus for a baseline, the last N
+    ingest batches for a trend — cost scales with the sample).
+
+    Per cell over the sample: ``n_vectors``, ``fill_ratio`` (count /
+    mean count across the sample's cells — skew: one hot cell is one
+    slow probe task), and ``mean_distortion`` = mean over vectors of
+    Σ_j min_c ‖r_j − book[j][c]‖² — each vector's squared residual
+    quantization error, i.e. its ADC self-distance under the exact
+    encode path adds use. Read the trend: a retrained index's
+    distortion on current data is the healthy floor; sustained growth
+    above it means :func:`index_retrain`.
+
+    Fully relational: assignment and residuals ride the same
+    ``ivf_assign_to`` path as ``index_add``; the m·pq_k book table
+    broadcasts; the min-per-subspace and sum-per-vector are map-side
+    partial aggregates. Returns (cell, n_vectors, fill_ratio,
+    mean_distortion)."""
+    from polars_fastx_spark.operators.similarity import ivf_assign_to
+
+    meta = spark.read.parquet(f"{path}/meta").first()
+    id_col = id_col or meta["id_col"]
+    m = meta["m"]
+    sub = meta["dim"] // m
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/books")
+    assigned = ivf_assign_to(vectors_df, id_col, vec_col, centroids)
+    resid = assigned.join(F.broadcast(centroids), "cell").select(
+        "__id", "cell",
+        F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
+    )
+    subs = resid.select(
+        "__id", "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.slice("__r", j * sub + 1, sub).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("__id", "cell", "s.j", "s.sv")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # per-subspace error becomes an exact fixed-point long BEFORE any
+    # unordered aggregation (the _dsum convention): the min itself is
+    # deterministic, but summing doubles across subspaces/vectors in
+    # shuffle order is not — and a drift MONITOR whose last ulp moves
+    # between runs reads as drift. Twelve decimals keep the floor's
+    # truncation (≤1e-12/subspace) far below any real signal.
+    per_vec = (
+        subs.join(F.broadcast(books), "j")
+        .groupBy("__id", "cell", "j")
+        .agg(F.floor(F.min(d2) * F.lit(1e12)).cast("long").alias("__dj"))
+        .groupBy("__id", "cell")
+        .agg(F.sum("__dj").alias("__dist"))
+    )
+    # cell totals in decimal(38,0): a hot cell at corpus scale would
+    # overflow the long sum (1e6 vectors × ~1e17 per-vector fp units)
+    per_cell = per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("__dist").cast("decimal(38,0)")).alias("__dsum"),
+    )
+    wall = Window.partitionBy()
+    return per_cell.select(
+        "cell", "n_vectors",
+        (
+            F.col("n_vectors")
+            * F.count(F.lit(1)).over(wall)
+            / F.sum("n_vectors").over(wall)
+        ).alias("fill_ratio"),
+        (
+            F.col("__dsum").cast("double")
+            / F.col("n_vectors") / F.lit(1e12)
+        ).alias("mean_distortion"),
+    )
+
+
+def index_retrain(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    id_col: str | None = None,
+    iterations: int = 3,
+) -> None:
+    """Retrain-and-swap: train FRESH quantizers (same num_cells / m /
+    pq_k / pinned mode as ``meta/``) on ``df`` — the current corpus —
+    re-encode it, and atomically swap the new index over the old one.
+    This is the maintenance answer to quantizer drift
+    (:func:`index_drift_stats` is the trigger signal): ``index_add``'s
+    frozen-quantizer contract is right for ingest, but after the
+    distribution has moved, only retraining restores recall.
+
+    ``df`` is the source of truth for membership, except that ids with
+    a LIVE tombstone (deleted and never re-added) stay deleted even if
+    present in ``df`` — a retrain must not silently resurrect
+    takedowns. Tombstones are thereby CONSUMED: the swapped index has
+    none, codes restart at epoch 0, and the streaming base resets
+    (the next streamed epoch re-bases off the fresh index).
+
+    Crash-safe staged swap (the ``index_compact`` discipline, index-
+    wide): the new index builds completely under ``_retrain_stage/``,
+    a ``_COMMIT`` marker authorizes the swap, then each table is
+    delete-and-renamed into place and the stage dir dropped. A rerun
+    after a crash at ANY step resumes: pre-commit → the stage is
+    garbage (live index untouched), rebuild; post-commit → finish
+    renaming whatever the crash left in the stage (the marker, not the
+    possibly-half-swapped listing, decides — same lesson as the
+    compactor's stage names). Single maintainer assumed, as for
+    ``index_compact``; searches concurrent with the swap window are
+    not supported."""
+    spark = df.sparkSession
+    stage = f"{path}/_retrain_stage"
+    _, fs = _hfs(spark, path)
+    if _retrain_resume_if_committed(spark, path):
+        return
+    sp = _hfs(spark, stage)[0]
+    if fs.exists(sp):  # crashed pre-commit build: garbage, live intact
+        fs.delete(sp, True)
+    meta = spark.read.parquet(f"{path}/meta").first()
+    id_col = id_col or meta["id_col"]
+    # live tombstones (deleted, never re-added) must stay deleted
+    tomb_eps = _committed_epochs(spark, f"{path}/tombstones")
+    if tomb_eps:
+        live_ids = _live_codes(spark, path).select("__id").distinct()
+        tomb_ids = (
+            spark.read.option("basePath", f"{path}/tombstones")
+            .parquet(*[f"{path}/tombstones/epoch={e}" for e in tomb_eps])
+            .select("__id")
+            .distinct()
+            .join(live_ids, "__id", "left_anti")
+            .withColumnRenamed("__id", "__dead_id")
+        )
+        df = df.join(
+            F.broadcast(tomb_ids),
+            F.col(id_col).cast("string")
+            == F.col("__dead_id").cast("string"),
+            "left_anti",
+        )
+    index_build(
+        df, id_col, vec_col, stage,
+        num_cells=meta["num_cells"], m=meta["m"], pq_k=meta["pq_k"],
+        pinned=meta["pinned"], iterations=iterations,
+    )
+    # authorize: from here the stage, not the live index, is truth
+    fs.create(_hfs(spark, f"{stage}/_COMMIT")[0], True).close()
+    _retrain_swap(spark, path)
+
+
+def _retrain_resume_if_committed(spark: SparkSession, path: str) -> bool:
+    """Finish a crashed post-commit retrain swap. Returns True if a
+    committed stage was found (and is now swapped in)."""
+    _, fs = _hfs(spark, path)
+    marker = _hfs(spark, f"{path}/_retrain_stage/_COMMIT")[0]
+    if not fs.exists(marker):
+        return False
+    _retrain_swap(spark, path)
+    return True
+
+
+def _retrain_swap(spark: SparkSession, path: str) -> None:
+    """Post-commit swap body, idempotent at every step: delete stale
+    tombstones, then for each table still in the stage delete the live
+    dir and rename the staged one in, then drop the stage. A crash
+    anywhere reruns cleanly — a table missing from the stage was
+    already renamed (its live copy is the new one), and the marker
+    survives until the final stage delete."""
+    stage = f"{path}/_retrain_stage"
+    _, fs = _hfs(spark, path)
+    tp = _hfs(spark, f"{path}/tombstones")[0]
+    if fs.exists(tp):
+        fs.delete(tp, True)
+    for sub in ("codes", "books", "centroids", "meta"):
+        src = _hfs(spark, f"{stage}/{sub}")[0]
+        if not fs.exists(src):
+            continue  # already renamed by the attempt that crashed
+        dst = _hfs(spark, f"{path}/{sub}")[0]
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(src, dst)
+    fs.delete(_hfs(spark, stage)[0], True)
+
+
 def _load_books(
     spark: SparkSession, path: str, m: int, pq_k: int
 ) -> list[list[list[float]]]:
@@ -716,34 +915,17 @@ def _load_books(
 
 
 def _hfs(spark: SparkSession, path: str):
-    """(jvm Path, FileSystem) for ``path`` — Hadoop FS API so every
-    listing/existence check works on any supported filesystem."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+    """(jvm Path, FileSystem) — shared helper, see ``sinks.hadoop_fs``."""
+    from polars_fastx_spark.sources.sinks import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _committed_epochs(spark: SparkSession, dir_path: str) -> list[int]:
-    """Sorted ids of COMMITTED ``epoch=<id>`` children (dirs carrying
-    the ``_SUCCESS`` marker) — a filesystem listing, never a data scan.
-    Uncommitted dirs (a crashed write) are invisible, so a retry
-    landing on the same id with mode("overwrite") replaces the partial
-    output instead of stranding it beside a duplicate epoch."""
-    p, fs = _hfs(spark, dir_path)
-    if not fs.exists(p):
-        return []
-    out = []
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if not name.startswith("epoch="):
-            continue
-        try:
-            eid = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
-        if fs.exists(_hfs(spark, f"{dir_path}/{name}/_SUCCESS")[0]):
-            out.append(eid)
-    return sorted(out)
+    """Committed ``epoch=<id>`` ids — see ``sinks.committed_epochs``."""
+    from polars_fastx_spark.sources.sinks import committed_epochs
+
+    return committed_epochs(spark, dir_path)
 
 
 def _next_epoch(spark: SparkSession, codes_path: str) -> int:

@@ -772,6 +772,315 @@ def shingle_df_profile(
     )
 
 
+# ------------------------------------------ persisted containment index (L2)
+
+#: containment index meta schema (one row per index)
+_CONTAIN_META_SCHEMA = "id_col string, k int, hash_shingles boolean"
+
+
+def _containment_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int,
+    hash_shingles: bool,
+    epoch: int,
+) -> None:
+    """Land one epoch of the containment index: the batch's postings,
+    set sizes, and per-shingle document frequencies, each under
+    ``<table>/epoch=<id>`` overwritten WHOLE (a retried epoch replaces
+    itself — the same idempotence move as ``index_add``). Write order
+    is sizes → dfreq → postings: ``postings`` is the commit authority
+    (readers intersect the side tables down to postings' committed
+    epochs), so a crash mid-append leaves an epoch readers never see
+    and the retry overwrites. Writes ``meta/`` first if absent, so the
+    streaming wiring can initialize an index from its first batch."""
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+    from polars_fastx_spark.sources.sinks import hadoop_fs
+
+    spark = batch.sparkSession
+    mp, fs = hadoop_fs(spark, f"{path}/meta/_SUCCESS")
+    if not fs.exists(mp):
+        spark.createDataFrame(
+            [(id_col, k, hash_shingles)], _CONTAIN_META_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    post = shingle_postings(
+        ensure_min_parallelism(batch), id_col, text_col, k, hash_shingles
+    ).persist()  # shingle once: sizes, dfreq, and the postings write
+    try:
+        post.groupBy("__id").agg(F.count("*").alias("__sz")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/sizes/epoch={epoch}")
+        post.groupBy("shingle").agg(F.count("*").alias("__df")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/dfreq/epoch={epoch}")
+        post.write.mode("overwrite").parquet(f"{path}/postings/epoch={epoch}")
+    finally:
+        post.unpersist()
+
+
+def containment_index_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 8,
+    hash_shingles: bool = False,
+) -> None:
+    """Materialize the containment tier's inverted index
+    (:func:`shingle_postings` + per-doc set sizes + per-shingle df) as
+    an epoch-partitioned parquet index — the persisted form of the
+    round-5 batch operator, mirroring what ``minhash_band_table`` is
+    to the MinHash tier: shingle the corpus ONCE, then every later
+    batch gates against history (:func:`containment_gate`) without
+    ever re-shingling it. Per-shingle document frequency is maintained
+    ON ADD (one small pre-aggregated table per epoch; corpus df = sum
+    across epochs), so the hot-shingle cap never re-aggregates the
+    data-sized postings table.
+
+    Layout under ``path/``::
+
+        meta/              one row: id_col, k, hash_shingles
+        postings/epoch=N/  (__id, shingle)   — commit authority
+        sizes/epoch=N/     (__id, __sz)      — distinct-shingle count
+        dfreq/epoch=N/     (shingle, __df)   — per-epoch doc frequency
+
+    A rebuild into a used path starts clean (stale epochs deleted
+    first — the lesson of the ANN index's rebuild-hygiene fix)."""
+    from polars_fastx_spark.sources.sinks import hadoop_fs
+
+    spark = df.sparkSession
+    _, fs = hadoop_fs(spark, path)
+    for sub in ("meta", "postings", "sizes", "dfreq"):
+        sp = hadoop_fs(spark, f"{path}/{sub}")[0]
+        if fs.exists(sp):
+            fs.delete(sp, True)
+    _containment_append(df, path, id_col, text_col, k, hash_shingles, 0)
+
+
+def containment_index_add(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+    epoch: int | None = None,
+) -> int:
+    """Incremental add: shingle ONLY the new batch (under the index's
+    frozen k / id_col / hashing from ``meta/``) and append it as the
+    next epoch — history is never re-shingled, cost scales with the
+    batch. Same pinned-``epoch`` idempotence contract as the ANN
+    index's ``index_add`` for redelivered batches. Returns the epoch
+    written."""
+    from polars_fastx_spark.sources.sinks import committed_epochs
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    if epoch is None:
+        eps = committed_epochs(spark, f"{path}/postings")
+        epoch = (max(eps) + 1) if eps else 0
+    _containment_append(
+        batch, path, meta["id_col"], text_col, meta["k"],
+        meta["hash_shingles"], epoch,
+    )
+    return epoch
+
+
+def _containment_history(
+    spark: SparkSession, path: str, before_epoch: int | None
+) -> tuple[DataFrame, DataFrame, DataFrame] | None:
+    """(postings, sizes, dfreq) for the index's committed history,
+    optionally restricted to ``epoch < before_epoch`` — the streaming
+    retry discipline: a replayed micro-batch must never gate against
+    its own failed attempt's append. Epoch sets intersect down to
+    postings' committed epochs (the commit authority). Returns None
+    when no history epoch qualifies (first batch)."""
+    from polars_fastx_spark.sources.sinks import committed_epochs
+
+    eps = committed_epochs(spark, f"{path}/postings")
+    if before_epoch is not None:
+        eps = [e for e in eps if e < before_epoch]
+    if not eps:
+        return None
+
+    def _tbl(name: str) -> DataFrame:
+        avail = set(committed_epochs(spark, f"{path}/{name}"))
+        use = [e for e in eps if e in avail]
+        return (
+            spark.read.option("basePath", f"{path}/{name}")
+            .parquet(*[f"{path}/{name}/epoch={e}" for e in use])
+            .drop("epoch")
+        )
+
+    return _tbl("postings"), _tbl("sizes"), _tbl("dfreq")
+
+
+def containment_hits(
+    batch: DataFrame,
+    path: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """Scored containment evidence of a NEW batch against the
+    persisted index — the join :func:`containment_gate` decides on,
+    exposed for route-to-verify topologies and the SQL oracle. Returns
+    (doc_id, matched_id, common, size_batch, size_hist,
+    containment_batch_in_hist, containment_hist_in_batch,
+    max_containment) filtered to ``max_containment >= threshold``,
+    where ``doc_id`` is the batch side and ``matched_id`` history.
+
+    The batch side is shingled fresh and BROADCAST onto the history
+    postings scan (an ingest batch is MBs against a 100 TB index), so
+    the only exchange on history is the per-pair count groupBy — the
+    directed twin of ``containment_pairs_between`` with history on
+    disk. ``max_shingle_df`` cuts history-hot shingles using the
+    MAINTAINED df table (sum of per-epoch ``dfreq`` — never a
+    re-aggregation of postings); int = absolute df cap, float in
+    (0, 1) = fraction of history's document count (scale-invariant,
+    the totals-as-broadcast pattern). As everywhere in this tier a cut
+    only removes evidence: scores are lower bounds, recall degrades,
+    precision never. Sizes stay UNCAPPED on both sides (same rule as
+    ``containment_pairs``). Empty history returns an empty frame with
+    the full schema."""
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").first()
+    hist = _containment_history(spark, path, before_epoch)
+    bpost = shingle_postings(
+        ensure_min_parallelism(batch), meta["id_col"], text_col,
+        meta["k"], meta["hash_shingles"],
+    ).withColumnRenamed("__id", "doc_id")
+    bsizes = bpost.groupBy("doc_id").agg(F.count("*").alias("size_batch"))
+    if hist is None:
+        c = F.lit(None).cast("double")
+        return (
+            bpost.limit(0)
+            .join(bsizes.limit(0), "doc_id")
+            .select(
+                "doc_id", F.col("doc_id").alias("matched_id"),
+                F.lit(0).cast("bigint").alias("common"),
+                "size_batch", F.col("size_batch").alias("size_hist"),
+                c.alias("containment_batch_in_hist"),
+                c.alias("containment_hist_in_batch"),
+                c.alias("max_containment"),
+            )
+        )
+    hpost, hsizes, hdf = hist
+    hpost = hpost.withColumnRenamed("__id", "matched_id")
+    if max_shingle_df is not None:
+        tot_df = hdf.groupBy("shingle").agg(F.sum("__df").alias("__df"))
+        if isinstance(max_shingle_df, float):
+            assert 0.0 < max_shingle_df < 1.0, (
+                "fractional max_shingle_df must be in (0, 1)"
+            )
+            ndocs = hsizes.agg(F.count("*").alias("__ndocs"))
+            allowed = (
+                tot_df.crossJoin(F.broadcast(ndocs))
+                .filter(
+                    F.col("__df")
+                    <= F.floor(F.lit(max_shingle_df) * F.col("__ndocs"))
+                )
+                .select("shingle")
+            )
+        else:
+            allowed = tot_df.filter(
+                F.col("__df") <= max_shingle_df
+            ).select("shingle")
+        hpost = hpost.join(allowed, "shingle", "left_semi")
+    common = (
+        hpost.join(F.broadcast(bpost), "shingle")
+        .groupBy("doc_id", "matched_id")
+        .agg(F.count("*").alias("common"))
+    )
+    hs = hsizes.select(
+        F.col("__id").alias("matched_id"), F.col("__sz").alias("size_hist")
+    )
+    c_bh = F.col("common") / F.col("size_batch")
+    c_hb = F.col("common") / F.col("size_hist")
+    return (
+        common.join(F.broadcast(bsizes), "doc_id")
+        .join(hs, "matched_id")
+        .select(
+            "doc_id", "matched_id", "common", "size_batch", "size_hist",
+            c_bh.alias("containment_batch_in_hist"),
+            c_hb.alias("containment_hist_in_batch"),
+            F.greatest(c_bh, c_hb).alias("max_containment"),
+        )
+        .filter(F.col("max_containment") >= threshold)
+    )
+
+
+def containment_gate(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+    keep_hits: bool = False,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """Ingest-time containment GATE: drop batch documents that are a
+    containment near-dup of the indexed corpus — contained in a
+    history doc (a re-quoted excerpt) OR containing one (a wrapper
+    around known content) — without ever re-shingling history. The
+    within-corpus completion of the gate family: exact
+    (``stream_dedup``), Jaccard (``neardup_gate``), decontamination
+    (``stream_decontam_gate``), containment (this). Decision is
+    per-document (any hit drops), mirroring :func:`neardup_gate`:
+    ``keep_hits=True`` routes hits instead; shingle-less docs carry no
+    evidence and pass; intra-batch pairs are NOT mutually gated (the
+    index is the corpus as of the batch start — the streaming wiring
+    appends each batch's accepted postings so later batches see them).
+
+    Incremental == batch: the hits against an index built from corpus
+    C are exactly ``containment_pairs(C ∪ batch)`` restricted to
+    (batch, C) cross pairs at the same threshold (parity-tested) —
+    modulo the df cap, which here counts HISTORY frequency only."""
+    hits = (
+        containment_hits(
+            batch, path, text_col, threshold, max_shingle_df, before_epoch
+        )
+        .select(F.col("doc_id").alias("__hit_id"))
+        .distinct()
+    )
+    how = "left_semi" if keep_hits else "left_anti"
+    return batch.join(hits, F.col(id_col) == F.col("__hit_id"), how)
+
+
+def containment_index_compact(
+    spark: SparkSession,
+    path: str,
+    upto_epoch: int | None = None,
+    min_epochs: int = 2,
+) -> None:
+    """Maintenance: fold each of the index's three epoch-partitioned
+    tables (postings / sizes / dfreq) below ``upto_epoch`` into one
+    partition via the shared crash-safe staged swap
+    (``sinks.compact_epoch_partitions``) — gate results are
+    unaffected (membership is what the joins consume, not epoch
+    layout; per-shingle df is a SUM across epochs, invariant under the
+    fold only per-table... dfreq rows are preserved as-is, so the sum
+    is unchanged). Postings fold LAST: it is the commit authority, so
+    a crash mid-compaction can only hide side-table epochs that
+    postings still lists — and those reads fall back to the folded
+    target, which compact names below ``upto_epoch`` by construction."""
+    from polars_fastx_spark.sources.sinks import (
+        committed_epochs,
+        compact_epoch_partitions,
+    )
+
+    if upto_epoch is None:
+        eps = committed_epochs(spark, f"{path}/postings")
+        upto_epoch = (max(eps) + 1) if eps else 0
+    for sub in ("sizes", "dfreq", "postings"):
+        compact_epoch_partitions(
+            spark, f"{path}/{sub}", upto_epoch, min_epochs=min_epochs
+        )
+
+
 # ------------------------------------------------------------- SimHash (L2)
 
 def _md5_bits64(token: F.Column) -> F.Column:

@@ -347,3 +347,35 @@ def compact_epoch_partitions(
         .parquet(f"{path}/{stage_name}")
     )
     _swap(stage_name, target, committed)
+
+
+def hadoop_fs(spark, path: str):
+    """(jvm Path, FileSystem) for ``path`` — Hadoop FS API so every
+    listing/existence check works on any supported filesystem (shared
+    by the persisted ANN index and the containment shingle index)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def committed_epochs(spark, dir_path: str) -> list[int]:
+    """Sorted ids of COMMITTED ``epoch=<id>`` children (dirs carrying
+    the ``_SUCCESS`` marker) — a filesystem listing, never a data scan.
+    Uncommitted dirs (a crashed write) are invisible, so a retry
+    landing on the same id with mode("overwrite") replaces the partial
+    output instead of stranding it beside a duplicate epoch."""
+    p, fs = hadoop_fs(spark, dir_path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        try:
+            eid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(hadoop_fs(spark, f"{dir_path}/{name}/_SUCCESS")[0]):
+            out.append(eid)
+    return sorted(out)

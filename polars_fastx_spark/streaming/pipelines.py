@@ -443,6 +443,101 @@ def stream_neardup_gate(
     )
 
 
+def stream_containment_gate(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+    hash_shingles: bool = False,
+    compact_every: int | None = 8,
+):
+    """Streaming incremental CONTAINMENT dedup: gate each arriving
+    micro-batch against the growing persisted shingle-postings index
+    (``dedup.containment_index_build``), write survivors, and append
+    their postings (+ sizes + per-shingle df) so later batches see
+    them — the asymmetric-near-dup member of the streaming gate
+    family, catching the quotation/excerpt/boilerplate cases the
+    Jaccard band gate (:func:`stream_neardup_gate`) structurally
+    misses. Rides the exact same epoch discipline: per-epoch
+    overwrite-whole idempotence, the gate reads only
+    ``epoch < current`` partitions (an at-least-once retry never
+    self-collides with its failed attempt's own append — the round-5
+    data-loss lesson), and ``compact_every`` bounds file count via the
+    shared crash-safe staged swap (``containment_index_compact``,
+    folding all three epoch-partitioned tables). The first batch
+    initializes the index (meta + epoch 0). History is NEVER
+    re-shingled — per-batch cost is the batch's shingles joined to the
+    on-disk postings. Returns the started StreamingQuery
+    (availableNow trigger)."""
+
+    def _gate(batch: DataFrame, epoch: int) -> None:
+        _containment_gate_epoch(
+            batch, epoch, index_path, out_path, id_col, text_col,
+            k, threshold, max_shingle_df, hash_shingles, compact_every,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _containment_gate_epoch(
+    batch: DataFrame,
+    epoch: int,
+    index_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_shingle_df: int | float | None = None,
+    hash_shingles: bool = False,
+    compact_every: int | None = None,
+) -> None:
+    """One micro-batch of :func:`stream_containment_gate`, exposed
+    module-level so the at-least-once RETRY path is directly testable:
+    replaying an epoch is idempotent because the gate's history read
+    excludes the current epoch's own partitions (``before_epoch``) and
+    every write overwrites its epoch dir whole."""
+    from polars_fastx_spark.operators import dedup as _dedup
+    from polars_fastx_spark.sources.sinks import hadoop_fs
+
+    spark = batch.sparkSession
+    if compact_every:
+        _dedup.containment_index_compact(
+            spark, index_path, upto_epoch=epoch, min_epochs=compact_every
+        )
+    meta_ok = hadoop_fs(spark, f"{index_path}/meta/_SUCCESS")[1].exists(
+        hadoop_fs(spark, f"{index_path}/meta/_SUCCESS")[0]
+    )
+    if meta_ok:
+        kept = _dedup.containment_gate(
+            batch, index_path, id_col, text_col, threshold,
+            max_shingle_df, before_epoch=epoch,
+        )
+    else:  # first batch: no index yet
+        kept = batch
+    kept = kept.persist()  # shingled once more below; keep the gate's work
+    try:
+        kept.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch}")
+        if meta_ok:  # index params frozen in meta win over ours
+            _dedup.containment_index_add(kept, index_path, text_col, epoch)
+        else:
+            _dedup._containment_append(
+                kept, index_path, id_col, text_col, k, hash_shingles, epoch
+            )
+    finally:
+        kept.unpersist()
+
+
 def stream_decontam_gate(
     stream: DataFrame,
     benchmark: DataFrame,

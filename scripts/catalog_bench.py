@@ -69,21 +69,41 @@ def main() -> None:
     QUERIES["o_topk"].fn(spark, sf_dir).collect()
 
     times: dict[str, float] = {}
+    prep_times: dict[str, float] = {}
     t_all = time.time()
     for name in sorted(QUERIES):
-        t0 = time.time()
+        spec = QUERIES[name]
         try:
-            QUERIES[name].fn(spark, sf_dir).collect()
+            # Lifecycle queries declare their one-time BUILD via
+            # prepare= (VERDICT r5 'missing #4'): time it separately so
+            # the per-query number measures QUERY cost and the
+            # regression diff compares like with like. Shared builds
+            # amortize — later queries' prepare records ~0.
+            if spec.prepare is not None:
+                t0 = time.time()
+                spec.prepare(spark, sf_dir)
+                prep_times[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            spec.fn(spark, sf_dir).collect()
             times[name] = round(time.time() - t0, 3)
         except Exception as exc:  # record, don't abort the sweep
             times[name] = -1.0
             print(f"ERR  {name}: {exc}", file=sys.stderr)
-        print(f"{times[name]:8.2f}s  {name}")
+        ptxt = (
+            f"  (+{prep_times[name]:.2f}s build)"
+            if prep_times.get(name) else ""
+        )
+        print(f"{times[name]:8.2f}s  {name}{ptxt}")
     total = round(time.time() - t_all, 1)
 
     Path(out_path).write_text(
         json.dumps(
-            {"sf_dir": sf_dir, "total_seconds": total, "queries": times},
+            {
+                "sf_dir": sf_dir,
+                "total_seconds": total,
+                "queries": times,
+                "prepare_seconds": prep_times,
+            },
             indent=1,
             sort_keys=True,
         )

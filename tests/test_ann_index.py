@@ -596,3 +596,144 @@ def test_rebuild_into_used_path_starts_clean(spark, tmp_path):
         for r in ann_index.index_search(spark, fresh_path, q, k=10).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def _clustered(spark, rng_seed=7):
+    """Two planted distributions: A (what the index trains on) and B
+    (drifted far away — frozen quantizers fit it badly)."""
+    import numpy as np
+
+    rng = np.random.RandomState(rng_seed)
+
+    def mk(vec_id0, centers, n_per, spread=0.05):
+        rows, vid = [], vec_id0
+        for c in centers:
+            for _ in range(n_per):
+                rows.append((vid, (c + rng.randn(16) * spread).tolist()))
+                vid += 1
+        return rows
+
+    A = mk(0, [rng.randn(16) for _ in range(4)], 40)
+    B = mk(1000, [rng.randn(16) * 8 + 30 for _ in range(4)], 40)
+    return (
+        spark.createDataFrame(A, "vec_id long, v array<double>"),
+        spark.createDataFrame(B, "vec_id long, v array<double>"),
+        B,
+    )
+
+
+def test_drift_stats_flag_distribution_shift(spark, tmp_path):
+    """index_drift_stats is the drift SIGNAL: residual distortion of
+    the trained-on distribution is the healthy floor; a drifted batch
+    encoded by the same frozen quantizers reads orders of magnitude
+    above it. fill_ratio averages to 1 by construction."""
+    dfA, dfB, _ = _clustered(spark)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        dfA, "vec_id", "v", path, num_cells=8, m=4, pq_k=8, pinned=False
+    )
+    dA = ann_index.index_drift_stats(spark, path, dfA, "v")
+    dB = ann_index.index_drift_stats(spark, path, dfB, "v")
+    mA = dA.agg(F.avg("mean_distortion")).first()[0]
+    mB = dB.agg(F.avg("mean_distortion")).first()[0]
+    assert mB > 10 * mA
+    fr = dA.agg(F.avg("fill_ratio")).first()[0]
+    assert abs(fr - 1.0) < 1e-9
+
+
+def test_retrain_restores_recall_and_distortion(spark, tmp_path):
+    """Planted drift degrades recall on the drifted queries; retrain
+    on the full corpus restores it (and the distortion floor), leaving
+    a clean layout — no stage dir, no tombstones, codes at epoch 0."""
+    import os
+
+    dfA, dfB, B = _clustered(spark)
+    path = str(tmp_path / "idx")
+    ann_index.index_build(
+        dfA, "vec_id", "v", path, num_cells=8, m=4, pq_k=8, pinned=False
+    )
+    ann_index.index_add(dfB, "v", path)
+    full = dfA.unionByName(dfB)
+    qs = spark.createDataFrame(
+        [(i, B[i][1]) for i in range(0, 40, 4)],
+        "query_id long, qvec array<double>",
+    )
+    r_before = ann_index.index_recall(
+        spark, path, full, qs, k=10, nprobe=4
+    ).agg(F.avg("recall")).first()[0]
+    m_before = ann_index.index_drift_stats(spark, path, dfB, "v").agg(
+        F.avg("mean_distortion")
+    ).first()[0]
+    ann_index.index_retrain(full, "v", path)
+    r_after = ann_index.index_recall(
+        spark, path, full, qs, k=10, nprobe=4
+    ).agg(F.avg("recall")).first()[0]
+    m_after = ann_index.index_drift_stats(spark, path, dfB, "v").agg(
+        F.avg("mean_distortion")
+    ).first()[0]
+    assert r_after > r_before
+    assert m_after < m_before / 10
+    assert not os.path.exists(f"{path}/_retrain_stage")
+    assert not os.path.exists(f"{path}/tombstones")
+    assert [
+        d for d in os.listdir(f"{path}/codes") if d.startswith("epoch=")
+    ] == ["epoch=0"]
+
+
+def test_retrain_does_not_resurrect_deletions(spark, tmp_path):
+    """Ids with a live tombstone stay deleted through a retrain even
+    when present in the caller's corpus frame; a deleted-then-re-added
+    id survives (it is live)."""
+    e = _emb(spark).filter("vec_id < 80")
+    path = str(tmp_path / "idx")
+    ann_index.index_build(e, "vec_id", "v", path, num_cells=8, pinned=True)
+    ann_index.index_delete(spark, path, [3, 4])
+    ann_index.index_add(e.filter("vec_id = 4"), "v", path)  # revive 4
+    ann_index.index_retrain(e, "v", path)
+    ids = {
+        r["__id"]
+        for r in spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes/epoch=*").select("__id").collect()
+    }
+    assert 3 not in ids and 4 in ids and len(ids) == 79
+
+
+def test_retrain_swap_survives_midswap_crash(spark, tmp_path):
+    """Crash between the commit marker and the final rename: the rerun
+    resumes from the COMMITTED stage (the marker decides, not the
+    half-swapped listing) and converges to exactly the clean-retrain
+    index — pinned mode makes the comparison exact."""
+    import os
+    import shutil
+
+    e = _emb(spark).filter("vec_id < 80")
+    corpus = _emb(spark).filter("vec_id < 120")
+    p_crash = str(tmp_path / "crash")
+    p_clean = str(tmp_path / "clean")
+    for p in (p_crash, p_clean):
+        ann_index.index_build(
+            e, "vec_id", "v", p, num_cells=8, pinned=True
+        )
+        ann_index.index_retrain(corpus, "v", p)
+    # rewind p_crash to a mid-swap state: rebuild the stage the way
+    # retrain does, mark COMMIT, swap codes only, "crash"
+    ann_index.index_build(
+        corpus, "vec_id", "v", f"{p_crash}/_retrain_stage",
+        num_cells=8, pinned=True,
+    )
+    open(f"{p_crash}/_retrain_stage/_COMMIT", "w").close()
+    shutil.rmtree(f"{p_crash}/codes")
+    os.rename(f"{p_crash}/_retrain_stage/codes", f"{p_crash}/codes")
+    # the rerun must finish the swap, NOT rebuild over the mixed state
+    ann_index.index_retrain(corpus, "v", p_crash)
+    assert not os.path.exists(f"{p_crash}/_retrain_stage")
+    q = _query(_emb(spark))
+    got = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, p_crash, q, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ann_index.index_search(spark, p_clean, q, k=10).collect()
+    ]
+    assert got == want and len(got) == 10

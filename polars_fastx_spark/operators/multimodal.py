@@ -244,19 +244,13 @@ def decode_png(content: bytes) -> dict[str, Any]:
 
 def default_image_decoder(content: bytes) -> dict[str, Any]:
     """Dependency-free decode for BMP / PNM (P5, P6) / PNG (8-bit,
-    non-interlaced). Other codecs (JPEG, WebP, ...) need a real image
-    library — inject ``decoder=`` (e.g. a Pillow-backed callable with
-    this same signature) without touching the pipeline."""
-    if content[:2] in (b"P5", b"P6"):
-        return decode_pnm(content)
-    if content[:2] == b"BM":
-        return decode_bmp(content)
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(content)
-    raise NotImplementedError(
-        "unsupported image format (builtin: BMP, PNM P5/P6, PNG-8); "
-        "inject decoder=... for other codecs"
-    )
+    non-interlaced) / baseline JPEG (``operators/jpeg.py`` — the
+    dominant crawl format, sequential DCT 8-bit with 4:4:4/4:2:2/4:2:0
+    and restart markers). Progressive JPEG and other codecs (WebP, ...)
+    need a real image library — inject ``decoder=`` (e.g. a
+    Pillow-backed callable with this same signature) without touching
+    the pipeline."""
+    return _pixel_features(*default_pixels(content))
 
 
 def default_pixels(content: bytes):
@@ -268,9 +262,13 @@ def default_pixels(content: bytes):
         return bmp_pixels(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixels(content)
+    if content[:3] == b"\xff\xd8\xff":
+        from polars_fastx_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(content)
     raise NotImplementedError(
-        "unsupported image format (builtin: BMP, PNM P5/P6, PNG-8); "
-        "inject pixels=... for other codecs"
+        "unsupported image format (builtin: BMP, PNM P5/P6, PNG-8, "
+        "baseline JPEG); inject pixels=/decoder=... for other codecs"
     )
 
 
@@ -412,8 +410,9 @@ def image_neardup_gate(
 
 
 def pillow_image_decoder(content: bytes) -> dict[str, Any]:
-    """JPEG/WebP/GIF/... decode through Pillow — the worked example of
-    the ``decoder=`` injection seam. Same signature and feature
+    """Progressive-JPEG/WebP/GIF/... decode through Pillow — the
+    worked example of the ``decoder=`` injection seam (baseline JPEG
+    is a BUILTIN now, operators/jpeg.py). Same signature and feature
     contract as :func:`default_image_decoder` (shape + the
     _pixel_features mean/std embedding), so
     ``extract_image_features(df, decoder=pillow_image_decoder)`` is the

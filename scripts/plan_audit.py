@@ -11,6 +11,15 @@ claims in PLANS.md: the 100 TB posture is a property of EVERY declared
 query, not just the showcased ones.
 
 Usage: python scripts/plan_audit.py [sf_dir]   (default sf0.001)
+       python scripts/plan_audit.py --diff [sf_dir]
+
+--diff is the REGRESSION GATE (VERDICT r5 task 7): it re-audits every
+query and compares against the committed PLAN_AUDIT.md, exiting 1 if
+any query's exchange count grew >1.5x (and by >1), or it gained a
+cartesian or Python stage it didn't have. New queries (absent from the
+committed table) are reported informationally, never failed. Run it in
+the round close-out; regenerate the table (no flag) only after a diff
+is understood and intended.
 
 Caveat: counts come from the STATIC physical plan (no execution), so
 AQE runtime improvements (coalesced shuffles, runtime broadcast
@@ -34,10 +43,8 @@ ARROW_MARKERS = (
 )
 
 
-def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+def _collect_rows(sf: str) -> list[tuple]:
     import polars_fastx_spark as pfs
-    from polars_fastx_spark import plans
     from polars_fastx_spark.catalog import QUERIES
 
     spark = pfs.get_spark("plan-audit")
@@ -62,6 +69,72 @@ def main() -> None:
             )
         except Exception as ex:  # pragma: no cover — audit must not die
             rows.append((name, "-", "-", "", f"ERR {type(ex).__name__}"))
+    spark.stop()
+    return rows
+
+
+def _parse_committed(md_path: Path) -> dict[str, tuple]:
+    """name -> (exchanges, bcast, python, cartesian) from the committed
+    PLAN_AUDIT.md table."""
+    base: dict[str, tuple] = {}
+    for line in md_path.read_text().splitlines():
+        if not line.startswith("| `"):
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if len(cells) != 5:
+            continue
+        name = cells[0].strip("` ")
+        base[name] = (cells[1], cells[2], cells[3], cells[4])
+    return base
+
+
+def diff(sf: str) -> int:
+    """Regression gate: current plans vs the committed PLAN_AUDIT.md."""
+    repo = Path(__file__).resolve().parent.parent
+    md = repo / "PLAN_AUDIT.md"
+    if not md.exists():
+        print("no committed PLAN_AUDIT.md — run without --diff first")
+        return 1
+    base = _parse_committed(md)
+    rows = _collect_rows(sf)
+    bad, new = [], []
+    for name, ex, bc, py, cart in rows:
+        old = base.get(name)
+        if old is None:
+            new.append(name)
+            continue
+        o_ex, _, o_py, o_cart = old
+        if str(cart).startswith("ERR"):
+            bad.append(f"{name}: now ERRORS ({cart})")
+            continue
+        try:
+            o_ex_i, ex_i = int(o_ex), int(ex)
+        except ValueError:
+            o_ex_i = ex_i = None
+        if (
+            o_ex_i is not None
+            and ex_i > o_ex_i * 1.5
+            and ex_i - o_ex_i > 1
+        ):
+            bad.append(f"{name}: exchanges {o_ex_i} -> {ex_i} (>1.5x)")
+        if py == "arrow" and o_py != "arrow":
+            bad.append(f"{name}: gained a Python stage")
+        if cart == "CART" and o_cart != "CART":
+            bad.append(f"{name}: gained a cartesian/nested-loop join")
+    for b in bad:
+        print("REGRESSED", b)
+    if new:
+        print(f"new (not in committed table): {', '.join(sorted(new))}")
+    print(f"{len(bad)} plan regressions / {len(rows)} queries")
+    return 1 if bad else 0
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--diff":
+        sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+        raise SystemExit(diff(sf))
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    rows = _collect_rows(sf)
 
     out = [
         "# PLAN_AUDIT — static physical-plan posture of every catalog query",
@@ -91,7 +164,6 @@ def main() -> None:
         "\n".join(out) + "\n"
     )
     print(f"PLAN_AUDIT.md written ({len(rows)} queries at {sf})")
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -142,7 +142,112 @@ def generate_clustered(workdir: str) -> None:
     )
 
 
+def fuzzy_probe() -> None:
+    """j_fuzzy2's key-length cliff (VERDICT r5 task 5): the k=2
+    deletion neighborhood is O(len²/2) keys per DISTINCT string, so
+    key length — not row count — is the steep axis. Probe 100k×100k
+    distinct keys (10× the catalog join's distinct-key volume) at
+    realistic entity-resolution lengths 8/16/24/32, with 5k planted
+    ≤2-edit matches per side. Prints a SCALE.md-ready table."""
+    import random
+    import string
+
+    import polars_fastx_spark as pfs
+    from polars_fastx_spark.operators.fuzzyjoin import fuzzy_join_k2
+
+    spark = pfs.get_spark("fuzzy-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rnd = random.Random(42)
+    rows = []
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    for L in (8, 16, 24, 32):
+        alphabet = string.ascii_lowercase + string.digits
+
+        def _key():
+            return "".join(rnd.choice(alphabet) for _ in range(L))
+
+        left = [_key() for _ in range(100_000)]
+        planted = []
+        for i in range(5_000):  # right-side near-misses of left keys
+            s = list(left[i])
+            for _ in range(rnd.choice((1, 2))):
+                s[rnd.randrange(L)] = rnd.choice(alphabet)
+            planted.append("".join(s))
+        right = planted + [_key() for _ in range(95_000)]
+        l_df = spark.createDataFrame(
+            [(s,) for s in left], ["lk"]
+        ).repartition(32)
+        r_df = spark.createDataFrame(
+            [(s,) for s in right], ["rk"]
+        ).repartition(32)
+        t0 = time.time()
+        n = fuzzy_join_k2(l_df, r_df, "lk", "rk").count()
+        dt = time.time() - t0
+        keys = L * (L - 1) // 2 + L + 1
+        res = f"{n:,} pairs (≥5k planted), {keys} keys/string"
+        rows.append((f"fuzzy_join_k2 100k×100k len={L}", dt, res))
+        print(f"| fuzzy_join_k2 100k×100k len={L} | {dt:.1f} | {res} |")
+
+
+def containment_sweep(workdir: str = "/tmp/scale_sf1") -> None:
+    """Containment cap/size frontier (VERDICT r5 task 6): sweep the
+    fractional df cap ∈ {1%, 2%, 4%} × corpus {50k, 150k docs} and
+    record cost + recall of the planted quote cliques, next to the
+    Σ df² join-cost number shingle_df_profile predicts. Prints a
+    SCALE.md-ready table."""
+    import polars_fastx_spark as pfs
+    from pyspark.sql import functions as F
+    from polars_fastx_spark.operators import dedup
+
+    spark = pfs.get_spark("containment-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    cont_path = os.path.join(workdir, "containment_docs.parquet")
+    if not os.path.exists(cont_path):
+        generate_clustered(workdir)
+    base = spark.read.parquet(cont_path).filter("doc_id < 1000000")
+    n50 = base.count()
+    # 150k = the 50k substrate verbatim-tripled with distinct ids —
+    # same planted structure at 3× volume, so the SAME quote cliques
+    # exist (×3 members) and df fractions are preserved exactly.
+    tripled = base
+    for shift in (1, 2):
+        tripled = tripled.unionByName(
+            base.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(shift * 10_000_000)
+            )
+        )
+    print(f"substrate: {n50:,} docs (planted quote cliques + boilerplate)")
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    for label, corpus in (("50k", base), ("150k", tripled)):
+        prof = dedup.shingle_df_profile(corpus, "doc_id", "text", k=8)
+        ndocs = corpus.count()
+        for cap in (0.01, 0.02, 0.04):
+            cut = int(cap * ndocs)
+            cost = prof.filter(F.col("doc_freq") <= cut).agg(
+                F.sum("join_pairs")
+            ).first()[0]
+            t0 = time.time()
+            n = dedup.containment_pairs(
+                corpus, "doc_id", "text", k=8, threshold=0.5,
+                max_shingle_df=cap,
+            ).count()
+            dt = time.time() - t0
+            res = f"{n:,} pairs, Σdf² join volume {cost:,}"
+            print(
+                f"| containment {label} docs, cap {cap:.0%} | {dt:.1f} "
+                f"| {res} |"
+            )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--fuzzy":
+        fuzzy_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--containment-sweep":
+        containment_sweep(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1")
+        return
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
     if not os.path.exists(os.path.join(workdir, "edges.parquet")):
         t0 = time.time()

@@ -132,8 +132,17 @@ def test_default_decoder_dispatch_and_unknown():
     assert mm.default_image_decoder(make_ppm(px, 2, 2))["n_channels"] == 3
     assert mm.default_image_decoder(make_bmp(px, 2, 2))["n_channels"] == 3
     assert mm.default_image_decoder(make_png(px, 2, 2, 3))["n_channels"] == 3
+    # JPEG is a BUILTIN now (operators/jpeg.py): valid streams decode,
+    # a corrupt JPEG-magic blob fails as corrupt — not as unsupported
+    from polars_fastx_spark.operators import jpeg as _jpeg
+
+    data = _jpeg.encode_jpeg_baseline(px.reshape(-1), 2, 2, 3)
+    assert mm.default_image_decoder(data)["n_channels"] == 3
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        mm.default_image_decoder(b"\xff\xd8\xff\xdaJPEG-ish-garbage")
+    # genuinely unknown containers still route to the injection seam
     with pytest.raises(NotImplementedError):
-        mm.default_image_decoder(b"\xff\xd8\xff JPEG-ish")
+        mm.default_image_decoder(b"RIFF....WEBPVP8 ")
 
 
 def test_extract_image_features_end_to_end(spark):

@@ -8062,7 +8062,15 @@ def _ann_shared_index(spark, sf_dir):
     process), never a durable /tmp key: a stale cross-run cache could
     answer with an index built by older code. MUTATING queries
     (l_ann_index_delete) and subset builds (l_ann_index_add) keep
-    private directories — a shared index must never see a tombstone."""
+    private directories — a shared index must never see a tombstone.
+
+    Invalidation contract: the cache key is ``sf_dir`` ALONE, valid
+    because the testdata tables are immutable by driver contract. A
+    deployment whose corpus mutates in place must not reuse this
+    helper as-is — key on a table fingerprint (row count + max id, or
+    a snapshot/commit id) or call ``ann_index.index_retrain`` /
+    ``index_add`` through the index's own lifecycle instead of
+    rebuilding via cache miss."""
     import tempfile
 
     path = _ANN_SHARED.get(sf_dir)

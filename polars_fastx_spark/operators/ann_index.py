@@ -83,7 +83,7 @@ def index_build(
     # streaming base that misplaces the next streamed epoch. Delete
     # all three before writing anything.
     _, fs = _hfs(spark, path)
-    for stale in ("tombstones", "codes"):
+    for stale in ("tombstones", "codes", "drift"):
         sp = _hfs(spark, f"{path}/{stale}")[0]
         if fs.exists(sp):
             fs.delete(sp, True)
@@ -796,6 +796,62 @@ def index_drift_stats(
     )
 
 
+def index_drift_trend(spark: SparkSession, path: str) -> DataFrame:
+    """The ingest-time drift TREND: per-epoch corpus-weighted mean
+    distortion from the ``drift/epoch=*`` rows that
+    ``stream_index_add(monitor_drift=True)`` lands — one row per
+    monitored epoch, (epoch, n_vectors, mean_distortion). Read the
+    slope: the first monitored epochs after a (re)build are the
+    healthy floor; sustained growth above it is the
+    :func:`index_retrain` trigger (:func:`index_retrain_if_drifted`
+    automates exactly that policy). Returns an empty frame when
+    nothing is monitored yet."""
+    eps = _committed_epochs(spark, f"{path}/drift")
+    if not eps:
+        return spark.createDataFrame(
+            [], "epoch int, n_vectors bigint, mean_distortion double"
+        )
+    rows = (
+        spark.read.option("basePath", f"{path}/drift")
+        .parquet(*[f"{path}/drift/epoch={e}" for e in eps])
+    )
+    return rows.groupBy("epoch").agg(
+        F.sum("n_vectors").alias("n_vectors"),
+        (
+            F.sum(F.col("mean_distortion") * F.col("n_vectors"))
+            / F.sum("n_vectors")
+        ).alias("mean_distortion"),
+    )
+
+
+def index_retrain_if_drifted(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    ratio: float = 4.0,
+    id_col: str | None = None,
+    iterations: int = 3,
+) -> bool:
+    """The maintenance POLICY over the drift trend: retrain-and-swap
+    when the latest monitored epoch's corpus-weighted mean distortion
+    exceeds ``ratio`` × the FIRST monitored epoch's (the post-build
+    floor — earliest epoch survives compaction because drift epochs
+    are never folded). No-op (returns False) when fewer than two
+    monitored epochs exist or the trend is healthy; returns True after
+    retraining. ``df`` is the current corpus, same contract as
+    :func:`index_retrain`."""
+    spark = df.sparkSession
+    trend = index_drift_trend(spark, path).orderBy("epoch").collect()
+    if len(trend) < 2:
+        return False
+    floor = trend[0]["mean_distortion"]
+    latest = trend[-1]["mean_distortion"]
+    if floor <= 0 or latest <= ratio * floor:
+        return False
+    index_retrain(df, vec_col, path, id_col=id_col, iterations=iterations)
+    return True
+
+
 def index_retrain(
     df: DataFrame,
     vec_col: str,
@@ -887,9 +943,13 @@ def _retrain_swap(spark: SparkSession, path: str) -> None:
     survives until the final stage delete."""
     stage = f"{path}/_retrain_stage"
     _, fs = _hfs(spark, path)
-    tp = _hfs(spark, f"{path}/tombstones")[0]
-    if fs.exists(tp):
-        fs.delete(tp, True)
+    # tombstones are consumed by the rebuild; drift rows measured
+    # against the OLD quantizers would poison the retrain trigger's
+    # baseline — both reset with the swap
+    for stale in ("tombstones", "drift"):
+        tp = _hfs(spark, f"{path}/{stale}")[0]
+        if fs.exists(tp):
+            fs.delete(tp, True)
     for sub in ("codes", "books", "centroids", "meta"):
         src = _hfs(spark, f"{stage}/{sub}")[0]
         if not fs.exists(src):

@@ -19,9 +19,15 @@ Scale notes (100 TB): key fan-out is O(avg_len) rows per input row —
 bounded for token/name-like columns (the intended use: vocabulary
 matching, entity resolution on names/codes). The join is an ordinary
 shuffled hash join; skewed hot keys (very common short variants) are
-AQE-splittable. For k >= 2 the same scheme applies with up-to-k
-deletions (neighborhood size ~len^k); only k=1 is wired because the
-k>=2 fan-out needs a cost decision the caller should make explicitly.
+AQE-splittable. For k = 2 the neighborhood is O(len²/2) keys per
+DISTINCT string — key LENGTH, not row count, is the steep axis.
+Measured (SCALE.md, 100k×100k distinct keys, local[32]): len 8 →
+15.7 s (37 keys/string), len 16 → 18.0 s (137), len 24 → 39.3 s
+(301), len 32 → 55.4 s (529) — a smooth ~len² slope, no cliff, all
+planted ≤2-edit pairs found. Past ~64 chars the fan-out (~2k
+keys/string) stops being the right blocking scheme: switch to the
+n-gram/LSH tier (``dedup.minhash_lsh_candidates`` /
+``containment_pairs``), which is built for long strings.
 
 Reference parity: the reference exposes Polars' ``str`` namespace at
 its call sites but has no fuzzy join; this is north-star extension

@@ -823,6 +823,7 @@ def stream_index_add(
     checkpoint: str,
     id_col: str | None = None,
     compact_every: int | None = 8,
+    monitor_drift: bool = False,
 ):
     """Streaming ingest into a PERSISTED ANN index
     (operators/ann_index.py): each micro-batch of vectors is encoded
@@ -845,6 +846,15 @@ def stream_index_add(
     count; compaction is capped below the current batch's pinned epoch
     so a redelivered batch's history is never folded and re-written.
 
+    ``monitor_drift=True`` additionally lands each batch's
+    ``index_drift_stats`` under ``drift/epoch=<id>`` — the per-ingest
+    drift TREND (the frozen quantizers' fit to ARRIVING data), read
+    back with :func:`polars_fastx_spark.operators.ann_index.
+    index_drift_trend`; sustained growth over the post-build floor is
+    the ``index_retrain`` trigger. Costs one extra pass over the batch
+    (assignment + encode-error, same relational shape as the add);
+    same pinned-epoch overwrite idempotence.
+
     Returns the started StreamingQuery (availableNow trigger).
     """
     from polars_fastx_spark.operators import ann_index
@@ -860,6 +870,12 @@ def stream_index_add(
         ann_index.index_add(
             batch, vec_col, index_path, id_col=id_col, epoch=base + epoch
         )
+        if monitor_drift:
+            ann_index.index_drift_stats(
+                spark, index_path, batch, vec_col, id_col=id_col
+            ).write.mode("overwrite").parquet(
+                f"{index_path}/drift/epoch={base + epoch}"
+            )
 
     return (
         stream.writeStream.foreachBatch(_add)

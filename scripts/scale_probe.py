@@ -190,7 +190,8 @@ def fuzzy_probe() -> None:
         print(f"| fuzzy_join_k2 100k×100k len={L} | {dt:.1f} | {res} |")
 
 
-def containment_sweep(workdir: str = "/tmp/scale_sf1") -> None:
+def containment_sweep(workdir: str = "/tmp/scale_sf1",
+                      tier: str = "all") -> None:
     """Containment cap/size frontier (VERDICT r5 task 6): sweep the
     fractional df cap ∈ {1%, 2%, 4%} × corpus {50k, 150k docs} and
     record cost + recall of the planted quote cliques, next to the
@@ -202,9 +203,12 @@ def containment_sweep(workdir: str = "/tmp/scale_sf1") -> None:
 
     spark = pfs.get_spark("containment-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    cont_path = os.path.join(workdir, "containment_docs.parquet")
+    cont_path = os.path.join(workdir, "documents_containment.parquet")
     if not os.path.exists(cont_path):
-        generate_clustered(workdir)
+        raise SystemExit(
+            "containment substrate missing — run the full probe once "
+            "first: python scripts/scale_probe.py"
+        )
     base = spark.read.parquet(cont_path).filter("doc_id < 1000000")
     n50 = base.count()
     # 150k = the 50k substrate verbatim-tripled with distinct ids —
@@ -220,7 +224,10 @@ def containment_sweep(workdir: str = "/tmp/scale_sf1") -> None:
     print(f"substrate: {n50:,} docs (planted quote cliques + boilerplate)")
     print("| probe | seconds | result |")
     print("|---|---|---|")
-    for label, corpus in (("50k", base), ("150k", tripled)):
+    tiers = (("50k", base), ("150k", tripled))
+    if tier != "all":
+        tiers = tuple(t for t in tiers if t[0] == tier)
+    for label, corpus in tiers:
         prof = dedup.shingle_df_profile(corpus, "doc_id", "text", k=8)
         ndocs = corpus.count()
         for cap in (0.01, 0.02, 0.04):
@@ -246,7 +253,10 @@ def main() -> None:
         fuzzy_probe()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--containment-sweep":
-        containment_sweep(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1")
+        containment_sweep(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1",
+            tier=sys.argv[3] if len(sys.argv) > 3 else "all",
+        )
         return
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
     if not os.path.exists(os.path.join(workdir, "edges.parquet")):

@@ -1287,3 +1287,83 @@ def test_stream_decontam_gate_unpersists_benchmark_on_terminate(
             break
         time.sleep(0.5)
     assert not benchmark.is_cached
+
+
+def test_stream_index_add_monitors_drift_and_policy_retrains(
+    spark, srcdir, tmp_path
+):
+    """monitor_drift=True lands a drift row per ingest epoch;
+    index_drift_trend aggregates the corpus-weighted trend; and
+    index_retrain_if_drifted fires exactly when the latest epoch's
+    distortion crosses ratio x the post-build floor (then resets the
+    trend with the swap)."""
+    import numpy as np
+
+    from polars_fastx_spark.operators import ann_index
+    from polars_fastx_spark.streaming.pipelines import stream_index_add
+
+    rng = np.random.RandomState(5)
+    centersA = [rng.randn(16) for _ in range(4)]
+    centersB = [rng.randn(16) * 8 + 40 for _ in range(4)]
+
+    def mk(vid0, centers, n_per):
+        rows, vid = [], vid0
+        for c in centers:
+            for _ in range(n_per):
+                rows.append((vid, (c + rng.randn(16) * 0.05).tolist()))
+                vid += 1
+        return rows
+
+    A = mk(0, centersA, 30)
+    B = mk(1000, centersB, 30)
+    dfA = spark.createDataFrame(A, "vec_id long, v array<double>")
+    dfB = spark.createDataFrame(B, "vec_id long, v array<double>")
+    idx = str(tmp_path / "idx")
+    ann_index.index_build(
+        dfA, "vec_id", "v", idx, num_cells=8, m=4, pq_k=8, pinned=False
+    )
+
+    def _vec_batch(name, rows):
+        (srcdir / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "v": v}) for i, v in rows
+            )
+            + "\n"
+        )
+
+    stream = spark.readStream.schema(
+        "vec_id long, v array<double>"
+    ).json(str(srcdir))
+    # batch 0: same distribution (healthy floor); batch 1: drifted
+    _vec_batch("b0.json", mk(2000, centersA, 10))
+    q = stream_index_add(
+        stream, "v", idx, str(tmp_path / "ck"), monitor_drift=True
+    )
+    q.awaitTermination(120)
+    assert not ann_index.index_retrain_if_drifted(
+        dfA, "v", idx  # one monitored epoch: no-op
+    )
+    _vec_batch("b1.json", B)
+    q = stream_index_add(
+        stream, "v", idx, str(tmp_path / "ck"), monitor_drift=True
+    )
+    q.awaitTermination(120)
+    trend = {
+        r["epoch"]: r["mean_distortion"]
+        for r in ann_index.index_drift_trend(spark, idx).collect()
+    }
+    assert len(trend) == 2
+    e0, e1 = sorted(trend)
+    assert trend[e1] > 4.0 * trend[e0]  # the drift is visible
+    full = dfA.unionByName(dfB)
+    assert ann_index.index_retrain_if_drifted(full, "v", idx, ratio=4.0)
+    # the swap consumed the trend (old-quantizer rows would poison the
+    # next trigger's baseline) and the retrained index holds everyone
+    assert ann_index.index_drift_trend(spark, idx).count() == 0
+    ids = {
+        r["__id"]
+        for r in spark.read.option("basePath", f"{idx}/codes")
+        .parquet(f"{idx}/codes/epoch=*").select("__id").collect()
+    }
+    assert {0, 1000} <= ids
+    assert not ann_index.index_retrain_if_drifted(full, "v", idx)

@@ -595,6 +595,21 @@ def containment_pairs(
     "boilerplate = appears in more than x% of the corpus" — scale-
     invariant. The corpus count enters relationally (1-row broadcast
     cross-join, the totals-as-broadcast pattern), never a collect.
+
+    Choosing the cap — measured frontier (SCALE.md round 6, planted
+    quote cliques + universal boilerplate header): at 50k docs, caps
+    1% / 2% / 4% all found the identical 74 true pairs (recall is FLAT
+    across this range — evidence shingles are rare by construction;
+    only boilerplate sits above even the 1% line) at Σ df² 277-303M
+    and 30-56 s. The cap protects cost, not precision, so prefer the
+    TIGHTEST cap whose ``shingle_df_profile`` tail keeps your
+    expected-overlap shingles. A scale-invariant cap does NOT make
+    cost linear: legitimately common shingles' df grows WITH the
+    corpus, so Σ df² grows ~quadratically (measured ×9.2 for a ×3
+    corpus — exactly df²'s prediction). At 100 TB, run the cheap tiers
+    first (exact dedup, then MinHash LSH) so clone families never
+    reach this join, and read ``shingle_df_profile`` before every cap
+    change.
     """
     from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
 

@@ -190,8 +190,70 @@ def fuzzy_probe() -> None:
         print(f"| fuzzy_join_k2 100k×100k len={L} | {dt:.1f} | {res} |")
 
 
+def jpeg_probe() -> None:
+    """Decode throughput of the new builtin baseline JPEG codec
+    (operators/jpeg.py) through the near-dup pipeline: 2,000 64×64
+    q85 4:2:0 JPEGs (100 planted light edits), Arrow mapInPandas
+    decode + dHash + banded hamming join. The pure-Python per-block
+    decode is the modality's cost — this measures it honestly."""
+    import numpy as np
+
+    import polars_fastx_spark as pfs
+    from polars_fastx_spark.operators import jpeg as _jpeg
+    from polars_fastx_spark.operators import multimodal as mm
+
+    spark = pfs.get_spark("jpeg-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.RandomState(9)
+    rows = []
+    base_px = {}
+    for i in range(1_900):
+        # distinct smooth image per i: random 8×8 low-frequency field
+        # upscaled ×8 — JPEG-friendly and dHash-distinct
+        lo = rng.randint(0, 256, size=(8, 8, 3))
+        im = np.repeat(np.repeat(lo, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        base_px[i] = im
+        rows.append((
+            f"img{i:05d}.jpg",
+            bytearray(_jpeg.encode_jpeg_baseline(
+                im.reshape(-1), 64, 64, 3, quality=85, subsample="420"
+            )),
+        ))
+    for j in range(100):  # light edits of the first 100
+        im = base_px[j].copy()
+        im[0:6, 0:6] = 255
+        rows.append((
+            f"dup{j:05d}.jpg",
+            bytearray(_jpeg.encode_jpeg_baseline(
+                im.reshape(-1), 64, 64, 3, quality=85, subsample="420"
+            )),
+        ))
+    df = spark.createDataFrame(
+        rows, "path string, content binary"
+    ).repartition(32).persist()
+    df.count()
+    t0 = time.time()
+    pairs = mm.image_near_duplicates(df, max_distance=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    dt = time.time() - t0
+    planted = sum(
+        1 for a, b in got
+        if a.startswith("dup") != b.startswith("dup") and a[3:8] == b[3:8]
+    )
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    print(
+        f"| jpeg near-dup (2k 64×64 q85 4:2:0, builtin decoder) | "
+        f"{dt:.1f} | {len(got):,} pairs, {planted}/100 planted edits "
+        f"found |"
+    )
+
+
 def containment_sweep(workdir: str = "/tmp/scale_sf1",
-                      tier: str = "all") -> None:
+                      tier: str = "all",
+                      caps: tuple = (0.01, 0.02, 0.04)) -> None:
     """Containment cap/size frontier (VERDICT r5 task 6): sweep the
     fractional df cap ∈ {1%, 2%, 4%} × corpus {50k, 150k docs} and
     record cost + recall of the planted quote cliques, next to the
@@ -230,7 +292,7 @@ def containment_sweep(workdir: str = "/tmp/scale_sf1",
     for label, corpus in tiers:
         prof = dedup.shingle_df_profile(corpus, "doc_id", "text", k=8)
         ndocs = corpus.count()
-        for cap in (0.01, 0.02, 0.04):
+        for cap in caps:
             cut = int(cap * ndocs)
             cost = prof.filter(F.col("doc_freq") <= cut).agg(
                 F.sum("join_pairs")
@@ -252,10 +314,16 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzzy":
         fuzzy_probe()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--jpeg":
+        jpeg_probe()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--containment-sweep":
         containment_sweep(
             sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1",
             tier=sys.argv[3] if len(sys.argv) > 3 else "all",
+            caps=tuple(
+                float(c) for c in sys.argv[4].split(",")
+            ) if len(sys.argv) > 4 else (0.01, 0.02, 0.04),
         )
         return
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"

@@ -57,7 +57,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # round-6 additions first: the zero-err invariant needs their
     # driver rows this round
-    "l_containment_gate", "l_ann_index_drift",
+    "l_containment_gate", "l_ann_index_drift", "l_url_normalize",
+    "l_domain_cap",
     "l_ann_index_search", "l_ann_index_add", "l_ann_index_search_many",
     "l_ann_index_stats",
     "x_sketch_kmv", "l_mmr_rerank", "l_bpe_merges", "l_bpe_encode",

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from polars_fastx_spark.functions import seq as sq
 from polars_fastx_spark.functions import sketches
+from polars_fastx_spark.functions import urls as urlsf
 from polars_fastx_spark.operators import (
     ann_index,
     bpe,
@@ -2451,6 +2452,193 @@ def l_containment_gate(spark, sf_dir):
             F.round("max_containment", 6).alias("max_containment"),
         )
         .orderBy("doc_id", "matched_id")
+    )
+
+
+#: deterministic URL-variant constructor shared by the URL queries:
+#: four syntactic shapes of the messy-crawl inputs normalize_url is
+#: for (case/www/default-port/tracking-params/fragment; co.uk
+#: registry; scheme-less; non-default port), manufactured relationally
+#: from the documents table so the DuckDB oracle replays byte-for-byte
+def _doc_url():
+    d = F.col("doc_id").cast("string")
+    s = F.col("source")
+    return (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), s,
+                F.lit(".Example.COM:80/news/"), d,
+                F.lit("/?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://"), s,
+                F.lit(".shop.example.co.uk/item?z=9&gclid=abc&y=8"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(s, F.lit(".example.com/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://blog."), s,
+                F.lit(".example.com:8443/post/"), d,
+            ),
+        )
+    )
+
+
+_URL_SQL = """
+      CASE
+        WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || source
+          || '.Example.COM:80/news/' || doc_id
+          || '/?utm_source=feed&b=2&a=1#top'
+        WHEN doc_id % 4 = 1 THEN 'https://' || source
+          || '.shop.example.co.uk/item?z=9&gclid=abc&y=8'
+        WHEN doc_id % 4 = 2 THEN source || '.example.com/'
+        ELSE 'https://blog.' || source || '.example.com:8443/post/'
+          || doc_id
+      END
+"""
+
+#: the normalization pipeline in DuckDB SQL (the oracle twin of
+#: functions/urls.py — RFC 3986 §6 syntax normalization + the
+#: tracking cut), over a CTE `u(doc_id, url)`
+_URL_NORM_SQL = """
+    parsed AS (
+      SELECT doc_id, url,
+        coalesce(lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS scheme,
+        regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
+          ':[0-9]+$', ''), '^www\\.', '') AS host,
+        coalesce(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#:]*:([0-9]+)', 1), '')
+          AS port,
+        coalesce(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)', 1), '')
+          AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(coalesce(
+            regexp_extract(url, '\\?([^#]*)', 1), ''), '&'),
+          p -> length(p) > 0 AND NOT starts_with(lower(p), 'utm_')
+            AND NOT regexp_matches(lower(p),
+              '^(gclid|fbclid|msclkid|ref|ref_src)='))), '&'), '')
+          AS qs
+      FROM u
+    ),
+    formed AS (
+      SELECT doc_id, url, host,
+        (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
+        || host
+        || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+            THEN '' ELSE ':' || port END)
+        || (CASE WHEN path = '/' THEN ''
+            ELSE regexp_replace(path, '/$', '') END)
+        || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS norm_url,
+        string_split(host, '.') AS labels
+      FROM parsed
+    ),
+    dom AS (
+      SELECT doc_id, url, host, norm_url,
+        CASE
+          WHEN len(labels) >= 3
+            AND list_contains(
+              ['co','com','ac','gov','net','org','edu'],
+              labels[len(labels) - 1])
+            AND length(labels[len(labels)]) = 2
+          THEN array_to_string(
+            labels[len(labels) - 2 : len(labels)], '.')
+          WHEN len(labels) >= 2
+          THEN array_to_string(
+            labels[len(labels) - 1 : len(labels)], '.')
+          ELSE host
+        END AS domain
+      FROM formed
+    )
+"""
+
+
+@_q(
+    "l_url_normalize",
+    "WITH u AS (SELECT doc_id, " + _URL_SQL + " AS url FROM documents),"
+    + _URL_NORM_SQL
+    + """
+    SELECT doc_id, url, norm_url, host, domain
+    FROM dom ORDER BY doc_id
+    """,
+    "L-crawl: URL canonicalization (functions/urls.py — RFC 3986 §6 "
+    "syntax normalization + tracking-param cut: case, www, default "
+    "ports kept non-default, fragment, utm_*/gclid sorted-query) plus "
+    "host and registrable-domain extraction (co.uk-style registry "
+    "heuristic) — the key everything in a crawl pipeline dedups and "
+    "caps on; pure codegen expression tree, zero Python",
+)
+def l_url_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn("url", _doc_url())
+    return d.select(
+        "doc_id", "url",
+        urlsf.normalize_url("url").alias("norm_url"),
+        urlsf.url_host("url").alias("host"),
+        urlsf.url_domain("url").alias("domain"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "l_domain_cap",
+    """
+    WITH u AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+          THEN 'https://cdn.mirror-farm.com/d/' || doc_id
+          ELSE 'https://www.' || source || '.net/d/' || doc_id
+        END AS url,
+        CASE WHEN doc_id % 3 = 0 THEN 'mirror-farm.com'
+          ELSE source || '.net' END AS dom
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, dom,
+        row_number() OVER (PARTITION BY dom
+          ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
+      FROM u
+    )
+    SELECT doc_id, dom AS domain FROM ranked
+    WHERE rn <= 3 ORDER BY doc_id
+    """,
+    "L-crawl: per-registrable-domain cap (functions/urls.py:"
+    "domain_cap) — keep ≤3 docs per domain, the standard SEO-farm/"
+    "mirror defense: a planted mega-domain holding a third of the "
+    "corpus collapses to 3 rows while the long tail passes whole; "
+    "md5-ordered deterministic survivors (content-addressed, "
+    "engine-stable), one window over one domain-key shuffle — the "
+    "skewed partition is exactly the one the cap empties",
+)
+def l_domain_cap(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://cdn.mirror-farm.com/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".net/d/"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    return (
+        urlsf.domain_cap(d, "url", cap=3, order_col="doc_id")
+        .select("doc_id", urlsf.url_domain("url").alias("domain"))
+        .orderBy("doc_id")
     )
 
 

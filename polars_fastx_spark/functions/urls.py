@@ -1,0 +1,176 @@
+"""URL canonicalization — the crawl-pipeline scalar tier.
+
+Web-scale training corpora key almost everything on URLs: exact dedup
+on normalized URL, per-domain caps against SEO farms, and
+domain-level quality priors all need one CANONICAL form of a URL
+that is stable across the syntactic variants crawlers see
+(`HTTP://WWW.Site.com:80/a/?utm_source=x&b=1#frag` ==
+`http://site.com/a?b=1`). Everything here is a pure Spark ``Column``
+expression tree (regexp + split + higher-order array ops — zero
+Python in the hot path, whole-stage codegen), so normalization runs
+at scan speed over 100 TB and the DuckDB oracle replays it exactly.
+
+Normalization steps (the conservative, widely-agreed subset — RFC
+3986 §6 syntax-based normalization plus the standard tracking-param
+cut; anything stronger, e.g. session-id heuristics, is corpus policy
+and belongs to the caller):
+
+1. lowercase scheme and host;
+2. strip a leading ``www.`` label;
+3. strip default ports (``:80`` for http, ``:443`` for https);
+4. drop the fragment;
+5. drop known tracking parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``ref``, ``ref_src``);
+6. sort surviving query parameters byte-wise (order-insensitive
+   compare), dropping the ``?`` entirely when none survive;
+7. collapse a bare ``/`` path before a query string and strip one
+   trailing slash from non-root paths.
+
+Reference parity: the reference (apcamargo/polars-fastx) has no URL
+surface; north-star extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: query parameters that never carry content identity
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref", "ref_src")
+
+#: second-level labels under which the registrable domain is 3 labels
+#: (site.co.uk), the standard public-suffix shortcut for the common
+#: cases; a production deployment swaps in the full public-suffix list
+#: as a broadcast lookup table at the same seam.
+_SLD = ("co", "com", "ac", "gov", "net", "org", "edu")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def url_scheme(url: Column | str) -> Column:
+    """Lowercased scheme, '' when absent."""
+    return F.lower(F.regexp_extract(_col(url), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host with any ``www.`` prefix and port stripped."""
+    h = F.lower(
+        F.regexp_extract(_col(url), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1)
+    )
+    h = F.regexp_replace(h, r":\d+$", "")
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component ('' when absent; query/fragment excluded)."""
+    return F.regexp_extract(
+        _col(url), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^?#]*)", 1
+    )
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable domain: the last two host labels, or the last THREE
+    when the penultimate label is a classic second-level registry
+    label under a 2-letter ccTLD (``site.co.uk`` → ``site.co.uk``,
+    not ``co.uk``). Heuristic shortcut for the public-suffix list —
+    the production seam is a broadcast suffix table."""
+    labels = F.split(url_host(url), r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & second.isin(*_SLD)
+        & (F.length(tld) == 2)
+    )
+    return F.when(
+        take3, F.concat_ws(".", F.slice(labels, n - 2, 3))
+    ).otherwise(
+        F.when(n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2)))
+        .otherwise(F.concat_ws(".", labels))
+    )
+
+
+def _clean_query(url: Column | str) -> Column:
+    """Sorted, tracking-stripped query string ('' when none
+    survives)."""
+    q = F.regexp_extract(_col(url), r"\?([^#]*)", 1)
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.lower(p).startswith("utm_")
+        & ~F.lower(p).rlike(r"^(gclid|fbclid|msclkid|ref|ref_src)="),
+    )
+    return F.array_join(F.array_sort(parts), "&")
+
+
+def _url_port(url: Column | str) -> Column:
+    """Explicit port as a string ('' when absent)."""
+    return F.regexp_extract(
+        _col(url), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#:]*:(\d+)", 1
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """The canonical form (module docstring steps 1-7) as one codegen
+    expression. Scheme-less inputs normalize their host/path/query the
+    same way and stay scheme-less. Only the scheme's DEFAULT port is
+    dropped (http :80, https :443) — a non-default port is a distinct
+    origin and survives."""
+    u = _col(url)
+    scheme = url_scheme(u)
+    host = url_host(u)
+    port = _url_port(u)
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = url_path(u)
+    # strip ONE trailing slash from non-root paths; keep '' for root
+    path = F.when(path == "/", F.lit("")).otherwise(
+        F.regexp_replace(path, r"/$", "")
+    )
+    query = _clean_query(u)
+    return F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(
+            F.concat(scheme, F.lit("://"))
+        ),
+        host,
+        F.when(default_port, F.lit("")).otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+
+
+def domain_cap(
+    df,
+    url_col: str,
+    cap: int,
+    order_col: str | None = None,
+):
+    """Per-registrable-domain cap: keep at most ``cap`` rows per
+    domain — the standard defense against SEO farms and mirror hosts
+    dominating a crawl corpus. Deterministic survivor choice: rows
+    rank by md5 of ``order_col`` (default: the url itself) within
+    their domain, so reruns and engines agree (the content-addressed
+    convention of ``sampling.deterministic_sample``). One window over
+    one shuffle on the domain key; skewed mega-domains are exactly the
+    rows the cap discards, so the skew self-heals after the filter."""
+    from pyspark.sql import Window
+
+    key = _col(order_col) if order_col else _col(url_col)
+    w = Window.partitionBy(url_domain(_col(url_col))).orderBy(
+        F.md5(key.cast("string")).asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

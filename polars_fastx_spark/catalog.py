@@ -2642,6 +2642,104 @@ def l_domain_cap(spark, sf_dir):
     )
 
 
+def _html_entities_sql(col: str) -> str:
+    """Entity-decode chain in DuckDB, from the module constants."""
+    from polars_fastx_spark.functions import html as _html
+
+    s = col
+    for ent, rep in _html._ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    return s
+
+
+def _html_strip_sql(col: str) -> str:
+    """The DuckDB replay of functions/html.py:strip_html, BUILT FROM
+    THE SAME module constants (_DROP_CONTENT/_BLOCK_BREAK/_ENTITIES)
+    so the two chains cannot drift — every regexp is RE2-safe by
+    design there."""
+    from polars_fastx_spark.functions import html as _html
+
+    s = col
+    for el in _html._DROP_CONTENT:
+        s = (
+            f"regexp_replace({s}, '(?is)<{el}[^>]*>.*?</{el}>', ' ', 'g')"
+        )
+    s = f"regexp_replace({s}, '(?s)<!--.*?-->', ' ', 'g')"
+    closers = "|".join(_html._BLOCK_BREAK)
+    nl = "chr(10)"
+    s = (
+        f"regexp_replace({s}, '(?i)</(?:{closers})>', ' ' || {nl}, 'g')"
+    )
+    s = f"regexp_replace({s}, '(?i)<br[^>]*>', ' ' || {nl}, 'g')"
+    s = f"regexp_replace({s}, '(?s)<[^>]*>', ' ', 'g')"
+    s = _html_entities_sql(s)
+    s = f"regexp_replace({s}, '[ \\t\\r\\f]+', ' ', 'g')"
+    s = f"regexp_replace({s}, ' ?\\n[ \\n]*', {nl}, 'g')"
+    return f"regexp_replace({s}, '^\\s+|\\s+$', '', 'g')"
+
+
+#: deterministic HTML wrapper for the extraction query — script/style/
+#: comment noise, entities, block structure, all manufactured
+#: relationally so the oracle replays byte-for-byte
+_HTML_DOC_SQL = """
+      '<html><head><title>Doc ' || doc_id || ' &amp; ' || source
+      || '</title><style>body { color: red; }</style></head>'
+      || '<body><script>var x = "<p>not text</p>";</script>'
+      || '<!-- hidden <p>comment</p> --><h1>Doc ' || doc_id
+      || '</h1><p>' || substr(text, 1, 120)
+      || '</p><div>tail&nbsp;block</div></body></html>'
+"""
+
+
+def _doc_html():
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), d, F.lit(" &amp; "),
+        F.col("source"),
+        F.lit("</title><style>body { color: red; }</style></head>"),
+        F.lit('<body><script>var x = "<p>not text</p>";</script>'),
+        F.lit("<!-- hidden <p>comment</p> --><h1>Doc "), d,
+        F.lit("</h1><p>"), F.substring("text", 1, 120),
+        F.lit("</p><div>tail&nbsp;block</div></body></html>"),
+    )
+
+
+@_q(
+    "l_html_extract",
+    "WITH u AS (SELECT doc_id, " + _HTML_DOC_SQL + " AS html "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "trim(regexp_replace(" + _html_entities_sql(
+        "coalesce(regexp_extract(html, "
+        "'(?is)<title[^>]*>(.*?)</title>', 1), '')"
+    ) + ", '\\s+', ' ', 'g')) AS title, "
+    + _html_strip_sql("html")
+    + """ AS text_out,
+    round(length(""" + _html_strip_sql("html") + """)::DOUBLE
+      / nullif(length(html), 0), 6) AS text_density
+    FROM u ORDER BY doc_id
+    """,
+    "L-crawl: HTML → visible text (functions/html.py — script/style/"
+    "noscript/template + comment removal, block-break spacing, tag "
+    "strip, core entity decode, whitespace collapse), <title> "
+    "extraction, and the text-density boilerplate signal — the crawl "
+    "pipeline's first transform after the WARC scan; one RE2-safe "
+    "codegen regexp chain, oracle built from the SAME module "
+    "constants so Spark and DuckDB cannot drift",
+)
+def l_html_extract(spark, sf_dir):
+    from polars_fastx_spark.functions import html as htmlf
+
+    d = _t(spark, sf_dir, "documents").withColumn("html", _doc_html())
+    return d.select(
+        "doc_id",
+        htmlf.html_title("html").alias("title"),
+        htmlf.strip_html("html").alias("text_out"),
+        F.round(htmlf.text_density("html"), 6).alias("text_density"),
+    ).orderBy("doc_id")
+
+
 @_q(
     "l_simhash_neardup",
     """

@@ -1,0 +1,96 @@
+"""HTML → text extraction — the crawl-pipeline's first transform.
+
+Training corpora built from web crawls (WARC → HTML payloads) need
+the VISIBLE text out of markup before any quality/dedup tier runs.
+This is the conservative, regex-expressible subset every production
+extractor starts from (script/style/comment removal, tag strip,
+block-level spacing, core entity decode, whitespace collapse) as a
+pure Spark ``Column`` expression chain — whole-stage codegen, zero
+Python per row, and exactly replayable by a SQL oracle. A
+DOM-accurate extractor (boilerplate classification, main-content
+detection) is corpus policy and plugs in at the same column seam as
+an Arrow-batched UDF when needed; the regex tier is what runs over
+100 TB first.
+
+All patterns are RE2-safe (non-greedy, no backrefs), so Spark's Java
+regex and DuckDB's RE2 agree byte-for-byte — oracle-tested.
+
+Reference parity: the reference (apcamargo/polars-fastx) has no HTML
+surface; north-star extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+#: entities worth decoding without a full table: the ones that carry
+#: text semantics (amp LAST so '&amp;lt;' decodes to '&lt;' not '<')
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+#: elements whose CONTENT is never visible text
+_DROP_CONTENT = ("script", "style", "noscript", "template")
+
+#: block-level closers that imply a text break (a space after strip)
+_BLOCK_BREAK = (
+    "p", "div", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "section", "article",
+    "header", "footer", "blockquote", "pre", "title", "head",
+)
+
+
+def html_title(html: Column | str) -> Column:
+    """<title> content, entity-decoded and whitespace-collapsed (''
+    when absent)."""
+    t = F.regexp_extract(_col(html), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, rep in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def strip_html(html: Column | str) -> Column:
+    """Visible text of an HTML document: drop script/style/noscript/
+    template CONTENT and comments, break at block-element closers and
+    <br>, strip every remaining tag, decode the core entities,
+    collapse whitespace. One codegen expression chain."""
+    s = _col(html)
+    for el in _DROP_CONTENT:
+        s = F.regexp_replace(
+            s, f"(?is)<{el}[^>]*>.*?</{el}>", " "
+        )
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    closers = "|".join(_BLOCK_BREAK)
+    s = F.regexp_replace(s, f"(?i)</(?:{closers})>", " \n")
+    s = F.regexp_replace(s, r"(?i)<br[^>]*>", " \n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"[ \t\r\f]+", " ")
+    s = F.regexp_replace(s, r" ?\n[ \n]*", "\n")
+    # Spark's trim strips spaces only; the block-break newlines need
+    # the regex form
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def text_density(html: Column | str) -> Column:
+    """len(visible text) / len(markup) — the cheap boilerplate-page
+    signal (chrome-heavy pages score low; article pages high). NULL
+    or empty markup → NULL."""
+    h = _col(html)
+    return (
+        F.length(strip_html(h))
+        / F.nullif(F.length(h), F.lit(0))
+    )

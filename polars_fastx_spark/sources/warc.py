@@ -1,0 +1,407 @@
+"""WARC scan — the crawl-corpus entry point (ISO 28500 / WARC 1.0-1.1).
+
+Web-scale training pipelines START from WARC: crawl archives land as
+``.warc.gz`` files whose records hold the HTTP responses the HTML/
+text/quality/dedup tiers consume. This is the same Python Data Source
+shape as the FASTX scan (``sources/fastx.py``) with the same 100 TB
+posture: one partition per byte range, records parsed where they
+live, nothing data-sized on the driver.
+
+Split strategy mirrors the FASTA/BGZF pair:
+
+- **plain ``.warc``**: byte-range splits; a reader starting mid-file
+  resynchronizes on the ``\\r\\n\\r\\nWARC/`` record boundary (version
+  lines only ever follow the blank line that closes the previous
+  record's trailing CRLFCRLF), parses records whose START offset lies
+  in its range, and reads past its end to finish the last one — the
+  classic text-split contract.
+- **``.warc.gz``**: the standard layout is ONE GZIP MEMBER PER RECORD
+  (that is what makes crawl archives streamable), which makes the file
+  byte-range splittable exactly like BGZF: a reader scans forward to
+  the next gzip magic that INFLATES to a ``WARC/`` record (candidate
+  magics inside compressed bodies are rejected by that check), then
+  walks member-by-member via each stream's ``unused_data``. A
+  whole-file-gzip WARC (non-standard) degrades gracefully: no interior
+  member verifies, so only the offset-0 partition yields rows —
+  correct, single-task, same behavior as raw-gzip FASTA.
+
+For ``WARC-Type: response`` records the HTTP envelope is split off
+(status code, Content-Type header) and ``payload`` is the HTTP BODY —
+the bytes the HTML tier wants; other record types carry their block
+verbatim. A ``write_warc`` helper renders rows back to spec-valid
+WARC (per-record-gzip or plain) — the fixture mint and roundtrip
+proof, same role as ``sinks.write_fastx``.
+
+Reference parity: the reference (apcamargo/polars-fastx) has no web
+surface; north-star extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+import zlib
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("record_id", StringType(), True),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("content_length", LongType(), True),
+        StructField("http_status", IntegerType(), True),
+        StructField("http_content_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def _expand_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = [
+            os.path.join(path, n)
+            for n in sorted(os.listdir(path))
+            if n.endswith((".warc", ".warc.gz"))
+        ]
+        if not out:
+            raise FileNotFoundError(f"no WARC files in directory {path}")
+        return out
+    matches = sorted(glob.glob(path))
+    if not matches:
+        raise FileNotFoundError(f"no files match {path}")
+    return matches
+
+
+def _parse_record(buf: io.BufferedIOBase):
+    """One record from a stream positioned at its version line, or
+    None at EOF. Returns the output-row tuple."""
+    version = buf.readline()
+    while version in (b"\r\n", b"\n"):  # stray blank lines between records
+        version = buf.readline()
+    if not version:
+        return None
+    if not version.startswith(b"WARC/"):
+        raise ValueError(
+            f"not a WARC record boundary: {version[:20]!r}"
+        )
+    headers: dict[str, str] = {}
+    while True:
+        line = buf.readline()
+        if line in (b"\r\n", b"\n", b""):
+            break
+        k, _, v = line.decode("utf-8", "replace").partition(":")
+        headers[k.strip().lower()] = v.strip()
+    clen = int(headers.get("content-length", "0"))
+    block = buf.read(clen)
+    buf.readline()  # record-final CRLF
+    buf.readline()  # record-separating CRLF
+    wtype = headers.get("warc-type")
+    status, http_ct, payload = None, None, block
+    if wtype == "response" and block[:5] in (b"HTTP/",):
+        head, sep, body = block.partition(b"\r\n\r\n")
+        if sep:
+            payload = body
+            lines = head.split(b"\r\n")
+            parts = lines[0].split(b" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            for hl in lines[1:]:
+                hk, _, hv = hl.decode("utf-8", "replace").partition(":")
+                if hk.strip().lower() == "content-type":
+                    http_ct = hv.strip()
+                    break
+    return (
+        headers.get("warc-record-id"),
+        wtype,
+        headers.get("warc-target-uri"),
+        headers.get("warc-date"),
+        headers.get("content-type"),
+        clen,
+        status,
+        http_ct,
+        payload,
+    )
+
+
+def _find_forward(f, base: int, needle: bytes) -> int:
+    """Absolute offset of the first ``needle`` at/after ``base``, or
+    -1 — chunked scan keeping a needle-sized overlap so a straddling
+    match is never missed."""
+    f.seek(base)
+    overlap = len(needle) - 1
+    buf = b""
+    bufbase = base
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return -1
+        buf += chunk
+        idx = buf.find(needle)
+        if idx >= 0:
+            return bufbase + idx
+        keep = buf[-overlap:] if overlap else b""
+        bufbase += len(buf) - len(keep)
+        buf = keep
+
+
+def _iter_plain(path: str, start: int, end: int | None) -> Iterator[tuple]:
+    """Records whose record-start offset lies in [start, end)."""
+    size = os.path.getsize(path)
+    end = size if end is None else end
+    with open(path, "rb") as f:
+        pos = start
+        if start > 0:
+            # resync on the separator+version boundary; back up 6
+            # bytes so a separator straddling the split point is seen
+            found = _find_forward(f, max(0, start - 6), b"\r\n\r\nWARC/")
+            if found < 0:
+                return
+            pos = found + 4
+        if pos >= end:
+            return
+        buf = io.BufferedReader(io.FileIO(path), 1 << 20)
+        buf.seek(pos)
+        while pos < end:
+            row = _parse_record(buf)
+            if row is None:
+                return
+            yield row
+            pos = buf.tell()
+
+
+def _verify_member(path: str, offset: int) -> bool:
+    """Does a gzip member at ``offset`` inflate to a WARC record?"""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        chunk = f.read(1 << 16)
+    try:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(chunk, 16)
+        return out.startswith(b"WARC/")
+    except zlib.error:
+        return False
+
+
+def _iter_gz_members(path: str, start: int, end: int | None) -> Iterator[tuple]:
+    """Records of every per-record gzip member whose member-start
+    offset lies in [start, end)."""
+    size = os.path.getsize(path)
+    end = size if end is None else end
+    with open(path, "rb") as f:
+        pos = start
+        if start > 0:
+            # scan to the next VERIFIED member boundary: candidate
+            # magics inside compressed bodies fail the inflate check
+            base, buf = start, b""
+            found = -1
+            f.seek(start)
+            while found < 0:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    return
+                buf += chunk
+                i = buf.find(_GZ_MAGIC)
+                while i >= 0:
+                    if _verify_member(path, base + i):
+                        found = base + i
+                        break
+                    i = buf.find(_GZ_MAGIC, i + 1)
+                if found < 0:
+                    keep = buf[-2:]
+                    base += len(buf) - len(keep)
+                    buf = keep
+                    if base >= end:
+                        return
+            pos = found
+            if pos >= end:
+                return
+        # walk member-by-member with bounded memory: feed the
+        # decompressor chunks; unused_data marks the next member
+        f.seek(pos)
+        carry = b""
+        while pos < end:
+            d = zlib.decompressobj(wbits=31)
+            raw = bytearray()
+            fed = 0
+            try:
+                while True:
+                    data = carry or f.read(1 << 20)
+                    carry = b""
+                    if not data:
+                        break
+                    fed += len(data)
+                    raw += d.decompress(data)
+                    if d.eof:
+                        break
+            except zlib.error:
+                return  # offset-0 of a non-WARC gzip / trailing garbage
+            if not raw:
+                return
+            buf = io.BufferedReader(io.BytesIO(bytes(raw)))
+            while True:
+                row = _parse_record(buf)
+                if row is None:
+                    break
+                yield row
+            carry = d.unused_data
+            pos += fed - len(carry)
+
+
+@dataclass
+class WarcPartition(InputPartition):
+    path: str
+    start: int
+    end: int | None  # None → to EOF
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, paths: list[str], split_bytes: int):
+        self._paths = paths
+        self._split_bytes = split_bytes
+
+    def partitions(self) -> Sequence[WarcPartition]:
+        parts: list[WarcPartition] = []
+        for p in self._paths:
+            size = os.path.getsize(p)
+            if size > self._split_bytes:
+                for off in range(0, size, self._split_bytes):
+                    parts.append(
+                        WarcPartition(
+                            p, off, min(off + self._split_bytes, size)
+                        )
+                    )
+            else:
+                parts.append(WarcPartition(p, 0, None))
+        return parts
+
+    def read(self, partition: WarcPartition) -> Iterator[tuple]:
+        if partition.path.endswith(".gz"):
+            yield from _iter_gz_members(
+                partition.path, partition.start, partition.end
+            )
+        else:
+            yield from _iter_plain(
+                partition.path, partition.start, partition.end
+            )
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc").load(path)``.
+
+    Options:
+      - ``path``: file, glob, or directory of ``.warc`` / ``.warc.gz``.
+      - ``split_bytes``: byte-range split target (default 128 MB).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType:
+        return WARC_SCHEMA
+
+    def reader(self, schema: StructType) -> WarcReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("warc source requires a path")
+        split = int(self.options.get("split_bytes", DEFAULT_SPLIT_BYTES))
+        return WarcReader(_expand_paths(path), split)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotently register the warc data source on this session."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(WarcDataSource)
+        _REGISTERED.add(key)
+
+
+def scan_warc(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
+    """Lazy WARC scan → DataFrame (see module docstring for columns
+    and split semantics)."""
+    register(spark)
+    reader = spark.read.format("warc")
+    if split_bytes is not None:
+        reader = reader.option("split_bytes", split_bytes)
+    return reader.load(path)
+
+
+# ----------------------------------------------------------- writer
+
+def render_warc_record(
+    record_id: str,
+    warc_type: str,
+    target_uri: str | None,
+    date: str,
+    block: bytes,
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    """One spec-valid WARC/1.0 record (headers + block + CRLFCRLF)."""
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: " + record_id.encode(),
+        b"WARC-Date: " + date.encode(),
+    ]
+    if target_uri:
+        head.append(b"WARC-Target-URI: " + target_uri.encode())
+    head += [
+        b"Content-Type: " + content_type.encode(),
+        b"Content-Length: " + str(len(block)).encode(),
+        b"",
+        b"",
+    ]
+    return b"\r\n".join(head) + block + b"\r\n\r\n"
+
+
+def http_response_block(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    """An HTTP/1.1 response envelope around ``body`` — what a
+    ``response`` record's block looks like on disk."""
+    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
+        status, "X"
+    )
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def write_warc(path: str, records: list[bytes]) -> None:
+    """Concatenate rendered records to ``path``; ``.gz`` suffix writes
+    the STANDARD per-record-gzip-member layout (what keeps crawl
+    archives byte-range splittable — see module docstring)."""
+    with open(path, "wb") as out:
+        for rec in records:
+            if path.endswith(".gz"):
+                out.write(gzip.compress(rec))
+            else:
+                out.write(rec)

@@ -1,0 +1,136 @@
+"""WARC source (sources/warc.py) + HTML extraction (functions/html.py):
+the crawl-ingestion front door — spec-valid record parsing, byte-range
+split parity on plain AND per-record-gzip files, HTTP envelope
+splitting, and the end-to-end crawl pipeline (WARC → HTML text →
+canonical URL)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.functions import html as H
+from polars_fastx_spark.functions import urls
+from polars_fastx_spark.sources import warc
+
+
+def _mk_records(n: int):
+    recs = []
+    for i in range(n):
+        body = (
+            f"<html><head><title>Page {i}</title></head>"
+            f"<body><p>text of page {i} &amp; more</p></body></html>"
+        ).encode()
+        recs.append(
+            warc.render_warc_record(
+                f"<urn:uuid:rec-{i:05d}>",
+                "response",
+                f"HTTPS://WWW.Site{i % 7}.COM:443/a/{i}?utm_source=x&q={i}",
+                "2026-08-15T00:00:00Z",
+                warc.http_response_block(body),
+            )
+        )
+    return recs
+
+
+def test_plain_roundtrip_and_fields(spark, tmp_path):
+    p = str(tmp_path / "t.warc")
+    warc.write_warc(p, _mk_records(5))
+    rows = warc.scan_warc(spark, p).orderBy("record_id").collect()
+    assert len(rows) == 5
+    r = rows[0]
+    assert r["warc_type"] == "response"
+    assert r["record_id"] == "<urn:uuid:rec-00000>"
+    assert r["http_status"] == 200
+    assert r["http_content_type"] == "text/html; charset=utf-8"
+    assert bytes(r["payload"]).startswith(b"<html>")
+    assert r["warc_date"] == "2026-08-15T00:00:00Z"
+    assert r["content_length"] > len(r["payload"])  # envelope counted
+
+
+def test_gz_per_member_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    warc.write_warc(p, _mk_records(5))
+    got = {
+        r["record_id"]
+        for r in warc.scan_warc(spark, p).collect()
+    }
+    assert got == {f"<urn:uuid:rec-{i:05d}>" for i in range(5)}
+
+
+@pytest.mark.parametrize("suffix", ["warc", "warc.gz"])
+def test_split_parity(spark, tmp_path, suffix):
+    """Byte-range splits return exactly the whole file's records, no
+    duplicates, no losses — on plain (boundary resync) and
+    per-record-gzip (verified member scan) layouts alike."""
+    p = str(tmp_path / f"big.{suffix}")
+    warc.write_warc(p, _mk_records(300))
+    unsplit = warc.scan_warc(spark, p)
+    split = warc.scan_warc(spark, p, split_bytes=4096)
+    assert split.rdd.getNumPartitions() > 4
+    a = sorted(r["record_id"] for r in unsplit.collect())
+    b = sorted(r["record_id"] for r in split.collect())
+    assert a == b and len(a) == 300
+
+
+def test_wholefile_gzip_degrades_to_one_partition(spark, tmp_path):
+    """A non-standard whole-file-gzip WARC still parses (offset-0
+    member holds everything); interior splits verify no member and
+    yield nothing — correct single-stream degradation, no dup rows."""
+    raw = b"".join(_mk_records(50))
+    p = str(tmp_path / "whole.warc.gz")
+    with open(p, "wb") as fh:
+        fh.write(gzip.compress(raw))
+    rows = warc.scan_warc(spark, p, split_bytes=1024).collect()
+    assert len(rows) == 50
+
+
+def test_non_response_records_pass_block_verbatim(spark, tmp_path):
+    rec = warc.render_warc_record(
+        "<urn:uuid:info-1>", "warcinfo", None,
+        "2026-08-15T00:00:00Z", b"software: test\r\n",
+        content_type="application/warc-fields",
+    )
+    p = str(tmp_path / "i.warc")
+    warc.write_warc(p, [rec])
+    r = warc.scan_warc(spark, p).collect()[0]
+    assert r["warc_type"] == "warcinfo"
+    assert r["http_status"] is None
+    assert bytes(r["payload"]) == b"software: test\r\n"
+
+
+def test_crawl_pipeline_end_to_end(spark, tmp_path):
+    """The ingestion story in one plan: WARC scan → HTTP-200 HTML
+    filter → visible-text extraction → canonical URL — each tier a
+    codegen expression over the scanned columns."""
+    p = str(tmp_path / "crawl.warc.gz")
+    recs = _mk_records(6)
+    recs.append(
+        warc.render_warc_record(
+            "<urn:uuid:miss-1>", "response",
+            "https://site0.com/404", "2026-08-15T00:00:00Z",
+            warc.http_response_block(b"gone", status=404),
+        )
+    )
+    warc.write_warc(p, recs)
+    out = (
+        warc.scan_warc(spark, p)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            urls.normalize_url("target_uri").alias("url"),
+            H.html_title(F.col("payload").cast("string")).alias("title"),
+            H.strip_html(F.col("payload").cast("string")).alias("text"),
+        )
+        .orderBy("url")
+        .collect()
+    )
+    assert len(out) == 6  # the 404 is gone
+    assert out[0]["url"] == "https://site0.com/a/0?q=0"  # www/port/utm cut
+    assert out[0]["title"] == "Page 0"
+    assert out[0]["text"] == "Page 0\ntext of page 0 & more"

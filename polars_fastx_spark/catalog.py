@@ -2740,6 +2740,118 @@ def l_html_extract(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: the crawl-pipeline composition's URL constructor: doc pairs
+#: (2k, 2k+1) are SYNTACTIC VARIANTS of one page — the messy form
+#: (case/www/port/tracking) and the clean form — so canonical-URL
+#: dedup has real work
+_CRAWL_URL_SQL = """
+      CASE WHEN doc_id % 2 = 0
+        THEN 'HTTPS://WWW.' || source || '-Pages.NET:443/page/'
+          || (doc_id // 2) || '?utm_source=x'
+        ELSE 'https://' || source || '-pages.net/page/'
+          || (doc_id // 2)
+      END
+"""
+
+
+def _crawl_url():
+    k = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    s = F.col("source")
+    return F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW."), s, F.lit("-Pages.NET:443/page/"),
+            k, F.lit("?utm_source=x"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), s, F.lit("-pages.net/page/"), k
+        )
+    )
+
+
+@_q(
+    "l_crawl_pipeline",
+    "WITH u AS (SELECT doc_id, " + _CRAWL_URL_SQL + " AS url "
+    "FROM documents),"
+    + _URL_NORM_SQL
+    + ", h AS (SELECT doc_id, "
+    + _html_strip_sql("html")
+    + """ AS text_out,
+      trim(regexp_replace("""
+    + _html_entities_sql(
+        "coalesce(regexp_extract(html, "
+        "'(?is)<title[^>]*>(.*?)</title>', 1), '')"
+    )
+    + """, '\\s+', ' ', 'g')) AS title
+      FROM (SELECT doc_id, """ + _HTML_DOC_SQL + """ AS html
+            FROM documents)
+    ),
+    joined AS (
+      SELECT d.doc_id, d.norm_url, d.domain, h.title, h.text_out
+      FROM dom d JOIN h USING (doc_id)
+      WHERE length(h.text_out) >= 50
+    ),
+    uniq AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY norm_url ORDER BY doc_id) AS rn
+        FROM joined) WHERE rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY domain
+          ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn2
+        FROM uniq) WHERE rn2 <= 3
+    )
+    SELECT doc_id, norm_url AS url, domain, title,
+           length(text_out) AS n_chars
+    FROM capped ORDER BY doc_id
+    """,
+    "L-crawl FLAGSHIP composition — the ingest story in ONE declared "
+    "plan: HTML → visible text + title (functions/html.py), messy URL "
+    "→ canonical form (functions/urls.py; planted variant pairs "
+    "collapse), length quality gate, exact dedup on canonical URL "
+    "(min-id survivor), per-registrable-domain cap (md5-deterministic) "
+    "— five tiers, each a codegen expression or one keyed window, "
+    "Catalyst fuses the lot; the DuckDB oracle replays every stage",
+)
+def l_crawl_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from polars_fastx_spark.functions import html as htmlf
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("html", _doc_html())
+        .withColumn("url", _crawl_url())
+        .select(
+            "doc_id",
+            urlsf.normalize_url("url").alias("norm_url"),
+            urlsf.url_domain("url").alias("domain"),
+            htmlf.html_title("html").alias("title"),
+            htmlf.strip_html("html").alias("text_out"),
+        )
+        .filter(F.length("text_out") >= 50)
+    )
+    w_dup = Window.partitionBy("norm_url").orderBy("doc_id")
+    w_cap = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(),
+        F.col("doc_id").cast("string").asc(),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .withColumn("rn2", F.row_number().over(w_cap))
+        .filter(F.col("rn2") <= 3)
+        .select(
+            "doc_id", F.col("norm_url").alias("url"), "domain",
+            "title", F.length("text_out").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "l_simhash_neardup",
     """

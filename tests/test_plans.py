@@ -98,6 +98,8 @@ ALLOWED_NESTED_LOOP = {
     "l_ann_index_delete",  # same build shape as l_ann_index_search
     "l_ann_index_search_filtered",  # same build shape as l_ann_index_search
     "l_ann_index_recall",  # build shape + deliberate brute-force exact side
+    "l_ann_index_drift",  # IVF assignment = broadcast × tiny centroid table
+    "l_containment_gate",  # history doc-count = 1-row broadcast cross join
 }
 
 

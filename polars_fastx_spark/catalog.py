@@ -2853,6 +2853,83 @@ def l_crawl_pipeline(spark, sf_dir):
 
 
 @_q(
+    "l_link_graph",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+        'https://' || source || '-pages.net/p/' || doc_id AS page_url,
+        '<html><body><p>body</p>'
+        || '<a href="HTTPS://WWW.src' || (doc_id % 7)
+        || '-pages.NET:443/x/' || doc_id || '?utm_source=l">a</a>'
+        || '<a class=x href=''https://src' || ((doc_id + 3) % 7)
+        || '-pages.net/y''>b</a>'
+        || '<a href="#frag">skip</a><a href="https://cdn.hub.org/'
+        || (doc_id % 2) || '">c</a></body></html>' AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(html,
+          '(?is)<a[^>]+href\\s*=\\s*["'']([^"''#][^"'']*)["'']', 1))
+          AS href
+      FROM pages
+    ),
+    u AS (SELECT doc_id, href AS url FROM links),
+    """
+    + _URL_NORM_SQL
+    + """
+    SELECT doc.source || '-pages.net' AS src_domain,
+           d.domain AS dst_domain, count(*)::BIGINT AS n_links
+    FROM dom d JOIN documents doc USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY src_domain, dst_domain
+    """,
+    "L-crawl: the LINK GRAPH — html_links href extraction (RE2-safe, "
+    "fragments/empties excluded) → canonical URL → registrable-domain "
+    "aggregation into (src_domain, dst_domain, n_links) edges, the "
+    "input to per-domain PageRank quality priors (l_pagerank is the "
+    "iterative half); explode is row-local, the only exchange is the "
+    "edge groupBy",
+)
+def l_link_graph(spark, sf_dir):
+    from polars_fastx_spark.functions import html as htmlf
+
+    d = F.col("doc_id").cast("string")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-pages.net/p/"), d
+    )
+    html = F.concat(
+        F.lit("<html><body><p>body</p>"),
+        F.lit('<a href="HTTPS://WWW.src'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("-pages.NET:443/x/"), d, F.lit('?utm_source=l">a</a>'),
+        F.lit("<a class=x href='https://src"),
+        ((F.col("doc_id") + 3) % 7).cast("string"),
+        F.lit("-pages.net/y'>b</a>"),
+        F.lit('<a href="#frag">skip</a><a href="https://cdn.hub.org/'),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit('">c</a></body></html>'),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", page_url.alias("page_url"), html.alias("html")
+    )
+    links = pages.select(
+        "doc_id", "page_url",
+        F.explode(htmlf.html_links("html")).alias("href"),
+    )
+    return (
+        links.groupBy(
+            urlsf.url_domain("page_url").alias("src_domain"),
+            urlsf.url_domain(urlsf.normalize_url("href")).alias(
+                "dst_domain"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+@_q(
     "l_simhash_neardup",
     """
     WITH tok AS (

@@ -85,6 +85,21 @@ def strip_html(html: Column | str) -> Column:
     return F.regexp_replace(s, r"^\s+|\s+$", "")
 
 
+def html_links(html: Column | str) -> Column:
+    """Array of ``<a href=...>`` targets (raw, in document order;
+    fragments-only and empty hrefs excluded by the pattern) — the
+    extraction that turns a crawl into the LINK GRAPH (per-domain
+    PageRank quality priors, frontier discovery). RE2-safe, so the
+    SQL oracle replays it; normalize with ``urls.normalize_url`` and
+    aggregate to (src_domain, dst_domain) edges downstream."""
+    # regexp_extract_all takes its pattern as a Column
+    return F.regexp_extract_all(
+        _col(html),
+        F.lit(r"""(?is)<a[^>]+href\s*=\s*["']([^"'#][^"']*)["']"""),
+        1,
+    )
+
+
 def text_density(html: Column | str) -> Column:
     """len(visible text) / len(markup) — the cheap boilerplate-page
     signal (chrome-heavy pages score low; article pages high). NULL

@@ -134,3 +134,21 @@ def test_crawl_pipeline_end_to_end(spark, tmp_path):
     assert out[0]["url"] == "https://site0.com/a/0?q=0"  # www/port/utm cut
     assert out[0]["title"] == "Page 0"
     assert out[0]["text"] == "Page 0\ntext of page 0 & more"
+
+
+def test_html_links_extraction(spark):
+    """href extraction: double/single-quoted attributes, attributes
+    before href, fragment-only and empty hrefs excluded, document
+    order kept."""
+    doc = (
+        '<a href="https://a.com/1">x</a>'
+        "<a class='b' href='https://b.com/2?q=1'>y</a>"
+        '<a href="#frag">skip</a>'
+        '<a href="">skip</a>'
+        '<A HREF="https://c.com/3">caps</A>'
+    )
+    df = spark.createDataFrame([(doc,)], ["html"])
+    got = df.select(H.html_links("html").alias("l")).collect()[0]["l"]
+    assert got == [
+        "https://a.com/1", "https://b.com/2?q=1", "https://c.com/3"
+    ]

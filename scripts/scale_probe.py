@@ -251,6 +251,81 @@ def jpeg_probe() -> None:
     )
 
 
+def warc_probe(workdir: str = "/tmp/scale_sf1") -> None:
+    """Crawl-ingest throughput: a ~0.5 GB per-record-gzip WARC archive
+    (60k HTML response records) through scan → HTTP-200 filter →
+    visible-text + title + canonical URL — the l_crawl_pipeline column
+    tiers over the real source. Pins that byte-range member-split
+    parallelism holds at archive scale (one file, many partitions) and
+    measures records/s end-to-end."""
+    import polars_fastx_spark as pfs
+    from pyspark.sql import functions as F
+    from polars_fastx_spark.functions import html as H
+    from polars_fastx_spark.functions import urls
+    from polars_fastx_spark.sources import warc
+
+    os.makedirs(workdir, exist_ok=True)
+    path = os.path.join(workdir, "crawl_60k.warc.gz")
+    n = 60_000
+    if not os.path.exists(path):
+        t0 = time.time()
+        filler = " ".join(f"w{j}" for j in range(120))
+        with open(path, "wb") as out:
+            import gzip as _gzip
+
+            for i in range(n):
+                body = (
+                    f"<html><head><title>Page {i}</title>"
+                    f"<style>b{{x}}</style></head><body>"
+                    f"<script>var x=1;</script><h1>Doc {i}</h1>"
+                    f"<p>{filler} tail {i}</p></body></html>"
+                ).encode()
+                rec = warc.render_warc_record(
+                    f"<urn:uuid:r-{i:06d}>", "response",
+                    f"HTTPS://WWW.site{i % 97}.NET:443/a/{i}?utm_source=x",
+                    "2026-08-15T00:00:00Z",
+                    warc.http_response_block(body),
+                )
+                out.write(_gzip.compress(rec))
+        print(f"generated {path} "
+              f"({os.path.getsize(path) / 1e6:.0f} MB) "
+              f"in {time.time() - t0:.1f}s")
+    spark = pfs.get_spark("warc-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = warc.scan_warc(spark, path, split_bytes=8 * 1024 * 1024)
+    parts = df.rdd.getNumPartitions()
+    t0 = time.time()
+    got = (
+        df.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            urls.normalize_url("target_uri").alias("url"),
+            H.html_title(F.col("payload").cast("string")).alias("t"),
+            F.length(
+                H.strip_html(F.col("payload").cast("string"))
+            ).alias("n"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("url").alias("urls"),
+            F.sum("n").alias("chars"),
+        )
+        .first()
+    )
+    dt = time.time() - t0
+    assert got["rows"] == n and got["urls"] == n, got
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    print(
+        f"| warc scan+extract (60k records, "
+        f"{os.path.getsize(path) / 1e6:.0f} MB gz, {parts} splits) | "
+        f"{dt:.1f} | {got['rows']:,} records, {got['rows'] / dt:,.0f} "
+        f"rec/s, {got['chars'] / 1e6:.0f} MB visible text |"
+    )
+
+
 def containment_sweep(workdir: str = "/tmp/scale_sf1",
                       tier: str = "all",
                       caps: tuple = (0.01, 0.02, 0.04)) -> None:
@@ -316,6 +391,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--jpeg":
         jpeg_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--warc":
+        warc_probe(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--containment-sweep":
         containment_sweep(

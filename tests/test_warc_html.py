@@ -152,3 +152,42 @@ def test_html_links_extraction(spark):
     assert got == [
         "https://a.com/1", "https://b.com/2?q=1", "https://c.com/3"
     ]
+
+
+def test_stream_warc_ingests_new_archives_and_resumes(spark, tmp_path):
+    """Streaming WARC: archives landing across micro-batches are
+    ingested once each (checkpoint-resumed restart re-reads nothing),
+    and the canonical-URL dedup gate composes on top."""
+    from polars_fastx_spark.streaming.warc_stream import stream_warc
+
+    src = tmp_path / "archives"
+    src.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _run():
+        q = (
+            stream_warc(spark, str(src))
+            .filter(F.col("warc_type") == "response")
+            .select(
+                "record_id",
+                urls.normalize_url("target_uri").alias("url"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    warc.write_warc(str(src / "b0.warc.gz"), _mk_records(3))
+    _run()
+    warc.write_warc(str(src / "b1.warc"), _mk_records(5)[3:])
+    _run()
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["record_id"] for r in rows)
+    assert ids == sorted(f"<urn:uuid:rec-{i:05d}>" for i in range(5))
+    assert all(r["url"].startswith("https://site") for r in rows)
+    # restart with no new files: nothing re-ingested
+    _run()
+    assert spark.read.parquet(out).count() == 5

@@ -100,6 +100,45 @@ def html_links(html: Column | str) -> Column:
     )
 
 
+def html_canonical(html: Column | str) -> Column:
+    """The page's DECLARED canonical URL (``<link rel="canonical"
+    href=...>``), '' when absent — production URL dedup prefers the
+    site's own declaration over syntactic normalization when present
+    (``coalesce(nullif(html_canonical(h), ''),
+    normalize_url(u))`` is the standard composition). Handles either
+    attribute order; RE2-safe (two alternated orderings instead of
+    lookaround)."""
+    h = _col(html)
+    a = F.regexp_extract(
+        h,
+        r"""(?is)<link[^>]+rel\s*=\s*["']canonical["'][^>]*"""
+        r"""href\s*=\s*["']([^"']+)["']""",
+        1,
+    )
+    b = F.regexp_extract(
+        h,
+        r"""(?is)<link[^>]+href\s*=\s*["']([^"']+)["'][^>]*"""
+        r"""rel\s*=\s*["']canonical["']""",
+        1,
+    )
+    return F.when(a != "", a).otherwise(b)
+
+
+def html_noindex(html: Column | str) -> Column:
+    """True when the page opts out of indexing (``<meta
+    name="robots" ... content="...noindex...">``, either attribute
+    order) — the polite-crawl filter that runs right after the WARC
+    scan. RE2-safe."""
+    h = _col(html)
+    return h.rlike(
+        r"""(?is)<meta[^>]+name\s*=\s*["']robots["'][^>]*"""
+        r"""content\s*=\s*["'][^"']*noindex"""
+    ) | h.rlike(
+        r"""(?is)<meta[^>]+content\s*=\s*["'][^"']*noindex[^"']*["']"""
+        r"""[^>]*name\s*=\s*["']robots["']"""
+    )
+
+
 def text_density(html: Column | str) -> Column:
     """len(visible text) / len(markup) — the cheap boilerplate-page
     signal (chrome-heavy pages score low; article pages high). NULL

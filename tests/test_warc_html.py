@@ -191,3 +191,44 @@ def test_stream_warc_ingests_new_archives_and_resumes(spark, tmp_path):
     # restart with no new files: nothing re-ingested
     _run()
     assert spark.read.parquet(out).count() == 5
+
+
+def test_canonical_and_noindex_extraction(spark):
+    """rel=canonical (either attribute order) and robots-noindex
+    detection — the declared-canonical dedup preference and the
+    polite-crawl filter."""
+    rows = [
+        (1, '<link rel="canonical" href="https://a.com/x">'),
+        (2, "<link href='https://b.com/y' rel='canonical'>"),
+        (3, '<link rel="stylesheet" href="https://c.com/z.css">'),
+        (4, '<meta name="robots" content="noindex, nofollow">'),
+        (5, "<meta content='NOINDEX' name='robots'>"),
+        (6, '<meta name="robots" content="index, follow">'),
+        (7, '<meta name="viewport" content="noindex-lookalike">'),
+    ]
+    df = spark.createDataFrame(rows, ["i", "html"])
+    got = {
+        r["i"]: (r["c"], r["n"])
+        for r in df.select(
+            "i",
+            H.html_canonical("html").alias("c"),
+            H.html_noindex("html").alias("n"),
+        ).collect()
+    }
+    assert got[1][0] == "https://a.com/x"
+    assert got[2][0] == "https://b.com/y"
+    assert got[3][0] == ""  # stylesheet link is not canonical
+    assert got[4][1] and got[5][1]
+    assert not got[6][1]
+    assert not got[7][1]  # noindex in a NON-robots meta doesn't count
+    # the standard composition: declared canonical wins, else normalize
+    comp = df.filter("i <= 3").select(
+        "i",
+        F.coalesce(
+            F.nullif(H.html_canonical("html"), F.lit("")),
+            F.lit("https://fallback.example/page"),
+        ).alias("key"),
+    ).collect()
+    keys = {r["i"]: r["key"] for r in comp}
+    assert keys[1] == "https://a.com/x"
+    assert keys[3] == "https://fallback.example/page"

@@ -24,6 +24,7 @@ those capabilities Spark-first:
 from polars_fastx_spark.session import get_spark, stop_spark
 from polars_fastx_spark.functions import seq
 from polars_fastx_spark.sources.fastx import scan_fastx, read_fastx
+from polars_fastx_spark.sources.warc import scan_warc
 from polars_fastx_spark.pipeline import fasta_stats
 
 __version__ = "0.1.0"
@@ -34,6 +35,7 @@ __all__ = [
     "seq",
     "scan_fastx",
     "read_fastx",
+    "scan_warc",
     "fasta_stats",
     "__version__",
 ]

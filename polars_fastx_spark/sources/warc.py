@@ -405,3 +405,88 @@ def write_warc(path: str, records: list[bytes]) -> None:
                 out.write(gzip.compress(rec))
             else:
                 out.write(rec)
+
+
+def write_warc_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed WARC sink: render each row back to a spec-valid
+    record and write one ``part-NNNNN.warc.gz`` per partition in the
+    STANDARD per-record-gzip-member layout, so the output is itself
+    byte-range splittable by :func:`scan_warc` — the scan→transform→
+    write→scan roundtrip at corpus scale (what a filtered/deduped
+    crawl re-export needs). Rows with a non-null ``http_status`` are
+    re-wrapped as HTTP responses (status + ``http_content_type`` +
+    payload body); others write their payload block verbatim under
+    ``content_type``. Same task-commit protocol as the BGZF text sink
+    (``sinks._write_bgzf_text``): attempt-private temp name, atomic
+    rename on success, ``_SUCCESS`` job marker — a failed or
+    speculative attempt never leaves a half-written part."""
+    import shutil
+
+    if mode == "append":
+        raise ValueError("warc sink does not support mode='append'")
+    if os.path.exists(path):
+        if mode == "ignore":
+            return
+        if mode != "overwrite":  # 'error'/'errorifexists'
+            raise ValueError(f"{path} exists and mode={mode!r}")
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    cols = set(df.columns)
+    needed = {"record_id", "warc_type", "warc_date", "payload"}
+    missing = needed - cols
+    if missing:
+        raise ValueError(f"warc sink: missing columns {sorted(missing)}")
+
+    has_status = "http_status" in cols
+    has_http_ct = "http_content_type" in cols
+    has_ct = "content_type" in cols
+    has_uri = "target_uri" in cols
+
+    def _write_part(rows) -> None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid, att = tc.partitionId(), tc.attemptNumber()
+        target = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        tmp = os.path.join(
+            path, f".part-{pid:05d}-attempt-{att}.warc.gz.tmp"
+        )
+        out = None
+        for row in rows:
+            if out is None:
+                out = open(tmp, "wb")  # empty partitions write nothing
+            payload = bytes(row["payload"] or b"")
+            status = row["http_status"] if has_status else None
+            if status is not None:
+                block = http_response_block(
+                    payload, status=status,
+                    content_type=(
+                        row["http_content_type"]
+                        if has_http_ct and row["http_content_type"]
+                        else "application/octet-stream"
+                    ),
+                )
+                ctype = "application/http; msgtype=response"
+            else:
+                block = payload
+                ctype = (
+                    row["content_type"]
+                    if has_ct and row["content_type"]
+                    else "application/octet-stream"
+                )
+            rec = render_warc_record(
+                row["record_id"] or "<urn:uuid:unknown>",
+                row["warc_type"] or "resource",
+                row["target_uri"] if has_uri else None,
+                row["warc_date"] or "1970-01-01T00:00:00Z",
+                block,
+                content_type=ctype,
+            )
+            out.write(gzip.compress(rec))
+        if out is not None:
+            out.close()
+            os.replace(tmp, target)
+
+    df.foreachPartition(_write_part)
+    open(os.path.join(path, "_SUCCESS"), "w").close()

@@ -232,3 +232,38 @@ def test_canonical_and_noindex_extraction(spark):
     keys = {r["i"]: r["key"] for r in comp}
     assert keys[1] == "https://a.com/x"
     assert keys[3] == "https://fallback.example/page"
+
+
+def test_write_warc_corpus_roundtrip(spark, tmp_path):
+    """Distributed WARC sink: a filtered crawl re-exports as
+    per-record-gzip parts that scan_warc reads back split-parallel —
+    the scan → transform → write → scan roundtrip, core fields
+    preserved."""
+    from polars_fastx_spark.sources.warc import write_warc_corpus
+
+    src_path = str(tmp_path / "in.warc.gz")
+    warc.write_warc(src_path, _mk_records(40))
+    scanned = warc.scan_warc(spark, src_path).filter(
+        F.col("http_status") == 200
+    )
+    out_dir = str(tmp_path / "out_warc")
+    write_warc_corpus(scanned.repartition(4), out_dir)
+    import os
+
+    parts = [p for p in os.listdir(out_dir) if p.endswith(".warc.gz")]
+    assert 1 <= len(parts) <= 4 and os.path.exists(f"{out_dir}/_SUCCESS")
+    back = warc.scan_warc(spark, f"{out_dir}/*.warc.gz")
+    a = sorted(
+        (r["record_id"], r["target_uri"], r["http_status"],
+         bytes(r["payload"]))
+        for r in scanned.collect()
+    )
+    b = sorted(
+        (r["record_id"], r["target_uri"], r["http_status"],
+         bytes(r["payload"]))
+        for r in back.collect()
+    )
+    assert a == b and len(a) == 40
+    # and the re-export is itself member-splittable
+    split = warc.scan_warc(spark, f"{out_dir}/*.warc.gz", split_bytes=2048)
+    assert split.count() == 40

@@ -89,6 +89,15 @@ HEADLINE = {
     "l_containment_decontam": "Graded decontamination: benchmark "
     "postings broadcast; the corpus side streams — the only exchange "
     "is the per-(doc, bench) count groupBy.",
+    "l_crawl_pipeline": "Crawl ingest in one plan: HTML strip, URL "
+    "canonicalization and the quality gate FUSE into the scan "
+    "projection (pure codegen expressions); the only exchanges are "
+    "the two keyed windows (canonical-URL dedup, domain cap) and the "
+    "output sort.",
+    "l_containment_gate": "Incremental containment: batch postings "
+    "broadcast onto the on-disk history postings scan; history is "
+    "read, never re-shingled; df cap joins the maintained per-epoch "
+    "dfreq tables, history count a 1-row broadcast.",
 }
 
 

@@ -170,9 +170,17 @@ def _iter_plain(path: str, start: int, end: int | None) -> Iterator[tuple]:
     with open(path, "rb") as f:
         pos = start
         if start > 0:
-            # resync on the separator+version boundary; back up 6
-            # bytes so a separator straddling the split point is seen
-            found = _find_forward(f, max(0, start - 6), b"\r\n\r\nWARC/")
+            # Resync on the separator+version boundary. Back up exactly
+            # the separator length (4: the record-final + record-
+            # separating CRLFs) so a record starting AT ``start`` — its
+            # separator straddles the split — is seen, while any record
+            # starting BEFORE ``start`` (separator at < start-4) is
+            # not: that record belongs to the previous partition, which
+            # parses past its own end to finish it. Backing up more
+            # than 4 would re-emit records starting in [start-n+4,
+            # start) from BOTH partitions (a 2-byte duplication window
+            # existed here when this backed up 6).
+            found = _find_forward(f, max(0, start - 4), b"\r\n\r\nWARC/")
             if found < 0:
                 return
             pos = found + 4

@@ -134,6 +134,11 @@ def main() -> None:
         sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
         raise SystemExit(diff(sf))
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if sf.startswith("-") or not Path(sf).is_dir():
+        # An unknown flag (e.g. --help) must never silently overwrite the
+        # committed regression-gate artifact with a mislabelled table.
+        print(__doc__)
+        raise SystemExit(2)
     rows = _collect_rows(sf)
 
     out = [

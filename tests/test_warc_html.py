@@ -75,6 +75,58 @@ def test_split_parity(spark, tmp_path, suffix):
     assert a == b and len(a) == 300
 
 
+def _record_of_exact_length(total: int) -> bytes:
+    """A resource record rendered to exactly ``total`` bytes (the
+    Content-Length header's digit count shifts with the pad, so
+    converge iteratively)."""
+    pad = max(0, total - 200)
+    for _ in range(8):
+        rec = warc.render_warc_record(
+            "<urn:uuid:pad>", "resource", None,
+            "2026-08-15T00:00:00Z", b"x" * pad,
+            content_type="application/octet-stream",
+        )
+        if len(rec) == total:
+            return rec
+        pad += total - len(rec)
+    raise AssertionError(f"could not hit {total} bytes")
+
+
+@pytest.mark.parametrize("delta", [1, 2])
+def test_split_boundary_straddle_no_duplicate(spark, tmp_path, delta):
+    """A record starting ``delta`` bytes BEFORE a split boundary is
+    owned by the earlier partition (which parses past its end to
+    finish it) and must NOT be re-emitted by the later one. Pins the
+    resync backup at exactly the 4-byte separator length — backing up
+    further re-emitted records starting in [start-2, start) from both
+    partitions (regression: the window existed when the backup was 6)."""
+    split = 4096
+    # size the first record so the SECOND starts at split-delta
+    first = _record_of_exact_length(split - delta)
+    rest = _mk_records(40)
+    p = str(tmp_path / "straddle.warc")
+    warc.write_warc(p, [first] + rest)
+    rows = warc.scan_warc(spark, p, split_bytes=split).collect()
+    ids = sorted(r["record_id"] for r in rows)
+    assert len(ids) == len(set(ids)) == 41, (
+        f"duplicated: {[i for i in set(ids) if ids.count(i) > 1]}"
+    )
+
+
+def test_split_boundary_record_at_exact_start_kept(spark, tmp_path):
+    """A record starting EXACTLY at a split boundary belongs to the
+    later partition — the 4-byte backup must still see its straddling
+    separator (backing up less than 4 would drop it from both sides)."""
+    split = 4096
+    first = _record_of_exact_length(split)
+    rest = _mk_records(40)
+    p = str(tmp_path / "exact.warc")
+    warc.write_warc(p, [first] + rest)
+    rows = warc.scan_warc(spark, p, split_bytes=split).collect()
+    ids = sorted(r["record_id"] for r in rows)
+    assert len(ids) == len(set(ids)) == 41
+
+
 def test_wholefile_gzip_degrades_to_one_partition(spark, tmp_path):
     """A non-standard whole-file-gzip WARC still parses (offset-0
     member holds everything); interior splits verify no member and

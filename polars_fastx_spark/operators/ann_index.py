@@ -878,18 +878,20 @@ def index_retrain(
     wide): the new index builds completely under ``_retrain_stage/``,
     a ``_COMMIT`` marker authorizes the swap, then each table is
     delete-and-renamed into place and the stage dir dropped. A rerun
-    after a crash at ANY step resumes: pre-commit → the stage is
-    garbage (live index untouched), rebuild; post-commit → finish
-    renaming whatever the crash left in the stage (the marker, not the
-    possibly-half-swapped listing, decides — same lesson as the
-    compactor's stage names). Single maintainer assumed, as for
-    ``index_compact``; searches concurrent with the swap window are
-    not supported."""
+    after a crash at ANY step first converges the on-disk state:
+    pre-commit → the stage is garbage (live index untouched), drop it;
+    post-commit → finish renaming whatever the crash left in the stage
+    (the marker, not the possibly-half-swapped listing, decides — same
+    lesson as the compactor's stage names). Either way THIS call's
+    retrain then proceeds against the converged index — a committed
+    crashed swap is an OLDER corpus snapshot, and resuming it must not
+    silently substitute for the retrain the caller just asked for.
+    Single maintainer assumed, as for ``index_compact``; searches
+    concurrent with the swap window are not supported."""
     spark = df.sparkSession
     stage = f"{path}/_retrain_stage"
     _, fs = _hfs(spark, path)
-    if _retrain_resume_if_committed(spark, path):
-        return
+    _retrain_resume_if_committed(spark, path)
     sp = _hfs(spark, stage)[0]
     if fs.exists(sp):  # crashed pre-commit build: garbage, live intact
         fs.delete(sp, True)

@@ -680,6 +680,32 @@ def test_retrain_restores_recall_and_distortion(spark, tmp_path):
     ] == ["epoch=0"]
 
 
+def test_retrain_after_crashed_swap_uses_callers_corpus(spark, tmp_path):
+    """A committed crashed swap is an OLDER corpus snapshot: a later
+    retrain call must finish that swap AND still retrain on the corpus
+    IT was given — never return the stale staged membership as if the
+    requested retrain had run."""
+    import os
+
+    old = _emb(spark).filter("vec_id < 60")
+    new = _emb(spark).filter("vec_id < 100")
+    p = str(tmp_path / "idx")
+    ann_index.index_build(old, "vec_id", "v", p, num_cells=8, pinned=True)
+    # stage a committed retrain of the OLD corpus, crash before swap
+    ann_index.index_build(
+        old, "vec_id", "v", f"{p}/_retrain_stage", num_cells=8, pinned=True
+    )
+    open(f"{p}/_retrain_stage/_COMMIT", "w").close()
+    ann_index.index_retrain(new, "v", p)
+    assert not os.path.exists(f"{p}/_retrain_stage")
+    ids = {
+        r["__id"]
+        for r in spark.read.option("basePath", f"{p}/codes")
+        .parquet(f"{p}/codes/epoch=*").select("__id").collect()
+    }
+    assert len(ids) == 100  # the caller's corpus, not the stale stage
+
+
 def test_retrain_does_not_resurrect_deletions(spark, tmp_path):
     """Ids with a live tombstone stay deleted through a retrain even
     when present in the caller's corpus frame; a deleted-then-re-added
@@ -724,7 +750,8 @@ def test_retrain_swap_survives_midswap_crash(spark, tmp_path):
     open(f"{p_crash}/_retrain_stage/_COMMIT", "w").close()
     shutil.rmtree(f"{p_crash}/codes")
     os.rename(f"{p_crash}/_retrain_stage/codes", f"{p_crash}/codes")
-    # the rerun must finish the swap, NOT rebuild over the mixed state
+    # the rerun must first finish the committed swap (never rebuild
+    # over the mixed state), then run the requested retrain on top
     ann_index.index_retrain(corpus, "v", p_crash)
     assert not os.path.exists(f"{p_crash}/_retrain_stage")
     q = _query(_emb(spark))

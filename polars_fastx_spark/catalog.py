@@ -9764,3 +9764,136 @@ def k_n50(spark, sf_dir):
         .agg(F.max("len").alias("n50"))
     )
     return tot.crossJoin(F.broadcast(n50)).select("n_seqs", "total_bp", "n50")
+
+
+# =====================================================================
+# Snapshot diff (operators/diffing.py) + deterministic training-order
+# shuffle (operators/sampling.py:deterministic_shuffle).
+# =====================================================================
+
+def _order_snapshots(spark, sf_dir):
+    """Two deterministic versions of orders: v1 drops o_orderkey%101==0
+    (those become 'added' in v2), v2 drops %97==0 ('removed') and bumps
+    o_totalprice on %89==0 ('changed') — a sparse diff, the realistic
+    shape (change volume << corpus)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 101 != 0)
+    new = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return old, new
+
+
+_SNAPDIFF_ORACLE_CTE = """
+    WITH oldv AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    newv AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    d AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                      OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               o.o_orderstatus AS old_o_orderstatus,
+               round(o.o_totalprice, 2) AS old_o_totalprice,
+               n.o_orderstatus AS new_o_orderstatus,
+               round(n.o_totalprice, 2) AS new_o_totalprice
+        FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+    )
+"""
+
+
+@_q(
+    "l_snapshot_diff",
+    _SNAPDIFF_ORACLE_CTE
+    + """
+    SELECT * FROM d WHERE change_type <> 'unchanged'
+    ORDER BY o_orderkey NULLS FIRST
+    """,
+    "Corpus-release diff: rows added/removed/changed between two "
+    "snapshots of orders, from ONE null-safe full-outer join on the "
+    "key — unchanged rows drop before anything else, so output scales "
+    "with the CHANGE volume (~3% here), not the corpus; drives "
+    "incremental re-processing (re-embed only changed docs) and "
+    "takedown audits (operators/diffing.py)",
+)
+def l_snapshot_diff(spark, sf_dir):
+    from polars_fastx_spark.operators import diffing
+
+    old, new = _order_snapshots(spark, sf_dir)
+    d = diffing.snapshot_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey", "change_type",
+        "old_o_orderstatus",
+        F.round("old_o_totalprice", 2).alias("old_o_totalprice"),
+        "new_o_orderstatus",
+        F.round("new_o_totalprice", 2).alias("new_o_totalprice"),
+    ).orderBy(F.col("o_orderkey").asc_nulls_first())
+
+
+@_q(
+    "l_snapshot_diff_summary",
+    _SNAPDIFF_ORACLE_CTE
+    + """
+    SELECT change_type, count(*) AS n FROM d
+    GROUP BY change_type ORDER BY change_type
+    """,
+    "The release-note header: (change_type, n) counts incl. unchanged "
+    "from the same single-join pass as l_snapshot_diff — the "
+    "full-outer join shuffles once, counts aggregate map-side "
+    "(operators/diffing.py:snapshot_diff_summary)",
+)
+def l_snapshot_diff_summary(spark, sf_dir):
+    from polars_fastx_spark.operators import diffing
+
+    old, new = _order_snapshots(spark, sf_dir)
+    return diffing.snapshot_diff_summary(old, new, ["o_orderkey"])
+
+
+@_q(
+    "l_shuffle_shards",
+    """
+    WITH s AS (
+        SELECT doc_id, md5(doc_id || ':train-epoch0') AS k
+        FROM documents
+    )
+    SELECT substring(k, 1, 1) AS shard, count(*) AS n,
+           arg_min(doc_id, k) AS first_doc, arg_max(doc_id, k) AS last_doc
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    "Deterministic training-order shuffle, the scale-correct way: "
+    "shard = md5 hex prefix, within-shard order = full md5 — one "
+    "fixed pseudorandom permutation reproducible on any cluster size "
+    "with NO global sort anywhere (write = repartition(shard) + "
+    "sortWithinPartitions); per-shard count + first/last doc in "
+    "training order; the salt picks the permutation (cheap per-epoch "
+    "re-shuffle) (operators/sampling.py:deterministic_shuffle)",
+)
+def l_shuffle_shards(spark, sf_dir):
+    d = sampling.deterministic_shuffle(
+        _tp(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id", salt="train-epoch0", shards=16,
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("doc_id", "shuffle_key").alias("first_doc"),
+            F.max_by("doc_id", "shuffle_key").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -885,7 +885,14 @@ def containment_index_add(
     next epoch — history is never re-shingled, cost scales with the
     batch. Same pinned-``epoch`` idempotence contract as the ANN
     index's ``index_add`` for redelivered batches. Returns the epoch
-    written."""
+    written.
+
+    Ids must be unique ACROSS epochs (the gate-before-add discipline:
+    a batch is gated, survivors added once). Re-adding an id under a
+    new epoch leaves both copies' postings live — its ``common``
+    counts double and containment scores can exceed 1. Unlike the ANN
+    index there is no tombstone/upsert lane; if re-ingestion with
+    mutation is needed, rebuild (``containment_index_build``)."""
     from polars_fastx_spark.sources.sinks import committed_epochs
 
     spark = batch.sparkSession

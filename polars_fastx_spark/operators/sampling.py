@@ -281,3 +281,48 @@ def group_aware_splits(
         .drop("__gs_node", "__gs_comp")
     )
     return assign_splits(with_rep, rep_col, weights, salt, split_col)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    shards: int = 256,
+    shard_col: str = "shard",
+    order_col: str = "shuffle_key",
+) -> DataFrame:
+    """Content-addressed global shuffle for training order.
+
+    Training runs need the corpus in a RANDOM but REPRODUCIBLE order —
+    same order on every rerun, any cluster size, either engine. The
+    scale-correct construction is hierarchical, never a global sort:
+
+    - ``shard`` = first hex digits of md5(id:salt) → which of
+      ``shards`` output files a row lands in (shards are the unit a
+      data loader streams sequentially);
+    - ``shuffle_key`` = the full md5 hex → the row's position WITHIN
+      its shard.
+
+    Reading shards in name order, each sorted by ``shuffle_key``,
+    visits the corpus in one fixed pseudorandom permutation — without
+    any node ever materializing a total order: writing is
+    ``.repartition(shards, shard)`` + ``sortWithinPartitions(
+    order_col)`` + ``partitionBy(shard)``, one shuffle, per-partition
+    sorts only. ``salt`` picks the permutation (epoch 2 of a training
+    run shuffles with a different salt, the standard trick for
+    cheap re-shuffling between epochs).
+
+    ``shards`` must be a power of 16 ≤ 65536 (whole hex digits keep
+    the key a plain substring, replayable as ANSI SQL by the oracle).
+    """
+    import math
+
+    digits = round(math.log(shards, 16)) if shards > 0 else 0
+    if shards <= 0 or 16**digits != shards or not 1 <= digits <= 4:
+        raise ValueError(
+            f"shards must be a power of 16 in [16, 65536], got {shards}"
+        )
+    key = F.md5(F.concat(_col(id_col).cast("string"), F.lit(":" + salt)))
+    return df.withColumn(shard_col, F.substring(key, 1, digits)).withColumn(
+        order_col, key
+    )

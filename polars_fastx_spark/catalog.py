@@ -6200,7 +6200,12 @@ def g_histogram(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iterations: int = 4, damping: float = 0.85) -> str:
+def _pagerank_oracle(
+    iterations: int = 4,
+    damping: float = 0.85,
+    edges_with: str | None = None,
+    final_select: str | None = None,
+) -> str:
     """DuckDB twin of operators/graph.py:pagerank — the fixed iteration
     count lets the power method unroll into chained CTEs (one
     contribs-agg + one dangling-mass agg + one rank rebuild per round),
@@ -6208,15 +6213,24 @@ def _pagerank_oracle(iterations: int = 4, damping: float = 0.85) -> str:
     loop computes ``base = (1-d)/n + d*dm/n`` driver-side, so the SQL
     inlines ``repr(1-d)`` (the same IEEE double, not DECIMAL 0.15) and
     groups terms identically; remaining sum-order noise is ~1e-16,
-    far inside the round(7) declared in the query."""
+    far inside the round(7) declared in the query.
+
+    ``edges_with`` swaps in a different graph: everything from ``WITH``
+    up to (and including) an ``edges(src, dst)`` CTE — arbitrary
+    preceding CTEs allowed. ``final_select`` swaps the output shape
+    (it reads ``r{iterations}``). Defaults reproduce l_pagerank's
+    customer→supplier purchase graph."""
     base_num = repr(1.0 - damping)
     d = repr(damping)
-    parts = [
-        f"""
+    if edges_with is None:
+        edges_with = """
     WITH edges AS (
       SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
+    )"""
+    parts = [
+        edges_with
+        + """,
     nodes AS (
       SELECT DISTINCT node FROM (
         SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
@@ -6243,7 +6257,9 @@ def _pagerank_oracle(iterations: int = 4, damping: float = 0.85) -> str:
            FROM nodes LEFT JOIN c{i + 1} USING (node))"""
         )
     parts.append(
-        f"""
+        final_select
+        if final_select is not None
+        else f"""
     SELECT node, round(rank, 7) AS rank FROM r{iterations}
     ORDER BY rank DESC, node ASC LIMIT 20
     """
@@ -9896,4 +9912,162 @@ def l_shuffle_shards(spark, sf_dir):
             F.max_by("doc_id", "shuffle_key").alias("last_doc"),
         )
         .orderBy("shard")
+    )
+
+
+_CRAWLRANK_EDGES_WITH = (
+    """
+    WITH pages AS (
+      SELECT doc_id,
+        'https://' || source || '-pages.net/p/' || doc_id AS page_url,
+        '<html><body><p>body</p>'
+        || '<a href="HTTPS://WWW.src' || (doc_id % 7)
+        || '-pages.NET:443/x/' || doc_id || '?utm_source=l">a</a>'
+        || '<a class=x href=''https://src' || ((doc_id + 3) % 7)
+        || '-pages.net/y''>b</a>'
+        || '<a href="#frag">skip</a><a href="https://cdn.hub.org/'
+        || (doc_id % 2) || '">c</a></body></html>' AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(html,
+          '(?is)<a[^>]+href\\s*=\\s*["'']([^"''#][^"'']*)["'']', 1))
+          AS href
+      FROM pages
+    ),
+    u AS (SELECT doc_id, href AS url FROM links),
+    """
+    + _URL_NORM_SQL
+    + """,
+    edges AS (
+      SELECT DISTINCT doc.source || '-pages.net' AS src, d.domain AS dst
+      FROM dom d JOIN documents doc USING (doc_id)
+    )"""
+)
+
+
+@_q(
+    "l_crawl_rank",
+    _pagerank_oracle(
+        edges_with=_CRAWLRANK_EDGES_WITH,
+        final_select="""
+    SELECT node AS domain, round(rank, 7) AS rank FROM r4
+    ORDER BY round(rank, 7) DESC, domain ASC LIMIT 20
+    """,
+    ),
+    "L-crawl: domain AUTHORITY — the l_link_graph edges (same page "
+    "synthesis: html_links → normalize_url → registrable domain) fed "
+    "into the iterative PageRank engine (operators/graph.py), the "
+    "full crawl→graph→quality-prior composition; the domain graph is "
+    "naturally bounded (domains, not pages), so ranking cost is "
+    "decoupled from corpus size — extraction scans scale, iteration "
+    "does not; the cdn sink exercises the dangling-mass path. Oracle "
+    "= link-graph CTEs + the same 4 unrolled power-method rounds.",
+)
+def l_crawl_rank(spark, sf_dir):
+    from polars_fastx_spark.operators.graph import pagerank
+
+    lg = QUERIES["l_link_graph"].fn(spark, sf_dir)
+    edges = lg.select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    ).distinct()
+    ranks = pagerank(edges, iterations=4)
+    return (
+        ranks.select(
+            F.col("node").alias("domain"), F.round("rank", 7).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("domain").asc_nulls_first())
+        .limit(20)
+    )
+
+
+def _anchor_oracle_sql() -> str:
+    """DuckDB replay of html_anchors → per-target-domain anchor-text
+    counts, BUILT FROM the module's anchor/href regexes and entity
+    table so the chains cannot drift (the _html_strip_sql pattern)."""
+    from polars_fastx_spark.functions import html as _html
+
+    anchor_rx = _html._ANCHOR_RX.replace("'", "''")
+    href_rx = _html._HREF_RX.replace("'", "''")
+    inner = "regexp_extract(anc, '(?is)^<a[^>]*>(.*)</a>$', 1)"
+    txt = f"regexp_replace({inner}, '(?s)<[^>]*>', ' ', 'g')"
+    txt = _html_entities_sql(txt)
+    txt = f"trim(regexp_replace({txt}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+        '<html><body><a href="https://src' || (doc_id % 7)
+        || '-pages.net/x">read &amp; <b>more ' || (doc_id % 3)
+        || '</b></a> mid <a class=y href=''https://cdn.hub.org/f''>get '
+        || '<i>file</i>&nbsp;now</a>'
+        || '<a href="#top">skip</a></body></html>' AS html
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '{anchor_rx}', 0)) AS anc
+      FROM pages
+    ),
+    t AS (
+      SELECT regexp_extract(anc, '{href_rx}', 1) AS href,
+             {txt} AS anchor_text
+      FROM a
+    ),
+    hostd AS (
+      SELECT regexp_replace(regexp_replace(lower(coalesce(
+               regexp_extract(href,
+                 '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
+               ':[0-9]+$', ''), '^www\\.', '') AS host, anchor_text
+      FROM t
+    ),
+    domd AS (
+      SELECT array_to_string(list_slice(string_split(host, '.'),
+               greatest(len(string_split(host, '.')) - 1, 1),
+               len(string_split(host, '.'))), '.') AS dst_domain,
+             anchor_text
+      FROM hostd
+    )
+    SELECT dst_domain, anchor_text, count(*)::BIGINT AS n
+    FROM domd GROUP BY 1, 2
+    ORDER BY dst_domain, anchor_text
+    """
+
+
+@_q(
+    "l_anchor_text",
+    _anchor_oracle_sql(),
+    "L-crawl: ANCHOR TEXT per target domain — html_anchors pairs each "
+    "href with its link text (inline markup stripped, entities "
+    "decoded), the web-IR description of the TARGET page other pages "
+    "wrote (a quality/relevance prior the target can't spin), "
+    "aggregated to (dst_domain, anchor_text, n); extraction is "
+    "row-local codegen, the only exchange is the final groupBy — the "
+    "text companion to the l_link_graph edges",
+)
+def l_anchor_text(spark, sf_dir):
+    from polars_fastx_spark.functions import html as htmlf
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="https://src'),
+        (d % 7).cast("string"),
+        F.lit('-pages.net/x">read &amp; <b>more '),
+        (d % 3).cast("string"),
+        F.lit(
+            "</b></a> mid <a class=y href='https://cdn.hub.org/f'>get "
+            "<i>file</i>&nbsp;now</a>"
+        ),
+        F.lit('<a href="#top">skip</a></body></html>'),
+    )
+    pages = _t(spark, sf_dir, "documents").select(html.alias("html"))
+    anc = pages.select(F.explode(htmlf.html_anchors("html")).alias("a"))
+    return (
+        anc.select(
+            urlsf.url_domain(F.col("a.href")).alias("dst_domain"),
+            F.col("a.text").alias("anchor_text"),
+        )
+        .groupBy("dst_domain", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dst_domain", "anchor_text")
     )

@@ -100,6 +100,36 @@ def html_links(html: Column | str) -> Column:
     )
 
 
+#: whole <a ...>...</a> elements with a non-fragment href (group 0 of
+#: this is an anchor; _HREF_RX re-extracts the target from it) —
+#: shared with the SQL oracle so the two engines cannot drift
+_ANCHOR_RX = r"""(?is)<a[^>]+href\s*=\s*["'][^"'#][^"']*["'][^>]*>.*?</a>"""
+_HREF_RX = r"""(?is)href\s*=\s*["']([^"'#][^"']*)["']"""
+
+
+def html_anchors(html: Column | str) -> Column:
+    """Array of ``struct<href, text>`` for every link — href plus its
+    ANCHOR TEXT (inline markup stripped, entities decoded, whitespace
+    collapsed). Anchor text is the classic web-IR description of the
+    TARGET page (what other pages call it) — aggregated per target
+    domain it becomes a relevance/quality prior the target can't spin,
+    the companion signal to the :func:`html_links` link graph.
+    RE2-safe; per-element work is row-local codegen."""
+
+    def _one(a: Column) -> Column:
+        href = F.regexp_extract(a, _HREF_RX, 1)
+        txt = F.regexp_extract(a, r"(?is)^<a[^>]*>(.*)</a>$", 1)
+        txt = F.regexp_replace(txt, r"(?s)<[^>]*>", " ")
+        for ent, rep in _ENTITIES:
+            txt = F.replace(txt, F.lit(ent), F.lit(rep))
+        txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+        return F.struct(href.alias("href"), txt.alias("text"))
+
+    return F.transform(
+        F.regexp_extract_all(_col(html), F.lit(_ANCHOR_RX), 0), _one
+    )
+
+
 def html_canonical(html: Column | str) -> Column:
     """The page's DECLARED canonical URL (``<link rel="canonical"
     href=...>``), '' when absent — production URL dedup prefers the

@@ -270,6 +270,83 @@ def index_upsert(
     return del_epoch, add_epoch
 
 
+def index_sync(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    vec_col: str,
+    path: str,
+    id_col: str | None = None,
+) -> dict[str, int]:
+    """Sync the persisted index to a NEW corpus snapshot, paying only
+    for what changed: a snapshot diff (``diffing.snapshot_diff`` —
+    one full-outer join on the id, null-safe ARRAY comparison on the
+    vector) classifies every id, then removed+changed ids land ONE
+    tombstone epoch and added+changed vectors encode against the
+    frozen quantizers as the next code epoch (the ``index_upsert``
+    epoch discipline: the re-add lands ABOVE the tombstone and
+    revives with the new code). A release where 0.1% of a 100 TB
+    corpus moved costs one join plus encoding 0.1%, never a rebuild.
+
+    ``old_df`` must be the snapshot the index currently reflects
+    (codes store PQ approximations, not vectors, so the previous
+    snapshot is the caller's to provide — exactly the two-snapshot
+    shape corpus releases give you anyway). Syncing the same pair
+    twice is a no-op (no new epochs). Unchanged-vector rows never
+    touch the index. After heavy distribution drift prefer
+    :func:`index_retrain` — sync keeps quantizers frozen.
+
+    Returns ``{"added": n, "removed": n, "changed": n}``.
+    """
+    from polars_fastx_spark.operators.diffing import snapshot_diff
+
+    spark = old_df.sparkSession
+    if id_col is None:
+        id_col = spark.read.parquet(f"{path}/meta").first()["id_col"]
+    d = snapshot_diff(
+        old_df.select(id_col, vec_col),
+        new_df.select(id_col, vec_col),
+        [id_col],
+        [vec_col],
+    ).persist()
+    try:
+        counts = {
+            r["change_type"]: r["n"]
+            for r in d.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: ≤3 rows
+        }
+        out = {
+            "added": int(counts.get("added", 0)),
+            "removed": int(counts.get("removed", 0)),
+            "changed": int(counts.get("changed", 0)),
+        }
+        dead = out["removed"] + out["changed"]
+        fresh = out["added"] + out["changed"]
+        if dead:
+            index_delete(
+                spark,
+                path,
+                d.filter(
+                    F.col("change_type").isin("removed", "changed")
+                ).select(id_col),
+            )
+        if fresh:
+            index_add(
+                d.filter(
+                    F.col("change_type").isin("added", "changed")
+                ).select(
+                    F.col(id_col),
+                    F.col(f"new_{vec_col}").alias(vec_col),
+                ),
+                vec_col,
+                path,
+                id_col=id_col,
+            )
+    finally:
+        d.unpersist()
+    return out
+
+
 def _live_codes(spark: SparkSession, path: str) -> DataFrame:
     """The index's effective code table: every epoch of ``codes/``
     minus the rows hidden by tombstones (a tombstone at epoch T hides

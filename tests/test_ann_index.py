@@ -764,3 +764,68 @@ def test_retrain_swap_survives_midswap_crash(spark, tmp_path):
         for r in ann_index.index_search(spark, p_clean, q, k=10).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_index_sync_pays_only_for_changes(spark, tmp_path):
+    """index_sync(old, new) must leave the index equivalent to the
+    manual delete/add sequence for the same diff: removed ids gone,
+    added ids live, changed ids re-encoded from their NEW vectors;
+    unchanged ids untouched. A second sync of the same pair is a
+    no-op (no new epochs)."""
+    import os
+
+    e = _emb(spark)
+    old = e.filter("vec_id < 80")
+    # new snapshot: drop 0..9, add 80..99, perturb v on vec_id%13==0
+    changed = F.transform("v", lambda x: x * 2.0 + 1.0)
+    new = e.filter("vec_id >= 10 AND vec_id < 100").select(
+        "vec_id",
+        F.when((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 80),
+               changed).otherwise(F.col("v")).alias("v"),
+    )
+    p_sync = str(tmp_path / "sync")
+    p_manual = str(tmp_path / "manual")
+    for p in (p_sync, p_manual):
+        ann_index.index_build(
+            old, "vec_id", "v", p, num_cells=8, m=4, pq_k=8, pinned=True
+        )
+    got = ann_index.index_sync(old, new, "v", p_sync)
+    n_changed = old.filter(
+        (F.col("vec_id") % 13 == 0) & (F.col("vec_id") >= 10)
+    ).count()
+    assert got == {"added": 20, "removed": 10, "changed": n_changed}
+    # manual twin: delete removed+changed, add added+changed
+    dead = [r["vec_id"] for r in old.filter(
+        (F.col("vec_id") < 10)
+        | ((F.col("vec_id") % 13 == 0) & (F.col("vec_id") >= 10))
+    ).collect()]
+    ann_index.index_delete(spark, p_manual, dead)
+    ann_index.index_add(
+        new.filter(
+            (F.col("vec_id") >= 80)
+            | ((F.col("vec_id") % 13 == 0) & (F.col("vec_id") >= 10)),
+        ),
+        "v", p_manual,
+    )
+    q = _query(e)
+    a = [(r["vec_id"], round(r["adc_dist"], 9)) for r in
+         ann_index.index_search(spark, p_sync, q, k=15, nprobe=8).collect()]
+    b = [(r["vec_id"], round(r["adc_dist"], 9)) for r in
+         ann_index.index_search(spark, p_manual, q, k=15, nprobe=8).collect()]
+    assert a == b and len(a) == 15
+    live = {
+        r["__id"]
+        for r in ann_index._live_codes(spark, p_sync).select("__id").collect()
+    }
+    assert live == set(range(10, 100))
+    # idempotence: same pair again -> no-op, no new epochs
+    def _eps(p):
+        return (
+            sorted(os.listdir(f"{p}/codes")),
+            sorted(os.listdir(f"{p}/tombstones"))
+            if os.path.exists(f"{p}/tombstones") else [],
+        )
+    before = _eps(p_sync)
+    again = ann_index.index_sync(new, new, "v", p_sync)
+    assert again == {"added": 0, "removed": 0, "changed": 0}
+    assert _eps(p_sync) == before

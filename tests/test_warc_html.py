@@ -319,3 +319,32 @@ def test_write_warc_corpus_roundtrip(spark, tmp_path):
     # and the re-export is itself member-splittable
     split = warc.scan_warc(spark, f"{out_dir}/*.warc.gz", split_bytes=2048)
     assert split.count() == 40
+
+
+def test_html_anchors_pairs_href_with_clean_text(spark):
+    doc = (
+        '<html><body>'
+        '<a href="https://a.com/x?q=1">read &amp; <b>more</b></a>'
+        " <a class=z href='https://b.org/y'>get <i>file</i>&nbsp;now</a>"
+        '<a href="#frag">skip</a>'
+        '<a href="https://c.net/z"> spaced   <span>text</span> </a>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(doc,)], ["html"])
+    rows = df.select(
+        F.explode(H.html_anchors("html")).alias("a")
+    ).select("a.href", "a.text").collect()
+    got = [(r["href"], r["text"]) for r in rows]
+    assert got == [
+        ("https://a.com/x?q=1", "read & more"),
+        ("https://b.org/y", "get file now"),
+        ("https://c.net/z", "spaced text"),
+    ]
+
+
+def test_html_anchors_empty_and_no_links(spark):
+    df = spark.createDataFrame(
+        [("<p>no links</p>",), ("",)], ["html"]
+    )
+    n = df.select(F.size(H.html_anchors("html")).alias("n")).collect()
+    assert [r["n"] for r in n] == [0, 0]

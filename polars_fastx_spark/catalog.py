@@ -10071,3 +10071,159 @@ def l_anchor_text(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("dst_domain", "anchor_text")
     )
+
+
+def _ann_sync_snapshots(spark, sf_dir):
+    """(old, new) corpus snapshots for the sync lifecycle query: the
+    md5(:sync) first hex digit classifies each id — 'f' rows are
+    DROPPED in the new release, '0' rows have their vector CHANGED
+    (x*2+1), 'e' rows spawn an ADDED twin at vec_id+100000 with a
+    shifted vector (x+0.5); everything derived relationally so the
+    DuckDB oracle replays byte-for-byte."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":sync"))),
+        1, 1,
+    )
+    kept = e.filter(h != "f").select(
+        "vec_id",
+        F.when(h == "0", F.transform("v", lambda x: x * 2.0 + 1.0))
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    added = e.filter(h == "e").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.5).alias("v"),
+    )
+    return e, kept.unionByName(added)
+
+
+def _prep_ann_sync(spark, sf_dir):
+    old, _ = _ann_sync_snapshots(spark, sf_dir)
+    _ann_private_index(spark, sf_dir, "sync", old)
+
+
+@_q(
+    "l_ann_index_sync",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    newv AS (
+      SELECT vec_id,
+             CASE WHEN substr(md5(vec_id::VARCHAR || ':sync'), 1, 1) = '0'
+                  THEN list_transform(v, x -> x*2 + 1) ELSE v END AS v
+      FROM base
+      WHERE substr(md5(vec_id::VARCHAR || ':sync'), 1, 1) <> 'f'
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(v, x -> x + 0.5) AS v
+      FROM base
+      WHERE substr(md5(vec_id::VARCHAR || ':sync'), 1, 1) = 'e'
+    ),
+    cent AS (
+      SELECT md5(vec_id::VARCHAR) AS cell, v AS cvec,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS cnorm
+      FROM base ORDER BY cell LIMIT 16
+    ),
+    js AS (SELECT unnest(range(8))::INT AS j),
+    asg_old AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM base b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    rsubs_old AS (
+      SELECT t.vec_id, js.j,
+             list_slice(list_transform(range(1,65),
+               i -> t.v[i] - c.cvec[i]), js.j*8+1, js.j*8+8) AS sv
+      FROM asg_old t JOIN cent c USING (cell), js
+    ),
+    seeds AS (
+      SELECT j, c, sv FROM (
+        SELECT j, sv,
+               row_number() OVER (PARTITION BY j
+                 ORDER BY md5(vec_id::VARCHAR || ':' || j::VARCHAR)) - 1 AS c
+        FROM rsubs_old
+      ) WHERE c < 8
+    ),
+    asg AS (
+      SELECT b.vec_id, b.v,
+             arg_max(c.cell,
+               list_dot_product(b.v, c.cvec)
+                 / nullif(sqrt(list_sum(list_transform(b.v, x -> x*x)))
+                          * c.cnorm, 0)
+             ) AS cell
+      FROM newv b CROSS JOIN cent c
+      GROUP BY b.vec_id, b.v
+    ),
+    rsubs AS (
+      SELECT t.vec_id, t.cell, js.j,
+             list_slice(list_transform(range(1,65),
+               i -> t.v[i] - c.cvec[i]), js.j*8+1, js.j*8+8) AS sv
+      FROM asg t JOIN cent c USING (cell), js
+    ),
+    assigned AS (
+      SELECT s.vec_id, s.cell, s.j,
+             arg_min(d.c,
+               list_sum(list_transform(range(1,9),
+                 i -> (s.sv[i]-d.sv[i])*(s.sv[i]-d.sv[i])))) AS c
+      FROM rsubs s JOIN seeds d USING (j)
+      GROUP BY s.vec_id, s.cell, s.j
+    ),
+    q AS (SELECT v FROM base WHERE vec_id = 0),
+    probed AS (
+      SELECT c.cell, c.cvec
+      FROM cent c, q
+      ORDER BY list_dot_product(q.v, c.cvec)
+                 / (coalesce(nullif(sqrt(list_sum(
+                        list_transform(q.v, x -> x*x))), 0), 1)
+                    * coalesce(nullif(c.cnorm, 0), 1)) DESC,
+               c.cell ASC
+      LIMIT 4
+    ),
+    qrsubs AS (
+      SELECT p.cell, js.j,
+             list_slice(list_transform(range(1,65),
+               i -> q.v[i] - p.cvec[i]), js.j*8+1, js.j*8+8) AS sv
+      FROM probed p, q, js
+    ),
+    dtab AS (
+      SELECT qs.cell, d.j, d.c,
+             list_sum(list_transform(range(1,9),
+               i -> (qs.sv[i]-d.sv[i])*(qs.sv[i]-d.sv[i]))) AS dist
+      FROM qrsubs qs JOIN seeds d ON qs.j = d.j
+    ),
+    adc AS (
+      SELECT a.vec_id, sum(t.dist) AS raw
+      FROM assigned a
+      JOIN dtab t ON a.cell = t.cell AND a.j = t.j AND a.c = t.c
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id, round(raw, 6) AS adc_dist
+    FROM adc ORDER BY raw ASC, vec_id ASC LIMIT 10
+    """,
+    "L3+ ANN INDEX SYNC: the index (built on the OLD release) is "
+    "synced to a NEW corpus release via snapshot_diff — dropped ids "
+    "('f' hex class) tombstone, changed vectors ('0' class, x*2+1) "
+    "re-encode, added twins ('e' class at vec_id+100000) encode, all "
+    "against the FROZEN quantizers at pinned epochs (a replayed sync "
+    "overwrites itself). The oracle trains cells+seeds on the OLD "
+    "corpus but codes the NEW live set — frozen-quantizer routing — "
+    "and the search must see exactly the post-sync membership. The "
+    "diff-driven composition of l_snapshot_diff with the index "
+    "lifecycle (operators/ann_index.py:index_sync).",
+    prepare=_prep_ann_sync
+)
+def l_ann_index_sync(spark, sf_dir):
+    old, new = _ann_sync_snapshots(spark, sf_dir)
+    q = [float(x) for x in old.filter(F.col("vec_id") == 0).first()["v"]]
+    path = _ann_private_index(spark, sf_dir, "sync", old)
+    ann_index.index_sync(old, new, "v", path, epoch=1)
+    return ann_index.index_search(spark, path, q, k=10, nprobe=4).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )

@@ -276,6 +276,7 @@ def index_sync(
     vec_col: str,
     path: str,
     id_col: str | None = None,
+    epoch: int | None = None,
 ) -> dict[str, int]:
     """Sync the persisted index to a NEW corpus snapshot, paying only
     for what changed: a snapshot diff (``diffing.snapshot_diff`` —
@@ -294,6 +295,10 @@ def index_sync(
     twice is a no-op (no new epochs). Unchanged-vector rows never
     touch the index. After heavy distribution drift prefer
     :func:`index_retrain` — sync keeps quantizers frozen.
+
+    ``epoch`` pins the tombstone slot (the add takes ``epoch + 1``) —
+    the :func:`index_upsert` redelivery contract: a replayed sync
+    overwrites its own epochs instead of accreting new ones.
 
     Returns ``{"added": n, "removed": n, "changed": n}``.
     """
@@ -322,6 +327,8 @@ def index_sync(
         }
         dead = out["removed"] + out["changed"]
         fresh = out["added"] + out["changed"]
+        if (dead or fresh) and epoch is None:
+            epoch = _next_index_epoch(spark, path)
         if dead:
             index_delete(
                 spark,
@@ -329,6 +336,7 @@ def index_sync(
                 d.filter(
                     F.col("change_type").isin("removed", "changed")
                 ).select(id_col),
+                epoch=epoch,
             )
         if fresh:
             index_add(
@@ -341,6 +349,7 @@ def index_sync(
                 vec_col,
                 path,
                 id_col=id_col,
+                epoch=epoch + 1,
             )
     finally:
         d.unpersist()

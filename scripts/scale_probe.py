@@ -385,9 +385,65 @@ def containment_sweep(workdir: str = "/tmp/scale_sf1",
             )
 
 
+def snapshot_diff_probe(n: int = 2_000_000) -> None:
+    """Diff two n-row snapshots differing by ~2.5% — the sparse-change
+    release shape. The cost to watch at 100 TB is the two key
+    shuffles of the full-outer join; output must stay change-sized."""
+    import polars_fastx_spark as pfs
+    from pyspark.sql import functions as F
+    from polars_fastx_spark.operators import diffing
+
+    spark = pfs.get_spark("scale-snapdiff")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 3).cast("double").alias("v"),
+        F.md5(F.col("id").cast("string")).alias("s"),
+    )
+    old = base.filter(F.col("id") % 199 != 0)  # ~0.5% added later
+    new = base.filter(F.col("id") % 97 != 0).withColumn(  # ~1% removed
+        "v",
+        F.when(F.col("id") % 89 == 0, F.col("v") + 1.0).otherwise(
+            F.col("v")
+        ),  # ~1.1% changed
+    )
+    t0 = time.time()
+    summ = {
+        r["change_type"]: r["n"]
+        for r in diffing.snapshot_diff_summary(old, new, ["id"]).collect()
+    }
+    t_sum = time.time() - t0
+    t0 = time.time()
+    n_rows = diffing.snapshot_diff(old, new, ["id"]).count()
+    t_diff = time.time() - t0
+    exp_added = len([i for i in range(0, n, 199) if i % 97 != 0])
+    exp_removed = len([i for i in range(0, n, 97) if i % 199 != 0])
+    exp_changed = len(
+        [i for i in range(0, n, 89) if i % 97 != 0 and i % 199 != 0]
+    )
+    assert summ["added"] == exp_added, (summ, exp_added)
+    assert summ["removed"] == exp_removed, (summ, exp_removed)
+    assert summ["changed"] == exp_changed, (summ, exp_changed)
+    assert n_rows == exp_added + exp_removed + exp_changed
+    print(
+        f"snapshot_diff_summary {n:,} rows        {t_sum:6.1f}s   {summ}"
+    )
+    print(
+        f"snapshot_diff {n:,} rows                {t_diff:6.1f}s   "
+        f"{n_rows:,} change rows ({n_rows / n:.2%} of corpus) — all "
+        f"three counts exact"
+    )
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzzy":
         fuzzy_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--snapshot-diff":
+        snapshot_diff_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--jpeg":
         jpeg_probe()

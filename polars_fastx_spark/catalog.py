@@ -10227,3 +10227,40 @@ def l_ann_index_sync(spark, sf_dir):
     return ann_index.index_search(spark, path, q, k=10, nprobe=4).select(
         "vec_id", F.round("adc_dist", 6).alias("adc_dist")
     )
+
+
+@_q(
+    "l_diff_apply",
+    """
+    WITH newv AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM newv WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey NULLS FIRST
+    """,
+    "CDC roundtrip invariant, hash-checked: the Spark side replays "
+    "snapshot_diff(old, new) onto OLD (apply_diff: one broadcast "
+    "anti-join of the change-sized diff + a union of new_* payloads) "
+    "while the oracle computes NEW directly — value-hash equality IS "
+    "the reconstruction proof; invert_diff gives the same machinery "
+    "rollback for free (operators/diffing.py:apply_diff/invert_diff)",
+)
+def l_diff_apply(spark, sf_dir):
+    from polars_fastx_spark.operators import diffing
+
+    old, new = _order_snapshots(spark, sf_dir)
+    d = diffing.snapshot_diff(old, new, ["o_orderkey"])
+    rec = diffing.apply_diff(old, d, ["o_orderkey"])
+    return (
+        rec.filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy(F.col("o_orderkey").asc_nulls_first())
+    )

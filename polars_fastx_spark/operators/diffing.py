@@ -135,3 +135,67 @@ def snapshot_diff_summary(
         .agg(F.count("*").alias("n"))
         .orderBy("change_type")
     )
+
+
+def _diff_compare_cols(diff: DataFrame) -> list[str]:
+    """Recover the compared columns from a diff's old_*/new_* pairs."""
+    olds = {c[4:] for c in diff.columns if c.startswith("old_")}
+    news = {c[4:] for c in diff.columns if c.startswith("new_")}
+    return [c[4:] for c in diff.columns if c.startswith("old_") and c[4:] in news & olds]
+
+
+def apply_diff(
+    old: DataFrame,
+    diff: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Replay a diff onto the old snapshot — the CDC apply: drop the
+    removed|changed keys (one anti-join; the diff is change-sized, so
+    it broadcasts), then union the new_* payload of added|changed
+    rows. By construction ``apply_diff(old, snapshot_diff(old, new))``
+    reconstructs ``new`` exactly (the roundtrip invariant the tests
+    and the l_diff_apply oracle pin). Columns: keys + compared columns
+    (project ``old`` accordingly; for stored tables route the same
+    split through ``upsert.upsert_partitioned`` /
+    ``delete_keys_partitioned`` instead)."""
+    if compare_cols is None:
+        compare_cols = _diff_compare_cols(diff)
+    dead = diff.filter(
+        F.col("change_type").isin(REMOVED, CHANGED)
+    ).select(*keys)
+    survivors = old.select(*keys, *compare_cols).join(
+        F.broadcast(dead), keys, "left_anti"
+    )
+    fresh = diff.filter(
+        F.col("change_type").isin(ADDED, CHANGED)
+    ).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in compare_cols]
+    )
+    return survivors.unionByName(fresh)
+
+
+def invert_diff(diff: DataFrame) -> DataFrame:
+    """The rollback diff: added↔removed swapped, old_*/new_* payloads
+    swapped, changed stays changed. ``apply_diff(new, invert_diff(d))``
+    restores the OLD snapshot — a release rollback is an apply of the
+    inverse, no second diff computation needed."""
+    cols = _diff_compare_cols(diff)
+    keys = [
+        c
+        for c in diff.columns
+        if c != "change_type"
+        and not c.startswith("old_")
+        and not c.startswith("new_")
+    ]
+    flipped = (
+        F.when(F.col("change_type") == ADDED, F.lit(REMOVED))
+        .when(F.col("change_type") == REMOVED, F.lit(ADDED))
+        .otherwise(F.col("change_type"))
+    )
+    return diff.select(
+        *keys,
+        flipped.alias("change_type"),
+        *[F.col(f"new_{c}").alias(f"old_{c}") for c in cols],
+        *[F.col(f"old_{c}").alias(f"new_{c}") for c in cols],
+    )

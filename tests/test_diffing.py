@@ -113,3 +113,29 @@ def test_deterministic_shuffle_rejects_bad_shards(spark):
     for bad in (0, 10, 100, 65536 * 16):
         with pytest.raises(ValueError, match="power of 16"):
             sampling.deterministic_shuffle(df, "doc_id", shards=bad)
+
+
+def _collected(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_apply_diff_reconstructs_new(spark):
+    old, new = _snaps(spark)
+    d = diffing.snapshot_diff(old, new, ["id"])
+    rec = diffing.apply_diff(old, d, ["id"])
+    assert _collected(rec) == _collected(new.select("id", "s", "v"))
+
+
+def test_invert_diff_rolls_back(spark):
+    old, new = _snaps(spark)
+    d = diffing.snapshot_diff(old, new, ["id"])
+    back = diffing.apply_diff(new, diffing.invert_diff(d), ["id"])
+    assert _collected(back) == _collected(old.select("id", "s", "v"))
+
+
+def test_empty_diff_apply_is_identity(spark):
+    old, _ = _snaps(spark)
+    d = diffing.snapshot_diff(old, old, ["id"])
+    assert d.count() == 0
+    rec = diffing.apply_diff(old, d, ["id"])
+    assert _collected(rec) == _collected(old.select("id", "s", "v"))

@@ -157,20 +157,73 @@ def domain_cap(
 ):
     """Per-registrable-domain cap: keep at most ``cap`` rows per
     domain — the standard defense against SEO farms and mirror hosts
-    dominating a crawl corpus. Deterministic survivor choice: rows
-    rank by md5 of ``order_col`` (default: the url itself) within
-    their domain, so reruns and engines agree (the content-addressed
-    convention of ``sampling.deterministic_sample``). One window over
-    one shuffle on the domain key; skewed mega-domains are exactly the
-    rows the cap discards, so the skew self-heals after the filter."""
+    dominating a crawl corpus. Deterministic survivor choice: the
+    ``cap`` rows with the SMALLEST md5 of ``order_col`` (default: the
+    url itself) per domain, so reruns and engines agree (the
+    content-addressed convention of ``sampling.deterministic_sample``).
+
+    Scale shape — hot/cold split, then two-phase distributed
+    selection, NEVER a whole-domain sort: a naive per-domain
+    ``row_number`` window puts every row of a mega-domain in ONE
+    task, and mega-domains are precisely what this operator exists
+    for. Instead:
+
+    1. per-domain totals (one map-side-combining groupBy, output =
+       one row per domain); domains UNDER the cap — virtually all of
+       them — keep every row via a broadcast anti-join against the
+       over-cap domain list (the over-cap list is the farms: small by
+       nature, and only its ROWS ever shuffle again);
+    2. over-cap rows histogram their 4-hex md5 bucket (65,536
+       buckets/domain); a window over the HISTOGRAM (bounded
+       partitions) finds where the cumulative count crosses ``cap``;
+    3. buckets fully under the cap keep outright; the straddling
+       bucket ranks through a window partitioned by (domain, bucket)
+       — ~domain_size/65,536 rows per task (a 1-billion-row domain
+       ranks ~15k rows per task).
+
+    The survivor SET is identical to the naive window's (both are the
+    ``cap`` md5-smallest; bucket = md5 prefix, so bucket order IS md5
+    order). Ties on (md5, order_col) — i.e. fully duplicate keys —
+    are resolved arbitrarily within the threshold bucket, as they
+    were within the naive window."""
     from pyspark.sql import Window
 
-    key = _col(order_col) if order_col else _col(url_col)
-    w = Window.partitionBy(url_domain(_col(url_col))).orderBy(
-        F.md5(key.cast("string")).asc(), key.cast("string").asc()
+    key = (_col(order_col) if order_col else _col(url_col)).cast("string")
+    dom = url_domain(_col(url_col))
+    kd = df.withColumn("__dom", dom)
+    # totals first — map-side combine shrinks the shuffle to one row
+    # per domain; histogramming ALL rows instead would make the
+    # under-cap domains (virtually all of them) the histogram
+    over = (
+        kd.groupBy("__dom")
+        .agg(F.count(F.lit(1)).alias("__tot"))
+        .filter(F.col("__tot") > cap)
+        .select("__dom")
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+    cold = kd.join(F.broadcast(over), "__dom", "left_anti").drop("__dom")
+    hot = kd.join(F.broadcast(over), "__dom", "left_semi").withColumn(
+        "__bkt", F.substring(F.md5(key), 1, 4)
     )
+    hist = hot.groupBy("__dom", "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    wc = Window.partitionBy("__dom").orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per (domain, bucket): rows admitted before this bucket opens;
+    # buckets at/after the cap cross are absent
+    below = hist.select(
+        "__dom", "__bkt",
+        F.coalesce(F.sum("__n").over(wc), F.lit(0)).alias("__below"),
+    ).filter(F.col("__below") < cap)
+    joined = hot.join(F.broadcast(below), ["__dom", "__bkt"], "inner")
+    # a bucket that fits entirely under the cap keeps all its rows;
+    # only the bucket straddling the cap ranks its rows
+    wt = Window.partitionBy("__dom", "__bkt").orderBy(
+        F.md5(key).asc(), key.asc()
+    )
+    capped = (
+        joined.withColumn("__quota", F.lit(cap) - F.col("__below"))
+        .withColumn("__rn", F.row_number().over(wt))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__dom", "__bkt", "__below", "__quota", "__rn")
+    )
+    return cold.unionByName(capped)

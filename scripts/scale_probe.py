@@ -436,9 +436,72 @@ def snapshot_diff_probe(n: int = 2_000_000) -> None:
     spark.stop()
 
 
+def domain_cap_probe(n: int = 10_000_000) -> None:
+    """Cap a crawl with ONE mega-domain holding half the rows — the
+    SEO-farm shape domain_cap exists for. The two-phase selection's
+    largest window partition is ~mega/65,536 rows; the naive
+    whole-domain window (timed alongside as the anti-pattern) sorts
+    the mega-domain in ONE task."""
+    import polars_fastx_spark as pfs
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from polars_fastx_spark.functions import urls
+
+    spark = pfs.get_spark("scale-domaincap")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("https://megafarm.com/p/"), F.col("id")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (F.col("id") % 100000).cast("string"),
+                F.lit(".org/a/"), F.col("id"),
+            )
+        )
+        .alias("url"),
+    )
+    cap = 1000
+    t0 = time.time()
+    kept = urls.domain_cap(df, "url", cap=cap, order_col="doc_id")
+    n_kept = kept.count()
+    n_mega = kept.filter(F.col("url").startswith("https://megafarm")).count()
+    t_two = time.time() - t0
+    assert n_mega == cap, n_mega
+    t0 = time.time()
+    key = F.col("doc_id").cast("string")
+    w = Window.partitionBy(urls.url_domain(F.col("url"))).orderBy(
+        F.md5(key).asc(), key.asc()
+    )
+    n_naive = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .count()
+    )
+    t_naive = time.time() - t0
+    assert n_naive == n_kept, (n_naive, n_kept)
+    print(
+        f"domain_cap two-phase {n:,} rows (1 mega-domain @50%)   "
+        f"{t_two:6.1f}s   kept {n_kept:,} ({cap} from the mega-domain)"
+    )
+    print(
+        f"domain_cap naive whole-domain window (anti-pattern)    "
+        f"{t_naive:6.1f}s   same survivor count — but the mega-domain "
+        f"sorts in ONE task ({n // 2:,} rows)"
+    )
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzzy":
         fuzzy_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--domain-cap":
+        domain_cap_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--snapshot-diff":
         snapshot_diff_probe(

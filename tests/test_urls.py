@@ -122,3 +122,36 @@ def test_domain_cap_keeps_at_most_n_deterministically(spark):
         ).collect()
     )
     assert again == got
+
+
+def test_domain_cap_two_phase_equals_naive_window(spark):
+    """The two-phase selection (bucket histogram -> threshold bucket)
+    must keep EXACTLY the cap md5-smallest rows per domain that the
+    naive whole-domain window would — including a hot domain holding
+    most rows and domains entirely under the cap."""
+    from pyspark.sql import Window
+
+    rows = (
+        [(i, f"https://farm.com/p/{i}") for i in range(400)]  # hot
+        + [(1000 + i, f"https://site{i % 7}.org/a/{i}") for i in range(70)]
+        + [(2000, "https://lone.net/only")]  # under cap
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    cap = 5
+    got = {
+        r["doc_id"]
+        for r in urls.domain_cap(df, "url", cap=cap, order_col="doc_id")
+        .collect()
+    }
+    key = F.col("doc_id").cast("string")
+    w = Window.partitionBy(urls.url_domain(F.col("url"))).orderBy(
+        F.md5(key).asc(), key.asc()
+    )
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .collect()
+    }
+    assert got == want
+    assert 2000 in got  # under-cap domain keeps everything

@@ -10264,3 +10264,72 @@ def l_diff_apply(spark, sf_dir):
         )
         .orderBy(F.col("o_orderkey").asc_nulls_first())
     )
+
+
+@_q(
+    "l_release_drift",
+    """
+    WITH oldv AS (SELECT source FROM documents WHERE doc_id % 101 <> 0),
+    newv AS (SELECT source FROM documents WHERE doc_id % 97 <> 0),
+    o AS (SELECT source, count(*) AS n_old FROM oldv GROUP BY source),
+    n AS (SELECT source, count(*) AS n_new FROM newv GROUP BY source),
+    tot AS (SELECT (SELECT count(*) FROM oldv)::DOUBLE AS t_old,
+                   (SELECT count(*) FROM newv)::DOUBLE AS t_new),
+    j AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new
+      FROM o FULL OUTER JOIN n ON o.source = n.source
+    )
+    SELECT source, n_old, n_new,
+           round(n_old / t_old, 6) AS share_old,
+           round(n_new / t_new, 6) AS share_new,
+           round(abs(n_new / t_new - n_old / t_old), 6) AS tv_term,
+           round(CASE WHEN n_new > 0 AND n_old > 0
+                      THEN (n_new / t_new) * ln((n_new / t_new)
+                                                / (n_old / t_old))
+                      ELSE NULL END, 6) AS kl_term
+    FROM j, tot
+    ORDER BY source NULLS FIRST
+    """,
+    "Release-QA drift gate: per-source corpus mix of two releases "
+    "side by side with total-variation and KL(new||old) contribution "
+    "terms — the statistical check a corpus release runs before "
+    "shipping (a silently shifted source mix changes model behavior "
+    "as surely as bad rows). Two map-side-combined counts + a "
+    "source-level full-outer join + 1-row totals broadcast; corpus "
+    "scans never co-shuffle. Per-source terms rather than one scalar "
+    "so the gate can NAME the drifting source.",
+)
+def l_release_drift(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    old = d.filter(F.col("doc_id") % 101 != 0)
+    new = d.filter(F.col("doc_id") % 97 != 0)
+    o = old.groupBy("source").agg(F.count(F.lit(1)).alias("n_old"))
+    n = new.groupBy("source").agg(F.count(F.lit(1)).alias("n_new"))
+    tot = o.agg(F.sum("n_old").cast("double").alias("t_old")).crossJoin(
+        n.agg(F.sum("n_new").cast("double").alias("t_new"))
+    )
+    j = (
+        o.join(n, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    so = F.col("n_old") / F.col("t_old")
+    sn = F.col("n_new") / F.col("t_new")
+    return j.select(
+        "source", "n_old", "n_new",
+        F.round(so, 6).alias("share_old"),
+        F.round(sn, 6).alias("share_new"),
+        F.round(F.abs(sn - so), 6).alias("tv_term"),
+        F.round(
+            F.when(
+                (F.col("n_new") > 0) & (F.col("n_old") > 0),
+                sn * F.log(sn / so),
+            ),
+            6,
+        ).alias("kl_term"),
+    ).orderBy(F.col("source").asc_nulls_first())

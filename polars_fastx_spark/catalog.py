@@ -10333,3 +10333,74 @@ def l_release_drift(spark, sf_dir):
             6,
         ).alias("kl_term"),
     ).orderBy(F.col("source").asc_nulls_first())
+
+
+@_q(
+    "l_crawl_frontier",
+    _CRAWLRANK_EDGES_WITH.replace(
+        """,
+    edges AS (
+      SELECT DISTINCT doc.source || '-pages.net' AS src, d.domain AS dst
+      FROM dom d JOIN documents doc USING (doc_id)
+    )""",
+        """,
+    crawled AS (
+      SELECT DISTINCT 'https://' || source || '-pages.net/p/' || doc_id
+               AS url
+      FROM documents
+    ),
+    cand AS (
+      SELECT DISTINCT d.norm_url AS url, d.domain
+      FROM dom d
+      WHERE d.norm_url NOT IN (SELECT url FROM crawled)
+    ),
+    ranked AS (
+      SELECT domain, url,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY md5(url), url) AS rn
+      FROM cand
+    )
+    SELECT domain, url FROM ranked WHERE rn <= 2
+    ORDER BY domain, url
+    """,
+    ),
+    "L-crawl: FRONTIER discovery — every canonicalized outlink not "
+    "already crawled (distinct + broadcast anti-join against the "
+    "crawled set), then the politeness budget: at most 2 fetch "
+    "candidates per registrable domain via the mega-domain-safe "
+    "domain_cap (md5-deterministic survivors, so every crawler "
+    "replica picks the SAME frontier without coordination) — the "
+    "crawl-loop step that turns the link graph back into work",
+)
+def l_crawl_frontier(spark, sf_dir):
+    from polars_fastx_spark.functions import html as htmlf
+
+    d = F.col("doc_id").cast("string")
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-pages.net/p/"), d
+    )
+    html = F.concat(
+        F.lit("<html><body><p>body</p>"),
+        F.lit('<a href="HTTPS://WWW.src'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("-pages.NET:443/x/"), d, F.lit('?utm_source=l">a</a>'),
+        F.lit("<a class=x href='https://src"),
+        ((F.col("doc_id") + 3) % 7).cast("string"),
+        F.lit("-pages.net/y'>b</a>"),
+        F.lit('<a href="#frag">skip</a><a href="https://cdn.hub.org/'),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit('">c</a></body></html>'),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(page_url.alias("page_url"), html.alias("html"))
+    cand = (
+        pages.select(F.explode(htmlf.html_links("html")).alias("href"))
+        .select(urlsf.normalize_url("href").alias("url"))
+        .distinct()
+    )
+    crawled = docs.select(page_url.alias("url")).distinct()
+    frontier = cand.join(F.broadcast(crawled), "url", "left_anti")
+    capped = urlsf.domain_cap(frontier, "url", cap=2)
+    return capped.select(
+        urlsf.url_domain("url").alias("domain"), "url"
+    ).orderBy("domain", "url")

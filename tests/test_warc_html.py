@@ -348,3 +348,70 @@ def test_html_anchors_empty_and_no_links(spark):
     )
     n = df.select(F.size(H.html_anchors("html")).alias("n")).collect()
     assert [r["n"] for r in n] == [0, 0]
+
+
+def test_streaming_crawl_pipeline_dedups_canonical_urls(spark, tmp_path):
+    """The LIVE crawl pipeline end-to-end: stream_warc → HTTP-200 HTML
+    filter → visible text + canonical URL → stateful dedup on the
+    canonical form — a re-crawl of the same page under a different
+    syntactic URL (www/port/utm variants) is dropped ACROSS
+    micro-batches via the checkpointed state store."""
+    from polars_fastx_spark.streaming.pipelines import stream_dedup
+    from polars_fastx_spark.streaming.warc_stream import stream_warc
+
+    def _rec(i: int, uri: str) -> bytes:
+        body = f"<html><title>P{i}</title><p>body {i}</p></html>".encode()
+        return warc.render_warc_record(
+            f"<urn:uuid:c-{i}>", "response", uri,
+            "2026-08-15T00:00:00Z", warc.http_response_block(body),
+        )
+
+    src = tmp_path / "live"
+    src.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _run():
+        stream = (
+            stream_warc(spark, str(src))
+            .filter(
+                (F.col("http_status") == 200)
+                & F.col("http_content_type").startswith("text/html")
+            )
+            .select(
+                "record_id",
+                urls.normalize_url("target_uri").alias("url"),
+                H.strip_html(F.col("payload").cast("string")).alias("text"),
+                F.to_timestamp("warc_date").alias("ts"),
+            )
+        )
+        q = (
+            stream_dedup(stream, keys=["url"], watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    warc.write_warc(
+        str(src / "b0.warc.gz"),
+        [_rec(0, "https://a.com/page"), _rec(1, "https://b.com/page")],
+    )
+    _run()
+    # batch 2: one NEW page + the SAME two pages re-crawled under
+    # syntactic variants — the canonical-url state must drop both
+    warc.write_warc(
+        str(src / "b1.warc.gz"),
+        [
+            _rec(2, "HTTPS://WWW.A.com:443/page?utm_source=x"),
+            _rec(3, "https://b.com:443/page/"),
+            _rec(4, "https://c.org/fresh"),
+        ],
+    )
+    _run()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "https://a.com/page", "https://b.com/page", "https://c.org/fresh"
+    ]
+    assert all(r["text"].startswith("P") for r in rows)

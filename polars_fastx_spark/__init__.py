@@ -26,6 +26,12 @@ from polars_fastx_spark.functions import seq
 from polars_fastx_spark.sources.fastx import scan_fastx, read_fastx
 from polars_fastx_spark.sources.warc import scan_warc
 from polars_fastx_spark.pipeline import fasta_stats
+from polars_fastx_spark.operators.diffing import (
+    apply_diff,
+    invert_diff,
+    snapshot_diff,
+    snapshot_diff_summary,
+)
 
 __version__ = "0.1.0"
 
@@ -37,5 +43,9 @@ __all__ = [
     "read_fastx",
     "scan_warc",
     "fasta_stats",
+    "snapshot_diff",
+    "snapshot_diff_summary",
+    "apply_diff",
+    "invert_diff",
     "__version__",
 ]

@@ -10365,8 +10365,9 @@ def l_release_drift(spark, sf_dir):
     """,
     ),
     "L-crawl: FRONTIER discovery — every canonicalized outlink not "
-    "already crawled (distinct + broadcast anti-join against the "
-    "crawled set), then the politeness budget: at most 2 fetch "
+    "already crawled (distinct + anti-join on the url key; the crawled "
+    "set is corpus-sized, so this is a key shuffle, never a "
+    "broadcast), then the politeness budget: at most 2 fetch "
     "candidates per registrable domain via the mega-domain-safe "
     "domain_cap (md5-deterministic survivors, so every crawler "
     "replica picks the SAME frontier without coordination) — the "
@@ -10398,8 +10399,10 @@ def l_crawl_frontier(spark, sf_dir):
         .select(urlsf.normalize_url("href").alias("url"))
         .distinct()
     )
+    # the crawled set is corpus-sized: anti-join on the url key (AQE
+    # may still broadcast at small SF, but the plan must not FORCE it)
     crawled = docs.select(page_url.alias("url")).distinct()
-    frontier = cand.join(F.broadcast(crawled), "url", "left_anti")
+    frontier = cand.join(crawled, "url", "left_anti")
     capped = urlsf.domain_cap(frontier, "url", cap=2)
     return capped.select(
         urlsf.url_domain("url").alias("domain"), "url"

@@ -171,8 +171,9 @@ def domain_cap(
     1. per-domain totals (one map-side-combining groupBy, output =
        one row per domain); domains UNDER the cap — virtually all of
        them — keep every row via a broadcast anti-join against the
-       over-cap domain list (the over-cap list is the farms: small by
-       nature, and only its ROWS ever shuffle again);
+       over-cap domain list (one STRING per offending domain — a few
+       MB even at millions of farms; the rows of those domains are
+       the only data that ever shuffles again);
     2. over-cap rows histogram their 4-hex md5 bucket (65,536
        buckets/domain); a window over the HISTOGRAM (bounded
        partitions) finds where the cumulative count crosses ``cap``;
@@ -214,7 +215,11 @@ def domain_cap(
         "__dom", "__bkt",
         F.coalesce(F.sum("__n").over(wc), F.lit(0)).alias("__below"),
     ).filter(F.col("__below") < cap)
-    joined = hot.join(F.broadcast(below), ["__dom", "__bkt"], "inner")
+    # no broadcast hint: below holds up to ~cap buckets PER over-cap
+    # domain, unbounded when many domains breach the cap — and the
+    # join key (dom, bkt) is the window's partitioning anyway, so the
+    # shuffle is reused; AQE still broadcasts when it actually fits
+    joined = hot.join(below, ["__dom", "__bkt"], "inner")
     # a bucket that fits entirely under the cap keeps all its rows;
     # only the bucket straddling the cap ranks its rows
     wt = Window.partitionBy("__dom", "__bkt").orderBy(

@@ -49,6 +49,19 @@ META_SCHEMA = (
 )
 
 
+def _vec_fp(vec: F.Column) -> F.Column:
+    """Content fingerprint of a vector — md5 over the exact decimal
+    renderings of its components. Stored in every code row (``__fp``)
+    so :func:`index_sync_from_index` can detect changed vectors
+    WITHOUT the previous corpus snapshot: codes hold lossy PQ
+    approximations, but the fingerprint is exact. Engine-internal
+    (never compared across engines), so Spark's double→string
+    rendering is the canonical form."""
+    return F.md5(
+        F.concat_ws(",", F.transform(vec, lambda x: x.cast("string")))
+    )
+
+
 def index_build(
     df: DataFrame,
     id_col: str,
@@ -94,6 +107,7 @@ def index_build(
     resid = with_cent.select(
         "__id", "cell",
         F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
+        _vec_fp(F.col("__v")).alias("__fp"),
     ).persist()
     try:
         if pinned:
@@ -103,7 +117,7 @@ def index_build(
             codes, books = vectors.pq_train(
                 resid, "__id", "__r", m=m, k=pq_k, iterations=iterations
             )
-        coded = codes.join(resid.select("__id", "cell"), "__id")
+        coded = codes.join(resid.select("__id", "cell", "__fp"), "__id")
         dim = m * len(books[0][0])
         centroids.coalesce(1).write.mode("overwrite").parquet(
             f"{path}/centroids"
@@ -192,9 +206,10 @@ def index_add(
     resid = assigned.join(F.broadcast(centroids), "cell").select(
         "__id", "cell",
         F.zip_with("__v", "centroid_vec", lambda a, b: a - b).alias("__r"),
+        _vec_fp(F.col("__v")).alias("__fp"),
     )
     codes = vectors.pq_encode(resid, "__id", "__r", books)
-    coded = codes.join(resid.select("__id", "cell"), "__id")
+    coded = codes.join(resid.select("__id", "cell", "__fp"), "__id")
     if epoch is None:
         epoch = _next_index_epoch(spark, path)
     coded.write.mode("overwrite").parquet(f"{path}/codes/epoch={epoch}")
@@ -346,6 +361,85 @@ def index_sync(
                     F.col(id_col),
                     F.col(f"new_{vec_col}").alias(vec_col),
                 ),
+                vec_col,
+                path,
+                id_col=id_col,
+                epoch=epoch + 1,
+            )
+    finally:
+        d.unpersist()
+    return out
+
+
+def index_sync_from_index(
+    new_df: DataFrame,
+    vec_col: str,
+    path: str,
+    id_col: str | None = None,
+    epoch: int | None = None,
+) -> dict[str, int]:
+    """:func:`index_sync` without the previous snapshot: the index's
+    OWN live code rows carry an exact per-vector content fingerprint
+    (``__fp``, written by build/add), so membership and change
+    detection need only the NEW release — diff (id, fp) from the live
+    codes against (id, fp) of ``new_df``, then the same pinned-epoch
+    tombstone + frozen-quantizer re-encode as ``index_sync``. This is
+    the single-argument maintenance call a release pipeline wants:
+    ``index_sync_from_index(release_vN, "v", path)``.
+
+    The (id, fp) scan is code-table-sized (two small columns), never
+    vector-sized. Indexes written before fingerprints raise with a
+    clear message — rebuild once or use :func:`index_sync` with the
+    old snapshot. Returns ``{"added", "removed", "changed"}`` counts.
+    """
+    from polars_fastx_spark.operators.diffing import snapshot_diff
+
+    spark = new_df.sparkSession
+    if id_col is None:
+        id_col = spark.read.parquet(f"{path}/meta").first()["id_col"]
+    live = _live_codes(spark, path)
+    if "__fp" not in live.columns:
+        raise ValueError(
+            f"{path}: code table has no __fp fingerprints (written "
+            "before the sync-from-index lane); rebuild the index once "
+            "or use index_sync(old_df, new_df, ...) with the previous "
+            "snapshot"
+        )
+    old_fp = live.select(F.col("__id").alias(id_col), "__fp")
+    new_fp = new_df.select(
+        F.col(id_col), _vec_fp(F.col(vec_col)).alias("__fp")
+    )
+    d = snapshot_diff(old_fp, new_fp, [id_col], ["__fp"]).persist()
+    try:
+        counts = {
+            r["change_type"]: r["n"]
+            for r in d.groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: ≤3 rows
+        }
+        out = {
+            "added": int(counts.get("added", 0)),
+            "removed": int(counts.get("removed", 0)),
+            "changed": int(counts.get("changed", 0)),
+        }
+        dead = out["removed"] + out["changed"]
+        fresh = out["added"] + out["changed"]
+        if (dead or fresh) and epoch is None:
+            epoch = _next_index_epoch(spark, path)
+        if dead:
+            index_delete(
+                spark,
+                path,
+                d.filter(
+                    F.col("change_type").isin("removed", "changed")
+                ).select(id_col),
+                epoch=epoch,
+            )
+        if fresh:
+            index_add(
+                d.filter(F.col("change_type").isin("added", "changed"))
+                .select(id_col)
+                .join(new_df.select(id_col, vec_col), id_col),
                 vec_col,
                 path,
                 id_col=id_col,

@@ -829,3 +829,50 @@ def test_index_sync_pays_only_for_changes(spark, tmp_path):
     again = ann_index.index_sync(new, new, "v", p_sync)
     assert again == {"added": 0, "removed": 0, "changed": 0}
     assert _eps(p_sync) == before
+
+
+def test_index_sync_from_index_matches_two_snapshot_sync(spark, tmp_path):
+    """The fingerprint lane needs only the NEW release: its counts and
+    post-sync search must equal index_sync given the true old
+    snapshot; a pre-fingerprint code table raises with guidance."""
+    e = _emb(spark)
+    old = e.filter("vec_id < 80")
+    changed = F.transform("v", lambda x: x * 2.0 + 1.0)
+    new = e.filter("vec_id >= 10 AND vec_id < 100").select(
+        "vec_id",
+        F.when((F.col("vec_id") % 13 == 0) & (F.col("vec_id") < 80),
+               changed).otherwise(F.col("v")).alias("v"),
+    )
+    p_fp = str(tmp_path / "fp")
+    p_two = str(tmp_path / "two")
+    for p in (p_fp, p_two):
+        ann_index.index_build(
+            old, "vec_id", "v", p, num_cells=8, m=4, pq_k=8, pinned=True
+        )
+    got = ann_index.index_sync_from_index(new, "v", p_fp)
+    want = ann_index.index_sync(old, new, "v", p_two)
+    assert got == want and got["removed"] == 10 and got["added"] == 20
+    q = _query(e)
+    a = [(r["vec_id"], round(r["adc_dist"], 9)) for r in
+         ann_index.index_search(spark, p_fp, q, k=15, nprobe=8).collect()]
+    b = [(r["vec_id"], round(r["adc_dist"], 9)) for r in
+         ann_index.index_search(spark, p_two, q, k=15, nprobe=8).collect()]
+    assert a == b and len(a) == 15
+    # re-sync with the same release: fingerprints say nothing changed
+    again = ann_index.index_sync_from_index(new, "v", p_fp)
+    assert again == {"added": 0, "removed": 0, "changed": 0}
+    # a pre-fingerprint index (simulated by stripping __fp) raises
+    p_old = str(tmp_path / "prefp")
+    ann_index.index_build(
+        old, "vec_id", "v", p_old, num_cells=8, pinned=True
+    )
+    import pytest as _pytest
+
+    stripped = spark.read.parquet(f"{p_old}/codes/epoch=0").drop("__fp")
+    stripped.write.mode("overwrite").parquet(f"{p_old}/codes_new")
+    import shutil
+
+    shutil.rmtree(f"{p_old}/codes/epoch=0")
+    shutil.move(f"{p_old}/codes_new", f"{p_old}/codes/epoch=0")
+    with _pytest.raises(ValueError, match="__fp"):
+        ann_index.index_sync_from_index(new, "v", p_old)

@@ -100,6 +100,8 @@ ALLOWED_NESTED_LOOP = {
     "l_ann_index_recall",  # build shape + deliberate brute-force exact side
     "l_ann_index_drift",  # IVF assignment = broadcast × tiny centroid table
     "l_containment_gate",  # history doc-count = 1-row broadcast cross join
+    "l_release_drift",    # release totals = 1-row broadcast cross join
+    "l_ann_index_sync",   # same build shape as l_ann_index_search
 }
 
 

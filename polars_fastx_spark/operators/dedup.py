@@ -861,13 +861,15 @@ def containment_index_build(
         sizes/epoch=N/     (__id, __sz)      — distinct-shingle count
         dfreq/epoch=N/     (shingle, __df)   — per-epoch doc frequency
 
-    A rebuild into a used path starts clean (stale epochs deleted
-    first — the lesson of the ANN index's rebuild-hygiene fix)."""
+    A rebuild into a used path starts clean (stale epochs AND
+    tombstones deleted first — the lesson of the ANN index's
+    rebuild-hygiene fix: a stale tombstone would hide the fresh
+    epoch-0 postings)."""
     from polars_fastx_spark.sources.sinks import hadoop_fs
 
     spark = df.sparkSession
     _, fs = hadoop_fs(spark, path)
-    for sub in ("meta", "postings", "sizes", "dfreq"):
+    for sub in ("meta", "postings", "sizes", "dfreq", "tombstones"):
         sp = hadoop_fs(spark, f"{path}/{sub}")[0]
         if fs.exists(sp):
             fs.delete(sp, True)
@@ -887,22 +889,75 @@ def containment_index_add(
     index's ``index_add`` for redelivered batches. Returns the epoch
     written.
 
-    Ids must be unique ACROSS epochs (the gate-before-add discipline:
-    a batch is gated, survivors added once). Re-adding an id under a
-    new epoch leaves both copies' postings live — its ``common``
-    counts double and containment scores can exceed 1. Unlike the ANN
-    index there is no tombstone/upsert lane; if re-ingestion with
-    mutation is needed, rebuild (``containment_index_build``)."""
-    from polars_fastx_spark.sources.sinks import committed_epochs
-
+    Ids must be unique among LIVE documents (the gate-before-add
+    discipline: a batch is gated, survivors added once). Re-adding a
+    live id leaves both copies' postings live — its ``common`` counts
+    double and containment scores can exceed 1; to replace a
+    document, :func:`containment_index_delete` it first (the re-add
+    lands above the tombstone on the shared epoch counter and
+    revives with the new content)."""
     spark = batch.sparkSession
     meta = spark.read.parquet(f"{path}/meta").first()
     if epoch is None:
-        eps = committed_epochs(spark, f"{path}/postings")
-        epoch = (max(eps) + 1) if eps else 0
+        # shared postings∪tombstones counter: a re-add must land AT or
+        # ABOVE the deleting tombstone or it would stay hidden
+        epoch = _next_containment_epoch(spark, path)
     _containment_append(
         batch, path, meta["id_col"], text_col, meta["k"],
         meta["hash_shingles"], epoch,
+    )
+    return epoch
+
+
+def _next_containment_epoch(spark: SparkSession, path: str) -> int:
+    """Next epoch id on the shared postings/tombstones counter — a
+    delete must land ABOVE every current postings epoch so the
+    ``epoch < tombstone_epoch`` hide rule covers them all."""
+    from polars_fastx_spark.sources.sinks import committed_epochs
+
+    eps = committed_epochs(spark, f"{path}/postings") + committed_epochs(
+        spark, f"{path}/tombstones"
+    )
+    return (max(eps) + 1) if eps else 0
+
+
+def containment_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame | list,
+    epoch: int | None = None,
+) -> int:
+    """Delete documents from the containment index — the takedown
+    lane, mirroring ``ann_index.index_delete``: land a TOMBSTONE epoch
+    (one ``__id`` row per deletion) instead of rewriting the
+    data-sized postings. Read paths hide a deleted doc's postings and
+    size rows (``epoch < tombstone_epoch`` — strictly below, so a
+    later :func:`containment_index_add` of the same id revives it) and
+    correct the maintained per-shingle df by counting the HIDDEN
+    postings — no re-shingling, the correction is computed from rows
+    the index already stores. :func:`containment_index_compact`
+    applies tombstones physically and drops them. Same
+    pinned-``epoch`` overwrite idempotence as the add lane. Returns
+    the epoch written."""
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).alias("__id")).distinct()
+    else:
+        if not ids:
+            raise ValueError("containment_index_delete: empty id list")
+        df = spark.createDataFrame([(i,) for i in ids], ["__id"]).distinct()
+    from polars_fastx_spark.sources.sinks import committed_epochs
+
+    eps = committed_epochs(spark, f"{path}/postings")
+    if eps:
+        id_type = (
+            spark.read.parquet(f"{path}/postings/epoch={eps[0]}")
+            .schema["__id"].dataType
+        )
+        df = df.select(F.col("__id").cast(id_type).alias("__id"))
+    if epoch is None:
+        epoch = _next_containment_epoch(spark, path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/tombstones/epoch={epoch}"
     )
     return epoch
 
@@ -913,9 +968,13 @@ def _containment_history(
     """(postings, sizes, dfreq) for the index's committed history,
     optionally restricted to ``epoch < before_epoch`` — the streaming
     retry discipline: a replayed micro-batch must never gate against
-    its own failed attempt's append. Epoch sets intersect down to
-    postings' committed epochs (the commit authority). Returns None
-    when no history epoch qualifies (first batch)."""
+    its own failed attempt's append (the same bound applies to
+    tombstone epochs). Epoch sets intersect down to postings'
+    committed epochs (the commit authority). Tombstones hide a doc's
+    postings/size rows with ``epoch < tombstone_epoch`` and emit
+    NEGATIVE dfreq correction rows counted from the hidden postings,
+    so ``sum(__df)`` per shingle stays the LIVE document frequency.
+    Returns None when no history epoch qualifies (first batch)."""
     from polars_fastx_spark.sources.sinks import committed_epochs
 
     eps = committed_epochs(spark, f"{path}/postings")
@@ -927,13 +986,44 @@ def _containment_history(
     def _tbl(name: str) -> DataFrame:
         avail = set(committed_epochs(spark, f"{path}/{name}"))
         use = [e for e in eps if e in avail]
-        return (
-            spark.read.option("basePath", f"{path}/{name}")
-            .parquet(*[f"{path}/{name}/epoch={e}" for e in use])
-            .drop("epoch")
+        return spark.read.option("basePath", f"{path}/{name}").parquet(
+            *[f"{path}/{name}/epoch={e}" for e in use]
         )
 
-    return _tbl("postings"), _tbl("sizes"), _tbl("dfreq")
+    posts = _tbl("postings")
+    sizes = _tbl("sizes")
+    dfreq = _tbl("dfreq").drop("epoch")
+
+    tomb_eps = committed_epochs(spark, f"{path}/tombstones")
+    if before_epoch is not None:
+        tomb_eps = [e for e in tomb_eps if e < before_epoch]
+    if tomb_eps:
+        tomb = (
+            spark.read.option("basePath", f"{path}/tombstones")
+            .parquet(*[f"{path}/tombstones/epoch={e}" for e in tomb_eps])
+            .select(
+                F.col("__id").alias("__t_id"),
+                F.col("epoch").alias("__t_e"),
+            )
+        )
+
+        def _hide(df: DataFrame, how: str) -> DataFrame:
+            return df.join(
+                F.broadcast(tomb),
+                (df["__id"] == tomb["__t_id"])
+                & (df["epoch"] < tomb["__t_e"]),
+                how,
+            )
+
+        df_corr = (
+            _hide(posts, "left_semi")
+            .groupBy("shingle")
+            .agg((-F.count(F.lit(1))).alias("__df"))
+        )
+        dfreq = dfreq.unionByName(df_corr)
+        posts = _hide(posts, "left_anti")
+        sizes = _hide(sizes, "left_anti")
+    return posts.drop("epoch"), sizes.drop("epoch"), dfreq
 
 
 def containment_hits(
@@ -1088,19 +1178,174 @@ def containment_index_compact(
     is unchanged). Postings fold LAST: it is the commit authority, so
     a crash mid-compaction can only hide side-table epochs that
     postings still lists — and those reads fall back to the folded
-    target, which compact names below ``upto_epoch`` by construction."""
+    target, which compact names below ``upto_epoch`` by construction.
+
+    With live tombstones the per-table fold would be WRONG (folded
+    rows land at the target epoch, above the tombstones that used to
+    hide them — silent resurrection), so deletions dispatch to the
+    tombstone-applying fold (:func:`_compact_containment_with_tombstones`),
+    which filters the dead postings physically, REDERIVES sizes and
+    dfreq from the live fold (exact — the fold covers those epochs
+    entirely), and drops the applied tombstones."""
     from polars_fastx_spark.sources.sinks import (
         committed_epochs,
         compact_epoch_partitions,
     )
 
     if upto_epoch is None:
-        eps = committed_epochs(spark, f"{path}/postings")
+        eps = committed_epochs(spark, f"{path}/postings") + committed_epochs(
+            spark, f"{path}/tombstones"
+        )
         upto_epoch = (max(eps) + 1) if eps else 0
+    tomb_eps = committed_epochs(spark, f"{path}/tombstones")
+    stale_stage = any(
+        n.startswith("_ctmp_e")
+        for n in _containment_stage_names(spark, path)
+    )
+    if tomb_eps or stale_stage:
+        _compact_containment_with_tombstones(
+            spark, path, upto_epoch, min_epochs
+        )
+        return
     for sub in ("sizes", "dfreq", "postings"):
         compact_epoch_partitions(
             spark, f"{path}/{sub}", upto_epoch, min_epochs=min_epochs
         )
+
+
+def _containment_stage_names(spark: SparkSession, path: str) -> list[str]:
+    from polars_fastx_spark.sources.sinks import hadoop_fs
+
+    p, fs = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.getPath().getName().startswith("_ctmp_e")
+    ]
+
+
+def _compact_containment_with_tombstones(
+    spark: SparkSession,
+    path: str,
+    upto_epoch: int,
+    min_epochs: int,
+) -> None:
+    """Tombstone-applying fold of all three containment tables — the
+    ``ann_index._compact_codes_with_tombstones`` discipline adapted to
+    a multi-table index. The stage is ONE directory
+    (``_ctmp_e<target>_t<upto>``) holding folded postings plus sizes
+    and dfreq REDERIVED from the folded live postings (exact: the
+    fold covers those epochs entirely), authorized by a ``_COMMIT``
+    marker whose name carries both the fold target and the tombstone
+    bound — recovery never re-derives either from the (possibly
+    half-deleted) source listing.
+
+    Swap order after commit: delete each table's source epochs, delete
+    applied tombstones (``<= upto``), THEN rename the three staged
+    subdirs in. A crash before the marker → the stage is garbage,
+    sources intact, rebuild. After the marker → rerun finishes: a
+    staged subdir missing was already renamed; tombstones deleted
+    before the renames can never re-hide folded rows (folded rows sit
+    at the target epoch, below the dropped tombstones' ids' bound).
+    Single maintainer assumed, as everywhere in this family."""
+    from polars_fastx_spark.sources.sinks import committed_epochs, hadoop_fs
+
+    _, fs = hadoop_fs(spark, path)
+
+    def _p(rel: str):
+        return hadoop_fs(spark, f"{path}/{rel}")[0]
+
+    def _swap(stage_name: str, target: int, t_upto: int) -> None:
+        # applied tombstones drop FIRST: once any staged table lands
+        # at the target epoch, a surviving tombstone (T > target)
+        # would hide the folded live rows
+        for tid in committed_epochs(spark, f"{path}/tombstones"):
+            if tid <= t_upto:
+                fs.delete(_p(f"tombstones/epoch={tid}"), True)
+        tp = _p("tombstones")
+        if fs.exists(tp) and not fs.listStatus(tp):
+            fs.delete(tp, True)  # drained — drop the empty parent
+        # per-table: source deletion is GUARDED by that table's staged
+        # subdir still existing — a missing subdir means a crashed
+        # attempt already renamed it in, and deleting "sources ≤
+        # target" then would destroy the renamed fold itself (the
+        # multi-table trap the single-dir compactors never face)
+        for sub in ("postings", "sizes", "dfreq"):
+            src = _p(f"{stage_name}/{sub}")
+            if not fs.exists(src):
+                continue  # this table fully swapped already
+            for eid in committed_epochs(spark, f"{path}/{sub}"):
+                if eid <= target:
+                    fs.delete(_p(f"{sub}/epoch={eid}"), True)
+            dst = _p(f"{sub}/epoch={target}")
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.rename(src, dst)
+        fs.delete(_p(stage_name), True)
+
+    # recover a committed stage FIRST; drop uncommitted garbage
+    for sname in _containment_stage_names(spark, path):
+        body = sname[len("_ctmp_e"):]
+        try:
+            t_s, u_s = body.split("_t", 1)
+            target, t_upto = int(t_s), int(u_s)
+        except ValueError:
+            continue
+        if fs.exists(_p(f"{sname}/_COMMIT")):
+            _swap(sname, target, t_upto)
+        else:
+            fs.delete(_p(sname), True)
+
+    eps = [
+        e
+        for e in committed_epochs(spark, f"{path}/postings")
+        if e < upto_epoch
+    ]
+    tomb_eps = committed_epochs(spark, f"{path}/tombstones")
+    applied = [e for e in tomb_eps if e <= upto_epoch]
+    if not eps:
+        # nothing to fold; tombstones <= upto hide only epochs < upto,
+        # of which none exist — safe to drop
+        for tid in applied:
+            fs.delete(_p(f"tombstones/epoch={tid}"), True)
+        return
+    if len(eps) < min_epochs and not tomb_eps:
+        return
+    target = max(eps)
+    stage = f"_ctmp_e{target}_t{upto_epoch}"
+    posts = spark.read.option("basePath", f"{path}/postings").parquet(
+        *[f"{path}/postings/epoch={e}" for e in eps]
+    )
+    if tomb_eps:
+        tomb = (
+            spark.read.option("basePath", f"{path}/tombstones")
+            .parquet(*[f"{path}/tombstones/epoch={e}" for e in tomb_eps])
+            .select(
+                F.col("__id").alias("__t_id"),
+                F.col("epoch").alias("__t_e"),
+            )
+        )
+        posts = posts.join(
+            F.broadcast(tomb),
+            (posts["__id"] == tomb["__t_id"])
+            & (posts["epoch"] < tomb["__t_e"]),
+            "left_anti",
+        )
+    live = posts.drop("epoch").persist()
+    try:
+        live.write.mode("overwrite").parquet(f"{path}/{stage}/postings")
+        live.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{stage}/sizes")
+        live.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        ).write.mode("overwrite").parquet(f"{path}/{stage}/dfreq")
+    finally:
+        live.unpersist()
+    fs.create(_p(f"{stage}/_COMMIT"), True).close()
+    _swap(stage, target, upto_epoch)
 
 
 # ------------------------------------------------------------- SimHash (L2)

@@ -281,3 +281,174 @@ def test_stream_containment_gate_end_to_end(spark, srcdir, tmp_path):
         .distinct().collect()
     }
     assert indexed == {1, 2, 11}
+
+
+def _hits_tuples(batch, path, threshold=0.3, **kw):
+    return sorted(
+        (
+            r["doc_id"], r["matched_id"], r["common"],
+            round(r["containment_batch_in_hist"], 9),
+            round(r["containment_hist_in_batch"], 9),
+        )
+        for r in dedup.containment_hits(
+            batch, path, "text", threshold=threshold, **kw
+        ).collect()
+    )
+
+
+def test_delete_equals_index_built_without(spark, tmp_path):
+    """Tombstoned docs vanish from hits EXACTLY as if the index had
+    been built without them — including the maintained-df correction
+    (checked under a df cap, where a stale df would shift the allowed
+    shingle set)."""
+    d = _docs(spark).filter("doc_id < 150")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    kept = hist.filter(F.col("doc_id") % 5 != 0)
+    dead = hist.filter(F.col("doc_id") % 5 == 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+
+    p_del = str(tmp_path / "with_delete")
+    p_ref = str(tmp_path / "reference")
+    dedup.containment_index_build(hist, "doc_id", "text", p_del, k=8)
+    dedup.containment_index_delete(
+        spark, p_del, dead.select("doc_id")
+    )
+    dedup.containment_index_build(kept, "doc_id", "text", p_ref, k=8)
+    for cap in (None, 0.2):
+        got = _hits_tuples(batch, p_del, max_shingle_df=cap)
+        want = _hits_tuples(batch, p_ref, max_shingle_df=cap)
+        assert got == want and len(want) > 0, f"cap={cap}"
+
+
+def test_delete_then_readd_revives(spark, tmp_path):
+    """A re-added doc lands above its tombstone on the shared epoch
+    counter and is visible again with its new content."""
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "cidx")
+    dedup.containment_index_build(hist, "doc_id", "text", path, k=8)
+    assert len(_hits_tuples(batch, path)) > 0
+    dedup.containment_index_delete(spark, path, [1])
+    assert _hits_tuples(batch, path) == []
+    dedup.containment_index_add(hist, path)  # revive
+    assert len(_hits_tuples(batch, path)) > 0
+
+
+def test_compact_applies_tombstones_physically(spark, tmp_path):
+    """After compaction the tombstones are gone, the dead doc's
+    postings are off disk, sizes/dfreq are rederived from the live
+    fold, and hits are unchanged."""
+    d = _docs(spark).filter("doc_id < 150")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    dead_ids = [
+        r["doc_id"]
+        for r in hist.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id").collect()
+    ]
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "cidx")
+    dedup.containment_index_build(hist, "doc_id", "text", path, k=8)
+    dedup.containment_index_delete(spark, path, dead_ids)
+    before = _hits_tuples(batch, path, max_shingle_df=0.2)
+    dedup.containment_index_compact(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    on_disk = {
+        r["__id"]
+        for r in spark.read.option("basePath", f"{path}/postings")
+        .parquet(f"{path}/postings/epoch=*").select("__id").collect()
+    }
+    assert on_disk.isdisjoint(set(dead_ids))
+    assert _hits_tuples(batch, path, max_shingle_df=0.2) == before
+    # dfreq rederived: per-shingle sums must equal live postings counts
+    live_df = {
+        (r["shingle"], r["n"])
+        for r in spark.read.option("basePath", f"{path}/postings")
+        .parquet(f"{path}/postings/epoch=*")
+        .groupBy("shingle").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    stored_df = {
+        (r["shingle"], r["s"])
+        for r in spark.read.option("basePath", f"{path}/dfreq")
+        .parquet(f"{path}/dfreq/epoch=*")
+        .groupBy("shingle").agg(F.sum("__df").alias("s")).collect()
+    }
+    assert live_df == stored_df
+
+
+def test_compact_tombstone_midswap_crash_recovers(spark, tmp_path):
+    """A crash between the _COMMIT marker and the renames converges on
+    rerun to the same index a clean compaction produces."""
+    import shutil
+
+    d = _docs(spark).filter("doc_id < 150")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    dead = [
+        r["doc_id"]
+        for r in hist.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id").collect()
+    ]
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    p_crash = str(tmp_path / "crash")
+    p_clean = str(tmp_path / "clean")
+    for p in (p_crash, p_clean):
+        dedup.containment_index_build(hist, "doc_id", "text", p, k=8)
+        dedup.containment_index_add(
+            _docs(spark).filter(
+                (F.col("doc_id") >= 150) & (F.col("doc_id") < 180)
+            ),
+            p,
+        )
+        dedup.containment_index_delete(spark, p, dead)
+    dedup.containment_index_compact(spark, p_clean)
+    # stage a committed fold on p_crash, swap only postings, "crash"
+    dedup._compact_containment_with_tombstones(spark, p_crash, 10, 1)
+    want = _hits_tuples(batch, p_clean, max_shingle_df=0.2)
+    # simulate the mid-swap state instead: rebuild, commit, part-swap
+    p_mid = str(tmp_path / "mid")
+    dedup.containment_index_build(hist, "doc_id", "text", p_mid, k=8)
+    dedup.containment_index_delete(spark, p_mid, dead)
+    eps = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{p_mid}/postings")
+        if n.startswith("epoch=")
+    )
+    target = max(eps)
+    stage = f"{p_mid}/_ctmp_e{target}_t10"
+    live = (
+        spark.read.option("basePath", f"{p_mid}/postings")
+        .parquet(f"{p_mid}/postings/epoch=*")
+        .filter(~F.col("__id").isin(dead))
+        .drop("epoch")
+    )
+    live.write.parquet(f"{stage}/postings")
+    live.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz")).write.parquet(
+        f"{stage}/sizes"
+    )
+    live.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    ).write.parquet(f"{stage}/dfreq")
+    open(f"{stage}/_COMMIT", "w").close()
+    # crash mid-swap: postings sources deleted + renamed, rest not
+    for n in list(os.listdir(f"{p_mid}/postings")):
+        if n.startswith("epoch="):
+            shutil.rmtree(f"{p_mid}/postings/{n}")
+    os.rename(f"{stage}/postings", f"{p_mid}/postings/epoch={target}")
+    # rerun must finish sizes/dfreq renames + tombstone drop
+    dedup.containment_index_compact(spark, p_mid)
+    assert not os.path.exists(f"{p_mid}/tombstones")
+    assert not any(
+        n.startswith("_ctmp_e") for n in os.listdir(p_mid)
+    )
+    got = _hits_tuples(batch, p_mid, max_shingle_df=0.2)
+    # p_mid lacks the 150-180 add, so compare against its own clean twin
+    p_mid_clean = str(tmp_path / "midclean")
+    dedup.containment_index_build(hist, "doc_id", "text", p_mid_clean, k=8)
+    dedup.containment_index_delete(spark, p_mid_clean, dead)
+    dedup.containment_index_compact(spark, p_mid_clean)
+    assert got == _hits_tuples(batch, p_mid_clean, max_shingle_df=0.2)

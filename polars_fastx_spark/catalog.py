@@ -10407,3 +10407,105 @@ def l_crawl_frontier(spark, sf_dir):
     return capped.select(
         urlsf.url_domain("url").alias("domain"), "url"
     ).orderBy("domain", "url")
+
+
+#: private (mutating) containment index for the takedown query — the
+#: _ANN_PRIVATE pattern: pinned tombstone epochs make re-runs answer
+#: identically off the cached base instead of paying the build
+_CONTAIN_PRIVATE: dict = {}
+
+
+def _containment_private_index(spark, sf_dir):
+    import tempfile
+
+    from polars_fastx_spark.sources.sinks import committed_epochs, hadoop_fs
+
+    path = _CONTAIN_PRIVATE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_contain_del_")
+        _CONTAIN_PRIVATE[sf_dir] = path
+    meta_ok = hadoop_fs(spark, f"{path}/meta/_SUCCESS")[1].exists(
+        hadoop_fs(spark, f"{path}/meta/_SUCCESS")[0]
+    )
+    if not (meta_ok and committed_epochs(spark, f"{path}/postings")):
+        hist = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 3 != 0
+        )
+        dedup.containment_index_build(hist, "doc_id", "text", path, k=8)
+    return path
+
+
+def _prep_containment_delete(spark, sf_dir):
+    _containment_private_index(spark, sf_dir)
+
+
+@_q(
+    "l_containment_delete",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, length(text) - 7),
+               i -> substr(text, i, 8)))) AS shingle
+      FROM documents
+    ),
+    hp AS (SELECT doc_id AS matched_id, shingle FROM sh
+           WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0),
+    bp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 3 = 0),
+    hs AS (SELECT matched_id, count(*) AS size_hist FROM hp GROUP BY 1),
+    bs AS (SELECT doc_id, count(*) AS size_batch FROM bp GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM hs),
+    hdf AS (SELECT shingle, count(*) AS df FROM hp GROUP BY shingle),
+    hpc AS (
+      SELECT h.matched_id, h.shingle
+      FROM hp h JOIN hdf d USING (shingle), nd
+      WHERE d.df <= floor(0.04 * nd.n)
+    ),
+    common AS (
+      SELECT b.doc_id, h.matched_id, count(*) AS common
+      FROM bp b JOIN hpc h USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, matched_id, common, size_batch, size_hist,
+           round(common::DOUBLE / size_batch, 6) AS containment_batch_in_hist,
+           round(common::DOUBLE / size_hist, 6) AS containment_hist_in_batch,
+           round(greatest(common::DOUBLE / size_batch,
+                          common::DOUBLE / size_hist), 6) AS max_containment
+    FROM common JOIN bs USING (doc_id) JOIN hs USING (matched_id)
+    WHERE greatest(common::DOUBLE / size_batch,
+                   common::DOUBLE / size_hist) >= 0.15
+    ORDER BY doc_id, matched_id
+    """,
+    "L2: containment-index TAKEDOWN — history docs with doc_id%5==0 "
+    "are tombstoned out (containment_index_delete at a PINNED epoch: "
+    "re-runs overwrite themselves) and the gate's evidence must be "
+    "exactly an index built WITHOUT them: hidden postings/sizes gone "
+    "AND the maintained per-shingle df corrected by counting the "
+    "hidden rows, which shifts the fractional boilerplate cap's "
+    "allowed set (the oracle recomputes df and the cap from the "
+    "post-delete history). The containment twin of l_ann_index_delete",
+    prepare=_prep_containment_delete
+)
+def l_containment_delete(spark, sf_dir):
+    path = _containment_private_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    dead = docs.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 5 == 0)
+    ).select("doc_id")
+    dedup.containment_index_delete(spark, path, dead, epoch=1)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return (
+        dedup.containment_hits(
+            batch, path, "text", threshold=0.15, max_shingle_df=0.04
+        )
+        .select(
+            "doc_id", "matched_id", "common", "size_batch", "size_hist",
+            F.round("containment_batch_in_hist", 6).alias(
+                "containment_batch_in_hist"
+            ),
+            F.round("containment_hist_in_batch", 6).alias(
+                "containment_hist_in_batch"
+            ),
+            F.round("max_containment", 6).alias("max_containment"),
+        )
+        .orderBy("doc_id", "matched_id")
+    )

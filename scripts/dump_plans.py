@@ -98,6 +98,14 @@ HEADLINE = {
     "broadcast onto the on-disk history postings scan; history is "
     "read, never re-shingled; df cap joins the maintained per-epoch "
     "dfreq tables, history count a 1-row broadcast.",
+    "l_snapshot_diff": "Release diff: ONE null-safe full-outer "
+    "sort-merge join on the key; unchanged rows filter before the "
+    "output sort, so the materialized result is change-sized.",
+    "l_domain_cap": "Mega-domain-safe cap: per-domain totals "
+    "(map-side combined) split hot from cold via broadcast "
+    "anti/semi-joins; only over-cap rows shuffle to the (domain, "
+    "bucket) histogram + threshold-bucket ranking window — no task "
+    "ever holds a whole domain.",
 }
 
 

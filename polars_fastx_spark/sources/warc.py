@@ -70,6 +70,12 @@ WARC_SCHEMA = StructType(
         StructField("content_length", LongType(), True),
         StructField("http_status", IntegerType(), True),
         StructField("http_content_type", StringType(), True),
+        # dedup plumbing: crawlers emit `revisit` records instead of
+        # re-storing an unchanged page — payload_digest ties a revisit
+        # to ANY capture of the same content, refers_to to the one
+        # concrete record it skipped (see resolve_revisits)
+        StructField("payload_digest", StringType(), True),
+        StructField("refers_to", StringType(), True),
         StructField("payload", BinaryType(), True),
     ]
 )
@@ -138,6 +144,8 @@ def _parse_record(buf: io.BufferedIOBase):
         clen,
         status,
         http_ct,
+        headers.get("warc-payload-digest"),
+        headers.get("warc-refers-to"),
         payload,
     )
 
@@ -358,6 +366,88 @@ def scan_warc(
     return reader.load(path)
 
 
+def resolve_revisits(df: DataFrame, drop: bool = False) -> DataFrame:
+    """Handle crawler ``revisit`` records — the dedup-at-capture-time
+    convention (ISO 28500 §6.7.2): when a re-fetched page is
+    unchanged, the crawler stores a bodiless ``revisit`` record
+    pointing at the capture it skipped instead of re-storing the
+    bytes. Training pipelines want one of two things:
+
+    - ``drop=True``: the deduplicated corpus — revisit rows are
+      simply removed (the referenced content is already present via
+      its original record);
+    - ``drop=False`` (default): the full capture TIMELINE — each
+      revisit inherits ``payload`` / ``http_status`` /
+      ``http_content_type`` from the capture it refers to while
+      keeping its own ``target_uri`` / ``warc_date`` (re-crawl
+      frequency and URL aliasing analyses need this view).
+
+    Resolution keys, in order: ``refers_to`` → the original's
+    ``record_id`` (the spec's explicit pointer), falling back to
+    ``payload_digest`` when ``refers_to`` is absent (pick the
+    min-record_id capture of that digest, deterministic). Both lanes
+    are key equi-joins — originals are corpus-sized, so they SHUFFLE
+    on the key (never a broadcast hint); revisit volume scales with
+    re-crawl overlap. Unresolvable revisits (referenced capture not
+    in this slice of the crawl) keep their own bodiless payload
+    rather than being silently dropped."""
+    from pyspark.sql import functions as F
+
+    if drop:
+        return df.filter(F.col("warc_type") != "revisit")
+    originals = df.filter(F.col("warc_type") != "revisit")
+    rev = df.filter(F.col("warc_type") == "revisit")
+    src = originals.select(
+        F.col("record_id").alias("__src_id"),
+        F.col("payload_digest").alias("__src_digest"),
+        F.col("http_status").alias("__src_status"),
+        F.col("http_content_type").alias("__src_http_ct"),
+        F.col("payload").alias("__src_payload"),
+    )
+    by_ref = rev.filter(F.col("refers_to").isNotNull()).join(
+        src.drop("__src_digest"),
+        F.col("refers_to") == F.col("__src_id"),
+        "left",
+    ).drop("__src_id")
+    # digest fallback: deterministic representative per digest
+    rep = (
+        src.filter(F.col("__src_digest").isNotNull())
+        .groupBy("__src_digest")
+        .agg(
+            F.min_by("__src_status", "__src_id").alias("__src_status"),
+            F.min_by("__src_http_ct", "__src_id").alias("__src_http_ct"),
+            F.min_by("__src_payload", "__src_id").alias("__src_payload"),
+        )
+    )
+    by_digest = rev.filter(
+        F.col("refers_to").isNull() & F.col("payload_digest").isNotNull()
+    ).join(
+        rep,
+        F.col("payload_digest") == F.col("__src_digest"),
+        "left",
+    ).drop("__src_digest")
+    unresolvable = rev.filter(
+        F.col("refers_to").isNull() & F.col("payload_digest").isNull()
+    ).select(
+        "*",
+        F.lit(None).cast("int").alias("__src_status"),
+        F.lit(None).cast("string").alias("__src_http_ct"),
+        F.lit(None).cast("binary").alias("__src_payload"),
+    )
+    resolved = by_ref.unionByName(by_digest).unionByName(unresolvable)
+    resolved = resolved.select(
+        "record_id", "warc_type", "target_uri", "warc_date",
+        "content_type", "content_length",
+        F.coalesce("__src_status", "http_status").alias("http_status"),
+        F.coalesce("__src_http_ct", "http_content_type").alias(
+            "http_content_type"
+        ),
+        "payload_digest", "refers_to",
+        F.coalesce("__src_payload", "payload").alias("payload"),
+    )
+    return originals.select(*resolved.columns).unionByName(resolved)
+
+
 # ----------------------------------------------------------- writer
 
 def render_warc_record(
@@ -367,6 +457,8 @@ def render_warc_record(
     date: str,
     block: bytes,
     content_type: str = "application/http; msgtype=response",
+    payload_digest: str | None = None,
+    refers_to: str | None = None,
 ) -> bytes:
     """One spec-valid WARC/1.0 record (headers + block + CRLFCRLF)."""
     head = [
@@ -377,6 +469,10 @@ def render_warc_record(
     ]
     if target_uri:
         head.append(b"WARC-Target-URI: " + target_uri.encode())
+    if payload_digest:
+        head.append(b"WARC-Payload-Digest: " + payload_digest.encode())
+    if refers_to:
+        head.append(b"WARC-Refers-To: " + refers_to.encode())
     head += [
         b"Content-Type: " + content_type.encode(),
         b"Content-Length: " + str(len(block)).encode(),
@@ -450,6 +546,8 @@ def write_warc_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None
     has_http_ct = "http_content_type" in cols
     has_ct = "content_type" in cols
     has_uri = "target_uri" in cols
+    has_digest = "payload_digest" in cols
+    has_refers = "refers_to" in cols
 
     def _write_part(rows) -> None:
         from pyspark import TaskContext
@@ -490,6 +588,10 @@ def write_warc_corpus(df: DataFrame, path: str, mode: str = "overwrite") -> None
                 row["warc_date"] or "1970-01-01T00:00:00Z",
                 block,
                 content_type=ctype,
+                payload_digest=(
+                    row["payload_digest"] if has_digest else None
+                ),
+                refers_to=row["refers_to"] if has_refers else None,
             )
             out.write(gzip.compress(rec))
         if out is not None:

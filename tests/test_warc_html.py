@@ -415,3 +415,60 @@ def test_streaming_crawl_pipeline_dedups_canonical_urls(spark, tmp_path):
         "https://a.com/page", "https://b.com/page", "https://c.org/fresh"
     ]
     assert all(r["text"].startswith("P") for r in rows)
+
+
+def test_revisit_records_scan_and_resolve(spark, tmp_path):
+    """Crawler revisit records (ISO 28500 dedup-at-capture): digest
+    and refers-to headers scan into columns; resolve_revisits inherits
+    payload/http fields from the referenced capture (refers_to lane)
+    or any same-digest capture (fallback lane); drop=True removes
+    revisits outright; unresolvable revisits keep their bodiless
+    payload instead of being silently dropped."""
+    body = b"<html><p>stable content</p></html>"
+    recs = [
+        warc.render_warc_record(
+            "<urn:uuid:orig-1>", "response", "https://a.com/p",
+            "2026-08-01T00:00:00Z", warc.http_response_block(body),
+            payload_digest="sha1:AAA",
+        ),
+        warc.render_warc_record(
+            "<urn:uuid:rv-ref>", "revisit", "https://a.com/p",
+            "2026-08-10T00:00:00Z", b"",
+            content_type="application/http; msgtype=response",
+            payload_digest="sha1:AAA", refers_to="<urn:uuid:orig-1>",
+        ),
+        warc.render_warc_record(
+            "<urn:uuid:rv-digest>", "revisit", "https://MIRROR.a.com/p",
+            "2026-08-12T00:00:00Z", b"",
+            content_type="application/http; msgtype=response",
+            payload_digest="sha1:AAA",
+        ),
+        warc.render_warc_record(
+            "<urn:uuid:rv-lost>", "revisit", "https://a.com/q",
+            "2026-08-13T00:00:00Z", b"",
+            content_type="application/http; msgtype=response",
+        ),
+    ]
+    p = str(tmp_path / "rv.warc")
+    warc.write_warc(p, recs)
+    df = warc.scan_warc(spark, p)
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert rows["<urn:uuid:orig-1>"]["payload_digest"] == "sha1:AAA"
+    assert rows["<urn:uuid:rv-ref>"]["refers_to"] == "<urn:uuid:orig-1>"
+
+    full = {
+        r["record_id"]: r for r in warc.resolve_revisits(df).collect()
+    }
+    assert len(full) == 4
+    for rid in ("<urn:uuid:rv-ref>", "<urn:uuid:rv-digest>"):
+        assert bytes(full[rid]["payload"]) == body, rid
+        assert full[rid]["http_status"] == 200
+    assert full["<urn:uuid:rv-digest>"]["target_uri"].startswith(
+        "https://MIRROR"
+    )  # revisit keeps its own capture identity
+    assert bytes(full["<urn:uuid:rv-lost>"]["payload"]) == b""
+    dedup_ids = {
+        r["record_id"]
+        for r in warc.resolve_revisits(df, drop=True).collect()
+    }
+    assert dedup_ids == {"<urn:uuid:orig-1>"}

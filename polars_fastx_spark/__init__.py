@@ -25,7 +25,7 @@ from polars_fastx_spark.session import get_spark, stop_spark
 from polars_fastx_spark.functions import seq
 from polars_fastx_spark.sources.fastx import scan_fastx, read_fastx
 from polars_fastx_spark.sources.warc import scan_warc
-from polars_fastx_spark.pipeline import fasta_stats
+from polars_fastx_spark.pipeline import crawl_to_corpus, fasta_stats
 from polars_fastx_spark.operators.diffing import (
     apply_diff,
     invert_diff,
@@ -43,6 +43,7 @@ __all__ = [
     "read_fastx",
     "scan_warc",
     "fasta_stats",
+    "crawl_to_corpus",
     "snapshot_diff",
     "snapshot_diff_summary",
     "apply_diff",

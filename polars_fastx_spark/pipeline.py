@@ -134,3 +134,97 @@ def corpus_clean(
         out_path
     )
     return spark.read.parquet(out_path)
+
+
+def crawl_to_corpus(
+    spark: SparkSession,
+    warc_path: str,
+    out_path: str,
+    min_chars: int = 80,
+    domain_cap_n: int = 1000,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The crawl front door in one call: WARC archives → deduped,
+    split, partitioned parquet training corpus. Every stage is an
+    operator this package ships individually; this is the composition
+    a team actually runs, with the data movement each step costs:
+
+    1.  ``scan_warc`` — byte-range-split archive scan (records parse
+        where they live);
+    2.  ``resolve_revisits(drop=True)`` — capture-time dedup: bodiless
+        revisit records drop, their content is already present once;
+    3.  HTTP-200 ``text/html`` filter + ``html_noindex`` polite-crawl
+        gate — shuffle-free;
+    4.  visible text (``strip_html``) + title + canonical URL
+        (declared ``rel=canonical`` preferred, syntactic
+        ``normalize_url`` fallback) — codegen column work;
+    5.  exact dedup on canonical URL keeping the EARLIEST capture —
+        one shuffle on the url;
+    6.  length gate, then ``domain_cap`` — mega-domain-safe politeness
+        budget (hot/cold split, only over-cap rows shuffle twice);
+    7.  MinHash-LSH near-dup keep-one (banded candidates, production
+        ``perm`` family, connected components, min-id survivor) —
+        banded equi-join, never all-pairs;
+    8.  deterministic content-addressed train/valid/test assignment —
+        pure map;
+    9.  write partitioned by ``split`` (downstream jobs
+        partition-prune their split).
+
+    Returns the written frame re-read from ``out_path``. Document ids
+    are md5 of the canonical url — content-addressed, stable across
+    reruns and cluster sizes.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from polars_fastx_spark.functions import html as H
+    from polars_fastx_spark.functions import urls
+    from polars_fastx_spark.operators import dedup, sampling
+    from polars_fastx_spark.sources.warc import resolve_revisits, scan_warc
+
+    pages = resolve_revisits(scan_warc(spark, warc_path), drop=True)
+    html = F.col("payload").cast("string")
+    rows = (
+        pages.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .filter(~H.html_noindex(html))
+        .select(
+            F.coalesce(
+                F.nullif(H.html_canonical(html), F.lit("")),
+                urls.normalize_url("target_uri"),
+            ).alias("url"),
+            F.col("warc_date"),
+            H.html_title(html).alias("title"),
+            H.strip_html(html).alias("text"),
+        )
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_date").asc(), F.col("text").asc()
+    )
+    rows = (
+        rows.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .filter(F.length("text") >= min_chars)
+    )
+    rows = urls.domain_cap(rows, "url", cap=domain_cap_n)
+    rows = rows.withColumn("doc_id", F.md5("url"))
+    pairs = dedup.minhash_lsh_candidates(
+        rows, "doc_id", "text", family="perm"
+    )
+    from polars_fastx_spark.operators.graph import connected_components
+
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    rows = rows.join(dropped, "doc_id", "left_anti")
+    rows = sampling.assign_splits(
+        rows, "doc_id", split_weights or {"train": 0.98, "valid": 0.01,
+                                          "test": 0.01}
+    )
+    rows.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    return spark.read.parquet(out_path)

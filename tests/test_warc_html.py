@@ -472,3 +472,74 @@ def test_revisit_records_scan_and_resolve(spark, tmp_path):
         for r in warc.resolve_revisits(df, drop=True).collect()
     }
     assert dedup_ids == {"<urn:uuid:orig-1>"}
+
+
+def test_crawl_to_corpus_front_door(spark, tmp_path):
+    """pipeline.crawl_to_corpus: WARC directory in, partitioned
+    training corpus out — revisits dropped, noindex pages gated,
+    canonical-URL dedup keeps the earliest capture, near-identical
+    pages collapse to one survivor, splits partition the write."""
+    from polars_fastx_spark.pipeline import crawl_to_corpus
+
+    base_text = (
+        "This is a long and perfectly ordinary paragraph of page text "
+        "that easily clears the minimum length gate for the corpus. "
+    ) * 3
+
+    def _page(i, uri, text, date="2026-08-01T00:00:00Z", noindex=False,
+              revisit=False, canonical=None):
+        meta = '<meta name="robots" content="noindex">' if noindex else ""
+        link = (
+            f'<link rel="canonical" href="{canonical}">' if canonical else ""
+        )
+        body = (
+            f"<html><head><title>T{i}</title>{meta}{link}</head>"
+            f"<body><p>{text}</p></body></html>"
+        ).encode()
+        if revisit:
+            return warc.render_warc_record(
+                f"<urn:uuid:p-{i}>", "revisit", uri, date, b"",
+                content_type="application/http; msgtype=response",
+                payload_digest="sha1:X",
+            )
+        return warc.render_warc_record(
+            f"<urn:uuid:p-{i}>", "response", uri, date,
+            warc.http_response_block(body),
+        )
+
+    recs = [
+        _page(0, "https://a.com/x", base_text + "alpha"),
+        # same canonical URL, later capture: url-dedup keeps capture 0
+        _page(1, "HTTPS://WWW.A.com:443/x?utm_source=z",
+              base_text + "beta", date="2026-08-05T00:00:00Z"),
+        # near-identical content on another site: LSH collapses
+        _page(2, "https://b.org/y", base_text + "alpha"),
+        _page(3, "https://c.net/z", "totally different words " * 20),
+        _page(4, "https://d.io/w", base_text + "gamma", noindex=True),
+        _page(5, "https://a.com/again", base_text, revisit=True),
+        _page(6, "https://tiny.me/s", "too short"),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    warc.write_warc(str(src / "a.warc.gz"), recs)
+    out = str(tmp_path / "corpus")
+    got = crawl_to_corpus(spark, str(src) + "/*.warc.gz", out)
+    rows = {r["url"]: r for r in got.collect()}
+    # noindex (4), revisit (5), short (6), utm-variant (1) and one of
+    # the near-identical pair (0/2) are gone
+    urls_kept = set(rows)
+    assert "https://c.net/z" in urls_kept
+    assert len(urls_kept & {"https://a.com/x", "https://b.org/y"}) == 1
+    assert not any("d.io" in u or "tiny.me" in u for u in urls_kept)
+    assert len(urls_kept) == 2
+    surviving = (urls_kept & {"https://a.com/x", "https://b.org/y"}).pop()
+    if surviving == "https://a.com/x":
+        assert rows[surviving]["title"] == "T0"  # earliest capture won
+    assert set(got.select("split").distinct().toPandas()["split"]) <= {
+        "train", "valid", "test"
+    }
+    import os as _os
+
+    assert any(
+        n.startswith("split=") for n in _os.listdir(out)
+    )  # partitioned write

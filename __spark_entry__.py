@@ -63,6 +63,7 @@ _PRIORITY = [
     "l_snapshot_diff", "l_snapshot_diff_summary", "l_shuffle_shards",
     "l_crawl_rank", "l_anchor_text", "l_ann_index_sync", "l_diff_apply",
     "l_release_drift", "l_crawl_frontier", "l_containment_delete",
+    "l_ann_index_sync_fp",
     "l_ann_index_search", "l_ann_index_add", "l_ann_index_search_many",
     "l_ann_index_stats",
     "x_sketch_kmv", "l_mmr_rerank", "l_bpe_merges", "l_bpe_encode",

@@ -10509,3 +10509,30 @@ def l_containment_delete(spark, sf_dir):
         )
         .orderBy("doc_id", "matched_id")
     )
+
+
+def _prep_ann_sync_fp(spark, sf_dir):
+    old, _ = _ann_sync_snapshots(spark, sf_dir)
+    _ann_private_index(spark, sf_dir, "syncfp", old)
+
+
+@_q(
+    "l_ann_index_sync_fp",
+    QUERIES["l_ann_index_sync"].oracle,
+    "L3+ ANN index sync, FINGERPRINT lane: the same release sync as "
+    "l_ann_index_sync but WITHOUT the old snapshot — change detection "
+    "diffs (id, __fp) from the index's own live code rows against the "
+    "new release (codes store lossy PQ approximations; the md5 vector "
+    "fingerprint written at build/add is exact). Same oracle: the two "
+    "lanes must land the identical post-sync index "
+    "(operators/ann_index.py:index_sync_from_index).",
+    prepare=_prep_ann_sync_fp
+)
+def l_ann_index_sync_fp(spark, sf_dir):
+    old, new = _ann_sync_snapshots(spark, sf_dir)
+    q = [float(x) for x in old.filter(F.col("vec_id") == 0).first()["v"]]
+    path = _ann_private_index(spark, sf_dir, "syncfp", old)
+    ann_index.index_sync_from_index(new, "v", path, epoch=1)
+    return ann_index.index_search(spark, path, q, k=10, nprobe=4).select(
+        "vec_id", F.round("adc_dist", 6).alias("adc_dist")
+    )

@@ -102,6 +102,7 @@ ALLOWED_NESTED_LOOP = {
     "l_containment_gate",  # history doc-count = 1-row broadcast cross join
     "l_release_drift",    # release totals = 1-row broadcast cross join
     "l_ann_index_sync",   # same build shape as l_ann_index_search
+    "l_ann_index_sync_fp",  # same build shape, fingerprint lane
     "l_containment_delete",  # history doc-count = 1-row broadcast cross join
 }
 

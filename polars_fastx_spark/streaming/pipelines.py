@@ -476,8 +476,21 @@ def stream_containment_gate(
     (availableNow trigger)."""
 
     def _gate(batch: DataFrame, epoch: int) -> None:
+        # epoch ids offset per checkpoint (the ANN stream's base
+        # discipline): a stream restarted with a FRESH checkpoint
+        # resets micro-batch ids to 0 and would otherwise overwrite
+        # the previous stream's committed index/output epochs
+        from polars_fastx_spark.operators.dedup import (
+            _next_containment_epoch,
+        )
+
+        spark = batch.sparkSession
+        base = _stream_epoch_base(
+            spark, index_path, checkpoint, table="postings",
+            next_epoch=lambda: _next_containment_epoch(spark, index_path),
+        )
         _containment_gate_epoch(
-            batch, epoch, index_path, out_path, id_col, text_col,
+            batch, base + epoch, index_path, out_path, id_col, text_col,
             k, threshold, max_shingle_df, hash_shingles, compact_every,
         )
 
@@ -861,7 +874,7 @@ def stream_index_add(
 
     def _add(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
-        base = _stream_epoch_base(spark, index_path)
+        base = _stream_epoch_base(spark, index_path, checkpoint)
         if compact_every:
             ann_index.index_compact(
                 spark, index_path, min_epochs=compact_every,
@@ -885,32 +898,55 @@ def stream_index_add(
     )
 
 
-def _stream_epoch_base(spark, index_path: str) -> int:
+def _stream_epoch_base(
+    spark,
+    index_path: str,
+    checkpoint: str | None = None,
+    table: str = "codes",
+    next_epoch=None,
+) -> int:
     """The stream's epoch-id offset into the index's code table,
-    recorded ONCE (first writer wins, create-exclusive) so every retry
-    and restart maps micro-batch N to the same ``epoch=base+N`` dir."""
+    recorded PER CHECKPOINT so every retry and restart of a stream
+    maps micro-batch N to the same ``epoch=base+N`` dir — while a
+    stream restarted with a FRESH checkpoint (whose micro-batch ids
+    reset to 0) gets a NEW base above every committed epoch instead of
+    silently overwriting the previous stream's history (the
+    index-global base this replaces had exactly that hazard).
+
+    The base file holds a JSON map {checkpoint: base}; a bare int
+    (the legacy format) reads as the map's first entry. The update is
+    read-modify-overwrite under the family's single-maintainer
+    assumption (one live stream per index)."""
+    import json
+
     from polars_fastx_spark.operators.ann_index import _next_index_epoch
 
+    if next_epoch is None:
+        next_epoch = lambda: _next_index_epoch(spark, index_path)  # noqa: E731
+    key = str(checkpoint) if checkpoint else "__default__"
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/codes/_stream_base")
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{table}/_stream_base")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
+    bases: dict[str, int] = {}
+    if fs.exists(p):
+        stream_in = fs.open(p)
+        try:
+            raw = bytes(stream_in.readAllBytes()).decode().strip()
+        finally:
+            stream_in.close()
+        try:
+            bases = {str(k): int(v) for k, v in json.loads(raw).items()}
+        except (ValueError, AttributeError):
+            bases = {key: int(raw)}  # legacy single-int format
+    if key not in bases:
         # Shared add/delete counter, not codes-only: a tombstone epoch
         # above the last code epoch must not swallow the stream's
         # first batches (tombstone at T hides code epochs < T).
-        base = _next_index_epoch(spark, index_path)
-        try:
-            out = fs.create(p, False)  # exclusive: concurrent loser re-reads
-            out.write(bytearray(str(base).encode()))
-            out.close()
-        except Exception:
-            pass
-    stream_in = fs.open(p)
-    try:
-        raw = bytes(stream_in.readAllBytes())
-    finally:
-        stream_in.close()
-    return int(raw.decode().strip())
+        bases[key] = next_epoch()
+        out = fs.create(p, True)
+        out.write(bytearray(json.dumps(bases).encode()))
+        out.close()
+    return bases[key]
 
 
 def stream_cms_counts(

@@ -1367,3 +1367,123 @@ def test_stream_index_add_monitors_drift_and_policy_retrains(
     }
     assert {0, 1000} <= ids
     assert not ann_index.index_retrain_if_drifted(full, "v", idx)
+
+
+def test_stream_index_add_fresh_checkpoint_never_overwrites(
+    spark, srcdir, tmp_path
+):
+    """A stream restarted with a FRESH checkpoint resets micro-batch
+    ids to 0; its epochs must land ABOVE the previous stream's, never
+    overwrite them (the per-checkpoint base map — the index-global
+    base this regression-tests against had exactly that overwrite)."""
+    from pyspark.sql import functions as F
+
+    from polars_fastx_spark.operators import ann_index
+    from polars_fastx_spark.streaming.pipelines import stream_index_add
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    idx = str(tmp_path / "idx")
+    ann_index.index_build(
+        emb.filter("vec_id < 100"), "vec_id", "v", idx, num_cells=8,
+        pinned=True,
+    )
+    rows = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter("vec_id >= 100 and vec_id < 140").collect()
+    }
+
+    def _vec_batch(name, ids):
+        (srcdir / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "v": rows[i]}) for i in ids
+            )
+            + "\n"
+        )
+
+    vecs = spark.readStream.schema("vec_id long, v array<double>").json(
+        str(srcdir)
+    )
+    ids = sorted(rows)
+    _vec_batch("b0.json", ids[:20])
+    stream_index_add(
+        vecs, "v", idx, str(tmp_path / "ck1"), compact_every=None
+    ).awaitTermination(120)
+    # fresh checkpoint: re-reads b0 (batch id 0 again) and sees b1
+    _vec_batch("b1.json", ids[20:])
+    stream_index_add(
+        vecs, "v", idx, str(tmp_path / "ck2"), compact_every=None
+    ).awaitTermination(120)
+    live = {
+        r["__id"]
+        for r in ann_index._live_codes(spark, idx).select("__id").collect()
+    }
+    # all 140 present; the re-delivered b0 landed at NEW epochs (its
+    # ids simply re-added) instead of clobbering ck1's history
+    assert live == set(range(140))
+    import os
+
+    eps = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{idx}/codes")
+        if n.startswith("epoch=")
+    )
+    # build(0) + ck1's b0(1) + ck2's batches ABOVE them (availableNow
+    # may deliver b0+b1 as one micro-batch, so 1 or 2 new epochs)
+    assert eps[:2] == [0, 1] and 3 <= len(eps) <= 4
+    n_ck1 = (
+        spark.read.option("basePath", f"{idx}/codes")
+        .parquet(f"{idx}/codes/epoch=1").count()
+    )
+    assert n_ck1 == 20  # ck1's epoch survived ck2 untouched
+
+
+def test_stream_containment_gate_fresh_checkpoint_never_overwrites(
+    spark, srcdir, tmp_path
+):
+    """The containment gate's epochs are offset the same way: a fresh
+    checkpoint must append above the previous stream's index/output
+    epochs, not overwrite them."""
+    from polars_fastx_spark.streaming.pipelines import (
+        stream_containment_gate,
+    )
+
+    def _doc_batch(name, docs):
+        (srcdir / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in docs
+            )
+            + "\n"
+        )
+
+    docs = spark.readStream.schema("doc_id long, text string").json(
+        str(srcdir)
+    )
+    idx, out = str(tmp_path / "cidx"), str(tmp_path / "out")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten eleven"
+    _doc_batch("b0.json", [(1, t1)])
+    stream_containment_gate(
+        docs, "doc_id", "text", idx, out, str(tmp_path / "ck1"),
+        threshold=0.5,
+    ).awaitTermination(120)
+    # fresh checkpoint: replays batch 0 (doc 1 now gated as a dup of
+    # itself in history) and delivers doc 2
+    _doc_batch("b1.json", [(2, t2)])
+    stream_containment_gate(
+        docs, "doc_id", "text", idx, out, str(tmp_path / "ck2"),
+        threshold=0.5,
+    ).awaitTermination(120)
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()
+    }
+    assert kept == {1, 2}  # doc 1 once (replay gated), doc 2 kept
+    import os
+
+    post_eps = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(f"{idx}/postings")
+        if n.startswith("epoch=")
+    )
+    assert post_eps[0] == 0 and len(post_eps) >= 2  # ck1's epoch intact

@@ -429,8 +429,13 @@ def stream_neardup_gate(
     """
 
     def _gate(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        base = _stream_epoch_base(
+            spark, index_path, checkpoint,
+            next_epoch=lambda: _next_epoch_of(spark, index_path, out_path),
+        )
         _neardup_gate_epoch(
-            batch, epoch, index_path, out_path,
+            batch, base + epoch, index_path, out_path,
             id_col, text_col, shingle_k, num_hashes, bands, family,
             compact_every,
         )
@@ -486,7 +491,7 @@ def stream_containment_gate(
 
         spark = batch.sparkSession
         base = _stream_epoch_base(
-            spark, index_path, checkpoint, table="postings",
+            spark, f"{index_path}/postings", checkpoint,
             next_epoch=lambda: _next_containment_epoch(spark, index_path),
         )
         _containment_gate_epoch(
@@ -595,8 +600,13 @@ def stream_decontam_gate(
     bench = benchmark.persist()
 
     def _gate(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        base = _stream_epoch_base(
+            spark, out_path, checkpoint,
+            next_epoch=lambda: _next_epoch_of(spark, out_path),
+        )
         _decontam_gate_epoch(
-            batch, epoch, bench, out_path, id_col, text_col,
+            batch, base + epoch, bench, out_path, id_col, text_col,
             k, threshold, max_shingle_df,
         )
 
@@ -758,8 +768,13 @@ def stream_media_neardup_gate(
     indexes. Returns the started StreamingQuery (availableNow)."""
 
     def _gate(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        base = _stream_epoch_base(
+            spark, index_path, checkpoint,
+            next_epoch=lambda: _next_epoch_of(spark, index_path, out_path),
+        )
         _media_gate_epoch(
-            batch, epoch, index_path, out_path,
+            batch, base + epoch, index_path, out_path,
             max_distance, signer, compact_every,
         )
 
@@ -873,8 +888,15 @@ def stream_index_add(
     from polars_fastx_spark.operators import ann_index
 
     def _add(batch: DataFrame, epoch: int) -> None:
+        from polars_fastx_spark.operators.ann_index import (
+            _next_index_epoch,
+        )
+
         spark = batch.sparkSession
-        base = _stream_epoch_base(spark, index_path, checkpoint)
+        base = _stream_epoch_base(
+            spark, f"{index_path}/codes", checkpoint,
+            next_epoch=lambda: _next_index_epoch(spark, index_path),
+        )
         if compact_every:
             ann_index.index_compact(
                 spark, index_path, min_epochs=compact_every,
@@ -900,9 +922,8 @@ def stream_index_add(
 
 def _stream_epoch_base(
     spark,
-    index_path: str,
+    base_dir: str,
     checkpoint: str | None = None,
-    table: str = "codes",
     next_epoch=None,
 ) -> int:
     """The stream's epoch-id offset into the index's code table,
@@ -919,13 +940,9 @@ def _stream_epoch_base(
     assumption (one live stream per index)."""
     import json
 
-    from polars_fastx_spark.operators.ann_index import _next_index_epoch
-
-    if next_epoch is None:
-        next_epoch = lambda: _next_index_epoch(spark, index_path)  # noqa: E731
     key = str(checkpoint) if checkpoint else "__default__"
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{table}/_stream_base")
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/_stream_base")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     bases: dict[str, int] = {}
     if fs.exists(p):
@@ -947,6 +964,19 @@ def _stream_epoch_base(
         out.write(bytearray(json.dumps(bases).encode()))
         out.close()
     return bases[key]
+
+
+def _next_epoch_of(spark, *dirs: str) -> int:
+    """Next free epoch id across several epoch-partitioned dirs — the
+    fresh-checkpoint base for gates whose index and output epochs must
+    both stay clear of history (a crashed batch can leave an output
+    epoch with no index twin, and vice versa)."""
+    from polars_fastx_spark.sources.sinks import committed_epochs
+
+    eps: list[int] = []
+    for d in dirs:
+        eps += committed_epochs(spark, d)
+    return (max(eps) + 1) if eps else 0
 
 
 def stream_cms_counts(

@@ -190,7 +190,14 @@ def domain_cap(
     from pyspark.sql import Window
 
     key = (_col(order_col) if order_col else _col(url_col)).cast("string")
-    dom = url_domain(_col(url_col))
+    # NULL-domain rows (NULL/unparseable urls) must flow through the
+    # cap like any other group: the hot/cold split below uses plain
+    # equi-joins, and a NULL key never equi-matches — it would fall
+    # through the left_anti into 'cold' UNCAPPED. Coalesce to the ''
+    # sentinel so the NULL partition groups, joins, and caps normally
+    # ('' cannot collide: url_domain returns '' only for empty hosts,
+    # which belong in the same degenerate group anyway).
+    dom = F.coalesce(url_domain(_col(url_col)), F.lit(""))
     kd = df.withColumn("__dom", dom)
     # totals first — map-side combine shrinks the shuffle to one row
     # per domain; histogramming ALL rows instead would make the

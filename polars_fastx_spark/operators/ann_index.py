@@ -56,9 +56,19 @@ def _vec_fp(vec: F.Column) -> F.Column:
     WITHOUT the previous corpus snapshot: codes hold lossy PQ
     approximations, but the fingerprint is exact. Engine-internal
     (never compared across engines), so Spark's double→string
-    rendering is the canonical form."""
+    rendering is the canonical form. The input is cast to
+    ``array<double>`` HERE so every call site agrees: build/add
+    fingerprint ``__v`` (already double via ivf_assign's cast), while
+    sync-from-index fingerprints the raw release column — which is
+    commonly ``array<float>``, whose float→string renderings differ.
+    Without the cast, every id would hash 'changed' on every sync."""
     return F.md5(
-        F.concat_ws(",", F.transform(vec, lambda x: x.cast("string")))
+        F.concat_ws(
+            ",",
+            F.transform(
+                vec.cast("array<double>"), lambda x: x.cast("string")
+            ),
+        )
     )
 
 

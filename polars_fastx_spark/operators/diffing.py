@@ -151,21 +151,29 @@ def apply_diff(
     compare_cols: list[str] | None = None,
 ) -> DataFrame:
     """Replay a diff onto the old snapshot — the CDC apply: drop the
-    removed|changed keys (one anti-join; the diff is change-sized, so
-    it broadcasts), then union the new_* payload of added|changed
+    removed|changed keys (one NULL-SAFE anti-join, matching
+    ``snapshot_diff``'s null-safe key semantics so NULL-keyed removals
+    actually remove), then union the new_* payload of added|changed
     rows. By construction ``apply_diff(old, snapshot_diff(old, new))``
     reconstructs ``new`` exactly (the roundtrip invariant the tests
-    and the l_diff_apply oracle pin). Columns: keys + compared columns
-    (project ``old`` accordingly; for stored tables route the same
-    split through ``upsert.upsert_partitioned`` /
+    and the l_diff_apply oracle pin). The dead-key set is usually
+    change-sized, but a major release can rewrite most of the corpus,
+    so we do NOT force-broadcast it — AQE broadcasts when it actually
+    fits (repo no-force-broadcast discipline). Columns: keys +
+    compared columns (project ``old`` accordingly; for stored tables
+    route the same split through ``upsert.upsert_partitioned`` /
     ``delete_keys_partitioned`` instead)."""
     if compare_cols is None:
         compare_cols = _diff_compare_cols(diff)
     dead = diff.filter(
         F.col("change_type").isin(REMOVED, CHANGED)
-    ).select(*keys)
+    ).select(*[F.col(k).alias(f"__dk_{k}") for k in keys])
+    anti = None
+    for k in keys:
+        eq = _null_safe_eq(F.col(k), F.col(f"__dk_{k}"))
+        anti = eq if anti is None else anti & eq
     survivors = old.select(*keys, *compare_cols).join(
-        F.broadcast(dead), keys, "left_anti"
+        dead, anti, "left_anti"
     )
     fresh = diff.filter(
         F.col("change_type").isin(ADDED, CHANGED)

@@ -40,6 +40,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from polars_fastx_spark.streaming.epochs import (
+    next_epoch_of,
+    stream_epoch_base,
+)
+
 #: events-table schema for streaming reads (ts as µs-precision
 #: timestamp; the ns-parquet hazard of SURVEY.md §4.4.1 applies only to
 #: the driver-generated batch files, which batch queries handle via
@@ -920,63 +925,12 @@ def stream_index_add(
     )
 
 
-def _stream_epoch_base(
-    spark,
-    base_dir: str,
-    checkpoint: str | None = None,
-    next_epoch=None,
-) -> int:
-    """The stream's epoch-id offset into the index's code table,
-    recorded PER CHECKPOINT so every retry and restart of a stream
-    maps micro-batch N to the same ``epoch=base+N`` dir — while a
-    stream restarted with a FRESH checkpoint (whose micro-batch ids
-    reset to 0) gets a NEW base above every committed epoch instead of
-    silently overwriting the previous stream's history (the
-    index-global base this replaces had exactly that hazard).
-
-    The base file holds a JSON map {checkpoint: base}; a bare int
-    (the legacy format) reads as the map's first entry. The update is
-    read-modify-overwrite under the family's single-maintainer
-    assumption (one live stream per index)."""
-    import json
-
-    key = str(checkpoint) if checkpoint else "__default__"
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{base_dir}/_stream_base")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    bases: dict[str, int] = {}
-    if fs.exists(p):
-        stream_in = fs.open(p)
-        try:
-            raw = bytes(stream_in.readAllBytes()).decode().strip()
-        finally:
-            stream_in.close()
-        try:
-            bases = {str(k): int(v) for k, v in json.loads(raw).items()}
-        except (ValueError, AttributeError):
-            bases = {key: int(raw)}  # legacy single-int format
-    if key not in bases:
-        # Shared add/delete counter, not codes-only: a tombstone epoch
-        # above the last code epoch must not swallow the stream's
-        # first batches (tombstone at T hides code epochs < T).
-        bases[key] = next_epoch()
-        out = fs.create(p, True)
-        out.write(bytearray(json.dumps(bases).encode()))
-        out.close()
-    return bases[key]
-
-
-def _next_epoch_of(spark, *dirs: str) -> int:
-    """Next free epoch id across several epoch-partitioned dirs — the
-    fresh-checkpoint base for gates whose index and output epochs must
-    both stay clear of history (a crashed batch can leave an output
-    epoch with no index twin, and vice versa)."""
-    from polars_fastx_spark.sources.sinks import committed_epochs
-
-    eps: list[int] = []
-    for d in dirs:
-        eps += committed_epochs(spark, d)
-    return (max(eps) + 1) if eps else 0
+# The epoch-base discipline lives in streaming/epochs.py (round-7
+# centralization: the per-lane copies of this bookkeeping diverged in
+# round 6 — see that module's docstring). These aliases keep the
+# historical in-module names every gate above uses.
+_stream_epoch_base = stream_epoch_base
+_next_epoch_of = next_epoch_of
 
 
 def stream_cms_counts(

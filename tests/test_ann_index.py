@@ -876,3 +876,34 @@ def test_index_sync_from_index_matches_two_snapshot_sync(spark, tmp_path):
     shutil.move(f"{p_old}/codes_new", f"{p_old}/codes/epoch=0")
     with _pytest.raises(ValueError, match="__fp"):
         ann_index.index_sync_from_index(new, "v", p_old)
+
+
+def test_index_sync_from_index_float_vectors_no_spurious_changes(
+    spark, tmp_path
+):
+    """Round-6 ADVICE regression: build/add fingerprint the
+    array<double>-cast vector (ivf_assign casts), but sync-from-index
+    used to fingerprint the RAW release column — with array<float>
+    embeddings (the common type) the float→string renderings differ,
+    so EVERY id hashed 'changed' on every sync: full tombstone + full
+    re-encode instead of change-sized work. The cast now lives inside
+    _vec_fp, so an unchanged float release must sync as a no-op."""
+    ef = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("v")
+    ).filter("vec_id < 80")
+    path = str(tmp_path / "fidx")
+    ann_index.index_build(
+        ef, "vec_id", "v", path, num_cells=8, m=4, pq_k=8, pinned=True
+    )
+    got = ann_index.index_sync_from_index(ef, "v", path)
+    assert got == {"added": 0, "removed": 0, "changed": 0}
+    # and a real change is still change-sized, not corpus-sized
+    bumped = ef.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 7,
+            F.transform("v", lambda x: x + F.lit(1.0).cast("float")),
+        ).otherwise(F.col("v")).alias("v"),
+    )
+    got2 = ann_index.index_sync_from_index(bumped, "v", path)
+    assert got2 == {"added": 0, "removed": 0, "changed": 1}

@@ -139,3 +139,42 @@ def test_empty_diff_apply_is_identity(spark):
     assert d.count() == 0
     rec = diffing.apply_diff(old, d, ["id"])
     assert _collected(rec) == _collected(old.select("id", "s", "v"))
+
+
+def test_apply_diff_null_key_roundtrip(spark):
+    """Round-6 ADVICE regression: snapshot_diff is null-safe on keys,
+    so apply_diff's anti-join must be too — a NULL-keyed removed/
+    changed row must actually leave, or the old version survives
+    alongside the new payload and the roundtrip invariant breaks."""
+    old = spark.createDataFrame(
+        [(None, "stale", 1.0), (1, "keep", 2.0), (2, "gone", 3.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(None, "fresh", 9.0), (1, "keep", 2.0)],
+        "id long, s string, v double",
+    )
+    d = diffing.snapshot_diff(old, new, ["id"])
+    got = {r["id"]: r["change_type"] for r in d.collect()}
+    assert got == {None: "changed", 2: "removed"}
+
+    def _rows(df):  # None-tolerant multiset compare
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    rec = diffing.apply_diff(old, d, ["id"])
+    assert _rows(rec) == _rows(new.select("id", "s", "v"))
+    # and the rollback leg holds with NULL keys too
+    back = diffing.apply_diff(new, diffing.invert_diff(d), ["id"])
+    assert _rows(back) == _rows(old.select("id", "s", "v"))
+
+
+def test_apply_diff_does_not_force_broadcast(spark):
+    """Round-6 ADVICE regression: the dead-key set can be corpus-sized
+    on a major release; forcing a broadcast hint OOMs the driver at
+    the 8GB hard limit. AQE may still choose to broadcast — the pin is
+    on the HINT's absence in the analyzed plan."""
+    old, new = _snaps(spark)
+    d = diffing.snapshot_diff(old, new, ["id"])
+    rec = diffing.apply_diff(old, d, ["id"])
+    analyzed = rec._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed

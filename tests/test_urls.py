@@ -155,3 +155,24 @@ def test_domain_cap_two_phase_equals_naive_window(spark):
     }
     assert got == want
     assert 2000 in got  # under-cap domain keeps everything
+
+
+def test_domain_cap_null_domain_rows_are_capped(spark):
+    """Round-6 ADVICE regression: NULL-url rows produce a NULL domain,
+    and NULL keys never equi-match — before the '' sentinel coalesce
+    they fell through the left_anti into 'cold' UNCAPPED. An over-cap
+    flood of NULL-domain rows must cap like any other group."""
+    rows = [(i, None) for i in range(40)] + [
+        (100 + i, f"https://site{i}.org/p") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = urls.domain_cap(df, "url", cap=3, order_col="doc_id")
+    out = kept.collect()
+    null_kept = [r for r in out if r["url"] is None]
+    assert len(null_kept) == 3  # the flood is capped
+    assert len(out) == 3 + 4  # small real domains pass whole
+    # deterministic: rerun keeps the same survivors
+    again = urls.domain_cap(df, "url", cap=3, order_col="doc_id")
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out
+    )

@@ -1,0 +1,463 @@
+"""Public Suffix List — PSL-accurate registrable domains at scale.
+
+The registrable domain ("site.co.uk", not "co.uk"; "user.github.io",
+not "github.io") is THE grouping key of a crawl corpus: per-domain
+caps, crawl politeness, and domain authority all mis-group exactly
+the hosting-platform hosts a web corpus is full of if the extraction
+is wrong. ``urls.url_domain`` is a 7-label heuristic shortcut
+(pure-Column, zero-dependency fallback); THIS module is the accurate
+tier — the real PSL algorithm (publicsuffix.org/list/, the public
+MPL-2.0 dataset every browser ships) over a broadcast rule table.
+
+**Algorithm** (the PSL spec, verbatim): split the host into labels; a
+rule matches when its labels are a suffix of the host's (``*``
+matches exactly one label, so a wildcard rule needs the host to have
+at least as many labels as the rule); among matching rules an
+EXCEPTION rule (``!``) wins outright, else the rule with the most
+labels; no match falls back to the implicit ``*`` rule (the TLD
+itself is the public suffix). The public suffix is the matched rule's
+span (exception: one label less); the registrable domain is the
+public suffix plus one more host label. A host that IS a public
+suffix (or shorter) has no registrable domain — this module returns
+the host itself so downstream grouping still has a key (each bare
+suffix groups alone; callers that need the spec's NULL can compare
+``domain == host``).
+
+**Spark shape — zero shuffle**: the rule table is a few-hundred-row
+broadcast; each candidate suffix length probes it with one
+broadcast-hash left join (map-side, whole-stage codegen), and the
+winner is an ``array_max`` over (priority, span) structs. The number
+of joins is the max rule depth in the table (plain 2-3 + wildcard
+2-4 = 5 with the bundled snapshot), independent of data size — at
+100 TB this costs the same per-row work as a handful of regex
+normalizations and exchanges nothing.
+
+**Snapshot, not download**: ``PSL_SNAPSHOT`` is a curated bundled
+snapshot of the PSL (ICANN second-level registries for the major
+ccTLDs, the ICANN wildcard/exception rules, US state/k12 space,
+Canadian provinces, JP prefecture wildcards, and the private-section
+hosting platforms — github.io, blogspot.*, *.compute.amazonaws.com —
+that dominate crawl data). It is data, and deliberately swappable:
+``load_psl_file(path)`` parses a full ``public_suffix_list.dat``
+download, and every function takes ``rules=`` to use it. The bundled
+set resolves the hosting-platform and registry cases a training
+corpus actually meets; unknown suffixes degrade to the implicit-``*``
+default exactly as the spec prescribes.
+
+Oracle replay: :func:`psl_rules_values_sql` and
+:func:`psl_ps_len_sql` emit DuckDB SQL generated FROM THE SAME rule
+tuples, so catalog oracles replay the identical table and algorithm
+— the check cannot share a shortcut with the engine (the round-6
+``_SLD``-in-both-engines blind spot this module closes).
+
+Reference parity: the reference (apcamargo/polars-fastx) has no URL
+surface; north-star extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.functions.urls import url_host
+
+#: ICANN-section second-level registries, grouped by TLD for
+#: readability; expanded into full suffix strings below.
+_ICANN_SLD: dict[str, str] = {
+    "uk": "co org me ltd plc net sch ac gov nhs police mod",
+    "au": "com net org edu gov asn id info conf act nsw nt qld sa tas vic wa",
+    "nz": "ac co cri geek gen govt health iwi kiwi maori mil net org "
+          "parliament school",
+    "jp": "ac ad co ed go gr lg ne or",
+    "br": "com net org gov edu art blog eco mil adv",
+    "in": "co net org firm gen ind ac edu res gov mil nic",
+    "cn": "ac com edu gov mil net org",
+    "kr": "co ne or re pe go ac mil hs ms es sc kg seoul busan",
+    "tw": "com net org edu gov idv mil",
+    "hk": "com edu gov idv net org",
+    "sg": "com edu gov net org per",
+    "za": "ac co edu gov law mil net nom org school web",
+    "mx": "com net org edu gob",
+    "ar": "com edu gob int mil musica net org tur coop",
+    "co": "com edu gov mil net nom org",
+    "tr": "com net org edu gov av bel biz dr gen info k12 name pol tel tv web",
+    "il": "ac co gov idf k12 muni net org",
+    "ua": "com edu gov in net org kiev kyiv lviv",
+    "pl": "com net org edu info waw wroc krakow poznan biz",
+    "ru": "ac edu gov int mil",
+    "th": "ac co go in mi net or",
+    "my": "com net org gov edu mil name",
+    "ph": "com net org gov edu ngo i",
+    "vn": "com net org edu gov int ac biz info name pro health",
+    "id": "ac biz co desa go mil my net or sch web",
+    "sa": "com net org gov med pub edu sch",
+    "eg": "com edu eun gov mil name net org sci",
+    "ng": "com edu gov mil mobi name net org sch",
+    "ke": "ac co go info me mobi ne or sc",
+    "pk": "com edu fam gov net org web biz gok gop gos",
+    "ir": "ac co gov id net org sch",
+    "pe": "com edu gob mil net nom org",
+    "ve": "com edu gob mil net org web",
+    "ec": "com edu fin gob gov info k12 med mil net org pro",
+    "uy": "com edu gub mil net org",
+    "py": "com coop edu gov mil net org",
+    "bo": "com edu gob int mil net org tv",
+    "cr": "ac co ed fi go or sa",
+    "gt": "com edu gob ind mil net org",
+    "do": "com edu gob gov mil net org sld web art",
+    "cl": "gob gov mil",
+    "it": "gov edu",
+    "es": "com nom org gob edu",
+    "pt": "com edu gov int net nome org publ",
+    "gr": "com edu net org gov",
+    "fr": "asso com gouv nom prd tm",
+    "ro": "com org tm nt nom info rec arts firm store www",
+    "hu": "co info org priv sport tm",
+    "at": "ac co gv or",
+    "be": "ac",
+    "ie": "gov",
+    "rs": "ac co edu gov in org",
+    "hr": "com iz from name",
+    "ae": "co net org sch ac gov mil",
+    "qa": "com edu gov mil name net org sch",
+    "kw": "com edu emb gov ind net org",
+    "om": "com edu gov med museum net org pro",
+    "jo": "com edu gov mil name net org sch",
+    "lb": "com edu gov net org",
+    "ma": "ac co gov net org press",
+    "tn": "com ens fin gov ind info intl nat net org perso tourism",
+    "dz": "com edu gov org net pol art",
+    "gh": "com edu gov org mil",
+    "tz": "ac co go hotel info me mil mobi ne or sc tv",
+    "ug": "ac co com go ne or org sc",
+    "et": "com gov org edu biz name info net",
+    "lk": "com edu gov ltd net org sch web",
+    "ca": "gc ab bc mb nb nf nl ns nt nu on pe qc sk yk",
+}
+
+#: JP prefectures with explicit 2-label public suffixes (sample of the
+#: geographic block) and the designated-city wildcards + their city
+#: exceptions — the PSL's canonical wildcard/exception cluster.
+_JP_GEO = (
+    "tokyo osaka kyoto hokkaido aichi fukuoka okinawa saitama chiba "
+    "kanagawa hyogo hiroshima miyagi niigata shizuoka"
+)
+_JP_WILDCARD_CITIES = (
+    "kawasaki kitakyushu kobe nagoya sapporo sendai yokohama"
+)
+
+#: US: every state is a 2-label public suffix, with k12/cc/lib
+#: third-level registries per state.
+_US_STATES = (
+    "ak al ar az ca co ct dc de fl ga hi ia id il in ks ky la ma md me "
+    "mi mn mo ms mt nc nd ne nh nj nm nv ny oh ok or pa ri sc sd tn tx "
+    "ut va vt wa wi wv wy"
+)
+
+#: ICANN wildcard TLDs (entire second level is registry space) and the
+#: one exception the spec itself uses as its worked example.
+_ICANN_WILDCARDS = ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
+_ICANN_EXCEPTIONS = ("!www.ck",)
+
+#: Private-section hosting platforms — the entries that matter most
+#: for crawl corpora: every user site is its own registrable domain.
+_PRIVATE = (
+    "github.io githubusercontent.com gitlab.io "
+    "netlify.app vercel.app now.sh herokuapp.com "
+    "appspot.com web.app firebaseapp.com pages.dev workers.dev "
+    "r2.dev trycloudflare.com "
+    "azurewebsites.net azure-api.net azurecontainer.io azureedge.net "
+    "azurestaticapps.net cloudfront.net "
+    "s3.amazonaws.com elb.amazonaws.com "
+    "fly.dev onrender.com surge.sh readthedocs.io gitbook.io "
+    "webflow.io wixsite.com bitbucket.io sourceforge.io repl.co "
+    "glitch.me neocities.org ngrok.io ngrok-free.app "
+    "wordpress.com dyndns.org duckdns.org hopto.org "
+    "blogspot.com blogspot.co.uk blogspot.in blogspot.de blogspot.fr "
+    "blogspot.jp blogspot.com.au blogspot.com.br blogspot.ca "
+    "blogspot.mx blogspot.it blogspot.es blogspot.nl blogspot.se "
+    "*.compute.amazonaws.com *.compute-1.amazonaws.com"
+)
+
+
+def _snapshot() -> tuple[str, ...]:
+    rules: list[str] = []
+    for tld, slds in _ICANN_SLD.items():
+        rules += [f"{s}.{tld}" for s in slds.split()]
+    rules += [f"{p}.jp" for p in _JP_GEO.split()]
+    rules += [f"*.{c}.jp" for c in _JP_WILDCARD_CITIES.split()]
+    rules += [f"!city.{c}.jp" for c in _JP_WILDCARD_CITIES.split()]
+    for st in _US_STATES.split():
+        rules.append(f"{st}.us")
+        rules += [f"{kind}.{st}.us" for kind in ("k12", "cc", "lib")]
+    rules += [f"*.{t}" for t in _ICANN_WILDCARDS]
+    rules += list(_ICANN_EXCEPTIONS)
+    rules += _PRIVATE.split()
+    return tuple(rules)
+
+
+#: the bundled snapshot, PSL rule syntax (``*.`` wildcard, ``!``
+#: exception), one rule per entry. Swap via ``load_psl_file``.
+PSL_SNAPSHOT: tuple[str, ...] = _snapshot()
+
+
+def load_psl_file(path: str) -> tuple[str, ...]:
+    """Parse a full ``public_suffix_list.dat`` (the file published at
+    publicsuffix.org/list/) into the rule-tuple format every function
+    here accepts — the production swap for the bundled snapshot.
+    Comments (``//``) and blank lines drop; both ICANN and PRIVATE
+    sections load (crawl grouping wants both)."""
+    rules = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            rules.append(line.split()[0])
+    return tuple(rules)
+
+
+@lru_cache(maxsize=8)
+def _compiled(rules: tuple[str, ...]) -> tuple[tuple[str, int, int], ...]:
+    """Rules → (match_key, ps_len, priority) rows.
+
+    match_key is what a host candidate string compares against: the
+    rule itself for plain rules, ``*.<literal labels>`` for wildcards,
+    the rule minus ``!`` for exceptions. ps_len = public-suffix label
+    count when this rule wins (wildcard: its full span incl. the
+    matched label; exception: one less). priority: exceptions beat
+    everything (spec), else more labels win."""
+    out = []
+    for rule in rules:
+        if rule.startswith("!"):
+            key = rule[1:]
+            k = key.count(".") + 1
+            out.append((key, k - 1, 10_000 + k))
+        else:
+            k = rule.count(".") + 1
+            out.append((rule, k, k))
+    return tuple(out)
+
+
+def rules_df(spark, rules: tuple[str, ...] | None = None) -> DataFrame:
+    """The broadcast rule table: (key, ps_len, pri)."""
+    comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
+    return spark.createDataFrame(
+        list(comp), "key string, ps_len int, pri int"
+    )
+
+
+def _depths(comp) -> tuple[list[int], list[int]]:
+    """(plain candidate depths, wildcard candidate depths) present in
+    the table — the join count adapts to the rule set."""
+    plain, wild = set(), set()
+    for key, _ps, _pri in comp:
+        k = key.count(".") + 1
+        (wild if key.startswith("*.") else plain).add(k)
+    return sorted(plain), sorted(wild)
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    url: Column | str,
+    out: str = "domain",
+    host_input: bool = False,
+    rules: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """``df`` + column ``out`` = PSL registrable domain of ``url``
+    (a URL column by default; pass ``host_input=True`` for a
+    ready-made host). NULL/empty input yields ``''`` so downstream
+    equi-joins and caps group the degenerate rows instead of leaking
+    them (the ``domain_cap`` NULL-sentinel convention).
+
+    One broadcast-hash left join per rule depth present in the table
+    — map-side, no shuffle; see module docstring."""
+    comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
+    plain_ks, wild_ks = _depths(comp)
+    spark = df.sparkSession
+    rt = F.broadcast(
+        spark.createDataFrame(list(comp), "key string, ps_len int, pri int")
+    )
+
+    host = (
+        F.lower(_as_col(url)) if host_input else url_host(_as_col(url))
+    )
+    host = F.coalesce(host, F.lit(""))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+
+    work = df.withColumn("__psl_host", host).withColumn(
+        "__psl_labels", labels
+    )
+    probes: list[tuple[str, Column]] = []
+    for k in plain_ks:
+        if k < 2:
+            continue  # 1-label plain rules == the implicit default
+        probes.append(
+            (
+                f"p{k}",
+                F.when(
+                    n >= k,
+                    F.concat_ws(
+                        ".", F.slice(F.col("__psl_labels"), n - k + 1, k)
+                    ),
+                ),
+            )
+        )
+    for k in wild_ks:
+        # the * must match a real label: host needs >= k labels
+        probes.append(
+            (
+                f"w{k}",
+                F.when(
+                    n >= k,
+                    F.concat(
+                        F.lit("*."),
+                        F.concat_ws(
+                            ".",
+                            F.slice(
+                                F.col("__psl_labels"), n - k + 2, k - 1
+                            ),
+                        ),
+                    ),
+                ),
+            )
+        )
+    for tag, cand in probes:
+        probe = rt.select(
+            F.col("key").alias(f"__psl_key_{tag}"),
+            F.col("ps_len").alias(f"__psl_len_{tag}"),
+            F.col("pri").alias(f"__psl_pri_{tag}"),
+        )
+        work = work.withColumn(f"__psl_cand_{tag}", cand).join(
+            probe,
+            F.col(f"__psl_cand_{tag}")
+            == F.col(f"__psl_key_{tag}"),
+            "left",
+        )
+
+    best = F.array_max(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"__psl_pri_{tag}").isNotNull(),
+                    F.struct(
+                        F.col(f"__psl_pri_{tag}").alias("p"),
+                        F.col(f"__psl_len_{tag}").alias("l"),
+                    ),
+                )
+                for tag, _ in probes
+            ]
+        )
+    )
+    n2 = F.size(F.col("__psl_labels"))
+    ps_len = F.coalesce(best.getField("l"), F.lit(1))
+    domain = F.when(
+        n2 > ps_len,
+        F.concat_ws(
+            ".", F.slice(F.col("__psl_labels"), n2 - ps_len, ps_len + 1)
+        ),
+    ).otherwise(F.col("__psl_host"))
+    drop = ["__psl_host", "__psl_labels"] + [
+        c
+        for tag, _ in probes
+        for c in (
+            f"__psl_cand_{tag}",
+            f"__psl_key_{tag}",
+            f"__psl_len_{tag}",
+            f"__psl_pri_{tag}",
+        )
+    ]
+    return work.withColumn(out, domain).drop(*drop)
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def registrable_domain_py(
+    host: str, rules: tuple[str, ...] | None = None
+) -> str:
+    """Driver-side single-host reference implementation (tests,
+    frontier seeds) — same table, same algorithm, no Spark."""
+    comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
+    host = (host or "").lower()
+    labels = host.split(".") if host else [""]
+    n = len(labels)
+    lookup = {key: (ps, pri) for key, ps, pri in comp}
+    best = None
+    for k in range(2, n + 1):
+        cand = ".".join(labels[n - k:])
+        if cand in lookup:
+            best = max(best or (0, 0), lookup[cand][::-1])
+        wc = "*." + ".".join(labels[n - k + 1:])
+        if cand and wc in lookup and n >= k:
+            best = max(best or (0, 0), lookup[wc][::-1])
+    ps_len = best[1] if best else 1
+    return (
+        ".".join(labels[n - ps_len - 1:]) if n > ps_len else host
+    )
+
+
+# ---------------------------------------------------------------- SQL
+
+
+def psl_rules_values_sql(rules: tuple[str, ...] | None = None) -> str:
+    """The rule table as a DuckDB VALUES CTE body — generated from the
+    SAME tuples the Spark join uses, so oracle and engine cannot
+    drift."""
+    comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
+    vals = ",".join(
+        f"('{key}',{ps},{pri})" for key, ps, pri in comp
+    )
+    return f"psl_rules(key, ps_len, pri) AS (VALUES {vals})"
+
+
+def psl_ps_len_sql(
+    labels_expr: str, rules: tuple[str, ...] | None = None
+) -> str:
+    """DuckDB expression: the winning public-suffix label count for a
+    host whose label list is ``labels_expr`` (requires the
+    ``psl_rules`` CTE from :func:`psl_rules_values_sql` in scope).
+    Scalar subquery — fine at oracle scale; the Spark side is the
+    broadcast-join plan."""
+    comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
+    plain_ks, wild_ks = _depths(comp)
+    L = labels_expr
+    cands = []
+    for k in plain_ks:
+        if k < 2:
+            continue
+        cands.append(
+            f"CASE WHEN len({L}) >= {k} THEN array_to_string("
+            f"list_slice({L}, len({L}) - {k - 1}, len({L})), '.') END"
+        )
+    for k in wild_ks:
+        cands.append(
+            f"CASE WHEN len({L}) >= {k} THEN '*.' || array_to_string("
+            f"list_slice({L}, len({L}) - {k - 2}, len({L})), '.') END"
+        )
+    in_list = ", ".join(cands)
+    return (
+        "coalesce((SELECT r.ps_len FROM psl_rules r "
+        f"WHERE r.key IN ({in_list}) "
+        "ORDER BY r.pri DESC LIMIT 1), 1)"
+    )
+
+
+def psl_domain_sql(
+    host_expr: str, rules: tuple[str, ...] | None = None
+) -> str:
+    """DuckDB expression for the registrable domain of ``host_expr``
+    (already-lowered host; pair with the ``psl_rules`` CTE). Mirrors
+    :func:`with_registrable_domain`: default ps_len 1, host itself
+    when the host IS a public suffix or shorter."""
+    L = f"string_split({host_expr}, '.')"
+    ps = psl_ps_len_sql(L, rules)
+    return (
+        f"CASE WHEN len({L}) > ({ps}) THEN array_to_string("
+        f"list_slice({L}, len({L}) - ({ps}), len({L})), '.') "
+        f"ELSE {host_expr} END"
+    )

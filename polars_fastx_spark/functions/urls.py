@@ -38,10 +38,11 @@ from pyspark.sql import functions as F
 #: query parameters that never carry content identity
 TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref", "ref_src")
 
-#: second-level labels under which the registrable domain is 3 labels
-#: (site.co.uk), the standard public-suffix shortcut for the common
-#: cases; a production deployment swaps in the full public-suffix list
-#: as a broadcast lookup table at the same seam.
+#: second-level labels under which the heuristic tier treats the
+#: registrable domain as 3 labels (site.co.uk). Fallback only — the
+#: accurate tier is functions/psl.py (bundled Public Suffix List
+#: snapshot as a broadcast rule table, swappable for the full
+#: publicsuffix.org download via psl.load_psl_file).
 _SLD = ("co", "com", "ac", "gov", "net", "org", "edu")
 
 
@@ -71,11 +72,17 @@ def url_path(url: Column | str) -> Column:
 
 
 def url_domain(url: Column | str) -> Column:
-    """Registrable domain: the last two host labels, or the last THREE
-    when the penultimate label is a classic second-level registry
-    label under a 2-letter ccTLD (``site.co.uk`` → ``site.co.uk``,
-    not ``co.uk``). Heuristic shortcut for the public-suffix list —
-    the production seam is a broadcast suffix table."""
+    """Registrable domain, HEURISTIC tier: the last two host labels,
+    or the last THREE when the penultimate label is a classic
+    second-level registry label under a 2-letter ccTLD
+    (``site.co.uk`` → ``site.co.uk``, not ``co.uk``). Zero-dependency
+    pure-Column fallback only — it mis-groups hosting platforms
+    (``user.github.io`` → ``github.io``) and non-tuple registries
+    (``foo.com.au`` → ``com.au``). The ACCURATE tier is
+    :func:`polars_fastx_spark.functions.psl.with_registrable_domain`
+    (real Public Suffix List over a broadcast rule table, still
+    shuffle-free), which ``domain_cap`` and the crawl queries use by
+    default."""
     labels = F.split(url_host(url), r"\.")
     n = F.size(labels)
     second = F.element_at(labels, -2)
@@ -154,6 +161,7 @@ def domain_cap(
     url_col: str,
     cap: int,
     order_col: str | None = None,
+    psl: bool = True,
 ):
     """Per-registrable-domain cap: keep at most ``cap`` rows per
     domain — the standard defense against SEO farms and mirror hosts
@@ -196,9 +204,20 @@ def domain_cap(
     # through the left_anti into 'cold' UNCAPPED. Coalesce to the ''
     # sentinel so the NULL partition groups, joins, and caps normally
     # ('' cannot collide: url_domain returns '' only for empty hosts,
-    # which belong in the same degenerate group anyway).
-    dom = F.coalesce(url_domain(_col(url_col)), F.lit(""))
-    kd = df.withColumn("__dom", dom)
+    # which belong in the same degenerate group anyway; the PSL tier
+    # coalesces internally).
+    if psl:
+        # PSL-accurate domains (functions/psl.py): user.github.io and
+        # foo.com.au group correctly — a few broadcast-hash probes,
+        # still zero shuffle before the totals groupBy
+        from polars_fastx_spark.functions.psl import (
+            with_registrable_domain,
+        )
+
+        kd = with_registrable_domain(df, url_col, out="__dom")
+    else:
+        dom = F.coalesce(url_domain(_col(url_col)), F.lit(""))
+        kd = df.withColumn("__dom", dom)
     # totals first — map-side combine shrinks the shuffle to one row
     # per domain; histogramming ALL rows instead would make the
     # under-cap domains (virtually all of them) the histogram

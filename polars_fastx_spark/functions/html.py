@@ -6,10 +6,13 @@ This is the conservative, regex-expressible subset every production
 extractor starts from (script/style/comment removal, tag strip,
 block-level spacing, core entity decode, whitespace collapse) as a
 pure Spark ``Column`` expression chain — whole-stage codegen, zero
-Python per row, and exactly replayable by a SQL oracle. A
-DOM-accurate extractor (boilerplate classification, main-content
-detection) is corpus policy and plugs in at the same column seam as
-an Arrow-batched UDF when needed; the regex tier is what runs over
+Python per row, and exactly replayable by a SQL oracle. The
+DOM-accurate tier (real block tree, full entity decode, main-content
+/ boilerplate classification) EXISTS at the same column seam:
+:mod:`polars_fastx_spark.functions.html_dom` (``dom_extract``,
+Arrow-batched stdlib html.parser — differential-tested against this
+tier on well-formed pages), selectable in ``crawl_to_corpus`` via
+``extractor="dom"``/``"dom_main"``; the regex tier is what runs over
 100 TB first.
 
 All patterns are RE2-safe (non-greedy, no backrefs), so Spark's Java

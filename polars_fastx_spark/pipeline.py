@@ -143,6 +143,10 @@ def crawl_to_corpus(
     min_chars: int = 80,
     domain_cap_n: int = 1000,
     split_weights: dict[str, float] | None = None,
+    extractor: str = "regex",
+    containment_threshold: float | None = None,
+    containment_max_df: int | float | None = 0.02,
+    timings: dict | None = None,
 ) -> DataFrame:
     """The crawl front door in one call: WARC archives → deduped,
     split, partitioned parquet training corpus. Every stage is an
@@ -155,9 +159,14 @@ def crawl_to_corpus(
         revisit records drop, their content is already present once;
     3.  HTTP-200 ``text/html`` filter + ``html_noindex`` polite-crawl
         gate — shuffle-free;
-    4.  visible text (``strip_html``) + title + canonical URL
-        (declared ``rel=canonical`` preferred, syntactic
-        ``normalize_url`` fallback) — codegen column work;
+    4.  visible text + title + canonical URL (declared
+        ``rel=canonical`` preferred, syntactic ``normalize_url``
+        fallback). ``extractor`` picks the text tier: ``"regex"``
+        (default — codegen ``strip_html``, zero Python),
+        ``"dom"`` (``functions/html_dom.py`` block parser, full
+        visible text, Arrow-batched), or ``"dom_main"`` (DOM tier
+        keeping only main-content blocks — chrome and link-farm
+        boilerplate drop before any dedup/cap tier sees them);
     5.  exact dedup on canonical URL keeping the EARLIEST capture —
         one shuffle on the url;
     6.  length gate, then ``domain_cap`` — mega-domain-safe politeness
@@ -165,14 +174,30 @@ def crawl_to_corpus(
     7.  MinHash-LSH near-dup keep-one (banded candidates, production
         ``perm`` family, connected components, min-id survivor) —
         banded equi-join, never all-pairs;
-    8.  deterministic content-addressed train/valid/test assignment —
+    8.  OPTIONAL containment dedup (``containment_threshold`` set):
+        quotation/excerpt/boilerplate-inclusion cases Jaccard LSH
+        structurally misses. Deliberately AFTER the exact and LSH
+        tiers — the round-6 cap sweep measured that clone families
+        blow the containment join's candidate volume superlinearly
+        (Σdf² grew ×9.2 for a ×3 corpus WITH clones present), so the
+        cheap tiers must empty the clone mass first; the composition
+        rule lives here as code, not only on the
+        ``containment_pairs`` docstring. ``containment_max_df``
+        (default 2% relative) is the hot-shingle cost cap;
+    9.  deterministic content-addressed train/valid/test assignment —
         pure map;
-    9.  write partitioned by ``split`` (downstream jobs
+    10. write partitioned by ``split`` (downstream jobs
         partition-prune their split).
 
     Returns the written frame re-read from ``out_path``. Document ids
     are md5 of the canonical url — content-addressed, stable across
     reruns and cluster sizes.
+
+    ``timings``: pass a dict to get per-tier phase accounting — each
+    tier is persisted, counted, and timed into
+    ``timings[tier] = {"seconds", "rows"}`` (probe/observability
+    mode; adds materialization barriers, so leave ``None`` in
+    production where Catalyst should fuse the whole plan).
     """
     from pyspark.sql import Window, functions as F
 
@@ -181,50 +206,137 @@ def crawl_to_corpus(
     from polars_fastx_spark.operators import dedup, sampling
     from polars_fastx_spark.sources.warc import resolve_revisits, scan_warc
 
-    pages = resolve_revisits(scan_warc(spark, warc_path), drop=True)
+    import time as _time
+
+    _prev: list = [None]
+
+    def _stage(name: str, df: DataFrame, t0: float | None = None) -> DataFrame:
+        """Probe-mode tier barrier: persist + count + time. A no-op
+        passthrough when timings is None (the production plan stays
+        one fused Catalyst DAG). ``t0`` backdates the start for tiers
+        whose operator runs EAGER driver-side iterations before the
+        frame exists (connected components) — without it that work
+        lands in no tier and the table under-reports the wall."""
+        if timings is None:
+            return df
+        if t0 is None:
+            t0 = _time.time()
+        df = df.persist()
+        n = df.count()
+        timings[name] = {
+            "seconds": round(_time.time() - t0, 2), "rows": n,
+        }
+        if _prev[0] is not None:
+            _prev[0].unpersist()
+        _prev[0] = df
+        return df
+
+    pages = _stage(
+        "scan", resolve_revisits(scan_warc(spark, warc_path), drop=True)
+    )
     html = F.col("payload").cast("string")
-    rows = (
+    rows = _stage(
+        "gates",
         pages.filter(
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
             & F.col("http_content_type").startswith("text/html")
         )
-        .filter(~H.html_noindex(html))
-        .select(
+        .filter(~H.html_noindex(html)),
+    )
+    if extractor == "regex":
+        title_col, text_col = (
+            H.html_title(html), H.strip_html(html),
+        )
+        rows = rows.select(
             F.coalesce(
                 F.nullif(H.html_canonical(html), F.lit("")),
                 urls.normalize_url("target_uri"),
             ).alias("url"),
             F.col("warc_date"),
-            H.html_title(html).alias("title"),
-            H.strip_html(html).alias("text"),
+            title_col.alias("title"),
+            text_col.alias("text"),
         )
-    )
+    elif extractor in ("dom", "dom_main"):
+        from polars_fastx_spark.functions.html_dom import dom_extract
+
+        rows = rows.withColumn("__dom", dom_extract(html)).select(
+            F.coalesce(
+                F.nullif(H.html_canonical(html), F.lit("")),
+                urls.normalize_url("target_uri"),
+            ).alias("url"),
+            F.col("warc_date"),
+            F.col("__dom.title").alias("title"),
+            F.col(
+                "__dom.main_text" if extractor == "dom_main"
+                else "__dom.text"
+            ).alias("text"),
+        )
+    else:
+        raise ValueError(
+            f"extractor={extractor!r}: expected 'regex', 'dom', or "
+            "'dom_main'"
+        )
+    rows = _stage("extract", rows)
     w = Window.partitionBy("url").orderBy(
         F.col("warc_date").asc(), F.col("text").asc()
     )
-    rows = (
+    rows = _stage(
+        "url_dedup",
         rows.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
-        .filter(F.length("text") >= min_chars)
+        .filter(F.length("text") >= min_chars),
     )
-    rows = urls.domain_cap(rows, "url", cap=domain_cap_n)
+    rows = _stage(
+        "domain_cap", urls.domain_cap(rows, "url", cap=domain_cap_n)
+    )
     rows = rows.withColumn("doc_id", F.md5("url"))
+    t_lsh = _time.time()
     pairs = dedup.minhash_lsh_candidates(
         rows, "doc_id", "text", family="perm"
     )
     from polars_fastx_spark.operators.graph import connected_components
 
+    # connected_components iterates EAGERLY (per-round collects), so
+    # the lsh tier's clock starts before it, not at the anti-join
     dropped = (
         connected_components(pairs)
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
-    rows = rows.join(dropped, "doc_id", "left_anti")
-    rows = sampling.assign_splits(
-        rows, "doc_id", split_weights or {"train": 0.98, "valid": 0.01,
-                                          "test": 0.01}
+    rows = _stage(
+        "lsh_neardup", rows.join(dropped, "doc_id", "left_anti"),
+        t0=t_lsh,
     )
+    if containment_threshold is not None:
+        t_cont = _time.time()
+        cpairs = dedup.containment_pairs(
+            rows, "doc_id", "text",
+            threshold=containment_threshold,
+            max_shingle_df=containment_max_df,
+        )
+        cdrop = dedup.containment_drop_decision(
+            cpairs, threshold=containment_threshold
+        ).select("doc_id")
+        rows = _stage(
+            "containment", rows.join(cdrop, "doc_id", "left_anti"),
+            t0=t_cont,
+        )
+    rows = _stage(
+        "splits",
+        sampling.assign_splits(
+            rows, "doc_id",
+            split_weights or {"train": 0.98, "valid": 0.01,
+                              "test": 0.01},
+        ),
+    )
+    t_w = _time.time()
     rows.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    if timings is not None:
+        timings["write"] = {
+            "seconds": round(_time.time() - t_w, 2), "rows": None,
+        }
+        if _prev[0] is not None:
+            _prev[0].unpersist()
     return spark.read.parquet(out_path)

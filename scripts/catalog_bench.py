@@ -68,6 +68,25 @@ def main() -> None:
     # first query
     QUERIES["o_topk"].fn(spark, sf_dir).collect()
 
+    # ... and one Arrow + BLAS warm-up so the first query to reach the
+    # pandas-UDF / numpy-gemm path isn't billed their import/JIT cost
+    # either (round-6 --diff flagged 3 untouched queries purely
+    # because sweep order moved which query hit these paths first)
+    import pandas as _pd
+
+    def _warm(it):
+        import numpy as _np
+
+        for batch in it:
+            v = _np.ones((8, 8))
+            yield _pd.DataFrame(
+                {"id": batch["id"], "x": float((v @ v).sum())}
+            )
+
+    spark.range(64).repartition(32).mapInPandas(
+        _warm, "id long, x double"
+    ).count()
+
     times: dict[str, float] = {}
     prep_times: dict[str, float] = {}
     t_all = time.time()

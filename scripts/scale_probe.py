@@ -326,22 +326,25 @@ def warc_probe(workdir: str = "/tmp/scale_sf1") -> None:
     )
 
 
-def crawl_e2e_probe(workdir: str = "/tmp/scale_sf1") -> None:
-    """The crawl FRONT DOOR end-to-end: 30k records with planted
-    revisits (5%), noindex pages (5%), URL variants of the same page
-    (10%) and near-dup content pairs (10%) through
-    ``pipeline.crawl_to_corpus`` — mint → scan → gates → dedups → cap
-    → splits → partitioned parquet, with the row accounting asserted
-    exactly. This is the composition number: every tier the catalog
-    benchmarks individually, paid together."""
+def crawl_e2e_probe(
+    workdir: str = "/tmp/scale_sf1", n: int = 30_000
+) -> None:
+    """The crawl FRONT DOOR end-to-end: ``n`` records (30k default;
+    round-7 re-runs at 100k) with planted revisits (5%), noindex
+    pages (5%), URL variants of the same page (10%) and near-dup
+    content pairs (10%) through ``pipeline.crawl_to_corpus`` — mint →
+    scan → gates → dedups → cap → splits → partitioned parquet, with
+    the row accounting asserted exactly AND per-tier seconds (the
+    ``timings=`` phase accounting — round-6 attributed the
+    composition's cost by narrative; this measures it, and flags any
+    tier over 60% of the wall)."""
     import gzip as _gzip
 
     import polars_fastx_spark as pfs
     from polars_fastx_spark.sources import warc
 
     os.makedirs(workdir, exist_ok=True)
-    path = os.path.join(workdir, "crawl_e2e_30k.warc.gz")
-    n = 30_000
+    path = os.path.join(workdir, f"crawl_e2e_{n // 1000}k.warc.gz")
     rng = np.random.RandomState(42)
     if not os.path.exists(path):
         t0 = time.time()
@@ -407,26 +410,41 @@ def crawl_e2e_probe(workdir: str = "/tmp/scale_sf1") -> None:
     from polars_fastx_spark.pipeline import crawl_to_corpus
 
     out_dir = os.path.join(workdir, "crawl_e2e_corpus")
+    timings: dict = {}
     t0 = time.time()
     got = crawl_to_corpus(
-        spark, path, out_dir, min_chars=80, domain_cap_n=1000
+        spark, path, out_dir, min_chars=80, domain_cap_n=1000,
+        timings=timings,
     )
     rows = got.count()
     dt = time.time() - t0
-    # expected: 30k − 1.5k revisits − 1.5k noindex − 1.5k url-variant
-    # re-captures (collapse into their page) − 1.5k near-dups = 24k
+    # expected: n − 5% revisits − 5% noindex − 5% url-variant
+    # re-captures (collapse into their page) − 5% near-dups = 0.8n
+    planted = n // 20
     print("| probe | seconds | result |")
     print("|---|---|---|")
     print(
-        f"| crawl_to_corpus e2e (30k records, "
+        f"| crawl_to_corpus e2e ({n:,} records, "
         f"{os.path.getsize(path) / 1e6:.0f} MB gz) | {dt:.1f} | "
         f"{rows:,} corpus docs from {n:,} records "
         f"({n / dt:,.0f} rec/s; revisits/noindex/variants gone exactly; "
-        f"near-dup LSH removed {25_500 - rows:,}/1,500 planted pairs) |"
+        f"near-dup LSH removed {n - 3 * planted - rows:,}/"
+        f"{planted:,} planted pairs) |"
     )
+    print()
+    print("| tier | seconds | % wall | rows out | note |")
+    print("|---|---|---|---|---|")
+    t_sum = sum(v["seconds"] for v in timings.values()) or 1.0
+    for name, v in timings.items():
+        pct = 100.0 * v["seconds"] / t_sum
+        note = "DOMINANT (>60% wall)" if pct > 60 else ""
+        r = f"{v['rows']:,}" if v["rows"] is not None else "—"
+        print(
+            f"| {name} | {v['seconds']:.1f} | {pct:.0f}% | {r} | {note} |"
+        )
     # LSH is probabilistic: a straggler pair per few thousand is the
     # operator's documented contract, not a pipeline bug
-    assert 24_000 <= rows <= 24_010, rows
+    assert n * 4 // 5 <= rows <= n * 4 // 5 + n // 3000 + 1, rows
     spark.stop()
 
 
@@ -623,7 +641,8 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-e2e":
         crawl_e2e_probe(
-            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1",
+            n=int(sys.argv[3]) if len(sys.argv) > 3 else 30_000,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--containment-sweep":

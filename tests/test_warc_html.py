@@ -543,3 +543,58 @@ def test_crawl_to_corpus_front_door(spark, tmp_path):
     assert any(
         n.startswith("split=") for n in _os.listdir(out)
     )  # partitioned write
+
+
+def test_crawl_to_corpus_containment_tier_and_timings(spark, tmp_path):
+    """Round-7: the optional containment stage sits AFTER the LSH tier
+    (the measured composition rule) and catches the excerpt case LSH
+    structurally misses; timings= fills per-tier phase accounting."""
+    from polars_fastx_spark.pipeline import crawl_to_corpus
+
+    host_words = " ".join(f"w{i:04d}" for i in range(400))
+    # the excerpt is a strict slice of the host: containment ≈ 1,
+    # Jaccard ≈ 0.2 — below any LSH band threshold
+    excerpt = " ".join(f"w{i:04d}" for i in range(80))
+    other = "completely different vocabulary " * 30
+
+    def _page(i, uri, text):
+        body = (
+            f"<html><head><title>T{i}</title></head>"
+            f"<body><p>{text}</p></body></html>"
+        ).encode()
+        return warc.render_warc_record(
+            f"<urn:uuid:c-{i}>", "response", uri,
+            "2026-08-01T00:00:00Z", warc.http_response_block(body),
+        )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    warc.write_warc(
+        str(src / "a.warc.gz"),
+        [
+            _page(0, "https://host.com/full", host_words),
+            _page(1, "https://quote.org/excerpt", excerpt),
+            _page(2, "https://c.net/other", other),
+        ],
+    )
+    pat = str(src) + "/*.warc.gz"
+    # without the containment stage the excerpt SURVIVES (LSH misses)
+    base = crawl_to_corpus(spark, pat, str(tmp_path / "o1"))
+    assert base.count() == 3
+    timings: dict = {}
+    got = crawl_to_corpus(
+        spark, pat, str(tmp_path / "o2"),
+        containment_threshold=0.5, containment_max_df=None,
+        timings=timings,
+    )
+    kept = {r["url"] for r in got.collect()}
+    assert kept == {"https://host.com/full", "https://c.net/other"}
+    # phase accounting covers every tier incl. the containment one
+    assert set(timings) == {
+        "scan", "gates", "extract", "url_dedup", "domain_cap",
+        "lsh_neardup", "containment", "splits", "write",
+    }
+    assert timings["containment"]["rows"] == 2
+    assert all(
+        v["seconds"] >= 0 for v in timings.values()
+    )

@@ -55,8 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (l_quantize_int8, now JSON-canonicalized) and the block that had no
 #: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
-    # round-6 additions first: the zero-err invariant needs their
+    # round-7 additions first: the zero-err invariant needs their
     # driver rows this round
+    "l_psl_domain", "l_crawl_rank_incr",
+    # round-6 queries whose domains are now Public-Suffix-List
+    # accurate (functions/psl.py) re-verify next
     "l_containment_gate", "l_ann_index_drift", "l_url_normalize",
     "l_domain_cap", "l_html_extract", "l_crawl_pipeline",
     "l_link_graph",

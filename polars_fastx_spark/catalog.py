@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from polars_fastx_spark.functions import psl as pslf
 from polars_fastx_spark.functions import seq as sq
 from polars_fastx_spark.functions import sketches
 from polars_fastx_spark.functions import urls as urlsf
@@ -2481,7 +2482,7 @@ def _doc_url():
         )
         .when(
             F.col("doc_id") % 4 == 2,
-            F.concat(s, F.lit(".example.com/")),
+            F.concat(s, F.lit(".team.github.io/")),
         )
         .otherwise(
             F.concat(
@@ -2499,7 +2500,7 @@ _URL_SQL = """
           || '/?utm_source=feed&b=2&a=1#top'
         WHEN doc_id % 4 = 1 THEN 'https://' || source
           || '.shop.example.co.uk/item?z=9&gclid=abc&y=8'
-        WHEN doc_id % 4 = 2 THEN source || '.example.com/'
+        WHEN doc_id % 4 = 2 THEN source || '.team.github.io/'
         ELSE 'https://blog.' || source || '.example.com:8443/post/'
           || doc_id
       END
@@ -2508,7 +2509,8 @@ _URL_SQL = """
 #: the normalization pipeline in DuckDB SQL (the oracle twin of
 #: functions/urls.py — RFC 3986 §6 syntax normalization + the
 #: tracking cut), over a CTE `u(doc_id, url)`
-_URL_NORM_SQL = """
+_URL_NORM_SQL = (
+    """
     parsed AS (
       SELECT doc_id, url,
         coalesce(lower(regexp_extract(url,
@@ -2544,24 +2546,18 @@ _URL_NORM_SQL = """
         string_split(host, '.') AS labels
       FROM parsed
     ),
+    """
+    + pslf.psl_rules_values_sql()
+    + """,
     dom AS (
       SELECT doc_id, url, host, norm_url,
-        CASE
-          WHEN len(labels) >= 3
-            AND list_contains(
-              ['co','com','ac','gov','net','org','edu'],
-              labels[len(labels) - 1])
-            AND length(labels[len(labels)]) = 2
-          THEN array_to_string(
-            labels[len(labels) - 2 : len(labels)], '.')
-          WHEN len(labels) >= 2
-          THEN array_to_string(
-            labels[len(labels) - 1 : len(labels)], '.')
-          ELSE host
-        END AS domain
+        """
+    + pslf.psl_domain_sql("host")
+    + """ AS domain
       FROM formed
     )
 """
+)
 
 
 @_q(
@@ -2581,12 +2577,95 @@ _URL_NORM_SQL = """
 )
 def l_url_normalize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn("url", _doc_url())
-    return d.select(
-        "doc_id", "url",
-        urlsf.normalize_url("url").alias("norm_url"),
-        urlsf.url_host("url").alias("host"),
-        urlsf.url_domain("url").alias("domain"),
-    ).orderBy("doc_id")
+    return (
+        pslf.with_registrable_domain(d, "url", out="domain")
+        .select(
+            "doc_id", "url",
+            urlsf.normalize_url("url").alias("norm_url"),
+            urlsf.url_host("url").alias("host"),
+            "domain",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: the PSL tricky-host battery — each lane exercises a distinct rule
+#: class (private platform, ccTLD registry, deep host, wildcard,
+#: exception, bare TLD, unknown-default); shared by the Spark query
+#: and the DuckDB oracle so both engines face the identical hosts
+_PSL_HOST_SQL = """
+      CASE (doc_id % 12)
+        WHEN 0 THEN 'u' || doc_id || '.github.io'
+        WHEN 1 THEN 'shop' || doc_id || '.com.au'
+        WHEN 2 THEN 'dept' || (doc_id % 7) || '.cam.ac.uk'
+        WHEN 3 THEN 'a' || doc_id || '.b.kawasaki.jp'
+        WHEN 4 THEN 'city.kawasaki.jp'
+        WHEN 5 THEN 'www.ck'
+        WHEN 6 THEN 'f' || doc_id || '.bar.ck'
+        WHEN 7 THEN 'sch' || doc_id || '.k12.ca.us'
+        WHEN 8 THEN 'b' || doc_id || '.blogspot.com.au'
+        WHEN 9 THEN 'com'
+        WHEN 10 THEN 'site' || doc_id || '.example.com'
+        ELSE 'i' || doc_id || '.vm.compute.amazonaws.com'
+      END
+"""
+
+
+def _psl_host_col():
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 12
+    return (
+        F.when(m == 0, F.concat(F.lit("u"), d, F.lit(".github.io")))
+        .when(m == 1, F.concat(F.lit("shop"), d, F.lit(".com.au")))
+        .when(m == 2, F.concat(
+            F.lit("dept"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".cam.ac.uk")))
+        .when(m == 3, F.concat(F.lit("a"), d, F.lit(".b.kawasaki.jp")))
+        .when(m == 4, F.lit("city.kawasaki.jp"))
+        .when(m == 5, F.lit("www.ck"))
+        .when(m == 6, F.concat(F.lit("f"), d, F.lit(".bar.ck")))
+        .when(m == 7, F.concat(F.lit("sch"), d, F.lit(".k12.ca.us")))
+        .when(m == 8, F.concat(
+            F.lit("b"), d, F.lit(".blogspot.com.au")))
+        .when(m == 9, F.lit("com"))
+        .when(m == 10, F.concat(
+            F.lit("site"), d, F.lit(".example.com")))
+        .otherwise(F.concat(
+            F.lit("i"), d, F.lit(".vm.compute.amazonaws.com")))
+    )
+
+
+@_q(
+    "l_psl_domain",
+    "WITH h AS (SELECT doc_id, " + _PSL_HOST_SQL + " AS host "
+    "FROM documents),\n    "
+    + pslf.psl_rules_values_sql()
+    + ",\n    d AS (SELECT doc_id, host, "
+    + pslf.psl_domain_sql("host")
+    + """ AS domain FROM h)
+    SELECT doc_id, host, domain FROM d ORDER BY doc_id
+    """,
+    "L-crawl: Public-Suffix-List registrable domains (functions/"
+    "psl.py) over a 12-lane tricky-host battery — hosting platforms "
+    "(user.github.io, blogspot.com.au), ccTLD registries (com.au, "
+    "cam.ac.uk, k12.ca.us), the PSL wildcard (*.kawasaki.jp, *.ck) "
+    "and exception (!city.kawasaki.jp, !www.ck) machinery, bare TLDs "
+    "and the implicit-* default; Spark resolves via 5 broadcast-hash "
+    "probes of the bundled rule table (zero shuffle), the oracle "
+    "replays the SAME rule tuples as a VALUES table — engine and "
+    "check share data, not code",
+)
+def l_psl_domain(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _psl_host_col().alias("host")
+    )
+    return (
+        pslf.with_registrable_domain(
+            d, "host", out="domain", host_input=True
+        )
+        .select("doc_id", "host", "domain")
+        .orderBy("doc_id")
+    )
 
 
 @_q(
@@ -2596,17 +2675,33 @@ def l_url_normalize(spark, sf_dir):
       SELECT doc_id,
         CASE WHEN doc_id % 3 = 0
           THEN 'https://cdn.mirror-farm.com/d/' || doc_id
+          WHEN doc_id % 3 = 1
+          THEN 'https://u' || (doc_id % 5) || '.github.io/d/' || doc_id
           ELSE 'https://www.' || source || '.net/d/' || doc_id
-        END AS url,
-        CASE WHEN doc_id % 3 = 0 THEN 'mirror-farm.com'
-          ELSE source || '.net' END AS dom
+        END AS url
       FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id, url,
+        regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
+          ':[0-9]+$', ''), '^www\\.', '') AS host
+      FROM u
+    ),
+    """
+    + pslf.psl_rules_values_sql()
+    + """,
+    domd AS (
+      SELECT doc_id, """
+    + pslf.psl_domain_sql("host")
+    + """ AS dom
+      FROM hosts
     ),
     ranked AS (
       SELECT doc_id, dom,
         row_number() OVER (PARTITION BY dom
           ORDER BY md5(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
-      FROM u
+      FROM domd
     )
     SELECT doc_id, dom AS domain FROM ranked
     WHERE rn <= 3 ORDER BY doc_id
@@ -2615,9 +2710,11 @@ def l_url_normalize(spark, sf_dir):
     "domain_cap) — keep ≤3 docs per domain, the standard SEO-farm/"
     "mirror defense: a planted mega-domain holding a third of the "
     "corpus collapses to 3 rows while the long tail passes whole; "
-    "md5-ordered deterministic survivors (content-addressed, "
-    "engine-stable), one window over one domain-key shuffle — the "
-    "skewed partition is exactly the one the cap empties",
+    "a second planted lane of uN.github.io user sites caps PER USER "
+    "SITE, not per platform, because domains are Public-Suffix-List "
+    "accurate (functions/psl.py broadcast rule table — the oracle "
+    "replays the same table, not a shared shortcut); md5-ordered "
+    "deterministic survivors (content-addressed, engine-stable)",
 )
 def l_domain_cap(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
@@ -2628,16 +2725,27 @@ def l_domain_cap(spark, sf_dir):
                 F.lit("https://cdn.mirror-farm.com/d/"),
                 F.col("doc_id").cast("string"),
             ),
-        ).otherwise(
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://u"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".github.io/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
             F.concat(
                 F.lit("https://www."), F.col("source"), F.lit(".net/d/"),
                 F.col("doc_id").cast("string"),
             )
         ),
     )
+    capped = urlsf.domain_cap(d, "url", cap=3, order_col="doc_id")
     return (
-        urlsf.domain_cap(d, "url", cap=3, order_col="doc_id")
-        .select("doc_id", urlsf.url_domain("url").alias("domain"))
+        pslf.with_registrable_domain(capped, "url", out="domain")
+        .select("doc_id", "domain")
         .orderBy("doc_id")
     )
 
@@ -2822,13 +2930,17 @@ def l_crawl_pipeline(spark, sf_dir):
     from polars_fastx_spark.functions import html as htmlf
 
     d = (
-        _t(spark, sf_dir, "documents")
-        .withColumn("html", _doc_html())
-        .withColumn("url", _crawl_url())
+        pslf.with_registrable_domain(
+            _t(spark, sf_dir, "documents")
+            .withColumn("html", _doc_html())
+            .withColumn("url", _crawl_url()),
+            "url",
+            out="domain",
+        )
         .select(
             "doc_id",
             urlsf.normalize_url("url").alias("norm_url"),
-            urlsf.url_domain("url").alias("domain"),
+            "domain",
             htmlf.html_title("html").alias("title"),
             htmlf.strip_html("html").alias("text_out"),
         )
@@ -2917,13 +3029,14 @@ def l_link_graph(spark, sf_dir):
         "doc_id", "page_url",
         F.explode(htmlf.html_links("html")).alias("href"),
     )
+    links = pslf.with_registrable_domain(
+        links, "page_url", out="src_domain"
+    )
+    links = pslf.with_registrable_domain(
+        links, urlsf.normalize_url("href"), out="dst_domain"
+    )
     return (
-        links.groupBy(
-            urlsf.url_domain("page_url").alias("src_domain"),
-            urlsf.url_domain(urlsf.normalize_url("href")).alias(
-                "dst_domain"
-            ),
-        )
+        links.groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).alias("n_links"))
         .orderBy("src_domain", "dst_domain")
     )
@@ -9947,6 +10060,168 @@ _CRAWLRANK_EDGES_WITH = (
 )
 
 
+#: private incremental link-graph index (the _ANN_PRIVATE pattern):
+#: BUILD from release 1 + diff-driven SYNC to release 2 happen once
+#: per session in prepare=; the query reads live edges only
+_LINKGRAPH_PRIVATE: dict = {}
+
+
+def _crawlrank_incr_pages(spark, sf_dir, release: int):
+    """Two releases of the l_link_graph page synthesis: release 1
+    lacks the doc_id%9==4 pages (they are ADDED in 2), release 2
+    drops the %9==7 pages (REMOVED) and repoints the %9==2 pages'
+    third link at cdn-two.hub.org (CHANGED) — all three diff classes,
+    deterministic in both engines."""
+    d = F.col("doc_id").cast("string")
+    m9 = F.col("doc_id") % 9
+    cdn = (
+        F.when(m9 == 2, F.lit("cdn-two.hub.org")).otherwise(
+            F.lit("cdn.hub.org")
+        )
+        if release == 2
+        else F.lit("cdn.hub.org")
+    )
+    page_url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-pages.net/p/"), d
+    )
+    html = F.concat(
+        F.lit("<html><body><p>body</p>"),
+        F.lit('<a href="HTTPS://WWW.src'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("-pages.NET:443/x/"), d, F.lit('?utm_source=l">a</a>'),
+        F.lit("<a class=x href='https://src"),
+        ((F.col("doc_id") + 3) % 7).cast("string"),
+        F.lit("-pages.net/y'>b</a>"),
+        F.lit('<a href="#frag">skip</a><a href="https://'), cdn,
+        F.lit("/"), (F.col("doc_id") % 2).cast("string"),
+        F.lit('">c</a></body></html>'),
+    )
+    docs = _t(spark, sf_dir, "documents").filter(
+        m9 != (4 if release == 1 else 7)
+    )
+    return docs.select(
+        "doc_id", page_url.alias("page_url"), html.alias("html")
+    )
+
+
+def _crawlrank_incr_edges(pages):
+    from polars_fastx_spark.functions import html as htmlf
+
+    links = pages.select(
+        "doc_id", "page_url",
+        F.explode(htmlf.html_links("html")).alias("href"),
+    )
+    links = pslf.with_registrable_domain(
+        links, "page_url", out="src"
+    )
+    links = pslf.with_registrable_domain(
+        links, urlsf.normalize_url("href"), out="dst"
+    )
+    return links.select(
+        F.col("doc_id").alias("page_key"), "src", "dst"
+    )
+
+
+def _prep_linkgraph_incr(spark, sf_dir):
+    from polars_fastx_spark.operators import linkgraph
+    from polars_fastx_spark.operators.diffing import snapshot_diff
+
+    if _LINKGRAPH_PRIVATE.get((sf_dir, "done")):
+        return
+    import tempfile
+
+    path = _LINKGRAPH_PRIVATE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_linkgraph_")
+        _LINKGRAPH_PRIVATE[sf_dir] = path
+    v1 = _crawlrank_incr_pages(spark, sf_dir, 1)
+    v2 = _crawlrank_incr_pages(spark, sf_dir, 2)
+    linkgraph.edge_index_build(_crawlrank_incr_edges(v1), path)
+    d = snapshot_diff(v1, v2, ["doc_id"], ["html"]).withColumnRenamed(
+        "doc_id", "page_key"
+    )
+    linkgraph.edge_index_sync(path, d, _crawlrank_incr_edges(v2))
+    _LINKGRAPH_PRIVATE[(sf_dir, "done")] = True
+
+
+_CRAWLRANK_INCR_EDGES_WITH = (
+    """
+    WITH pages AS (
+      SELECT doc_id,
+        'https://' || source || '-pages.net/p/' || doc_id AS page_url,
+        '<html><body><p>body</p>'
+        || '<a href="HTTPS://WWW.src' || (doc_id % 7)
+        || '-pages.NET:443/x/' || doc_id || '?utm_source=l">a</a>'
+        || '<a class=x href=''https://src' || ((doc_id + 3) % 7)
+        || '-pages.net/y''>b</a>'
+        || '<a href="#frag">skip</a><a href="https://'
+        || (CASE WHEN doc_id % 9 = 2 THEN 'cdn-two.hub.org'
+                 ELSE 'cdn.hub.org' END)
+        || '/' || (doc_id % 2) || '">c</a></body></html>' AS html
+      FROM documents
+      WHERE doc_id % 9 <> 7
+    ),
+    links AS (
+      SELECT doc_id,
+        unnest(regexp_extract_all(html,
+          '(?is)<a[^>]+href\\s*=\\s*["'']([^"''#][^"'']*)["'']', 1))
+          AS href
+      FROM pages
+    ),
+    u AS (SELECT doc_id, href AS url FROM links),
+    """
+    + _URL_NORM_SQL
+    + """,
+    edges AS (
+      SELECT DISTINCT doc.source || '-pages.net' AS src, d.domain AS dst
+      FROM dom d JOIN documents doc USING (doc_id)
+    )"""
+)
+
+
+@_q(
+    "l_crawl_rank_incr",
+    _pagerank_oracle(
+        edges_with=_CRAWLRANK_INCR_EDGES_WITH,
+        final_select="""
+    SELECT node AS domain, round(rank, 7) AS rank FROM r4
+    ORDER BY round(rank, 7) DESC, domain ASC LIMIT 20
+    """,
+    ),
+    "L-crawl: INCREMENTAL domain authority (operators/linkgraph.py) — "
+    "release 1 builds the epoch-partitioned per-page edge index; "
+    "snapshot_diff of the page tables drives edge_index_sync "
+    "(tombstone removed|changed pages, append added|changed pages' "
+    "edges — both writes delta-sized, history never re-extracted), "
+    "then PageRank runs over live_edges. The oracle recomputes "
+    "release 2's graph FROM SCRATCH and unrolls the same 4 power "
+    "rounds, so a green row PROVES maintained == recomputed — the "
+    "exactness the incremental lane rests on (same pattern as ANN "
+    "index_sync). Re-extraction scales with the crawl delta; only "
+    "the bounded domain graph re-iterates (warm-startable via "
+    "pagerank(init_ranks=...), cold==warm parity pytest-pinned)",
+    prepare=_prep_linkgraph_incr,
+)
+def l_crawl_rank_incr(spark, sf_dir):
+    from polars_fastx_spark.operators import linkgraph
+    from polars_fastx_spark.operators.graph import pagerank
+
+    _prep_linkgraph_incr(spark, sf_dir)
+    edges = (
+        linkgraph.live_edges(spark, _LINKGRAPH_PRIVATE[sf_dir])
+        .select("src", "dst")
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=4)
+    return (
+        ranks.select(
+            F.col("node").alias("domain"), F.round("rank", 7).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("domain").asc_nulls_first())
+        .limit(20)
+    )
+
+
 @_q(
     "l_crawl_rank",
     _pagerank_oracle(
@@ -9994,6 +10269,8 @@ def _anchor_oracle_sql() -> str:
     txt = f"regexp_replace({inner}, '(?s)<[^>]*>', ' ', 'g')"
     txt = _html_entities_sql(txt)
     txt = f"trim(regexp_replace({txt}, '\\s+', ' ', 'g'))"
+    psl_rules = pslf.psl_rules_values_sql()
+    psl_dom = pslf.psl_domain_sql("host")
     return f"""
     WITH pages AS (
       SELECT doc_id,
@@ -10021,10 +10298,9 @@ def _anchor_oracle_sql() -> str:
                ':[0-9]+$', ''), '^www\\.', '') AS host, anchor_text
       FROM t
     ),
+    {psl_rules},
     domd AS (
-      SELECT array_to_string(list_slice(string_split(host, '.'),
-               greatest(len(string_split(host, '.')) - 1, 1),
-               len(string_split(host, '.'))), '.') AS dst_domain,
+      SELECT {psl_dom} AS dst_domain,
              anchor_text
       FROM hostd
     )
@@ -10063,10 +10339,10 @@ def l_anchor_text(spark, sf_dir):
     pages = _t(spark, sf_dir, "documents").select(html.alias("html"))
     anc = pages.select(F.explode(htmlf.html_anchors("html")).alias("a"))
     return (
-        anc.select(
-            urlsf.url_domain(F.col("a.href")).alias("dst_domain"),
-            F.col("a.text").alias("anchor_text"),
+        pslf.with_registrable_domain(
+            anc, F.col("a.href"), out="dst_domain"
         )
+        .select("dst_domain", F.col("a.text").alias("anchor_text"))
         .groupBy("dst_domain", "anchor_text")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("dst_domain", "anchor_text")
@@ -10404,9 +10680,11 @@ def l_crawl_frontier(spark, sf_dir):
     crawled = docs.select(page_url.alias("url")).distinct()
     frontier = cand.join(crawled, "url", "left_anti")
     capped = urlsf.domain_cap(frontier, "url", cap=2)
-    return capped.select(
-        urlsf.url_domain("url").alias("domain"), "url"
-    ).orderBy("domain", "url")
+    return (
+        pslf.with_registrable_domain(capped, "url", out="domain")
+        .select("domain", "url")
+        .orderBy("domain", "url")
+    )
 
 
 #: private (mutating) containment index for the takedown query — the

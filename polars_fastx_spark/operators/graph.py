@@ -195,6 +195,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 5,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a distributed edge list.
 
@@ -208,6 +209,16 @@ def pagerank(
     unbounded iterative plan otherwise re-executes from the source and
     eventually overwhelms the planner). Only 1-row aggregates
     (dangling mass) reach the driver.
+
+    ``init_ranks`` WARM-STARTS the iteration from a previous release's
+    (node, rank) vector instead of uniform: nodes absent from it get
+    the uniform prior, then the vector renormalizes to sum 1 (the
+    invariant every round preserves). Power iteration converges to the
+    same fixed point from any positive start — warm-starting buys
+    fewer rounds to a given tolerance after a small release delta,
+    it never changes the answer (pinned by the cold==warm parity
+    test). Pinned-round oracle queries keep the uniform start so the
+    SQL unroll replays exactly.
     """
     sc = edges.sparkSession
     nodes = (
@@ -233,7 +244,21 @@ def pagerank(
         .join(deg, "node")
         .persist()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    else:
+        r0 = nodes.join(
+            init_ranks.select("node", F.col("rank").alias("__warm")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce("__warm", F.lit(1.0 / n)).alias("rank"),
+        )
+        tot = r0.agg(F.sum("rank")).collect()[0][0] or 1.0  # 1-row
+        ranks = r0.select(
+            "node", (F.col("rank") / F.lit(float(tot))).alias("rank")
+        )
     prev_ck: DataFrame | None = None
     cur_cached: DataFrame | None = None  # persist handle behind `ranks`
     parent_cached: DataFrame | None = None  # one generation back — must

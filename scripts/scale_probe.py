@@ -510,6 +510,228 @@ def containment_sweep(workdir: str = "/tmp/scale_sf1",
             )
 
 
+def containment_composition_probe(
+    workdir: str = "/tmp/scale_sf1"
+) -> None:
+    """Round-7 task 4 measurement: how much containment join volume
+    (Σ df² over surviving shingles) the UPSTREAM dedup tiers remove
+    before the containment stage runs — the quantified version of the
+    LSH-before-containment composition rule now wired as
+    ``crawl_to_corpus(containment_threshold=...)``. Substrate = the
+    cap-sweep corpus (planted quote cliques + boilerplate + exact
+    clone mass added here): Σdf² and containment_pairs wall time are
+    measured RAW vs AFTER exact dedup + MinHash-LSH keep-one."""
+    import polars_fastx_spark as pfs
+    from pyspark.sql import functions as F
+    from polars_fastx_spark.operators import dedup
+    from polars_fastx_spark.operators.graph import connected_components
+
+    spark = pfs.get_spark("containment-composition")
+    spark.sparkContext.setLogLevel("ERROR")
+    # substrate: 20k docs of random hex words (md5-derived — truly
+    # DISTINCT text, so the upstream tiers only remove what was
+    # planted; the sf documents table's template vocabulary makes
+    # random docs near-dups of each other and poisons the recall
+    # read), plus the dup mass a crawl actually carries: every 10th
+    # doc in 4 verbatim copies (mirrors/reposts — the clone families
+    # whose df² the composition rule says must never reach the
+    # containment join) and a 30-word excerpt of every 25th doc (what
+    # containment is FOR — it must survive the upstream tiers and be
+    # caught after)
+    base = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(89)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.col("id").cast("string"),
+                                    i.cast("string"))
+                    ), 1, 8,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    clones = base.filter("doc_id % 10 = 0")
+    excerpts = base.filter("doc_id % 25 = 0").select(
+        (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 30), " "
+        ).alias("text"),
+    )
+    corpus = base
+    for shift in (1, 2, 3):
+        corpus = corpus.unionByName(
+            clones.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(shift * 10_000_000)
+            )
+        )
+    corpus = corpus.unionByName(excerpts).persist()
+    n0 = corpus.count()
+
+    def _sigma_df2(df):
+        prof = dedup.shingle_df_profile(df, "doc_id", "text", k=8)
+        return prof.agg(F.sum("join_pairs")).first()[0]
+
+    def _pairs_time(df):
+        # no df cap: the synthetic vocabulary is so small that a
+        # relative cap cuts nearly every shingle (measured — recall
+        # went to zero); the probe's subject is the UNCAPPED join
+        # volume the upstream tiers remove, and excerpt recall
+        t0 = time.time()
+        pr = dedup.containment_pairs(
+            df, "doc_id", "text", k=8, threshold=0.5,
+            max_shingle_df=None,
+        ).persist()
+        n = pr.count()
+        n_exc = pr.filter(
+            (F.col("id_a") >= 40_000_000) | (F.col("id_b") >= 40_000_000)
+        ).count()
+        dt = time.time() - t0
+        pr.unpersist()
+        return n, n_exc, dt
+
+    s_raw = _sigma_df2(corpus)
+    p_raw, e_raw, t_raw = _pairs_time(corpus)
+
+    # tier 1: exact dedup (hash keep-min)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id"))
+    t0 = time.time()
+    exact = (
+        corpus.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1").drop("_rk").persist()
+    )
+    n1 = exact.count()
+    t_exact = time.time() - t0
+    # tier 2: MinHash-LSH keep-one
+    t0 = time.time()
+    cand = dedup.minhash_lsh_candidates(
+        exact, "doc_id", "text", family="perm"
+    )
+    dropped = (
+        connected_components(cand)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    lsh = exact.join(dropped, "doc_id", "left_anti").persist()
+    n2 = lsh.count()
+    t_lsh = time.time() - t0
+    s_post = _sigma_df2(lsh)
+    p_post, e_post, t_post = _pairs_time(lsh)
+    n_exc_total = excerpts.count()
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    print(
+        f"| containment RAW ({n0:,} docs incl. clone mass) | "
+        f"{t_raw:.1f} | {p_raw:,} pairs ({e_raw:,} excerpt hits), "
+        f"Σdf² {s_raw:,} |"
+    )
+    print(
+        f"| upstream exact dedup | {t_exact:.1f} | {n0:,} → {n1:,} |"
+    )
+    print(
+        f"| upstream MinHash-LSH keep-one | {t_lsh:.1f} | "
+        f"{n1:,} → {n2:,} |"
+    )
+    print(
+        f"| containment POST-dedup ({n2:,} docs) | {t_post:.1f} | "
+        f"{p_post:,} pairs — {e_post:,}/{n_exc_total:,} planted "
+        f"excerpts still caught, Σdf² {s_post:,} "
+        f"(volume ÷{s_raw / max(s_post, 1):.1f}, "
+        f"time ÷{t_raw / max(t_post, 1e-9):.1f}) |"
+    )
+    corpus.unpersist(); exact.unpersist(); lsh.unpersist()
+    spark.stop()
+
+
+def linkgraph_incr_probe(n: int = 1_000_000) -> None:
+    """Round-7 task 6 measurement: incremental edge-index maintenance
+    cost vs full re-extraction at a 1% release delta. n synthetic
+    pages × 3 outlinks; release 2 changes 0.5%, removes 0.25%, adds
+    0.25%. The sync's writes must be delta-sized and its wall a small
+    fraction of the rebuild's."""
+    import tempfile
+
+    import polars_fastx_spark as pfs
+    from pyspark.sql import functions as F
+    from polars_fastx_spark.operators import linkgraph
+    from polars_fastx_spark.operators.diffing import snapshot_diff
+
+    spark = pfs.get_spark("linkgraph-incr")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pages(release):
+        d = spark.range(n).withColumnRenamed("id", "page_key")
+        if release == 1:
+            d = d.filter("page_key % 400 != 1")   # 0.25% added later
+        else:
+            d = d.filter("page_key % 400 != 2")   # 0.25% removed
+        body = F.when(
+            (F.lit(release) == 2) & (F.col("page_key") % 200 == 3),
+            F.concat(F.lit("v2-"), F.col("page_key").cast("string")),
+        ).otherwise(F.concat(F.lit("v1-"), F.col("page_key").cast("string")))
+        return d.withColumn("body", body)
+
+    def edges_of(p):
+        return p.select(
+            "page_key",
+            F.explode(
+                F.array(*[
+                    F.concat(
+                        F.lit(f"d{i}-"),
+                        (F.col("page_key") % 1000).cast("string"),
+                    )
+                    for i in range(3)
+                ])
+            ).alias("dst"),
+        ).select(
+            "page_key",
+            F.concat(
+                F.lit("s"), (F.col("page_key") % 997).cast("string")
+            ).alias("src"),
+            "dst",
+        )
+
+    path = tempfile.mkdtemp(prefix="pfs_lg_probe_")
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    t0 = time.time()
+    linkgraph.edge_index_build(edges_of(pages(1)), path)
+    t_build = time.time() - t0
+    e1 = len(spark.read.parquet(f"{path}/edges/epoch=0").take(1))
+    t0 = time.time()
+    d = snapshot_diff(pages(1), pages(2), ["page_key"], ["body"])
+    got = linkgraph.edge_index_sync(path, d, edges_of(pages(2)))
+    t_sync = time.time() - t0
+    t0 = time.time()
+    live_n = linkgraph.live_edges(spark, path).count()
+    t_live = time.time() - t0
+    t0 = time.time()
+    direct_n = edges_of(pages(2)).count()
+    t_direct = time.time() - t0
+    assert live_n == direct_n, (live_n, direct_n)
+    delta_rows = (
+        spark.read.parquet(f"{path}/edges/epoch=2").count()
+        if os.path.exists(f"{path}/edges/epoch=2")
+        else spark.read.parquet(f"{path}/edges/epoch=1").count()
+    )
+    print(
+        f"| edge_index_build ({n:,} pages × 3 links) | {t_build:.1f} "
+        f"| full extraction |"
+    )
+    print(
+        f"| edge_index_sync (1% delta: {got}) | {t_sync:.1f} | "
+        f"appended {delta_rows:,} edge rows (delta-sized, "
+        f"{100.0 * delta_rows / (3 * n):.2f}% of corpus); "
+        f"maintained live == from-scratch ({live_n:,} rows, "
+        f"read {t_live:.1f}s vs re-extract {t_direct:.1f}s) |"
+    )
+    spark.stop()
+
+
 def snapshot_diff_probe(n: int = 2_000_000) -> None:
     """Diff two n-row snapshots differing by ~2.5% — the sparse-change
     release shape. The cost to watch at 100 TB is the two key
@@ -643,6 +865,16 @@ def main() -> None:
         crawl_e2e_probe(
             sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1",
             n=int(sys.argv[3]) if len(sys.argv) > 3 else 30_000,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--linkgraph-incr":
+        linkgraph_incr_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--containment-composition":
+        containment_composition_probe(
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_sf1"
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--containment-sweep":

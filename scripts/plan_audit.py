@@ -58,7 +58,14 @@ def _collect_rows(sf: str) -> list[tuple]:
             rows.append(
                 (
                     name,
-                    plan.count("Exchange "),
+                    # SHUFFLE exchanges only: "BroadcastExchange ..."
+                    # contains the substring "Exchange " and was
+                    # inflating this count — a broadcast of a tiny
+                    # dim/rule table is not a shuffle (caught when the
+                    # PSL tier's 5 broadcast probes tripped the diff
+                    # gate on queries whose shuffle count was flat)
+                    plan.count("Exchange ")
+                    - plan.count("BroadcastExchange "),
                     plan.count("BroadcastHashJoin"),
                     "arrow" if any(m in plan for m in ARROW_MARKERS) else "",
                     "CART"

@@ -2650,10 +2650,10 @@ def _psl_host_col():
     "(user.github.io, blogspot.com.au), ccTLD registries (com.au, "
     "cam.ac.uk, k12.ca.us), the PSL wildcard (*.kawasaki.jp, *.ck) "
     "and exception (!city.kawasaki.jp, !www.ck) machinery, bare TLDs "
-    "and the implicit-* default; Spark resolves via 5 broadcast-hash "
-    "probes of the bundled rule table (zero shuffle), the oracle "
-    "replays the SAME rule tuples as a VALUES table — engine and "
-    "check share data, not code",
+    "and the implicit-* default; Spark compiles the bundled rule "
+    "table into one codegen expression (InSet literal tests — no "
+    "join, no exchange), the oracle replays the SAME rule tuples as "
+    "a VALUES table — engine and check share data, not code",
 )
 def l_psl_domain(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(

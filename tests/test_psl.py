@@ -83,23 +83,22 @@ def test_url_input_and_null_sentinel(spark):
     assert got == {1: "user.github.io", 2: "foo.com.au", 3: ""}
 
 
-def test_plan_is_broadcast_only_no_shuffle(spark):
-    """The 100 TB pin: PSL resolution is a fixed number of
-    broadcast-hash probes — no exchange, no sort-merge join, no
-    Python."""
+def test_plan_is_pure_codegen_no_join_no_shuffle(spark):
+    """The 100 TB pin: PSL resolution compiles to ONE codegen
+    expression — no join of any kind, no exchange, no Python; the
+    literal sets become InSet (hash lookups), not Or-chains."""
     df = spark.range(1000).selectExpr(
         "concat('u', id % 50, '.github.io') AS host"
     )
     out = psl.with_registrable_domain(df, "host", host_input=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert not [
-        line
-        for line in plan.splitlines()
-        if "Exchange" in line and "Broadcast" not in line
-    ]
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+    assert "*(1) Project" in plan  # whole-stage codegen star
+    # optimizer converted the big literal lists to InSet
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "INSET" in optimized or "InSet" in optimized
 
 
 def test_heuristic_divergence_is_real(spark):

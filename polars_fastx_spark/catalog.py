@@ -2668,6 +2668,212 @@ def l_psl_domain(spark, sf_dir):
     )
 
 
+#: robots.txt variants planted per domain — shared verbatim by the
+#: Spark synthesis and the DuckDB oracle (CASE over domain id)
+_ROBOTS_TXT = {
+    "strict": (
+        "User-agent: *\nDisallow: /private/\n"
+        "Allow: /private/ok.html\nDisallow: /*.pdf$\n"
+    ),
+    "block_mybot": (
+        "User-agent: mybot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+    ),
+    "allow_all": "User-agent: *\nDisallow:\n",
+    "empty": "",
+}
+
+
+def _robots_escape_sql(expr: str) -> str:
+    """The pattern→regex translation (functions/robots.py:
+    pattern_regex) as a DuckDB expression over ``expr`` (the
+    anchor-stripped pattern body) — BUILT FROM the same escape list
+    so the chains cannot drift."""
+    s = expr
+    for ch in ("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}",
+               "^", "|", "$"):
+        lit = ch.replace("''", "").replace("'", "''")
+        esc = ("\\" + ch) if ch != "\\" else "\\\\"
+        s = f"replace({s}, '{lit}', '{esc}')"
+    return f"replace({s}, '*', '.*')"
+
+
+def _robots_oracle_sql() -> str:
+    esc = _robots_escape_sql(
+        "CASE WHEN value LIKE '%$' THEN substring(value, 1, length(value) - 1) ELSE value END"
+    )
+    txts = {k: v.replace("\n", chr(10)).replace("'", "''")
+            for k, v in _ROBOTS_TXT.items()}
+    return f"""
+    WITH doms AS (
+      SELECT DISTINCT (doc_id % 7) AS d FROM documents
+    ),
+    robots AS (
+      SELECT 'site' || d || '.net' AS domain,
+        CASE WHEN d IN (0, 1) THEN '{txts["strict"]}'
+             WHEN d IN (2, 3) THEN '{txts["block_mybot"]}'
+             WHEN d = 4 THEN '{txts["allow_all"]}'
+             ELSE '{txts["empty"]}' END AS robots_txt
+      FROM doms WHERE d <> 6
+    ),
+    lines0 AS (
+      SELECT domain,
+        unnest(string_split_regex(robots_txt, '\r?\n')) AS raw,
+        generate_subscripts(string_split_regex(robots_txt, '\r?\n'), 1)
+          AS pos
+      FROM robots
+    ),
+    lines1 AS (
+      SELECT domain, pos,
+        trim(regexp_replace(raw, '#.*$', '')) AS line
+      FROM lines0
+    ),
+    lines2 AS (
+      SELECT domain, pos,
+        lower(coalesce(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1), ''))
+          AS directive,
+        trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1), ''))
+          AS value
+      FROM lines1 WHERE line <> ''
+    ),
+    lines3 AS (
+      SELECT * FROM lines2
+      WHERE directive IN ('user-agent', 'allow', 'disallow')
+    ),
+    lines4 AS (
+      SELECT *,
+        CASE WHEN directive = 'user-agent'
+              AND coalesce(lag(directive) OVER
+                    (PARTITION BY domain ORDER BY pos), '')
+                  <> 'user-agent'
+         THEN 1 ELSE 0 END AS grp_start
+      FROM lines3
+    ),
+    grouped AS (
+      SELECT *,
+        sum(grp_start) OVER (PARTITION BY domain ORDER BY pos) AS grp
+      FROM lines4
+    ),
+    agents AS (
+      SELECT domain, grp, lower(value) AS agent
+      FROM grouped WHERE directive = 'user-agent'
+      GROUP BY 1, 2, 3
+    ),
+    rules AS (
+      SELECT g.domain, a.agent,
+        (g.directive = 'allow') AS allow,
+        g.value AS pattern, length(g.value) AS pattern_len,
+        '^' || {esc}
+          || (CASE WHEN g.value LIKE '%$' THEN '$' ELSE '' END) AS rx
+      FROM grouped g JOIN agents a
+        ON g.domain = a.domain AND g.grp = a.grp
+      WHERE g.directive <> 'user-agent' AND g.value <> ''
+    ),
+    named_doms AS (
+      SELECT DISTINCT domain FROM rules WHERE agent = 'mybot'
+    ),
+    applicable AS (
+      SELECT * FROM rules WHERE agent = 'mybot'
+      UNION ALL
+      SELECT * FROM rules
+      WHERE agent = '*' AND domain NOT IN (SELECT domain FROM named_doms)
+    ),
+    u AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 7) || '.net'
+        || CASE (doc_id % 5)
+             WHEN 0 THEN '/pub/' || doc_id
+             WHEN 1 THEN '/private/p' || doc_id
+             WHEN 2 THEN '/files/f' || doc_id || '.pdf'
+             WHEN 3 THEN '/private/ok.html'
+             ELSE '/' END AS url,
+        'site' || (doc_id % 7) || '.net' AS dom,
+        CASE (doc_id % 5)
+             WHEN 0 THEN '/pub/' || doc_id
+             WHEN 1 THEN '/private/p' || doc_id
+             WHEN 2 THEN '/files/f' || doc_id || '.pdf'
+             WHEN 3 THEN '/private/ok.html'
+             ELSE '/' END AS path
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT u.doc_id, u.url, r.allow, r.pattern_len,
+        row_number() OVER (PARTITION BY u.doc_id
+          ORDER BY r.pattern_len DESC,
+                   CASE WHEN r.allow THEN 1 ELSE 0 END DESC) AS rn
+      FROM u LEFT JOIN applicable r
+        ON u.dom = r.domain AND regexp_matches(u.path, r.rx)
+    )
+    SELECT doc_id, url,
+      coalesce(bool_or(CASE WHEN rn = 1 THEN allow END), TRUE)
+        AS allowed
+    FROM verdicts GROUP BY doc_id, url ORDER BY doc_id
+    """
+
+
+def _robots_frames(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/pub/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/p"),
+                       F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/files/f"),
+                       F.col("doc_id").cast("string"), F.lit(".pdf")))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/private/ok.html"))
+        .otherwise(F.lit("/"))
+    )
+    urls_df = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), d7, F.lit(".net"), path).alias(
+            "url"
+        ),
+    )
+    dom_id = (F.col("doc_id") % 7)
+    robots_df = (
+        docs.select(dom_id.alias("d")).distinct().filter(F.col("d") != 6)
+        .select(
+            F.concat(F.lit("site"), F.col("d").cast("string"),
+                     F.lit(".net")).alias("domain"),
+            F.when(F.col("d").isin(0, 1), F.lit(_ROBOTS_TXT["strict"]))
+            .when(F.col("d").isin(2, 3), F.lit(_ROBOTS_TXT["block_mybot"]))
+            .when(F.col("d") == 4, F.lit(_ROBOTS_TXT["allow_all"]))
+            .otherwise(F.lit(_ROBOTS_TXT["empty"]))
+            .alias("robots_txt"),
+        )
+    )
+    return urls_df, robots_df
+
+
+@_q(
+    "l_robots_gate",
+    _robots_oracle_sql(),
+    "L-crawl: robots.txt COMPLIANCE gate (functions/robots.py, RFC "
+    "9309) — per-domain robots files parse relationally (line "
+    "explode -> window prefix-scan group assembly -> per-agent rule "
+    "table with patterns compiled to regexes, '*' and trailing '$' "
+    "honored), then every URL resolves its applicable group (exact "
+    "agent beats '*'), longest-pattern match decides, Allow wins "
+    "ties, absent/empty robots allows; one domain-key join (tiny "
+    "build side) + one URL-keyed aggregation — the politeness tier "
+    "that belongs BEFORE domain_cap in a frontier; planted variants "
+    "cover agent-specific blocks, wildcard/anchor patterns, empty "
+    "Disallow, empty file, and missing file",
+)
+def l_robots_gate(spark, sf_dir):
+    from polars_fastx_spark.functions import robots as rb
+
+    urls_df, robots_df = _robots_frames(spark, sf_dir)
+    rules = rb.parse_robots(robots_df)
+    return (
+        rb.robots_allowed(urls_df, rules, agent="mybot")
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "l_domain_cap",
     """

@@ -1,0 +1,191 @@
+"""robots.txt — RFC 9309 parsing and URL gating, fully relational.
+
+A polite crawl pipeline must not fetch (or keep) URLs a site's
+robots.txt disallows — at corpus-cleaning time this is a compliance
+gate exactly like the noindex meta gate (`html.html_noindex`), one
+tier earlier in the stack. The whole protocol is relational:
+
+- **parse** (:func:`parse_robots`): a (domain, robots_txt) table
+  explodes into lines; groups form per RFC 9309 §2.1 (consecutive
+  ``User-agent`` lines open a group; the group's rules run until the
+  next ``User-agent`` line that FOLLOWS a rule). Group assembly is a
+  window prefix-scan partitioned by DOMAIN — a robots.txt is KBs, so
+  partitions are tiny whatever the corpus size. Output: one row per
+  (domain, agent, allow?, path pattern) with the pattern pre-compiled
+  to a regex (``*`` → ``.*``, trailing ``$`` anchor, everything else
+  escaped) and its PRECEDENCE length (octets of the original pattern,
+  per spec).
+
+- **gate** (:func:`robots_allowed`): resolve each URL's applicable
+  group — exact agent match if the domain defines one, else ``*``
+  (the spec's most-specific-token rule collapsed to the two cases a
+  corpus crawler uses) — then the longest-pattern match decides;
+  ties prefer Allow (RFC 9309 §2.2.2). No matching rule, no group,
+  or no robots.txt at all → allowed. One join on the domain key (the
+  rules side is tiny — AQE broadcasts it) + one aggregation keyed by
+  URL; both engines replay it, so the catalog query is
+  oracle-checked end to end.
+
+Empty ``Disallow:`` (no value) means "no restriction" per spec and
+parses to no rule. Patterns match against the URL's path+query.
+
+Reference parity: the reference (apcamargo/polars-fastx) has no
+crawl surface; north-star extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.functions.urls import url_host
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def pattern_regex(pat: Column) -> Column:
+    """robots path pattern → Java/RE2-safe regex string (both engines
+    accept it): escape metachars, ``*`` → ``.*``, a trailing ``$``
+    becomes the regex anchor, and the whole pattern anchors at the
+    path start."""
+    anchored = pat.endswith("$")
+    body = F.when(
+        anchored, F.substring(pat, 1, F.length(pat) - 1)
+    ).otherwise(pat)
+    # escape regex metachars EXCEPT '*' (translated after)
+    esc = body
+    for ch in ("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}",
+               "^", "|", "$"):
+        esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), esc, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, robots_txt) → rule table
+    ``(domain, agent, allow, pattern, pattern_len, rx)``.
+
+    Window prefix-scan per domain (see module docstring): group ids
+    accumulate over line positions, agents collected per group, rules
+    inherit their group's agents. Lines that parse to nothing
+    (comments, blanks, unknown directives, empty Disallow) drop."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(
+            F.split(F.col(text_col), r"\r?\n")
+        ).alias("pos", "line"),
+    ).select(
+        "domain", "pos",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    d = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    v = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    lines = lines.select(
+        "domain", "pos", d.alias("directive"), v.alias("value")
+    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("domain").orderBy("pos")
+    is_ua = F.col("directive") == "user-agent"
+    prev_ua = F.lag(is_ua.cast("int"), 1, 0).over(w)
+    # a group starts at a user-agent line NOT preceded by one
+    start = (is_ua & (prev_ua == 0)).cast("int")
+    lines = lines.withColumn("grp", F.sum(start).over(w))
+    agents = (
+        lines.filter(is_ua)
+        .groupBy("domain", "grp")
+        .agg(
+            F.collect_set(F.lower(F.col("value"))).alias("agents")
+        )
+    )
+    rules = (
+        lines.filter(~is_ua & (F.col("value") != ""))
+        .join(agents, ["domain", "grp"])
+        .select(
+            "domain",
+            F.explode("agents").alias("agent"),
+            (F.col("directive") == "allow").alias("allow"),
+            F.col("value").alias("pattern"),
+            F.length("value").alias("pattern_len"),
+        )
+    )
+    return rules.withColumn("rx", pattern_regex(F.col("pattern")))
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    agent: str = "mybot",
+    out: str = "allowed",
+) -> DataFrame:
+    """``urls`` + boolean ``out``: may ``agent`` fetch each URL under
+    ``rules`` (a :func:`parse_robots` table)? Longest matching
+    pattern decides, Allow wins ties, no match/group/file → allowed.
+
+    One domain-key join (tiny build side — AQE broadcasts) and one
+    aggregation keyed by the URL row. ``urls`` must expose unique
+    rows per url value; the gate aggregates by the url string."""
+    agent = agent.lower()
+    host = url_host(_col(url_col))
+    dom = F.coalesce(host, F.lit(""))
+    path = F.regexp_extract(
+        _col(url_col), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    u = urls.withColumn("__dom", dom).withColumn("__path", path)
+
+    # agent resolution: a domain with a group for OUR agent uses only
+    # those rules; otherwise its '*' group applies
+    named = rules.filter(F.col("agent") == agent)
+    named_doms = named.select("domain").distinct()
+    fallback = rules.filter(F.col("agent") == "*").join(
+        named_doms, "domain", "left_anti"
+    )
+    applicable = named.unionByName(fallback).select(
+        F.col("domain").alias("__dom"), "allow", "pattern_len", "rx"
+    )
+
+    j = u.join(applicable, "__dom", "left")
+    hit = F.col("rx").isNotNull() & F.expr("__path rlike rx")
+    # winner per URL row: longest pattern, Allow breaking ties
+    verdict = F.when(
+        hit,
+        F.struct(
+            F.col("pattern_len").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    keep_cols = [c for c in urls.columns]
+    agg = (
+        j.groupBy(*[F.col(c) for c in keep_cols])
+        .agg(F.max(verdict).alias("__best"))
+    )
+    allowed = F.when(
+        F.col("__best").isNull(), F.lit(True)
+    ).otherwise(F.col("__best.a") == 1)
+    return agg.withColumn(out, allowed).drop("__best")
+
+
+def robots_gate(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    agent: str = "mybot",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """The one-call frontier/corpus gate: parse + keep allowed rows
+    (dropping the verdict column). Compose before ``domain_cap`` in a
+    crawl loop — budget should not be spent on unfetchable URLs."""
+    rules = parse_robots(robots, domain_col, text_col)
+    gated = robots_allowed(urls, rules, url_col, agent)
+    return gated.filter(F.col("allowed")).drop("allowed")

@@ -1,0 +1,98 @@
+"""functions/robots.py — RFC 9309 robots.txt parsing + URL gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.functions import robots
+
+
+def _rules(spark):
+    rb = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/ok.html\nDisallow: /*.pdf$\n",
+            ),
+            (
+                "b.org",
+                "# comment\nUser-agent: mybot\nUser-agent: otherbot\n"
+                "Disallow: /\n\nUser-agent: *\nAllow: /\n",
+            ),
+            ("c.net", "User-agent: *\nDisallow:\n"),  # empty = allow
+            ("d.io", ""),
+        ],
+        "domain string, robots_txt string",
+    )
+    return robots.parse_robots(rb)
+
+
+def test_parse_groups_agents_and_patterns(spark):
+    got = {
+        (r["domain"], r["agent"], r["pattern"]): (
+            r["allow"], r["pattern_len"], r["rx"],
+        )
+        for r in _rules(spark).collect()
+    }
+    # stacked user-agent lines share one group's rules
+    assert got[("b.org", "mybot", "/")] == (False, 1, "^/")
+    assert got[("b.org", "otherbot", "/")] == (False, 1, "^/")
+    assert got[("b.org", "*", "/")] == (True, 1, "^/")
+    # wildcard + anchor translation; metachars escaped
+    assert got[("a.com", "*", "/*.pdf$")] == (False, 7, r"^/.*\.pdf$")
+    assert got[("a.com", "*", "/private/ok.html")][2] == (
+        r"^/private/ok\.html"
+    )
+    # empty Disallow and empty file parse to NO rules
+    assert not [k for k in got if k[0] in ("c.net", "d.io")]
+
+
+def test_gate_longest_match_allow_ties_and_fallbacks(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/public/x"),
+            (2, "https://a.com/private/secret"),
+            (3, "https://a.com/private/ok.html"),  # Allow, longer match
+            (4, "https://a.com/doc/file.pdf"),     # wildcard+anchor
+            (5, "https://a.com/doc/file.pdf?x=1"), # query defeats $
+            (6, "https://b.org/anything"),         # mybot group blocks
+            (7, "https://c.net/x"),                # empty Disallow
+            (8, "https://norobots.xyz/y"),         # no robots at all
+        ],
+        "id long, url string",
+    )
+    out = robots.robots_allowed(urls, _rules(spark), agent="MyBot")
+    got = {r["id"]: r["allowed"] for r in out.collect()}
+    assert got == {
+        1: True, 2: False, 3: True, 4: False, 5: True, 6: False,
+        7: True, 8: True,
+    }
+    # a generic agent falls back to b.org's '*' group (Allow /)
+    other = robots.robots_allowed(urls, _rules(spark), agent="randombot")
+    assert {r["id"]: r["allowed"] for r in other.collect()}[6] is True
+
+
+def test_robots_gate_composition(spark):
+    rb = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no/\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/yes/1"), (2, "https://a.com/no/2")],
+        "id long, url string",
+    )
+    kept = robots.robots_gate(urls, rb, agent="anybot")
+    assert [r["id"] for r in kept.collect()] == [1]
+    assert kept.columns == ["id", "url"]  # verdict column dropped
+
+
+def test_gate_plan_no_python(spark):
+    urls = spark.range(100).selectExpr(
+        "id", "concat('https://a.com/p/', id) AS url"
+    )
+    out = robots.robots_allowed(urls, _rules(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -58,6 +58,7 @@ _PRIORITY = [
     # round-7 additions first: the zero-err invariant needs their
     # driver rows this round
     "l_psl_domain", "l_crawl_rank_incr", "l_robots_gate",
+    "l_sitemap_seed",
     # round-6 queries whose domains are now Public-Suffix-List
     # accurate (functions/psl.py) re-verify next
     "l_containment_gate", "l_ann_index_drift", "l_url_normalize",

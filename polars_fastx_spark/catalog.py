@@ -2697,24 +2697,16 @@ def _robots_escape_sql(expr: str) -> str:
     return f"replace({s}, '*', '.*')"
 
 
-def _robots_oracle_sql() -> str:
+def _robots_rules_sql(agent: str = "mybot") -> str:
+    """The robots parse+group+agent-resolution CTE chain — reads a
+    ``robots(domain, robots_txt)`` CTE, defines ``applicable`` —
+    shared by every oracle that gates on robots (l_robots_gate,
+    l_sitemap_seed), generated from the same escape constants as
+    functions/robots.py so the chains cannot drift."""
     esc = _robots_escape_sql(
         "CASE WHEN value LIKE '%$' THEN substring(value, 1, length(value) - 1) ELSE value END"
     )
-    txts = {k: v.replace("\n", chr(10)).replace("'", "''")
-            for k, v in _ROBOTS_TXT.items()}
     return f"""
-    WITH doms AS (
-      SELECT DISTINCT (doc_id % 7) AS d FROM documents
-    ),
-    robots AS (
-      SELECT 'site' || d || '.net' AS domain,
-        CASE WHEN d IN (0, 1) THEN '{txts["strict"]}'
-             WHEN d IN (2, 3) THEN '{txts["block_mybot"]}'
-             WHEN d = 4 THEN '{txts["allow_all"]}'
-             ELSE '{txts["empty"]}' END AS robots_txt
-      FROM doms WHERE d <> 6
-    ),
     lines0 AS (
       SELECT domain,
         unnest(string_split_regex(robots_txt, '\r?\n')) AS raw,
@@ -2769,14 +2761,35 @@ def _robots_oracle_sql() -> str:
       WHERE g.directive <> 'user-agent' AND g.value <> ''
     ),
     named_doms AS (
-      SELECT DISTINCT domain FROM rules WHERE agent = 'mybot'
+      SELECT DISTINCT domain FROM rules WHERE agent = '{agent}'
     ),
     applicable AS (
-      SELECT * FROM rules WHERE agent = 'mybot'
+      SELECT * FROM rules WHERE agent = '{agent}'
       UNION ALL
       SELECT * FROM rules
       WHERE agent = '*' AND domain NOT IN (SELECT domain FROM named_doms)
+    )"""
+
+
+def _robots_oracle_sql() -> str:
+    esc = _robots_escape_sql(
+        "CASE WHEN value LIKE '%$' THEN substring(value, 1, length(value) - 1) ELSE value END"
+    )
+    txts = {k: v.replace("\n", chr(10)).replace("'", "''")
+            for k, v in _ROBOTS_TXT.items()}
+    return f"""
+    WITH doms AS (
+      SELECT DISTINCT (doc_id % 7) AS d FROM documents
     ),
+    robots AS (
+      SELECT 'site' || d || '.net' AS domain,
+        CASE WHEN d IN (0, 1) THEN '{txts["strict"]}'
+             WHEN d IN (2, 3) THEN '{txts["block_mybot"]}'
+             WHEN d = 4 THEN '{txts["allow_all"]}'
+             ELSE '{txts["empty"]}' END AS robots_txt
+      FROM doms WHERE d <> 6
+    ),
+    {_robots_rules_sql()},
     u AS (
       SELECT doc_id,
         'https://site' || (doc_id % 7) || '.net'
@@ -2871,6 +2884,164 @@ def l_robots_gate(spark, sf_dir):
         rb.robots_allowed(urls_df, rules, agent="mybot")
         .select("doc_id", "url", "allowed")
         .orderBy("doc_id")
+    )
+
+
+def _sitemap_oracle_sql() -> str:
+    txts = {k: v.replace("\n", chr(10)).replace("'", "''")
+            for k, v in _ROBOTS_TXT.items()}
+    return f"""
+    WITH blocks AS (
+      SELECT (doc_id % 7) AS d,
+        '<url><loc>https://site' || (doc_id % 7) || '.net'
+        || (CASE WHEN doc_id % 3 = 1 THEN '/private/x' ELSE '/s/' END)
+        || doc_id || '</loc>'
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '<lastmod>2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                 || '</lastmod>' ELSE '' END)
+        || '</url>' AS block
+      FROM documents
+    ),
+    sitemaps AS (
+      SELECT d, '<urlset>' || string_agg(block, '' ORDER BY block)
+        || '</urlset>' AS xml
+      FROM blocks GROUP BY d
+    ),
+    locs0 AS (
+      SELECT d,
+        unnest(regexp_extract_all(xml,
+          '(?is)<url\\s*>.*?</url\\s*>', 0)) AS blk
+      FROM sitemaps
+    ),
+    seeds0 AS (
+      SELECT
+        replace(replace(replace(replace(replace(
+          coalesce(regexp_extract(blk,
+            '(?is)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1), ''),
+          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)) AS url,
+        coalesce(regexp_extract(blk,
+          '(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1), '')
+          AS lastmod
+      FROM locs0
+    ),
+    seeds1 AS (
+      SELECT DISTINCT url, lastmod FROM seeds0 WHERE url <> ''
+    ),
+    crawled AS (
+      SELECT DISTINCT 'https://site' || (doc_id % 7) || '.net/s/'
+        || doc_id AS url
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fresh AS (
+      SELECT s.* FROM seeds1 s
+      WHERE s.url NOT IN (SELECT url FROM crawled)
+    ),
+    doms AS (SELECT DISTINCT (doc_id % 7) AS d FROM documents),
+    robots AS (
+      SELECT 'site' || d || '.net' AS domain,
+        CASE WHEN d IN (0, 1) THEN '{txts["strict"]}'
+             WHEN d IN (2, 3) THEN '{txts["block_mybot"]}'
+             ELSE '{txts["allow_all"]}' END AS robots_txt
+      FROM doms WHERE d <> 6
+    ),
+    {_robots_rules_sql()},
+    u AS (
+      SELECT url, lastmod,
+        regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
+          ':[0-9]+$', ''), '^www\\.', '') AS dom,
+        coalesce(nullif(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$', 1), ''), '/')
+          AS path
+      FROM fresh
+    ),
+    verdicts AS (
+      SELECT u.url, u.lastmod, r.allow, r.pattern_len,
+        row_number() OVER (PARTITION BY u.url
+          ORDER BY r.pattern_len DESC,
+                   CASE WHEN r.allow THEN 1 ELSE 0 END DESC) AS rn
+      FROM u LEFT JOIN applicable r
+        ON u.dom = r.domain AND regexp_matches(u.path, r.rx)
+    ),
+    gated AS (
+      SELECT url, lastmod,
+        coalesce(bool_or(CASE WHEN rn = 1 THEN allow END), TRUE)
+          AS allowed
+      FROM verdicts GROUP BY url, lastmod
+    )
+    SELECT url, lastmod FROM gated WHERE allowed
+    ORDER BY url, lastmod
+    """
+
+
+@_q(
+    "l_sitemap_seed",
+    _sitemap_oracle_sql(),
+    "L-crawl: SITEMAP frontier seeds (functions/sitemaps.py, "
+    "sitemaps.org) — per-domain <urlset> documents (entity-encoded "
+    "locs, optional per-url lastmod) explode into (url, lastmod) "
+    "rows via codegen regexes, already-crawled urls anti-join out on "
+    "the url key, and the robots gate keeps only fetchable seeds "
+    "(exact-agent groups, wildcard patterns — the l_robots_gate "
+    "machinery reused via the same generated SQL chain); lastmod is "
+    "the recrawl-scheduling signal snapshot_diff consumes. Planted: "
+    "/private/ seeds under strict domains drop, block-all domains "
+    "contribute nothing, the no-robots domain passes everything "
+    "uncrawled",
+)
+def l_sitemap_seed(spark, sf_dir):
+    from polars_fastx_spark.functions import sitemaps as smf
+
+    docs = _t(spark, sf_dir, "documents")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    did = F.col("doc_id").cast("string")
+    block = F.concat(
+        F.lit("<url><loc>https://site"), d7, F.lit(".net"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("/private/x")).otherwise(
+            F.lit("/s/")
+        ),
+        did, F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    smaps = (
+        docs.select((F.col("doc_id") % 7).alias("d"), block.alias("b"))
+        .groupBy("d")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.array_sort(F.collect_list("b"))),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    crawled = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.concat(
+            F.lit("https://site"), d7, F.lit(".net/s/"), did
+        ).alias("url")
+    )
+    _, robots_df = _robots_frames(spark, sf_dir)
+    # same planted variants minus the empty-file domain (the empty
+    # text becomes allow_all here so the sitemap lane exercises the
+    # no-rules path through a PRESENT file too)
+    robots_df = robots_df.withColumn(
+        "robots_txt",
+        F.when(
+            F.col("robots_txt") == _ROBOTS_TXT["empty"],
+            F.lit(_ROBOTS_TXT["allow_all"]),
+        ).otherwise(F.col("robots_txt")),
+    )
+    return (
+        smf.sitemap_seeds(smaps, crawled, robots=robots_df, agent="mybot")
+        .orderBy("url", "lastmod")
     )
 
 

@@ -2457,16 +2457,17 @@ def l_containment_gate(spark, sf_dir):
 
 
 #: deterministic URL-variant constructor shared by the URL queries:
-#: four syntactic shapes of the messy-crawl inputs normalize_url is
+#: five syntactic shapes of the messy-crawl inputs normalize_url is
 #: for (case/www/default-port/tracking-params/fragment; co.uk
-#: registry; scheme-less; non-default port), manufactured relationally
+#: registry; scheme-less; a !www.ck exception host; non-default
+#: port), manufactured relationally
 #: from the documents table so the DuckDB oracle replays byte-for-byte
 def _doc_url():
     d = F.col("doc_id").cast("string")
     s = F.col("source")
     return (
         F.when(
-            F.col("doc_id") % 4 == 0,
+            F.col("doc_id") % 5 == 0,
             F.concat(
                 F.lit("HTTP://WWW."), s,
                 F.lit(".Example.COM:80/news/"), d,
@@ -2474,15 +2475,22 @@ def _doc_url():
             ),
         )
         .when(
-            F.col("doc_id") % 4 == 1,
+            F.col("doc_id") % 5 == 1,
             F.concat(
                 F.lit("https://"), s,
                 F.lit(".shop.example.co.uk/item?z=9&gclid=abc&y=8"),
             ),
         )
         .when(
-            F.col("doc_id") % 4 == 2,
+            F.col("doc_id") % 5 == 2,
             F.concat(s, F.lit(".team.github.io/")),
+        )
+        .when(
+            # www IS the registrable label here (!www.ck): the PSL
+            # tier must see the FULL host even though normalize_url
+            # cosmetically strips 'www.'
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://www.ck/home/"), d, F.lit("#x")),
         )
         .otherwise(
             F.concat(
@@ -2495,12 +2503,13 @@ def _doc_url():
 
 _URL_SQL = """
       CASE
-        WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || source
+        WHEN doc_id % 5 = 0 THEN 'HTTP://WWW.' || source
           || '.Example.COM:80/news/' || doc_id
           || '/?utm_source=feed&b=2&a=1#top'
-        WHEN doc_id % 4 = 1 THEN 'https://' || source
+        WHEN doc_id % 5 = 1 THEN 'https://' || source
           || '.shop.example.co.uk/item?z=9&gclid=abc&y=8'
-        WHEN doc_id % 4 = 2 THEN source || '.team.github.io/'
+        WHEN doc_id % 5 = 2 THEN source || '.team.github.io/'
+        WHEN doc_id % 5 = 3 THEN 'http://www.ck/home/' || doc_id || '#x'
         ELSE 'https://blog.' || source || '.example.com:8443/post/'
           || doc_id
       END
@@ -2518,6 +2527,11 @@ _URL_NORM_SQL = (
         regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
           ':[0-9]+$', ''), '^www\\.', '') AS host,
+        -- FULL host (no cosmetic www strip) — what the PSL tier sees:
+        -- 'www' can be a registrable label (!www.ck)
+        regexp_replace(lower(coalesce(regexp_extract(url,
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
+          ':[0-9]+$', '') AS host_full,
         coalesce(regexp_extract(url,
           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#:]*:([0-9]+)', 1), '')
           AS port,
@@ -2534,7 +2548,7 @@ _URL_NORM_SQL = (
       FROM u
     ),
     formed AS (
-      SELECT doc_id, url, host,
+      SELECT doc_id, url, host, host_full,
         (CASE WHEN scheme = '' THEN '' ELSE scheme || '://' END)
         || host
         || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
@@ -2552,7 +2566,7 @@ _URL_NORM_SQL = (
     dom AS (
       SELECT doc_id, url, host, norm_url,
         """
-    + pslf.psl_domain_sql("host")
+    + pslf.psl_domain_sql("host_full")
     + """ AS domain
       FROM formed
     )
@@ -2753,7 +2767,7 @@ def _robots_rules_sql(agent: str = "mybot") -> str:
     rules AS (
       SELECT g.domain, a.agent,
         (g.directive = 'allow') AS allow,
-        g.value AS pattern, length(g.value) AS pattern_len,
+        g.value AS pattern, strlen(g.value) AS pattern_len,
         '^' || {esc}
           || (CASE WHEN g.value LIKE '%$' THEN '$' ELSE '' END) AS rx
       FROM grouped g JOIN agents a
@@ -2796,7 +2810,7 @@ def _robots_oracle_sql() -> str:
         || CASE (doc_id % 5)
              WHEN 0 THEN '/pub/' || doc_id
              WHEN 1 THEN '/private/p' || doc_id
-             WHEN 2 THEN '/files/f' || doc_id || '.pdf'
+             WHEN 2 THEN '/files/f' || doc_id || '.pdf#sec'
              WHEN 3 THEN '/private/ok.html'
              ELSE '/' END AS url,
         'site' || (doc_id % 7) || '.net' AS dom,
@@ -2833,8 +2847,12 @@ def _robots_frames(spark, sf_dir):
               F.concat(F.lit("/private/p"),
                        F.col("doc_id").cast("string")))
         .when(F.col("doc_id") % 5 == 2,
+              # '#sec' fragment planted so the gate must strip it
+              # before matching '/*.pdf$' (RFC 9309: path+query only;
+              # the oracle's path CASE is fragment-free by build)
               F.concat(F.lit("/files/f"),
-                       F.col("doc_id").cast("string"), F.lit(".pdf")))
+                       F.col("doc_id").cast("string"),
+                       F.lit(".pdf#sec")))
         .when(F.col("doc_id") % 5 == 3, F.lit("/private/ok.html"))
         .otherwise(F.lit("/"))
     )
@@ -2952,7 +2970,7 @@ def _sitemap_oracle_sql() -> str:
           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
           ':[0-9]+$', ''), '^www\\.', '') AS dom,
         coalesce(nullif(regexp_extract(url,
-          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$', 1), ''), '/')
+          '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^#]*)', 1), ''), '/')
           AS path
       FROM fresh
     ),
@@ -3060,9 +3078,9 @@ def l_sitemap_seed(spark, sf_dir):
     ),
     hosts AS (
       SELECT doc_id, url,
-        regexp_replace(regexp_replace(lower(coalesce(regexp_extract(url,
+        regexp_replace(lower(coalesce(regexp_extract(url,
           '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
-          ':[0-9]+$', ''), '^www\\.', '') AS host
+          ':[0-9]+$', '') AS host
       FROM u
     ),
     """
@@ -10669,10 +10687,10 @@ def _anchor_oracle_sql() -> str:
       FROM a
     ),
     hostd AS (
-      SELECT regexp_replace(regexp_replace(lower(coalesce(
+      SELECT regexp_replace(lower(coalesce(
                regexp_extract(href,
                  '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)', 1), '')),
-               ':[0-9]+$', ''), '^www\\.', '') AS host, anchor_text
+               ':[0-9]+$', '') AS host, anchor_text
       FROM t
     ),
     {psl_rules},

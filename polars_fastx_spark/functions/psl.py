@@ -7,7 +7,13 @@ the hosting-platform hosts a web corpus is full of if the extraction
 is wrong. ``urls.url_domain`` is a 7-label heuristic shortcut
 (pure-Column, zero-dependency fallback); THIS module is the accurate
 tier — the real PSL algorithm (publicsuffix.org/list/, the public
-MPL-2.0 dataset every browser ships) over a broadcast rule table.
+MPL-2.0 dataset every browser ships) compiled into one codegen
+Column expression (InSet literal tests — see below).
+
+URL inputs hand the PSL the FULL host (``urls.url_host_full`` — no
+``www.`` strip): ``www`` can itself be a registrable label (the
+PSL's ``!www.ck`` exception), so the cosmetic strip that
+``normalize_url`` applies must never run before the rule match.
 
 **Algorithm** (the PSL spec, verbatim): split the host into labels; a
 rule matches when its labels are a suffix of the host's (``*``
@@ -63,7 +69,7 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from polars_fastx_spark.functions.urls import url_host
+from polars_fastx_spark.functions.urls import url_host_full
 
 #: ICANN-section second-level registries, grouped by TLD for
 #: readability; expanded into full suffix strings below.
@@ -244,7 +250,9 @@ def _compiled(rules: tuple[str, ...]) -> tuple[tuple[str, int, int], ...]:
 
 
 def rules_df(spark, rules: tuple[str, ...] | None = None) -> DataFrame:
-    """The broadcast rule table: (key, ps_len, pri)."""
+    """The rule table as a DataFrame: (key, ps_len, pri). Oracle/debug
+    surface only — the production match is the compiled InSet
+    expression (:func:`registrable_domain`), which joins nothing."""
     comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
     return spark.createDataFrame(
         list(comp), "key string, ps_len int, pri int"
@@ -287,7 +295,7 @@ def registrable_domain(
     them (the ``domain_cap`` NULL-sentinel convention)."""
     comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
     host = (
-        F.lower(_as_col(url)) if host_input else url_host(_as_col(url))
+        F.lower(_as_col(url)) if host_input else url_host_full(_as_col(url))
     )
     host = F.coalesce(host, F.lit(""))
     labels = F.split(host, r"\.")
@@ -369,7 +377,7 @@ def with_registrable_domain(
     result, same join-free/exchange-free plan."""
     comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
     host = (
-        F.lower(_as_col(url)) if host_input else url_host(_as_col(url))
+        F.lower(_as_col(url)) if host_input else url_host_full(_as_col(url))
     )
     host = F.coalesce(host, F.lit(""))
 
@@ -501,7 +509,7 @@ def psl_ps_len_sql(
     host whose label list is ``labels_expr`` (requires the
     ``psl_rules`` CTE from :func:`psl_rules_values_sql` in scope).
     Scalar subquery — fine at oracle scale; the Spark side is the
-    broadcast-join plan."""
+    compiled InSet expression chain (no table, no join)."""
     comp = _compiled(tuple(rules) if rules else PSL_SNAPSHOT)
     plain_ks, wild_ks = _depths(comp)
     L = labels_expr

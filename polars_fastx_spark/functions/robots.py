@@ -27,7 +27,12 @@ tier earlier in the stack. The whole protocol is relational:
   oracle-checked end to end.
 
 Empty ``Disallow:`` (no value) means "no restriction" per spec and
-parses to no rule. Patterns match against the URL's path+query.
+parses to no rule. Patterns match against the URL's path+query ONLY
+— the fragment is stripped before matching (RFC 9309 §2.2.2 matches
+the path and its parameters; a ``#frag`` suffix must not let a URL
+evade ``/*.pdf$``), and precedence length counts OCTETS of the
+original pattern (§2.2.2 ranks by octets, so non-ASCII Allow/
+Disallow pairs tie-break exactly as a compliant parser does).
 
 Reference parity: the reference (apcamargo/polars-fastx) has no
 crawl surface; north-star extension per /root/repo/BASELINE.json:6.
@@ -114,7 +119,8 @@ def parse_robots(
             F.explode("agents").alias("agent"),
             (F.col("directive") == "allow").alias("allow"),
             F.col("value").alias("pattern"),
-            F.length("value").alias("pattern_len"),
+            # RFC 9309 §2.2.2 ranks rules by OCTETS, not characters
+            F.octet_length("value").alias("pattern_len"),
         )
     )
     return rules.withColumn("rx", pattern_regex(F.col("pattern")))
@@ -137,8 +143,10 @@ def robots_allowed(
     agent = agent.lower()
     host = url_host(_col(url_col))
     dom = F.coalesce(host, F.lit(""))
+    # path+query ONLY — the fragment never reaches the matcher
+    # (RFC 9309 §2.2.2; '/f.pdf#sec' must still match '/*.pdf$')
     path = F.regexp_extract(
-        _col(url_col), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$", 1
+        _col(url_col), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*([^#]*)", 1
     )
     path = F.when(path == "", F.lit("/")).otherwise(path)
     u = urls.withColumn("__dom", dom).withColumn("__path", path)

@@ -55,13 +55,24 @@ def url_scheme(url: Column | str) -> Column:
     return F.lower(F.regexp_extract(_col(url), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
 
-def url_host(url: Column | str) -> Column:
-    """Lowercased host with any ``www.`` prefix and port stripped."""
+def url_host_full(url: Column | str) -> Column:
+    """Lowercased host with the port stripped — the FULL host, every
+    label kept. This is what the PSL tier consumes: ``www`` can be a
+    registrable label (the PSL's own ``!www.ck`` exception), so
+    stripping it before the rule match would deviate from the spec
+    for exactly those hosts."""
     h = F.lower(
         F.regexp_extract(_col(url), r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1)
     )
-    h = F.regexp_replace(h, r":\d+$", "")
-    return F.regexp_replace(h, r"^www\.", "")
+    return F.regexp_replace(h, r":\d+$", "")
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host with any ``www.`` prefix and port stripped —
+    the COSMETIC host used by ``normalize_url`` (step 2) and display
+    keys. Rule-accurate domain extraction must use
+    :func:`url_host_full` (the PSL tier does)."""
+    return F.regexp_replace(url_host_full(url), r"^www\.", "")
 
 
 def url_path(url: Column | str) -> Column:
@@ -80,9 +91,9 @@ def url_domain(url: Column | str) -> Column:
     (``user.github.io`` → ``github.io``) and non-tuple registries
     (``foo.com.au`` → ``com.au``). The ACCURATE tier is
     :func:`polars_fastx_spark.functions.psl.with_registrable_domain`
-    (real Public Suffix List over a broadcast rule table, still
-    shuffle-free), which ``domain_cap`` and the crawl queries use by
-    default."""
+    (real Public Suffix List compiled into InSet literal tests —
+    no join, no exchange), which ``domain_cap`` and the crawl
+    queries use by default."""
     labels = F.split(url_host(url), r"\.")
     n = F.size(labels)
     second = F.element_at(labels, -2)
@@ -208,8 +219,8 @@ def domain_cap(
     # coalesces internally).
     if psl:
         # PSL-accurate domains (functions/psl.py): user.github.io and
-        # foo.com.au group correctly — a few broadcast-hash probes,
-        # still zero shuffle before the totals groupBy
+        # foo.com.au group correctly — one compiled InSet expression,
+        # zero joins, still zero shuffle before the totals groupBy
         from polars_fastx_spark.functions.psl import (
             with_registrable_domain,
         )

@@ -126,8 +126,23 @@ def stream_epoch_base(
     the family's committed dirs — lane-specific, hence a callable) and
     persists it in the ``_stream_base`` JSON map; every later call —
     retries, restarts with the same checkpoint — returns the recorded
-    base. See module docstring for the three invariants."""
+    base. See module docstring for the three invariants.
+
+    **Identity-flip continuity**: :func:`checkpoint_identity` can
+    resolve to the PATH string early in a stream's life (foreachBatch
+    batch 0 often runs before Spark lands ``<checkpoint>/metadata``)
+    and to the QUERY ID afterwards. If those were independent keys, a
+    retried early micro-batch arriving after the flip would allocate
+    a fresh base and DUPLICATE its rows instead of idempotently
+    replacing them. So the first query-id resolution CLAIMS a base
+    recorded under the path-fallback key: the entry moves from the
+    path key to the query-id key (one base, both identities). Moving
+    (not copying) it also keeps the wiped-checkpoint semantics — a
+    fresh stream at the same path that races its own metadata write
+    finds no path entry left to inherit and allocates a fresh base,
+    exactly the fresh-restart isolation invariant."""
     key = checkpoint_identity(spark, checkpoint)
+    path_key = str(checkpoint) if checkpoint else "__default__"
     base_path = f"{base_dir}/_stream_base"
     bases: dict[str, int] = {}
     raw = _read_small(spark, base_path)
@@ -144,7 +159,12 @@ def stream_epoch_base(
                 # always above committed history), never raise
                 bases = {}
     if key not in bases:
-        bases[key] = next_epoch()
+        if key != path_key and path_key in bases:
+            # identity flipped path → query id mid-stream: claim the
+            # base the pre-metadata batches recorded under the path
+            bases[key] = bases.pop(path_key)
+        else:
+            bases[key] = next_epoch()
         _write_small_atomic(spark, base_path, json.dumps(bases))
     return bases[key]
 

@@ -134,3 +134,35 @@ def test_pipelines_aliases_point_at_shared_module(spark):
 
     assert pipelines._stream_epoch_base is stream_epoch_base
     assert pipelines._next_epoch_of is next_epoch_of
+
+
+def test_identity_flip_claims_path_base(spark, tmp_path):
+    """round-7 ADVICE low #5: batch 0 often runs before Spark lands
+    <checkpoint>/metadata, so its base records under the PATH key;
+    once the query id becomes readable the same stream must keep that
+    base (claimed under the query-id key), or a retried early batch
+    would land on a fresh epoch and duplicate instead of replace."""
+    base_dir = str(tmp_path / "idx")
+    os.makedirs(base_dir)
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    # metadata not yet written: identity falls back to the path
+    assert stream_epoch_base(spark, base_dir, str(ck), lambda: 5) == 5
+    # Spark lands metadata; the SAME stream resolves its query id —
+    # the base must carry over, never reallocate
+    (ck / "metadata").write_text(json.dumps({"id": "q-live"}))
+
+    def _boom():
+        raise AssertionError("identity flip reallocated the base")
+
+    assert stream_epoch_base(spark, base_dir, str(ck), _boom) == 5
+    bases = json.loads(open(f"{base_dir}/_stream_base").read())
+    # the entry MOVED to the query-id key (path key released, so a
+    # wiped restart racing its metadata cannot inherit a dead base)
+    assert bases == {"q-live": 5}
+    # wiped restart at the same path, racing its own metadata write:
+    # no path entry left to inherit -> fresh base above history
+    (ck / "metadata").unlink()
+    assert stream_epoch_base(spark, base_dir, str(ck), lambda: 9) == 9
+    (ck / "metadata").write_text(json.dumps({"id": "q-second"}))
+    assert stream_epoch_base(spark, base_dir, str(ck), _boom) == 9

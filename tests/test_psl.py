@@ -169,3 +169,22 @@ def test_load_psl_file_roundtrip(tmp_path):
         f"SELECT {psl.psl_domain_sql('host', rules)} FROM h"
     )
     assert duckdb.sql(sql).fetchone()[0] == "user.github.io"
+
+
+def test_url_input_reaches_www_exception(spark):
+    """round-7 ADVICE low #2: the PSL tier must see the FULL host —
+    'www' is a registrable label under the !www.ck exception, so the
+    cosmetic www-strip of normalize_url must not run first."""
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.ck/home/3#x"),
+            (2, "HTTPS://WWW.Foo.Example.COM/a"),  # strip-irrelevant
+        ],
+        "id long, url string",
+    )
+    out = psl.with_registrable_domain(df, "url", out="d")
+    got = {r["id"]: r["d"] for r in out.collect()}
+    assert got == {1: "www.ck", 2: "example.com"}
+    # the expression form agrees
+    one = df.select(psl.registrable_domain("url").alias("d")).collect()
+    assert {r["d"] for r in one} == {"www.ck", "example.com"}

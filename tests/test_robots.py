@@ -96,3 +96,41 @@ def test_gate_plan_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_fragment_stripped_before_matching(spark):
+    """RFC 9309 matches path+query ONLY: a '#frag' suffix must not
+    let a URL evade '/*.pdf$' (round-7 ADVICE low #1)."""
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.com/doc/file.pdf#sec"),   # frag can't save it
+            (2, "https://a.com/doc/file.pdf?x=1#s"), # query defeats $
+            (3, "https://a.com/private/x#/ok.html"), # frag can't free it
+        ],
+        "id long, url string",
+    )
+    out = robots.robots_allowed(urls, _rules(spark), agent="mybot")
+    got = {r["id"]: r["allowed"] for r in out.collect()}
+    assert got == {1: False, 2: True, 3: False}
+
+
+def test_precedence_ranks_by_octets_not_chars(spark):
+    """RFC 9309 §2.2.2 ranks rules by OCTETS (round-7 ADVICE low #3):
+    Allow '/p/*x' (5 chars = 5 octets) vs Disallow '/p/éé' (5 chars
+    but 7 octets in UTF-8). Char-count ranking ties them (Allow wins
+    ties → allowed); octet ranking makes Disallow strictly longer →
+    blocked."""
+    rb = spark.createDataFrame(
+        [("a.com", "User-agent: *\nAllow: /p/*x\nDisallow: /p/éé\n")],
+        "domain string, robots_txt string",
+    )
+    rules = robots.parse_robots(rb)
+    got = {
+        r["pattern"]: r["pattern_len"] for r in rules.collect()
+    }
+    assert got == {"/p/*x": 5, "/p/éé": 7}
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/p/ééx")], "id long, url string"
+    )
+    out = robots.robots_allowed(urls, rules, agent="anybot")
+    assert out.collect()[0]["allowed"] is False

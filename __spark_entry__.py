@@ -55,17 +55,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (l_quantize_int8, now JSON-canonicalized) and the block that had no
 #: driver row in any CORRECTNESS_r*.json.
 _PRIORITY = [
-    # round-7 additions first: the zero-err invariant needs their
-    # driver rows this round
-    "l_psl_domain", "l_crawl_rank_incr", "l_robots_gate",
-    "l_sitemap_seed",
+    # round-8 additions + the queries whose oracles round 8 re-derived
+    # (robots fragment/octet fixes, PSL full-host fix) lead: the
+    # zero-err invariant needs their driver rows this round
+    "l_charset_decode",
+    "l_robots_gate", "l_sitemap_seed", "l_url_normalize",
+    "l_domain_cap", "l_anchor_text", "l_psl_domain",
+    # round-7 additions next
+    "l_crawl_rank_incr",
     # round-6 queries whose domains are now Public-Suffix-List
     # accurate (functions/psl.py) re-verify next
-    "l_containment_gate", "l_ann_index_drift", "l_url_normalize",
-    "l_domain_cap", "l_html_extract", "l_crawl_pipeline",
+    "l_containment_gate", "l_ann_index_drift",
+    "l_html_extract", "l_crawl_pipeline",
     "l_link_graph",
     "l_snapshot_diff", "l_snapshot_diff_summary", "l_shuffle_shards",
-    "l_crawl_rank", "l_anchor_text", "l_ann_index_sync", "l_diff_apply",
+    "l_crawl_rank", "l_ann_index_sync", "l_diff_apply",
     "l_release_drift", "l_crawl_frontier", "l_containment_delete",
     "l_ann_index_sync_fp",
     "l_ann_index_search", "l_ann_index_add", "l_ann_index_search_many",
@@ -98,13 +102,28 @@ _PRIORITY = [
 ]
 
 
+#: queries whose SEMANTICS or oracle changed this round: their old
+#: green rows no longer certify the current code, so they re-enter
+#: the unchecked tier regardless of CORRECTNESS history. Reset each
+#: round to the round's blast radius.
+_RECHECK = {
+    # round 8: robots fragment-strip + octet precedence (oracle
+    # regenerated), PSL full-host fix (+ the new www.ck fixture lane),
+    # and every query whose oracle host derivation changed with it
+    "l_robots_gate", "l_sitemap_seed", "l_url_normalize",
+    "l_domain_cap", "l_anchor_text", "l_link_graph",
+    "l_crawl_frontier", "l_crawl_pipeline",
+}
+
+
 def _coverage_order(names: list[str]) -> list[str]:
     """Order queries so the driver's per-round sample (~50) lands on
     queries that do NOT yet have a green row in any committed
     CORRECTNESS_r*.json — never-checked (or red/err) queries first
     (priority list, then catalog order), then the already-green ones.
     Across rounds this converges to a green driver row for every
-    catalog query.
+    catalog query. Queries in ``_RECHECK`` (semantics changed this
+    round) always sort with the unchecked tier.
     """
     import json
 
@@ -123,6 +142,7 @@ def _coverage_order(names: list[str]) -> list[str]:
                 and not row.get("err")
             ):
                 green.add(name)
+    green -= _RECHECK
     prio = {n: i for i, n in enumerate(_PRIORITY)}
     unchecked = [n for n in names if n not in green]
     unchecked.sort(key=lambda n: prio.get(n, len(prio)))  # stable: catalog order within tiers

@@ -3145,6 +3145,133 @@ def l_domain_cap(spark, sf_dir):
     )
 
 
+def _charset_oracle_sql() -> str:
+    """Oracle for l_charset_decode: the RESOLUTION chain (HTTP
+    charset param → BOM → meta sniff → windows-1252 fallback) replays
+    via SQL GENERATED FROM the module's regex + alias constants
+    (functions/charset.py: http_charset_sql / meta_charset_sql) over
+    the same content-type and ASCII-prefix strings both engines
+    plant. The BOM is a binary-only signal DuckDB's VARCHAR regexes
+    cannot probe, so its lane flags by fixture position (the byte
+    check itself is pytest-pinned in tests/test_charset.py); decoded
+    TEXT per lane is the planted string both engines construct — the
+    legacy-codec byte→text mapping is pytest golden territory, the
+    oracle's job is the resolution logic."""
+    from polars_fastx_spark.functions import charset as csf
+
+    http_cs = csf.http_charset_sql("ct")
+    meta_cs = csf.meta_charset_sql("prefix")
+    return f"""
+    WITH f AS (
+      SELECT doc_id, (doc_id % 6) AS m,
+        CASE (doc_id % 6)
+          WHEN 0 THEN 'text/html; charset=UTF-8'
+          WHEN 1 THEN 'text/html; charset=ISO-8859-1'
+          ELSE 'text/html' END AS ct,
+        CASE (doc_id % 6)
+          WHEN 2 THEN '<html><head><meta charset="Shift_JIS">'
+            || '</head><body>p' || doc_id || ' '
+          WHEN 3 THEN '<meta http-equiv="Content-Type" '
+            || 'content="text/html; charset=GB2312">x' || doc_id || ' '
+          ELSE '' END AS prefix
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, m,
+        coalesce(
+          {http_cs},
+          CASE WHEN m = 4 THEN 'utf-8-sig' END,
+          {meta_cs},
+          'windows-1252') AS charset
+      FROM f
+    )
+    SELECT doc_id, charset,
+      CASE m
+        WHEN 0 THEN '<p>café ' || doc_id || '</p>'
+        WHEN 1 THEN '<p>café déjà ' || doc_id || '</p>'
+        WHEN 2 THEN '<html><head><meta charset="Shift_JIS"></head>'
+          || '<body>p' || doc_id || ' 日本語</body>'
+        WHEN 3 THEN '<meta http-equiv="Content-Type" '
+          || 'content="text/html; charset=GB2312">x' || doc_id
+          || ' 中文'
+        WHEN 4 THEN 'bom σ ' || doc_id
+        ELSE '“q' || doc_id || '”' END AS text
+    FROM r ORDER BY doc_id
+    """
+
+
+@_q(
+    "l_charset_decode",
+    _charset_oracle_sql(),
+    "L-crawl: CHARSET-AWARE payload decoding (functions/charset.py) "
+    "— the crawl ingest seam that a blind UTF-8 cast corrupts: per "
+    "record the charset resolves HTTP charset= param → BOM → "
+    "meta-tag sniff on a bounded byte prefix → windows-1252 "
+    "fallback (all one codegen expression, labels normalized through "
+    "the WHATWG alias map), then UTF-8 rows decode as a pure Column "
+    "cast while the legacy minority (planted Shift_JIS/GBK/cp1252/"
+    "BOM lanes, minted as escaped BYTES) crosses one Arrow "
+    "mapInPandas stage; the oracle replays the full resolution chain "
+    "from the same regex/alias constants, the legacy byte→text "
+    "mapping is pytest-golden",
+)
+def l_charset_decode(spark, sf_dir):
+    from polars_fastx_spark.functions import charset as csf
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 6
+    ct = (
+        F.when(m == 0, F.lit("text/html; charset=UTF-8"))
+        .when(m == 1, F.lit("text/html; charset=ISO-8859-1"))
+        .otherwise(F.lit("text/html"))
+    )
+    prefix = (
+        F.when(m == 2, F.concat(
+            F.lit('<html><head><meta charset="Shift_JIS"></head><body>p'),
+            did, F.lit(" ")))
+        .when(m == 3, F.concat(
+            F.lit('<meta http-equiv="Content-Type" '
+                  'content="text/html; charset=GB2312">x'),
+            did, F.lit(" ")))
+        .otherwise(F.lit(""))
+    )
+    # legacy lanes mint REAL legacy bytes: 日本語 in Shift_JIS, 中文 in
+    # GBK, cp1252 smart quotes — the exact byte sequences a blind
+    # UTF-8 cast would mojibake
+    payload = (
+        F.when(m == 0, F.encode(
+            F.concat(F.lit("<p>café "), did, F.lit("</p>")), "UTF-8"))
+        .when(m == 1, F.encode(
+            F.concat(F.lit("<p>café déjà "), did, F.lit("</p>")),
+            "ISO-8859-1"))
+        .when(m == 2, F.concat(
+            F.encode(prefix, "US-ASCII"),
+            F.lit("日本語".encode("shift_jis")),
+            F.encode(F.lit("</body>"), "US-ASCII")))
+        .when(m == 3, F.concat(
+            F.encode(prefix, "US-ASCII"),
+            F.lit("中文".encode("gbk"))))
+        .when(m == 4, F.concat(
+            F.lit(b"\xef\xbb\xbf"),
+            F.encode(F.concat(F.lit("bom σ "), did), "UTF-8")))
+        .otherwise(F.concat(
+            F.lit(b"\x93"),
+            F.encode(F.concat(F.lit("q"), did), "US-ASCII"),
+            F.lit(b"\x94")))
+    )
+    frame = d.select(
+        "doc_id",
+        ct.alias("http_content_type"),
+        payload.alias("payload"),
+    )
+    return (
+        csf.decode_payloads(frame, charset_col="charset")
+        .select("doc_id", "charset", "text")
+        .orderBy("doc_id")
+    )
+
+
 def _html_entities_sql(col: str) -> str:
     """Entity-decode chain in DuckDB, from the module constants."""
     from polars_fastx_spark.functions import html as _html

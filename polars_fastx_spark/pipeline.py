@@ -144,6 +144,7 @@ def crawl_to_corpus(
     domain_cap_n: int = 1000,
     split_weights: dict[str, float] | None = None,
     extractor: str = "regex",
+    charset: str = "auto",
     containment_threshold: float | None = None,
     containment_max_df: int | float | None = 0.02,
     timings: dict | None = None,
@@ -157,8 +158,19 @@ def crawl_to_corpus(
         where they live);
     2.  ``resolve_revisits(drop=True)`` — capture-time dedup: bodiless
         revisit records drop, their content is already present once;
-    3.  HTTP-200 ``text/html`` filter + ``html_noindex`` polite-crawl
-        gate — shuffle-free;
+    3.  HTTP-200 ``text/html`` filter — shuffle-free;
+    3b. charset-aware payload decode (``functions/charset.py``;
+        ``charset="auto"``, the default): HTTP ``charset=`` param →
+        BOM → meta-tag sniff → windows-1252 fallback. UTF-8 pages —
+        the vast majority — stay a pure codegen cast; only the
+        legacy-charset minority crosses one Arrow ``mapInPandas``
+        stage, so cost scales with the non-UTF-8 fraction. A blind
+        UTF-8 cast here would mojibake every legacy page and poison
+        the dedup hashes, lang-ID, and quality scores downstream.
+        ``charset="utf-8"`` keeps the legacy blind-cast plan (zero
+        Python) for corpora known to be UTF-8;
+    3c. ``html_noindex`` polite-crawl gate on the DECODED text —
+        shuffle-free;
     4.  visible text + title + canonical URL (declared
         ``rel=canonical`` preferred, syntactic ``normalize_url``
         fallback). ``extractor`` picks the text tier: ``"regex"``
@@ -231,19 +243,24 @@ def crawl_to_corpus(
         _prev[0] = df
         return df
 
+    from polars_fastx_spark.functions.charset import decode_payloads
+
     pages = _stage(
         "scan", resolve_revisits(scan_warc(spark, warc_path), drop=True)
     )
-    html = F.col("payload").cast("string")
-    rows = _stage(
-        "gates",
-        pages.filter(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.col("http_content_type").startswith("text/html")
-        )
-        .filter(~H.html_noindex(html)),
+    kept = pages.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
     )
+    # charset-aware decode BEFORE any gate/extractor reads the text
+    # (docstring step 3b); mode="utf-8" reproduces the legacy blind
+    # cast as one codegen expression
+    kept = decode_payloads(
+        kept, "payload", "http_content_type", out="__html", mode=charset
+    )
+    html = F.col("__html")
+    rows = _stage("gates", kept.filter(~H.html_noindex(html)))
     if extractor == "regex":
         title_col, text_col = (
             H.html_title(html), H.strip_html(html),

@@ -206,6 +206,8 @@ ALLOWED_ARROW_PYTHON = {
     "x_udaf_entropy",         # pandas grouped-agg UDAF
     "l_multimodal_features",  # mapInPandas builtin decode
     "l_audio_features",       # mapInPandas WAV decode
+    "l_charset_decode",       # mapInPandas legacy-charset decode
+                              # (UTF-8 branch stays codegen)
     "l_embed_neardup",        # numpy block-matmul
     "l_cosine_topk",          # numpy top-k
     "l_ann_lsh_topk",         # numpy re-rank

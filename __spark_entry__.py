@@ -59,6 +59,7 @@ _PRIORITY = [
     # (robots fragment/octet fixes, PSL full-host fix) lead: the
     # zero-err invariant needs their driver rows this round
     "l_charset_decode",
+    "l_fingerprint", "l_lang_id", "l_token_stats",
     "l_robots_gate", "l_sitemap_seed", "l_url_normalize",
     "l_domain_cap", "l_anchor_text", "l_psl_domain",
     # round-7 additions next
@@ -113,6 +114,8 @@ _RECHECK = {
     "l_robots_gate", "l_sitemap_seed", "l_url_normalize",
     "l_domain_cap", "l_anchor_text", "l_link_graph",
     "l_crawl_frontier", "l_crawl_pipeline",
+    # unicode floor: multilingual fixtures + regenerated oracles
+    "l_fingerprint", "l_lang_id", "l_token_stats",
 }
 
 

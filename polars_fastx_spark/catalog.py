@@ -3639,31 +3639,91 @@ def l_embed_neardup(spark, sf_dir):
     ).orderBy(F.col("id_a").asc_nulls_first(), F.col("id_b").asc_nulls_first())
 
 
+#: multilingual planted text, shared by the unicode-floor queries
+#: (l_token_stats / l_fingerprint / l_lang_id): five lanes — the
+#: original Latin text plus Chinese / Japanese / Russian / Arabic
+#: documents whose per-doc distinctness uses NO ascii digits (doc_id
+#: transliterated via translate()), so the old Latin-only
+#: normalization would collapse every non-Latin lane to ONE
+#: fingerprint — exactly the hazard the unicode floor closes. Both
+#: engines construct the column byte-for-byte.
+_ML_NUM = ("0123456789", "零一二三四五六七八九")
+
+
+def _ml_text():
+    d = F.col("doc_id").cast("string")
+    zh_num = F.translate(d, *_ML_NUM)
+    m = F.col("doc_id") % 5
+    return (
+        F.when(m == 1, F.concat(
+            F.lit("中文文档"), zh_num, F.lit("号的正文内容很长")))
+        .when(m == 2, F.concat(
+            F.lit("これは日本語の文書"), zh_num,
+            F.lit("です テスト")))
+        .when(m == 3, F.concat(
+            F.lit("Русский документ номер "), d,
+            F.lit(" содержит текст")))
+        .when(m == 4, F.concat(
+            F.lit("نص عربي رقم "), d, F.lit(" للاختبار")))
+        .otherwise(F.col("text"))
+    )
+
+
+_ML_TEXT_SQL = f"""
+      CASE (doc_id % 5)
+        WHEN 1 THEN '中文文档' ||
+          translate(doc_id::VARCHAR, '{_ML_NUM[0]}', '{_ML_NUM[1]}')
+          || '号的正文内容很长'
+        WHEN 2 THEN 'これは日本語の文書' ||
+          translate(doc_id::VARCHAR, '{_ML_NUM[0]}', '{_ML_NUM[1]}')
+          || 'です テスト'
+        WHEN 3 THEN 'Русский документ номер ' || doc_id
+          || ' содержит текст'
+        WHEN 4 THEN 'نص عربي رقم ' || doc_id || ' للاختبار'
+        ELSE text
+      END
+"""
+
+
 @_q(
     "l_token_stats",
-    """
-    SELECT lang,
+    "WITH ml AS (SELECT doc_id, (doc_id % 5) AS lane, "
+    + _ML_TEXT_SQL
+    + """ AS text FROM documents)
+    SELECT lane,
            count(*) AS n_docs,
-           CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(len("""
+    + text.tokens_sql("text")
+    + """)) AS BIGINT) AS total_tokens,
            CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
            CAST(sum(length(text)) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY lang
-    ORDER BY lang NULLS FIRST
+    FROM ml
+    GROUP BY lane
+    ORDER BY lane NULLS FIRST
     """,
-    "L4: token counting (whitespace + BPE-ish regex) per language",
+    "L4: token counting per language lane over a MULTILINGUAL planted "
+    "corpus (Latin + zh/ja/ru/ar): tokens() segments Han/kana/Hangul/"
+    "Thai runs into overlapping character bigrams (the standard CLIR "
+    "segmentation — whitespace split would make each CJK document ONE "
+    "token and every count/vocab/BM25 statistic noise), Latin text "
+    "tokenizes exactly as before; the oracle replays the same unit "
+    "regex + bigram expansion generated from the module constants "
+    "(operators/text.py:tokens_sql)",
 )
 def l_token_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5).alias("lane"),
+        _ml_text().alias("text"),
+    )
     return (
-        d.groupBy("lang")
+        d.groupBy("lane")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(text.token_count("text")).alias("total_tokens"),
             F.sum(text.bpe_ish_token_count("text")).alias("total_bpe_tokens"),
             F.sum(text.char_count("text")).alias("total_chars"),
         )
-        .orderBy(F.col("lang").asc_nulls_first())
+        .orderBy(F.col("lane").asc_nulls_first())
     )
 
 
@@ -3698,57 +3758,88 @@ def l_quality_score(spark, sf_dir):
 
 @_q(
     "l_fingerprint",
-    """
-    SELECT count(*) AS n_docs,
-           count(DISTINCT md5(trim(regexp_replace(
-             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-             '\\s+', ' ', 'g')))) AS n_fingerprints,
+    "WITH ml AS (SELECT doc_id, (doc_id % 5) AS lane, "
+    + _ML_TEXT_SQL
+    + """ AS text FROM documents)
+    SELECT lane,
+           count(*) AS n_docs,
+           count(DISTINCT md5("""
+    + text.normalize_sql("text")
+    + """)) AS n_fingerprints,
            count(DISTINCT text) AS n_exact
-    FROM documents
+    FROM ml GROUP BY lane ORDER BY lane NULLS FIRST
     """,
-    "L4: normalized-text fingerprint dedup counts",
+    "L4: normalized-text fingerprint dedup counts per lane of a "
+    "MULTILINGUAL planted corpus — normalization keeps Unicode "
+    "letters/digits (\\p{L}\\p{N}, Java∩RE2 dialect), so two distinct "
+    "Chinese/Russian/Arabic documents get distinct fingerprints; the "
+    "old Latin-only [^a-z0-9] class normalized every non-Latin doc "
+    "to '' and collapsed each lane to ONE md5 (the round-7 verdict's "
+    "live dedup hazard — n_fingerprints per non-Latin lane would "
+    "read 1 instead of ~n_docs); oracle generated from the same "
+    "class constant (operators/text.py:normalize_sql)",
 )
 def l_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(text.fingerprint("text")).alias("n_fingerprints"),
-        F.countDistinct("text").alias("n_exact"),
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5).alias("lane"),
+        _ml_text().alias("text"),
+    )
+    return (
+        d.groupBy("lane")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(text.fingerprint("text")).alias(
+                "n_fingerprints"
+            ),
+            F.countDistinct("text").alias("n_exact"),
+        )
+        .orderBy(F.col("lane").asc_nulls_first())
     )
 
 
 def _lang_id_oracle() -> str:
-    """DuckDB twin of text.lang_id, generated from the SAME STOPWORDS
-    constant so the two can never drift. Tokenization parity:
-    split-on-\\s+ with empties dropped (Java regex ∩ RE2 dialect), lower
-    before matching; argmax tie-break = alphabetical lang (Spark folds
-    the scored array in sorted(STOPWORDS) order and takes the first
-    maximum — identical to ORDER BY hits DESC, lang ASC)."""
+    """DuckDB twin of text.lang_id, generated from the SAME constants
+    so the two can never drift: the SCRIPT-FIRST tier replays via
+    text.lang_id_script_sql (unicode-range char counts, same
+    thresholds), the Latin stopword vote via the STOPWORDS table with
+    tokens_sql tokenization; argmax tie-break = alphabetical lang
+    (Spark folds the scored array in sorted(STOPWORDS) order and
+    takes the first maximum — identical to ORDER BY hits DESC, lang
+    ASC)."""
     rows = ", ".join(
         "('%s', [%s])"
         % (lang, ", ".join("'%s'" % w for w in words))
         for lang, words in sorted(text.STOPWORDS.items())
     )
+    script = text.lang_id_script_sql("text")
+    toks = text.tokens_sql("text")
     return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                         t -> t <> '') AS tk
-      FROM documents
+    WITH ml AS (
+      SELECT doc_id, {_ML_TEXT_SQL} AS text FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, text, {script} AS script_lang FROM ml
+    ),
+    toks AS (
+      SELECT doc_id, script_lang,
+             list_transform({toks}, t -> lower(t)) AS tk
+      FROM sc
     ),
     scored AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, script_lang, lang,
              len(list_filter(tk, t -> list_contains(sw, t))) AS hits
       FROM toks CROSS JOIN (VALUES {rows}) AS langs(lang, sw)
     ),
     ranked AS (
-      SELECT doc_id, lang, hits,
+      SELECT doc_id, script_lang, lang, hits,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY hits DESC, lang ASC) AS rn,
              max(hits) OVER (PARTITION BY doc_id) AS mx
       FROM scored
     )
-    SELECT CASE WHEN mx > 0 THEN lang ELSE 'und' END AS pred_lang,
+    SELECT coalesce(script_lang,
+                    CASE WHEN mx > 0 THEN lang ELSE 'und' END)
+             AS pred_lang,
            count(*) AS n
     FROM ranked WHERE rn = 1
     GROUP BY 1
@@ -3759,10 +3850,18 @@ def _lang_id_oracle() -> str:
 @_q(
     "l_lang_id",
     _lang_id_oracle(),
-    "L4: stopword-heuristic language ID distribution",
+    "L4: language-ID distribution over a MULTILINGUAL planted corpus "
+    "— SCRIPT-FIRST classification (unicode-range char counts decide "
+    "zh/ja/ko/th/ru/ar/el/he/hi before any tokenization: stopword "
+    "voting structurally cannot work on unsegmented scripts), then "
+    "the stopword vote within Latin; oracle generated from the same "
+    "SCRIPT_RANGES/STOPWORDS constants and thresholds "
+    "(operators/text.py:lang_id_script_sql)",
 )
 def l_lang_id(spark, sf_dir):
-    d = _tp(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents").select(
+        "doc_id", _ml_text().alias("text")
+    )
     return (
         d.select(text.lang_id("text").alias("pred_lang"))
         .groupBy("pred_lang")

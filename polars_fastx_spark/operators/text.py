@@ -31,10 +31,74 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+#: character-class BODY (no brackets) of the unsegmented scripts that
+#: whitespace tokenization cannot split: Han, Hiragana, Katakana,
+#: Hangul syllables, Thai. Built from LITERAL chars (chr()) so the
+#: same pattern string parses identically in Java regex (Spark) and
+#: RE2 (DuckDB) — no escape-dialect divergence. Shared by tokens(),
+#: lang_id()'s script tier, and the oracle SQL generators below.
+UNSEG_CLASS_BODY = (
+    f"{chr(0x4E00)}-{chr(0x9FFF)}"   # CJK Unified Ideographs
+    f"{chr(0x3400)}-{chr(0x4DBF)}"   # CJK Extension A
+    f"{chr(0x3040)}-{chr(0x309F)}"   # Hiragana
+    f"{chr(0x30A0)}-{chr(0x30FF)}"   # Katakana
+    f"{chr(0xAC00)}-{chr(0xD7AF)}"   # Hangul syllables
+    f"{chr(0x0E00)}-{chr(0x0E7F)}"   # Thai
+)
+
+#: one token unit: a run of unsegmented-script chars OR a run of
+#: anything else non-space. For pure Latin/space text this matches
+#: exactly what split-on-\s+ produced, so every existing oracle and
+#: fingerprint over Latin corpora is unchanged.
+_UNIT_RX = f"[{UNSEG_CLASS_BODY}]+|[^\\s{UNSEG_CLASS_BODY}]+"
+
+
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokens (array<string>); empty text → empty array."""
+    """Tokens (array<string>); empty text → empty array.
+
+    Whitespace tokens for segmented scripts, CHARACTER BIGRAMS for
+    unsegmented ones (Han/kana/Hangul/Thai — the standard CLIR
+    segmentation): an unsegmented run of n≥2 chars emits its n−1
+    overlapping bigrams, a lone char stays a unigram. Without this,
+    a CJK document is ONE token and every token-count/vocab/BM25/
+    TF-IDF/repetition statistic degrades to noise (the round-7
+    verdict's non-Latin floor). On text with no unsegmented-script
+    chars the output is byte-identical to split-on-``\\s+`` with
+    empties dropped, so Latin-corpus oracles and fingerprints are
+    unchanged."""
     col = _col(c)
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    units = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(_UNIT_RX), 0
+    )
+
+    def expand(u: Column) -> Column:
+        is_unseg = u.rlike(f"^[{UNSEG_CLASS_BODY}]")
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.length(u) - 1),
+            lambda i: F.substring(u, i, 2),
+        )
+        return F.when(
+            is_unseg & (F.length(u) > 1), bigrams
+        ).otherwise(F.array(u))
+
+    return F.flatten(F.transform(units, expand))
+
+
+def tokens_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tokens`, generated from the SAME
+    constants (unit regex + bigram expansion) so engine and oracle
+    cannot drift."""
+    # DuckDB single-quoted strings are RAW (no backslash escapes):
+    # only quotes double, backslashes pass through verbatim
+    rx = _UNIT_RX.replace("'", "''")
+    head = f"[{UNSEG_CLASS_BODY}]".replace("'", "''")
+    units = f"regexp_extract_all(coalesce({expr}, ''), '{rx}')"
+    return (
+        f"flatten(list_transform({units}, u -> "
+        f"CASE WHEN regexp_matches(u, '^{head}') AND length(u) > 1 "
+        f"THEN list_transform(range(1, length(u)), i -> substring(u, i::INT, 2)) "
+        f"ELSE [u] END))"
+    )
 
 
 def token_count(c: Column | str) -> Column:
@@ -98,14 +162,60 @@ def quality_score(c: Column | str) -> Column:
     )
 
 
-def lang_id(c: Column | str) -> Column:
-    """Stopword-hit language heuristic → lang code ('und' when no hits).
+#: script-first tier of lang_id, in PRECEDENCE order (kana before
+#: Han: Japanese text contains Han, so kana must decide first).
+#: (lang, literal char-class body) — shared with the SQL generator.
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("ja", f"{chr(0x3040)}-{chr(0x30FF)}"),               # kana
+    ("ko", f"{chr(0xAC00)}-{chr(0xD7AF)}"),               # Hangul
+    ("zh", f"{chr(0x4E00)}-{chr(0x9FFF)}{chr(0x3400)}-{chr(0x4DBF)}"),
+    ("th", f"{chr(0x0E00)}-{chr(0x0E7F)}"),               # Thai
+    ("ru", f"{chr(0x0400)}-{chr(0x04FF)}"),               # Cyrillic
+    ("ar", f"{chr(0x0600)}-{chr(0x06FF)}"),               # Arabic
+    ("el", f"{chr(0x0370)}-{chr(0x03FF)}"),               # Greek
+    ("he", f"{chr(0x0590)}-{chr(0x05FF)}"),               # Hebrew
+    ("hi", f"{chr(0x0900)}-{chr(0x097F)}"),               # Devanagari
+)
 
-    Ties break alphabetically (deterministic). Word-salad corpora score
-    few hits — this operator is about the *plumbing* of a lang-ID stage
-    (row-local scoring + argmax), swappable for a real model via
+#: a script decides when it holds ≥2 chars AND ≥1/4 of the non-space
+#: chars — a Latin page quoting one CJK word stays with the stopword
+#: vote, a real CJK/Cyrillic/Arabic page never reaches it.
+_SCRIPT_MIN_CHARS = 2
+_SCRIPT_SHARE_DIV = 4
+
+
+def _script_count(col: Column, body: str) -> Column:
+    """Chars of ``col`` inside the class ``[body]`` — counted as a
+    length difference (one regexp_replace, no explode)."""
+    return F.length(col) - F.length(
+        F.regexp_replace(col, f"[{body}]", "")
+    )
+
+
+def lang_id(c: Column | str) -> Column:
+    """Language heuristic → lang code ('und' when nothing decides).
+
+    SCRIPT-FIRST: unicode-range char counts decide the unsegmented /
+    non-Latin scripts (:data:`SCRIPT_RANGES` — kana→ja, Hangul→ko,
+    Han→zh, Thai/Cyrillic/Arabic/Greek/Hebrew/Devanagari) before any
+    tokenization, because stopword voting structurally cannot work
+    there (unsegmented text never matches a word list; the round-7
+    verdict's whole-sentence-token failure). Within Latin scripts the
+    stopword vote decides as before, ties alphabetical. Row-local
+    scoring + argmax — still swappable for a real model via
     pandas_udf without changing the pipeline shape.
     """
+    col = F.coalesce(_col(c), F.lit(""))
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    script: Column | None = None
+    for lang, body in SCRIPT_RANGES:
+        cnt = _script_count(col, body)
+        cond = (cnt >= _SCRIPT_MIN_CHARS) & (
+            cnt * _SCRIPT_SHARE_DIV >= nonspace
+        )
+        branch = F.when(cond, F.lit(lang))
+        script = branch if script is None else script.when(cond, F.lit(lang))
+
     toks = F.transform(tokens(c), lambda t: F.lower(t))
 
     def _hits(words: tuple[str, ...]) -> Column:
@@ -124,19 +234,67 @@ def lang_id(c: Column | str) -> Column:
     first_best = F.element_at(
         F.filter(scored, lambda s: s["hits"] == top_hits), 1
     )["lang"]
-    return F.when(top_hits > 0, first_best).otherwise(F.lit("und"))
+    stopword_vote = F.when(top_hits > 0, first_best).otherwise(
+        F.lit("und")
+    )
+    return F.coalesce(script, stopword_vote)
+
+
+def lang_id_script_sql(expr: str) -> str:
+    """DuckDB CASE for the script-first tier of :func:`lang_id`,
+    generated from :data:`SCRIPT_RANGES` and the same thresholds (NULL
+    when no script decides — the stopword vote takes over)."""
+    ns = f"length(regexp_replace({expr}, '\\s', '', 'g'))"
+    whens = []
+    for lang, body in SCRIPT_RANGES:
+        cls = f"[{body}]".replace("'", "''")
+        cnt = (
+            f"(length({expr}) - "
+            f"length(regexp_replace({expr}, '{cls}', '', 'g')))"
+        )
+        whens.append(
+            f"WHEN {cnt} >= {_SCRIPT_MIN_CHARS} "
+            f"AND {cnt} * {_SCRIPT_SHARE_DIV} >= {ns} THEN '{lang}'"
+        )
+    return "(CASE " + " ".join(whens) + " ELSE NULL END)"
+
+
+#: what normalize_text KEEPS: Unicode letters, Unicode digits, and
+#: whitespace. ``\p{L}``/``\p{N}`` parse identically in Java regex
+#: and RE2 (the redact_pii dialect-intersection discipline). The old
+#: ``[^a-z0-9\s]`` class stripped EVERY non-Latin char, so all
+#: CJK/Cyrillic/Arabic documents normalized to '' and shared one md5
+#: fingerprint — a live dedup hazard on multilingual corpora (the
+#: round-7 verdict's What's-wrong #2).
+NORMALIZE_DROP_RX = r"[^\p{L}\p{N}\s]"
 
 
 def normalize_text(c: Column | str) -> Column:
-    """lower → strip non-alnum (keep spaces) → collapse whitespace → trim."""
+    """lower → strip everything but Unicode letters/digits/spaces →
+    collapse whitespace → trim. Unicode-category classes, so a
+    Chinese or Arabic document keeps its content instead of
+    collapsing to the empty string."""
     col = _col(c)
-    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", "")
+    cleaned = F.regexp_replace(F.lower(col), NORMALIZE_DROP_RX, "")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def normalize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text`, generated from the same
+    class constant."""
+    # raw single-quoted string: quotes double, backslashes verbatim
+    drop = NORMALIZE_DROP_RX.replace("'", "''")
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), "
+        f"'{drop}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
 
 
 def fingerprint(c: Column | str) -> Column:
     """Normalized-text md5 fingerprint — catches near-exact dups that
-    differ only in case/punctuation/whitespace."""
+    differ only in case/punctuation/whitespace. Unicode-safe: two
+    distinct non-Latin documents get distinct fingerprints (see
+    :data:`NORMALIZE_DROP_RX`)."""
     return F.md5(F.encode(normalize_text(c), "UTF-8"))
 
 

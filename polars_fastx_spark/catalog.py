@@ -3756,6 +3756,104 @@ def l_quality_score(spark, sf_dir):
     )
 
 
+#: planted per-lane text for the Gopher/C4 gate query: lane 0 is
+#: engineered to PASS every rule, lanes 2-7 each trip a specific one,
+#: lane 1 is the raw document text (whatever it scores — both engines
+#: replay it). Shared byte-for-byte by Spark and the oracle.
+_GOPHER_CLEAN = (
+    "the quick brown fox jumps over and that is fine to have with "
+)
+
+
+def _gopher_text():
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 8
+    return (
+        F.when(m == 0, F.concat(
+            F.repeat(F.lit(_GOPHER_CLEAN), 6), F.lit("doc "), d))
+        .when(m == 2, F.repeat(
+            F.concat(F.lit("- bullet item "), d, F.lit("\n")), 20))
+        .when(m == 3, F.repeat(
+            F.concat(F.lit("the line "), d, F.lit(" trails off...\n")),
+            12))
+        .when(m == 4, F.concat(
+            F.repeat(F.lit("# tag "), 40), F.lit("num "), d))
+        .when(m == 5, F.concat(
+            F.lit("function f() { return 1; } "),
+            F.repeat(F.lit(_GOPHER_CLEAN), 6), d))
+        .when(m == 6, F.concat(
+            F.lit("Lorem ipsum dolor sit amet "),
+            F.repeat(F.lit(_GOPHER_CLEAN), 6), d))
+        .when(m == 7, F.repeat(
+            F.concat(F.lit("zxqj wvky "), d, F.lit(" ")), 30))
+        .otherwise(F.col("text"))
+    )
+
+
+_GOPHER_TEXT_SQL = f"""
+      CASE (doc_id % 8)
+        WHEN 0 THEN repeat('{_GOPHER_CLEAN}', 6) || 'doc ' || doc_id
+        WHEN 2 THEN repeat('- bullet item ' || doc_id || chr(10), 20)
+        WHEN 3 THEN repeat('the line ' || doc_id || ' trails off...'
+          || chr(10), 12)
+        WHEN 4 THEN repeat('# tag ', 40) || 'num ' || doc_id
+        WHEN 5 THEN 'function f() {{ return 1; }} '
+          || repeat('{_GOPHER_CLEAN}', 6) || doc_id
+        WHEN 6 THEN 'Lorem ipsum dolor sit amet '
+          || repeat('{_GOPHER_CLEAN}', 6) || doc_id
+        WHEN 7 THEN repeat('zxqj wvky ' || doc_id || ' ', 30)
+        ELSE text
+      END
+"""
+
+
+def _gopher_oracle_sql() -> str:
+    from polars_fastx_spark.operators import gopher as G
+
+    reasons = G.gopher_reasons_sql("text")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, (doc_id % 8) AS lane, {_GOPHER_TEXT_SQL} AS text
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lane, {reasons} AS fail_reasons FROM planted
+    )
+    SELECT doc_id, lane, (fail_reasons = '') AS passes_quality,
+           fail_reasons
+    FROM gated ORDER BY doc_id
+    """
+
+
+@_q(
+    "l_gopher_gates",
+    _gopher_oracle_sql(),
+    "L4: the Gopher/C4 QUALITY RULE-PACK (operators/gopher.py) — the "
+    "published gate set a corpus builder reaches for first (word-"
+    "count bounds, mean word length, symbol-to-word ratio, bullet/"
+    "ellipsis line fractions, alphabetic-word fraction, required-"
+    "stopword presence, curly-brace and lorem-ipsum rejects), the "
+    "whole rule TABLE compiled into ONE row-local projection emitting "
+    "per-doc pass/fail + ordered failure reasons — zero shuffle, "
+    "zero Python, fuses into the scan stage at any corpus size; "
+    "planted lanes trip each rule class and lane 0 passes clean; the "
+    "oracle replays every rule's arithmetic from the same metric/"
+    "threshold constants (gopher_reasons_sql)",
+)
+def l_gopher_gates(spark, sf_dir):
+    from polars_fastx_spark.operators import gopher as G
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("lane"),
+        _gopher_text().alias("text"),
+    )
+    return (
+        G.gopher_gates(d)
+        .select("doc_id", "lane", "passes_quality", "fail_reasons")
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "l_fingerprint",
     "WITH ml AS (SELECT doc_id, (doc_id % 5) AS lane, "

@@ -145,6 +145,7 @@ def crawl_to_corpus(
     split_weights: dict[str, float] | None = None,
     extractor: str = "regex",
     charset: str = "auto",
+    quality_gates: bool | dict = False,
     containment_threshold: float | None = None,
     containment_max_df: int | float | None = 0.02,
     timings: dict | None = None,
@@ -183,6 +184,11 @@ def crawl_to_corpus(
         one shuffle on the url;
     6.  length gate, then ``domain_cap`` — mega-domain-safe politeness
         budget (hot/cold split, only over-cap rows shuffle twice);
+    6b. OPTIONAL Gopher/C4 quality rule-pack (``quality_gates=True``,
+        or a thresholds dict to recalibrate — ``operators/gopher.py``):
+        the published gate set compiled into one row-local projection,
+        docs failing any rule drop BEFORE the dedup tiers spend
+        shuffle volume on them; zero extra exchanges;
     7.  MinHash-LSH near-dup keep-one (banded candidates, production
         ``perm`` family, connected components, min-id survivor) —
         banded equi-join, never all-pairs;
@@ -308,6 +314,16 @@ def crawl_to_corpus(
     rows = _stage(
         "domain_cap", urls.domain_cap(rows, "url", cap=domain_cap_n)
     )
+    if quality_gates:
+        from polars_fastx_spark.operators.gopher import gopher_gates
+
+        th = quality_gates if isinstance(quality_gates, dict) else None
+        rows = _stage(
+            "quality_gates",
+            gopher_gates(rows, "text", thresholds=th)
+            .filter(F.col("passes_quality"))
+            .drop("passes_quality", "fail_reasons"),
+        )
     rows = rows.withColumn("doc_id", F.md5("url"))
     t_lsh = _time.time()
     pairs = dedup.minhash_lsh_candidates(

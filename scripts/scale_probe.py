@@ -841,7 +841,62 @@ def domain_cap_probe(n: int = 10_000_000) -> None:
     spark.stop()
 
 
+def gopher_probe(n: int = 100_000) -> None:
+    """The Gopher/C4 rule-pack at corpus scale: ``n`` documents (85%
+    engineered to pass, 15% spread across the rule-tripping lanes),
+    gated in ONE projection. Measures the pack's wall vs a trivial
+    length-only scan of the same data — the 100 TB question is how
+    much per-row work the 11 rules add to a scan stage, since the
+    plan adds zero exchanges and zero Python (plan asserted)."""
+    import polars_fastx_spark as pfs
+    from polars_fastx_spark.operators import gopher as G
+    from pyspark.sql import functions as F
+
+    spark = pfs.get_spark("gopher-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    clean = (
+        "the quick brown fox jumps over and that is fine to have with "
+    )
+    docs = spark.range(n).selectExpr(
+        "id",
+        f"""CASE CAST(id % 20 AS INT)
+          WHEN 0 THEN repeat('- bullet item ' || id || '\\n', 20)
+          WHEN 1 THEN repeat('the line ' || id || ' trails off...\\n', 12)
+          WHEN 2 THEN repeat('# tag ', 40) || 'num ' || id
+          ELSE repeat('{clean}', 6) || 'doc ' || id
+        END AS text""",
+    ).persist()
+    n_real = docs.count()
+    gated = G.gopher_gates(docs)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    t0 = time.time()
+    verdicts = (
+        gated.groupBy("passes_quality").count().collect()
+    )
+    dt = time.time() - t0
+    t1 = time.time()
+    docs.select(F.sum(F.length("text"))).collect()
+    base = time.time() - t1
+    passed = {r["passes_quality"]: r["count"] for r in verdicts}
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    print(
+        f"| gopher_gates ({n_real:,} docs, 11 rules, one projection) | "
+        f"{dt:.1f} | {passed.get(True, 0):,} pass / "
+        f"{passed.get(False, 0):,} fail ({n_real / dt:,.0f} docs/s; "
+        f"trivial length-scan of same data {base:.1f}s -> rule pack "
+        f"adds {dt / max(base, 1e-9):.1f}x scan cost, 0 exchanges, "
+        f"0 Python) |"
+    )
+    docs.unpersist()
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--gopher":
+        gopher_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--fuzzy":
         fuzzy_probe()
         return

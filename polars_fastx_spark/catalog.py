@@ -11508,6 +11508,87 @@ def l_containment_delete(spark, sf_dir):
     )
 
 
+#: private manifest table for the snapshot-isolated MERGE lifecycle
+#: query (the _ANN_PRIVATE pattern): the full create → upsert →
+#: delete sequence runs ONCE per session; the query reads the
+#: committed snapshot, which must equal the oracle's from-scratch
+#: recomputation — maintained == recomputed.
+_MANIFEST_PRIVATE: dict = {}
+
+
+def _manifest_private_table(spark, sf_dir):
+    import tempfile
+
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _MANIFEST_PRIVATE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_manifest_")
+        _MANIFEST_PRIVATE[sf_dir] = path
+    if mf.current_version(spark, path) is None:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("source").alias("src"), "n_chars",
+        )
+        base = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+            "rev", F.lit(1000).cast("long")
+        )
+        mf.create_table(spark, path, base, "src")
+        batch = (
+            docs.filter(F.col("doc_id") % 7 == 3)
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+                    "n_chars", F.col("n_chars") + 1000
+                )
+            )
+            .withColumn("rev", F.lit(2000).cast("long"))
+        )
+        mf.upsert_table(spark, path, batch, ["doc_id"], "rev")
+        dead = docs.filter(F.col("doc_id") % 7 == 5).select(
+            "doc_id", "src"
+        )
+        mf.delete_keys_table(spark, path, dead, ["doc_id"])
+    return path
+
+
+def _prep_manifest_merge(spark, sf_dir):
+    _manifest_private_table(spark, sf_dir)
+
+
+@_q(
+    "l_manifest_merge",
+    """
+    SELECT doc_id, source AS src,
+           CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 7 IN (0, 3) THEN 2000
+                ELSE 1000 END::BIGINT AS rev
+    FROM documents
+    WHERE doc_id % 7 <> 5
+    ORDER BY doc_id
+    """,
+    "L-write: SNAPSHOT-ISOLATED MERGE lifecycle (operators/"
+    "manifest.py) — create a manifest-pointer table (immutable "
+    "version dirs, one atomic _CURRENT rename as the only commit "
+    "point), UPSERT a batch (adds + updates, last-writer-wins on "
+    "rev), DELETE a key set; the query reads the committed snapshot "
+    "and the oracle recomputes the final state from scratch, so a "
+    "green row proves maintained == recomputed across the whole "
+    "lifecycle. Untouched partitions keep their original dirs "
+    "(manifest repointing, no rewrite), and racing readers see "
+    "old-or-new, never mixed — the table-format guarantee "
+    "dynamic-partition-overwrite cannot give (upsert.py's stated "
+    "caveat, closed)",
+    prepare=_prep_manifest_merge
+)
+def l_manifest_merge(spark, sf_dir):
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _manifest_private_table(spark, sf_dir)
+    return mf.read_table(spark, path).select(
+        "doc_id", "src", "n_chars", "rev"
+    ).orderBy("doc_id")
+
+
 def _prep_ann_sync_fp(spark, sf_dir):
     old, _ = _ann_sync_snapshots(spark, sf_dir)
     _ann_private_index(spark, sf_dir, "syncfp", old)

@@ -1,0 +1,313 @@
+"""Snapshot-isolated partitioned tables via a manifest-pointer commit.
+
+``operators/upsert.py`` documents the one honesty caveat of plain
+dynamic-partition-overwrite MERGE: readers racing the overwrite can
+see a partition mid-swap. This module closes it with the discipline
+the repo already owns (the ANN index's staged swaps, the sinks'
+``_COMMIT`` markers), applied at the whole-table level — a tiny
+MANIFEST file is the single source of truth and a one-file atomic
+rename is the only commit point:
+
+```
+<table>/
+  _manifest/v<N>.json   # immutable: {version, partition dir -> path}
+  _manifest/_CURRENT    # tiny pointer: the committed version number
+  data/v<N>/<pcol>=<val>/part-*.parquet   # immutable once referenced
+```
+
+- **Writers** stage a NEW version dir (``data/v<N>``) holding only the
+  partitions they touch, derive manifest ``v<N>`` from ``v<N-1>`` by
+  repointing those partitions, then swap ``_CURRENT`` (tmp + atomic
+  rename). Untouched partitions keep their old dirs — at 100 TB,
+  almost all of them are never read or written.
+- **Readers** resolve ``_CURRENT`` once, then read the immutable dirs
+  that manifest lists: a reader concurrent with any number of commits
+  sees exactly ONE version — old or new, never mixed. Partition
+  pruning happens at the MANIFEST (no directory listing of the whole
+  table — the metastore move, done with one small JSON).
+- **Crash anywhere before the ``_CURRENT`` rename** leaves the table
+  on the previous version; the retry recomputes the same target
+  version (``_CURRENT`` is unchanged), overwrites the orphaned stage
+  and re-commits — replay-idempotent by construction. Orphaned
+  version dirs are garbage; :func:`vacuum` removes the unreferenced
+  ones.
+
+Single-writer assumption (as upsert.py): concurrent WRITERS would race
+the version counter — serialize them upstream (one maintainer per
+table, the package-wide convention). Keys must not MOVE between
+partitions (same contract as the overwrite path).
+
+Reference parity: no write surface in the reference (TSV sink only,
+/root/reference/src/polars_fastx/fastx_parsers.py:222); north-star
+extension per /root/repo/BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_fastx_spark.sources.sinks import hadoop_fs
+from polars_fastx_spark.streaming.epochs import (
+    _read_small,
+    _write_small_atomic,
+)
+from polars_fastx_spark.operators.upsert import _unescape_path_name
+
+
+def _manifest_dir(path: str) -> str:
+    return f"{path}/_manifest"
+
+
+def current_version(spark: SparkSession, path: str) -> int | None:
+    """The committed version number, None for a missing/empty table."""
+    raw = _read_small(spark, f"{_manifest_dir(path)}/_CURRENT")
+    if raw is None or not raw.strip():
+        return None
+    return int(raw.strip())
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    """The committed manifest: ``{"version": N, "partition_col": c,
+    "partitions": {dir_name: rel_path}}`` (dir_name is the hive-style
+    ``<pcol>=<escaped val>`` name; rel_path points under the table)."""
+    v = current_version(spark, path)
+    if v is None:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    raw = _read_small(spark, f"{_manifest_dir(path)}/v{v}.json")
+    if raw is None:
+        raise FileNotFoundError(
+            f"_CURRENT points at v{v} but v{v}.json is missing: {path}"
+        )
+    return json.loads(raw)
+
+
+def _stage_version(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_col: str,
+    version: int,
+) -> dict[str, str]:
+    """Write ``df`` hive-partitioned under ``data/v<version>`` and
+    return {partition dir name: rel path} for what landed. mode
+    overwrite: a retry of a crashed commit rebuilds its own stage."""
+    stage = f"{path}/data/v{version}"
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    p, fs = hadoop_fs(spark, stage)
+    out: dict[str, str] = {}
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out[name] = f"data/v{version}/{name}"
+    return out
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+) -> None:
+    """Write the immutable manifest file, then swap ``_CURRENT`` —
+    the one atomic commit point."""
+    v = manifest["version"]
+    _write_small_atomic(
+        spark, f"{_manifest_dir(path)}/v{v}.json", json.dumps(manifest)
+    )
+    _write_small_atomic(spark, f"{_manifest_dir(path)}/_CURRENT", str(v))
+
+
+def create_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_col: str,
+) -> int:
+    """Initialize a manifest table from ``df``; returns version 1."""
+    parts = _stage_version(spark, path, df, partition_col, 1)
+    _commit(spark, path, {
+        "version": 1,
+        "partition_col": partition_col,
+        "partitions": parts,
+    })
+    return 1
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    partition_values: list | None = None,
+) -> DataFrame:
+    """The committed snapshot as a DataFrame. ``partition_values``
+    prunes AT THE MANIFEST — only the named partitions' dirs are ever
+    opened (no table-wide listing). The returned frame is pinned to
+    the version that was current at call time: commits that land
+    later do not leak into it (the dirs it reads are immutable)."""
+    man = read_manifest(spark, path)
+    wanted = None
+    if partition_values is not None:
+        wanted = {
+            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            for v in partition_values
+        }
+    by_version: dict[str, list[str]] = {}
+    for dir_name, rel in man["partitions"].items():
+        val = _unescape_path_name(dir_name.split("=", 1)[1])
+        if wanted is not None and val not in wanted:
+            continue
+        base = rel.rsplit("/", 1)[0]  # data/v<K>
+        by_version.setdefault(base, []).append(f"{path}/{rel}")
+    frames = [
+        spark.read.option("basePath", f"{path}/{base}").parquet(*dirs)
+        for base, dirs in sorted(by_version.items())
+    ]
+    if not frames:
+        # prune matched nothing: empty frame with the table schema —
+        # resolve it from any one partition dir (cheap footer read)
+        any_rel = next(iter(man["partitions"].values()), None)
+        if any_rel is None:
+            raise ValueError(f"manifest table {path} has no partitions")
+        base = any_rel.rsplit("/", 1)[0]
+        schema_frame = spark.read.option(
+            "basePath", f"{path}/{base}"
+        ).parquet(f"{path}/{any_rel}")
+        return schema_frame.limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+) -> int:
+    """MERGE ``updates`` into the manifest table (last-writer-wins on
+    ``order_col``, updates outrank existing rows at equal order —
+    identical semantics to ``upsert.upsert_partitioned``). Reads ONLY
+    the touched partitions (manifest pruning), stages them as the
+    next version, commits with one pointer swap. Returns the new
+    version. Replaying the same batch converges to the same state."""
+    man = read_manifest(spark, path)
+    pcol = man["partition_col"]
+    touched = [r[0] for r in updates.select(pcol).distinct().collect()]
+    current = read_table(spark, path, partition_values=touched)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), F.col("_src").desc()
+    )
+    merged = (
+        current.withColumn("_src", F.lit(0))
+        .unionByName(updates.withColumn("_src", F.lit(1)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_src")
+    )
+    return _commit_delta(spark, path, man, merged, touched)
+
+
+def delete_keys_table(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Delete every row matching ``keys`` (which must carry
+    ``key_cols`` + the partition column — the takedown primitive on
+    the manifest path). A partition whose every row is deleted drops
+    from the manifest, so it vanishes from reads WITHOUT any dir
+    deletion racing a reader (vacuum reclaims the bytes later).
+    Returns the new version."""
+    man = read_manifest(spark, path)
+    pcol = man["partition_col"]
+    touched = [r[0] for r in keys.select(pcol).distinct().collect()]
+    current = read_table(spark, path, partition_values=touched)
+    remaining = current.join(
+        keys.select(*key_cols, pcol).distinct(),
+        on=[*key_cols, pcol],
+        how="left_anti",
+    )
+    return _commit_delta(spark, path, man, remaining, touched)
+
+
+def compact_table(spark: SparkSession, path: str) -> int:
+    """Rewrite EVERY live partition into one fresh version (the
+    small-files fold for a table that accreted many versions); one
+    commit, readers never see a mix. Returns the new version."""
+    man = read_manifest(spark, path)
+    pcol = man["partition_col"]
+    touched = [
+        _unescape_path_name(d.split("=", 1)[1])
+        for d in man["partitions"]
+    ]
+    return _commit_delta(
+        spark, path, man, read_table(spark, path), touched
+    )
+
+
+def _commit_delta(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    new_rows: DataFrame,
+    touched: list,
+) -> int:
+    """Stage ``new_rows`` (the full new content of the ``touched``
+    partitions) as the next version and commit the repointed
+    manifest. Touched partitions absent from ``new_rows`` (fully
+    deleted) drop from the manifest."""
+    pcol = man["partition_col"]
+    version = man["version"] + 1
+    staged = _stage_version(spark, path, new_rows, pcol, version)
+    touched_names = {
+        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        for v in touched
+    }
+    # untouched partitions keep their old dirs; touched ones repoint
+    # to the stage (or drop, when fully deleted). A staged partition
+    # OUTSIDE the touched set would be a key-movement bug — it is
+    # ignored rather than silently repointed (same contract as the
+    # overwrite path: keys must not move between partitions).
+    parts = {
+        d: rel
+        for d, rel in man["partitions"].items()
+        if _unescape_path_name(d.split("=", 1)[1]) not in touched_names
+    }
+    for d, rel in staged.items():
+        if _unescape_path_name(d.split("=", 1)[1]) in touched_names:
+            parts[d] = rel
+    _commit(spark, path, {
+        "version": version,
+        "partition_col": pcol,
+        "partitions": parts,
+    })
+    return version
+
+
+def vacuum(spark: SparkSession, path: str) -> list[str]:
+    """Delete ``data/v*`` dirs holding NO partition referenced by the
+    CURRENT manifest (orphans of crashed commits, versions fully
+    superseded by later rewrites). Never touches referenced dirs, so
+    it is safe beside readers of the current version; readers pinned
+    to OLDER versions (long-running jobs) are the caller's window to
+    respect — run vacuum when none are live (the standard table-format
+    contract). Returns the deleted dir names."""
+    man = read_manifest(spark, path)
+    live = {rel.rsplit("/", 1)[0] for rel in man["partitions"].values()}
+    root, fs = hadoop_fs(spark, f"{path}/data")
+    deleted = []
+    if not fs.exists(root):
+        return deleted
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and (
+            f"data/{name}" not in live
+        ):
+            fs.delete(st.getPath(), True)
+            deleted.append(name)
+    return deleted

@@ -16,7 +16,11 @@ Caveats vs a real table format (stated, not hidden): no snapshot
 isolation — readers racing the overwrite can see a partition mid-swap;
 and a key may not MOVE between partitions (the old partition would
 keep a stale copy). Both are the standard contracts of
-partition-overwrite pipelines.
+partition-overwrite pipelines. When the mid-swap reader matters, use
+:mod:`polars_fastx_spark.operators.manifest` — the same MERGE/delete
+semantics behind a manifest-pointer commit (immutable version dirs,
+one atomic ``_CURRENT`` rename): readers see old-or-new, never mixed.
+This module remains the legacy/zero-metadata mode.
 
 Reference parity: no write/merge surface in the reference (TSV sink
 only, /root/reference/src/polars_fastx/fastx_parsers.py:222);

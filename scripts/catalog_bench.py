@@ -12,16 +12,19 @@ Usage: python scripts/catalog_bench.py [sf_dir] [out.json]
 Defaults: /root/testdata/sf0.1  BENCH_catalog_rN.json (N from env
 SPARK_GRAFT_ROUND or 'x').
 
-Output: {"sf_dir": ..., "total_seconds": N, "queries": {name: sec}}
+Output: {"sf_dir": ..., "total_seconds": N, "queries": {name: sec},
+"sentinel_factor": f}
 Compare two artifacts:
     python scripts/catalog_bench.py --diff old.json new.json
-prints queries slower by >1.5x and >0.3s.
+prints queries slower by >1.5x and >0.3s AFTER dividing out the
+container-drift factor estimated from the sentinel set (below).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -29,19 +32,66 @@ from pathlib import Path
 _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
+#: the drift sentinels: stable, never-touched core-relational queries
+#: spanning plan classes (scan+filter, shuffle join, aggregate,
+#: window, pure expression). Their round-over-round ratio estimates
+#: the CONTAINER's speed change — code changes never touch them — and
+#: the diff gate divides every ratio by the sentinel median before
+#: applying its 1.5x threshold, so the gate fires on code, not on the
+#: host. Two consecutive rounds of adjudication effort (r6/r7: median
+#: drift 1.11x flagged six untouched queries) motivated this.
+SENTINELS = (
+    "p_filter_project",
+    "j_left_outer",
+    "g_histogram",
+    "w_nth_value",
+    "f_bitwise",
+)
+
+
+def sentinel_factor(old: dict, new: dict) -> float:
+    """Median new/old ratio over the sentinel set — the estimated
+    container drift. 1.0 when fewer than 3 sentinels are comparable
+    (never extrapolate from a broken artifact)."""
+    ratios = [
+        new[s] / old[s]
+        for s in SENTINELS
+        if old.get(s, 0) > 0 and new.get(s, 0) > 0
+    ]
+    if len(ratios) < 3:
+        return 1.0
+    return statistics.median(ratios)
+
+
+def compute_regressions(
+    old: dict, new: dict, ratio: float = 1.5, floor: float = 0.3
+) -> tuple[float, list[tuple[str, float, float]]]:
+    """(sentinel factor, [(name, old_s, drift-normalized new_s)]) —
+    a query flags when its DRIFT-NORMALIZED time exceeds both the
+    ratio threshold and the absolute floor over its old time."""
+    factor = sentinel_factor(old, new)
+    bad = []
+    for name, t_new in sorted(new.items()):
+        t_old = old.get(name)
+        if t_old is None or t_old <= 0 or t_new <= 0:
+            continue
+        t_norm = t_new / factor
+        if t_norm > t_old * ratio and t_norm - t_old > floor:
+            bad.append((name, t_old, t_norm))
+    return factor, bad
+
 
 def diff(old_path: str, new_path: str) -> int:
     old = json.loads(Path(old_path).read_text())["queries"]
     new = json.loads(Path(new_path).read_text())["queries"]
-    bad = []
-    for name, t_new in sorted(new.items()):
-        t_old = old.get(name)
-        if t_old is None:
-            continue
-        if t_new > t_old * 1.5 and t_new - t_old > 0.3:
-            bad.append((name, t_old, t_new))
+    factor, bad = compute_regressions(old, new)
+    print(f"sentinel drift factor: {factor:.3f} "
+          f"(ratios divided by this before the 1.5x gate)")
     for name, a, b in bad:
-        print(f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({b / a:.1f}x)")
+        print(
+            f"REGRESSED {name}: {a:.2f}s -> {b:.2f}s drift-normalized "
+            f"({b / a:.1f}x)"
+        )
     gone = sorted(set(old) - set(new))
     if gone:
         print("removed:", ", ".join(gone))
@@ -122,6 +172,9 @@ def main() -> None:
                 "total_seconds": total,
                 "queries": times,
                 "prepare_seconds": prep_times,
+                "sentinels": {
+                    s: times.get(s, -1.0) for s in SENTINELS
+                },
             },
             indent=1,
             sort_keys=True,

@@ -268,3 +268,57 @@ def test_oracle_sql_generators_match_module(spark):
     assert spark_meta == duck_meta
     assert spark_meta[0] == "shift_jis" and spark_meta[1] == "gbk"
     assert spark_meta[2] == "gbk" and spark_meta[3] is None
+
+
+def test_decode_payloads_on_streaming_warc(spark, tmp_path):
+    """The charset seam composes with Structured Streaming unchanged:
+    the resolution expression is pure-Column and the legacy branch's
+    mapInPandas is streaming-legal, so a live crawl gets the same
+    exact-text recovery as the batch front door."""
+    from polars_fastx_spark.sources import warc
+    from polars_fastx_spark.streaming.warc_stream import stream_warc
+
+    src = tmp_path / "live"
+    src.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    sjis = "日本語ストリーム本文"
+    recs = [
+        warc.render_warc_record(
+            "<urn:uuid:s-0>", "response", "https://jp.example/s",
+            "2026-08-15T00:00:00Z",
+            warc.http_response_block(
+                (f'<meta charset="shift_jis">{sjis}').encode("shift_jis"),
+                content_type="text/html",  # no charset param: meta decides
+            ),
+        ),
+        warc.render_warc_record(
+            "<urn:uuid:s-1>", "response", "https://ok.example/u",
+            "2026-08-15T00:00:00Z",
+            warc.http_response_block(
+                "<p>plain utf-8 é</p>".encode("utf-8"),
+                content_type="text/html; charset=utf-8",
+            ),
+        ),
+    ]
+    warc.write_warc(str(src / "b0.warc.gz"), recs)
+    stream = stream_warc(spark, str(src)).filter(
+        F.col("http_status") == 200
+    )
+    stream = CS.decode_payloads(stream, charset_col="cs")
+    q = (
+        stream.select("target_uri", "cs", "text")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["target_uri"]: (r["cs"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got["https://jp.example/s"] == (
+        "shift_jis", f'<meta charset="shift_jis">{sjis}'
+    )
+    assert got["https://ok.example/u"] == ("utf-8", "<p>plain utf-8 é</p>")

@@ -3063,6 +3063,159 @@ def l_sitemap_seed(spark, sf_dir):
     )
 
 
+#: Crawl-delay fixture texts — distinct from _ROBOTS_TXT so the gate
+#: queries' planted strings stay untouched; shared verbatim by Spark
+#: and the oracle
+_DELAY_TXT = {
+    "star": "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n",
+    "named": (
+        "User-agent: mybot\nCrawl-delay: 0.5\n\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+    ),
+    "junk": "User-agent: *\nCrawl-delay: abc\n",
+}
+
+
+def _fetch_schedule_oracle_sql() -> str:
+    txts = {k: v.replace("\n", chr(10)).replace("'", "''")
+            for k, v in _DELAY_TXT.items()}
+    return f"""
+    WITH robots AS (
+      SELECT 'site' || d || '.net' AS domain,
+        CASE d WHEN 0 THEN '{txts["star"]}'
+               WHEN 1 THEN '{txts["named"]}'
+               ELSE '{txts["junk"]}' END AS robots_txt
+      FROM (SELECT DISTINCT (doc_id % 4) AS d FROM documents
+            WHERE doc_id % 4 <> 3)
+    ),
+    lines0 AS (
+      SELECT domain,
+        unnest(string_split_regex(robots_txt, '\r?\n')) AS raw,
+        generate_subscripts(string_split_regex(robots_txt, '\r?\n'), 1)
+          AS pos
+      FROM robots
+    ),
+    lines2 AS (
+      SELECT domain, pos,
+        lower(coalesce(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1), ''))
+          AS directive,
+        trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1), ''))
+          AS value
+      FROM (SELECT domain, pos,
+                   trim(regexp_replace(raw, '#.*$', '')) AS line
+            FROM lines0) WHERE line <> ''
+    ),
+    lines3 AS (
+      SELECT * FROM lines2
+      WHERE directive IN ('user-agent', 'crawl-delay')
+    ),
+    grouped AS (
+      SELECT *, sum(grp_start) OVER (PARTITION BY domain ORDER BY pos)
+               AS grp
+      FROM (SELECT *,
+              CASE WHEN directive = 'user-agent'
+                    AND coalesce(lag(directive) OVER
+                          (PARTITION BY domain ORDER BY pos), '')
+                        <> 'user-agent'
+               THEN 1 ELSE 0 END AS grp_start
+            FROM lines3)
+    ),
+    agents AS (
+      SELECT domain, grp, lower(value) AS agent
+      FROM grouped WHERE directive = 'user-agent' GROUP BY 1, 2, 3
+    ),
+    delays0 AS (
+      SELECT g.domain, a.agent,
+             try_cast(g.value AS DOUBLE) AS crawl_delay
+      FROM grouped g JOIN agents a
+        ON g.domain = a.domain AND g.grp = a.grp
+      WHERE g.directive = 'crawl-delay'
+        AND try_cast(g.value AS DOUBLE) IS NOT NULL
+        AND try_cast(g.value AS DOUBLE) >= 0
+    ),
+    named_doms AS (
+      SELECT DISTINCT domain FROM delays0 WHERE agent = 'mybot'
+    ),
+    applicable AS (
+      SELECT * FROM delays0 WHERE agent = 'mybot'
+      UNION ALL
+      SELECT * FROM delays0
+      WHERE agent = '*' AND domain NOT IN (SELECT domain FROM named_doms)
+    ),
+    dmax AS (
+      SELECT domain, max(crawl_delay) AS crawl_delay
+      FROM applicable GROUP BY domain
+    ),
+    u AS (
+      SELECT doc_id,
+        'https://site' || (doc_id % 4) || '.net/u/' || doc_id AS url,
+        'site' || (doc_id % 4) || '.net' AS domain
+      FROM documents
+    ),
+    sched AS (
+      SELECT u.doc_id, u.url, u.domain,
+        row_number() OVER (PARTITION BY u.domain
+                           ORDER BY md5(u.url), u.url) AS rn,
+        coalesce(d.crawl_delay, 1.0) AS delay
+      FROM u LEFT JOIN dmax d USING (domain)
+    )
+    SELECT doc_id, url, domain,
+           round((rn - 1) * delay, 3) AS fetch_offset_s
+    FROM sched ORDER BY doc_id
+    """
+
+
+@_q(
+    "l_fetch_schedule",
+    _fetch_schedule_oracle_sql(),
+    "L-crawl: POLITENESS SCHEDULING — Crawl-delay directives parse "
+    "through the same RFC 9309 group assembly and agent resolution "
+    "as the Allow/Disallow rules (functions/robots.py:"
+    "parse_crawl_delays — exact agent beats '*', largest applicable "
+    "value wins, non-numeric values drop via try_cast), then "
+    "fetch_schedule assigns the k-th URL of each registrable domain "
+    "(md5-deterministic order — every crawler replica computes the "
+    "SAME schedule with no coordination) fetch offset (k-1)*delay, "
+    "default 1.0s for domains without a directive; one tiny-side "
+    "join + one bounded per-domain window (compose AFTER "
+    "domain_cap). Planted: star-group delay, named-beats-star "
+    "(0.5 vs 10), junk value -> default, missing robots -> default",
+)
+def l_fetch_schedule(spark, sf_dir):
+    from polars_fastx_spark.functions import robots as rb
+
+    docs = _t(spark, sf_dir, "documents")
+    d4 = (F.col("doc_id") % 4).cast("string")
+    urls_df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), d4, F.lit(".net/u/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots_df = (
+        docs.select((F.col("doc_id") % 4).alias("d")).distinct()
+        .filter(F.col("d") != 3)
+        .select(
+            F.concat(F.lit("site"), F.col("d").cast("string"),
+                     F.lit(".net")).alias("domain"),
+            F.when(F.col("d") == 0, F.lit(_DELAY_TXT["star"]))
+            .when(F.col("d") == 1, F.lit(_DELAY_TXT["named"]))
+            .otherwise(F.lit(_DELAY_TXT["junk"]))
+            .alias("robots_txt"),
+        )
+    )
+    delays = rb.parse_crawl_delays(robots_df, agent="mybot")
+    return (
+        rb.fetch_schedule(urls_df, delays, default_delay=1.0)
+        .select(
+            "doc_id", "url", "domain",
+            F.round("fetch_offset_s", 3).alias("fetch_offset_s"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @_q(
     "l_domain_cap",
     """

@@ -70,18 +70,17 @@ def pattern_regex(pat: Column) -> Column:
     )
 
 
-def parse_robots(
+def _grouped_directives(
     df: DataFrame,
-    domain_col: str = "domain",
-    text_col: str = "robots_txt",
+    domain_col: str,
+    text_col: str,
+    directives: tuple[str, ...],
 ) -> DataFrame:
-    """(domain, robots_txt) → rule table
-    ``(domain, agent, allow, pattern, pattern_len, rx)``.
-
-    Window prefix-scan per domain (see module docstring): group ids
-    accumulate over line positions, agents collected per group, rules
-    inherit their group's agents. Lines that parse to nothing
-    (comments, blanks, unknown directives, empty Disallow) drop."""
+    """The shared parse core: (domain, robots_txt) → one row per
+    recognized directive line, with its RFC 9309 §2.1 GROUP id
+    (window prefix-scan per domain: consecutive ``User-agent`` lines
+    open a group) and the group's collected agent set. Output:
+    ``(domain, grp, directive, value, agents)`` for non-UA lines."""
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(
@@ -96,7 +95,7 @@ def parse_robots(
     v = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
     lines = lines.select(
         "domain", "pos", d.alias("directive"), v.alias("value")
-    ).filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    ).filter(F.col("directive").isin("user-agent", *directives))
 
     w = Window.partitionBy("domain").orderBy("pos")
     is_ua = F.col("directive") == "user-agent"
@@ -111,19 +110,121 @@ def parse_robots(
             F.collect_set(F.lower(F.col("value"))).alias("agents")
         )
     )
-    rules = (
-        lines.filter(~is_ua & (F.col("value") != ""))
-        .join(agents, ["domain", "grp"])
-        .select(
-            "domain",
-            F.explode("agents").alias("agent"),
-            (F.col("directive") == "allow").alias("allow"),
-            F.col("value").alias("pattern"),
-            # RFC 9309 §2.2.2 ranks rules by OCTETS, not characters
-            F.octet_length("value").alias("pattern_len"),
-        )
+    return lines.filter(~is_ua).join(agents, ["domain", "grp"])
+
+
+def parse_robots(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, robots_txt) → rule table
+    ``(domain, agent, allow, pattern, pattern_len, rx)``.
+
+    Window prefix-scan per domain (see module docstring): group ids
+    accumulate over line positions, agents collected per group, rules
+    inherit their group's agents. Lines that parse to nothing
+    (comments, blanks, unknown directives, empty Disallow) drop."""
+    grouped = _grouped_directives(
+        df, domain_col, text_col, ("allow", "disallow")
+    )
+    rules = grouped.filter(F.col("value") != "").select(
+        "domain",
+        F.explode("agents").alias("agent"),
+        (F.col("directive") == "allow").alias("allow"),
+        F.col("value").alias("pattern"),
+        # RFC 9309 §2.2.2 ranks rules by OCTETS, not characters
+        F.octet_length("value").alias("pattern_len"),
     )
     return rules.withColumn("rx", pattern_regex(F.col("pattern")))
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+    agent: str = "mybot",
+) -> DataFrame:
+    """(domain, robots_txt) → ``(domain, crawl_delay)`` in seconds —
+    the de-facto ``Crawl-delay`` directive (not in RFC 9309 but
+    honored by every polite crawler). Same group assembly and agent
+    resolution as the Allow/Disallow rules: a group naming OUR agent
+    wins over the ``*`` group; several applicable values keep the
+    LARGEST (the conservative read); non-numeric values drop. Domains
+    with no directive are absent — the scheduler's ``default_delay``
+    covers them."""
+    agent = agent.lower()
+    grouped = _grouped_directives(
+        df, domain_col, text_col, ("crawl-delay",)
+    )
+    delays = grouped.select(
+        "domain",
+        F.explode("agents").alias("agent"),
+        # try_cast: non-numeric delay values DROP instead of raising
+        # under the session's ANSI mode
+        F.col("value").try_cast("double").alias("crawl_delay"),
+    ).filter(F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") >= 0))
+    named = delays.filter(F.col("agent") == agent)
+    named_doms = named.select("domain").distinct()
+    fallback = delays.filter(F.col("agent") == "*").join(
+        named_doms, "domain", "left_anti"
+    )
+    return (
+        named.unionByName(fallback)
+        .groupBy("domain")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    domain_col: str | None = None,
+    default_delay: float = 1.0,
+    out: str = "fetch_offset_s",
+) -> DataFrame:
+    """Politeness scheduling for a frontier: per registrable domain,
+    the k-th URL (md5-deterministic order, the content-addressed
+    convention — every crawler replica computes the SAME schedule
+    with no coordination) fetches at ``(k-1) * crawl_delay`` seconds
+    from the domain's first fetch. ``delays`` is a
+    :func:`parse_crawl_delays` table; absent domains use
+    ``default_delay``.
+
+    Compose AFTER ``domain_cap`` (the frontier is already budgeted,
+    so the per-domain window ranks at most ``cap`` rows per task —
+    never schedule an uncapped frontier: a mega-domain would put its
+    whole backlog in one window partition AND into one fetch queue).
+    One tiny-side join (AQE broadcasts the delay table) + one bounded
+    per-domain window."""
+    if domain_col is None:
+        from polars_fastx_spark.functions.psl import (
+            with_registrable_domain,
+        )
+
+        u = with_registrable_domain(urls, url_col, out="__dom")
+    else:
+        u = urls.withColumn("__dom", _col(domain_col))
+    j = u.join(
+        delays.select(
+            F.col("domain").alias("__dom"),
+            F.col("crawl_delay").alias("__delay"),
+        ),
+        "__dom",
+        "left",
+    )
+    w = Window.partitionBy("__dom").orderBy(
+        F.md5(_col(url_col)).asc(), _col(url_col).asc()
+    )
+    offset = (F.row_number().over(w) - 1) * F.coalesce(
+        F.col("__delay"), F.lit(float(default_delay))
+    )
+    return (
+        j.withColumn(out, offset)
+        .withColumnRenamed("__dom", "domain")
+        .drop("__delay")
+    )
 
 
 def robots_allowed(

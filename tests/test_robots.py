@@ -134,3 +134,60 @@ def test_precedence_ranks_by_octets_not_chars(spark):
     )
     out = robots.robots_allowed(urls, rules, agent="anybot")
     assert out.collect()[0]["allowed"] is False
+
+
+def test_parse_crawl_delays_agent_resolution(spark):
+    rb = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+            ("b.org",
+             "User-agent: mybot\nCrawl-delay: 0.5\n\n"
+             "User-agent: *\nCrawl-delay: 10\n"),
+            ("c.net", "User-agent: *\nCrawl-delay: abc\n"),  # junk drops
+            ("d.io", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {
+        r["domain"]: r["crawl_delay"]
+        for r in robots.parse_crawl_delays(rb, agent="MyBot").collect()
+    }
+    # named group beats '*'; several applicable values keep the MAX;
+    # junk values drop the domain entirely (scheduler default covers)
+    assert got == {"a.com": 2.0, "b.org": 0.5, "d.io": 7.0}
+
+
+def test_fetch_schedule_offsets_and_default(spark):
+    urls = spark.createDataFrame(
+        [(f"https://a.com/p{i}",) for i in range(4)]
+        + [(f"https://nodelay.net/q{i}",) for i in range(3)],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.0)], "domain string, crawl_delay double"
+    )
+    out = robots.fetch_schedule(urls, delays, default_delay=1.0)
+    rows = out.collect()
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r["fetch_offset_s"])
+    # per domain: offsets are (k-1)*delay for k=1..n, whatever the
+    # (md5-deterministic) url order
+    assert sorted(by_dom["a.com"]) == [0.0, 2.0, 4.0, 6.0]
+    assert sorted(by_dom["nodelay.net"]) == [0.0, 1.0, 2.0]
+    # determinism: recomputing yields the SAME url -> offset map
+    again = {
+        r["url"]: r["fetch_offset_s"]
+        for r in robots.fetch_schedule(urls, delays).collect()
+    }
+    assert again == {r["url"]: r["fetch_offset_s"] for r in rows}
+
+
+def test_crawl_delay_lines_do_not_disturb_rule_parse(spark):
+    rb = spark.createDataFrame(
+        [("a.com",
+          "User-agent: *\nCrawl-delay: 5\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    rules = robots.parse_robots(rb)
+    assert [r["pattern"] for r in rules.collect()] == ["/private/"]

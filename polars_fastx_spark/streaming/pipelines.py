@@ -283,6 +283,50 @@ def write_tsv_stream(
     return w.start()
 
 
+def stream_upsert_manifest(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Effectively-once streaming MERGE with SNAPSHOT ISOLATION: each
+    micro-batch upserts into the manifest table at ``path``
+    (``operators/manifest.py`` — immutable version dirs, one atomic
+    ``_CURRENT`` pointer rename per commit). Readers concurrent with
+    the stream always see one complete committed version, never a
+    partition mid-swap — the guarantee the plain
+    dynamic-partition-overwrite streaming upsert cannot give.
+
+    Retry semantics: foreachBatch may redeliver a batch; replaying the
+    same rows through the last-writer-wins merge converges to the same
+    table STATE (one extra manifest version records the no-op — state,
+    not version count, is the contract). Within-batch duplicate keys
+    collapse to their ``order_col`` winner first, so the merge sees
+    one row per key. The first batch CREATES the table."""
+    from polars_fastx_spark.operators import manifest as mf
+    from polars_fastx_spark.operators.upsert import latest_per_key
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = latest_per_key(batch_df, key_cols, order_col)
+        if b.isEmpty():
+            return
+        if mf.current_version(spark, path) is None:
+            mf.create_table(spark, path, b, partition_col)
+        else:
+            mf.upsert_table(spark, path, b, key_cols, order_col)
+
+    w = df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def memory_sink(
     df: DataFrame,
     name: str,

@@ -220,11 +220,12 @@ def fetch_schedule(
     offset = (F.row_number().over(w) - 1) * F.coalesce(
         F.col("__delay"), F.lit(float(default_delay))
     )
-    return (
-        j.withColumn(out, offset)
-        .withColumnRenamed("__dom", "domain")
-        .drop("__delay")
-    )
+    scheduled = j.withColumn(out, offset).drop("__delay")
+    if domain_col is None:
+        # PSL-derived grouping key surfaces as `domain`
+        return scheduled.withColumnRenamed("__dom", "domain")
+    # caller supplied the key — renaming would duplicate their column
+    return scheduled.drop("__dom")
 
 
 def robots_allowed(

@@ -191,3 +191,16 @@ def test_crawl_delay_lines_do_not_disturb_rule_parse(spark):
     )
     rules = robots.parse_robots(rb)
     assert [r["pattern"] for r in rules.collect()] == ["/private/"]
+
+
+def test_fetch_schedule_explicit_domain_col_no_duplicate(spark):
+    urls = spark.createDataFrame(
+        [("https://a.com/1", "a.com"), ("https://a.com/2", "a.com")],
+        "url string, domain string",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2.0)], "domain string, crawl_delay double"
+    )
+    out = robots.fetch_schedule(urls, delays, domain_col="domain")
+    assert out.columns.count("domain") == 1
+    assert sorted(r["fetch_offset_s"] for r in out.collect()) == [0.0, 2.0]

@@ -97,6 +97,58 @@ def _expand_paths(path: str) -> list[str]:
     return matches
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo HTTP/1.1 ``Transfer-Encoding: chunked`` framing: hex
+    size lines (chunk extensions after ';' ignored) interleave the
+    real bytes, and leaving them in the payload corrupts text
+    extraction AND charset decoding (a multi-byte sequence split by a
+    chunk boundary gains CRLF + hex mid-character). Best-effort:
+    malformed framing returns the ORIGINAL body unchanged — crawl
+    archives contain truncated responses, and a parse gate must never
+    destroy a record it cannot improve."""
+    out = []
+    i = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            return body
+        size_field = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return body
+        i = eol + 2
+        if size == 0:
+            break  # trailers (if any) end the message
+        if i + size > n:
+            return body  # truncated capture: keep the raw bytes
+        out.append(body[i : i + size])
+        i += size
+        if body[i : i + 2] != b"\r\n":
+            return body
+        i += 2
+    return b"".join(out)
+
+
+def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
+    """Undo ``Content-Encoding: gzip|x-gzip|deflate`` (the encodings a
+    crawl actually meets). Best-effort like :func:`_dechunk`: a
+    corrupt/truncated stream keeps the raw bytes."""
+    try:
+        if encoding in ("gzip", "x-gzip"):
+            # wbits=47: gzip OR zlib wrapper auto-detected
+            return zlib.decompress(body, 47)
+        if encoding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -15)  # raw deflate
+    except zlib.error:
+        return body
+    return body
+
+
 def _parse_record(buf: io.BufferedIOBase):
     """One record from a stream positioned at its version line, or
     None at EOF. Returns the output-row tuple."""
@@ -130,11 +182,24 @@ def _parse_record(buf: io.BufferedIOBase):
             parts = lines[0].split(b" ", 2)
             if len(parts) >= 2 and parts[1].isdigit():
                 status = int(parts[1])
+            te, ce = "", ""
             for hl in lines[1:]:
                 hk, _, hv = hl.decode("utf-8", "replace").partition(":")
-                if hk.strip().lower() == "content-type":
+                hk = hk.strip().lower()
+                if hk == "content-type":
                     http_ct = hv.strip()
-                    break
+                elif hk == "transfer-encoding":
+                    te = hv.strip().lower()
+                elif hk == "content-encoding":
+                    ce = hv.strip().lower()
+            # undo the wire framing so downstream text/charset tiers
+            # see the real entity bytes (real crawls are full of
+            # chunked and gzip'd responses; both undos are
+            # best-effort — truncated captures keep their raw bytes)
+            if "chunked" in te:
+                payload = _dechunk(payload)
+            if ce:
+                payload = _decode_content_encoding(payload, ce)
     return (
         headers.get("warc-record-id"),
         wtype,

@@ -3097,9 +3097,9 @@ def _fetch_schedule_oracle_sql() -> str:
     ),
     lines2 AS (
       SELECT domain, pos,
-        lower(coalesce(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1), ''))
+        lower(coalesce(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1), ''))
           AS directive,
-        trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1), ''))
+        trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1), ''))
           AS value
       FROM (SELECT domain, pos,
                    trim(regexp_replace(raw, '#.*$', '')) AS line

@@ -81,7 +81,24 @@ def tokens(c: Column | str) -> Column:
             is_unseg & (F.length(u) > 1), bigrams
         ).otherwise(F.array(u))
 
-    return F.flatten(F.transform(units, expand))
+    # document-level fast path: one rlike scan decides whether the
+    # unit extraction + per-unit expansion runs AT ALL. A Latin doc —
+    # the overwhelming majority — takes the plain split branch (the
+    # pre-round-8 expression), so the CJK tier costs the corpus one
+    # regex scan, not a 2-5x tokenization slowdown (the round-8
+    # catalog diff measured exactly that on every tokens() consumer
+    # before this gate). CaseWhen evaluates only the taken branch in
+    # codegen, and the two branches are token-identical on text the
+    # gate sends down the fast path (no unsegmented chars -> units
+    # ARE the whitespace tokens).
+    plain = F.filter(
+        F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    return F.when(
+        F.coalesce(col, F.lit("")).rlike(f"[{UNSEG_CLASS_BODY}]"),
+        F.flatten(F.transform(units, expand)),
+    ).otherwise(plain)
 
 
 def tokens_sql(expr: str) -> str:
@@ -93,11 +110,20 @@ def tokens_sql(expr: str) -> str:
     rx = _UNIT_RX.replace("'", "''")
     head = f"[{UNSEG_CLASS_BODY}]".replace("'", "''")
     units = f"regexp_extract_all(coalesce({expr}, ''), '{rx}')"
-    return (
+    expanded = (
         f"flatten(list_transform({units}, u -> "
         f"CASE WHEN regexp_matches(u, '^{head}') AND length(u) > 1 "
         f"THEN list_transform(range(1, length(u)), i -> substring(u, i::INT, 2)) "
         f"ELSE [u] END))"
+    )
+    plain = (
+        f"list_filter(string_split_regex(trim(coalesce({expr}, '')), "
+        f"'\\s+'), t -> t <> '')"
+    )
+    # the same document-level fast-path gate as the Spark expression
+    return (
+        f"(CASE WHEN regexp_matches(coalesce({expr}, ''), '{head}') "
+        f"THEN {expanded} ELSE {plain} END)"
     )
 
 

@@ -3920,10 +3920,15 @@ _GOPHER_CLEAN = (
 
 def _gopher_text():
     d = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 9
     return (
         F.when(m == 0, F.concat(
             F.repeat(F.lit(_GOPHER_CLEAN), 6), F.lit("doc "), d))
+        .when(m == 8, F.concat(
+            # clean CJK doc: must PASS via the unsegmented-script
+            # relaxation (English word-length/stopword rules skip)
+            F.repeat(F.lit("这是一个质量良好的中文网页正文内容"), 8),
+            F.lit("编号"), F.translate(d, *_ML_NUM)))
         .when(m == 2, F.repeat(
             F.concat(F.lit("- bullet item "), d, F.lit("\n")), 20))
         .when(m == 3, F.repeat(
@@ -3944,8 +3949,10 @@ def _gopher_text():
 
 
 _GOPHER_TEXT_SQL = f"""
-      CASE (doc_id % 8)
+      CASE (doc_id % 9)
         WHEN 0 THEN repeat('{_GOPHER_CLEAN}', 6) || 'doc ' || doc_id
+        WHEN 8 THEN repeat('这是一个质量良好的中文网页正文内容', 8)
+          || '编号' || translate(doc_id::VARCHAR, '{_ML_NUM[0]}', '{_ML_NUM[1]}')
         WHEN 2 THEN repeat('- bullet item ' || doc_id || chr(10), 20)
         WHEN 3 THEN repeat('the line ' || doc_id || ' trails off...'
           || chr(10), 12)
@@ -3966,7 +3973,7 @@ def _gopher_oracle_sql() -> str:
     reasons = G.gopher_reasons_sql("text")
     return f"""
     WITH planted AS (
-      SELECT doc_id, (doc_id % 8) AS lane, {_GOPHER_TEXT_SQL} AS text
+      SELECT doc_id, (doc_id % 9) AS lane, {_GOPHER_TEXT_SQL} AS text
       FROM documents
     ),
     gated AS (
@@ -3997,7 +4004,7 @@ def l_gopher_gates(spark, sf_dir):
     from polars_fastx_spark.operators import gopher as G
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("doc_id") % 8).alias("lane"),
+        "doc_id", (F.col("doc_id") % 9).alias("lane"),
         _gopher_text().alias("text"),
     )
     return (

@@ -293,9 +293,23 @@ def robots_gate(
     domain_col: str = "domain",
     text_col: str = "robots_txt",
 ) -> DataFrame:
-    """The one-call frontier/corpus gate: parse + keep allowed rows
-    (dropping the verdict column). Compose before ``domain_cap`` in a
-    crawl loop — budget should not be spent on unfetchable URLs."""
+    """The one-call frontier/corpus gate: parse + keep allowed rows.
+    Compose before ``domain_cap`` in a crawl loop — budget should not
+    be spent on unfetchable URLs.
+
+    The verdict computes over the DISTINCT url set and semi-joins
+    back, so ``urls`` may carry arbitrarily wide payload columns
+    (crawl rows drag full document text): the rule join and the
+    per-URL aggregation only ever see the url string, instead of
+    grouping by every payload column (which blows the plan tree up
+    with the whole upstream expression duplicated per column)."""
     rules = parse_robots(robots, domain_col, text_col)
-    gated = robots_allowed(urls, rules, url_col, agent)
-    return gated.filter(F.col("allowed")).drop("allowed")
+    keys = urls.select(_col(url_col).alias("__u")).distinct()
+    allowed = (
+        robots_allowed(keys, rules, "__u", agent)
+        .filter(F.col("allowed"))
+        .select(F.col("__u").alias(url_col))
+    )
+    # the semi-join reorders columns (join key first): restore the
+    # caller's layout
+    return urls.join(allowed, url_col, "left_semi").select(*urls.columns)

@@ -16,11 +16,13 @@ metric expressions and thresholds, so engine and check cannot drift.
 Tokenization is :func:`polars_fastx_spark.operators.text.tokens` —
 unicode-aware (CJK bigrams), so the count/fraction gates stay
 meaningful on multilingual corpora instead of reading a CJK page as
-one giant word. The word-LENGTH thresholds are the published
-Latin-calibrated numbers (a CJK bigram is always 2 chars, so
-``min_mean_word_len`` rejects CJK text at the default 3.0) — a
-multilingual corpus overrides ``thresholds=`` per language lane, the
-same way the published pipelines run these packs per-language.
+one giant word. The word-LENGTH and STOPWORD rules are the published
+English-calibrated constants and structurally cannot pass unsegmented
+scripts (a CJK bigram is always 2 chars; the stopword list is
+English), so by default documents containing unsegmented-script runs
+SKIP exactly those rules (:data:`UNSEG_RELAXED_RULES`,
+``unseg_relax=``) — the one-pass equivalent of the per-language rule
+packs the published pipelines run; every other rule still applies.
 
 Reference parity: the reference (apcamargo/polars-fastx) has no text
 surface; north-star extension per /root/repo/BASELINE.json:6.
@@ -73,6 +75,18 @@ RULES: tuple[tuple[str, str, str, str], ...] = (
     ("stopwords", "stopword_hits", ">=", "min_stopword_hits"),
     ("no_curly_brace", "curly_braces", "<=", "max_curly_braces"),
     ("no_lorem_ipsum", "lorem_hits", "<=", "max_lorem_hits"),
+)
+
+#: rules that CANNOT be meaningfully evaluated on unsegmented-script
+#: documents with the published (English-calibrated) constants: a CJK
+#: bigram is always 2 chars (mean word length), and the required
+#: stopwords are English words. With ``unseg_relax`` (default), docs
+#: whose text contains unsegmented-script runs skip these three —
+#: the same move the published pipelines make by running per-language
+#: rule packs; every other rule (counts, line shapes, symbol ratio,
+#: alpha fraction, code/lorem rejects) still applies.
+UNSEG_RELAXED_RULES: tuple[str, ...] = (
+    "mean_word_len_min", "mean_word_len_max", "stopwords",
 )
 
 #: line-shape regexes (Java ∩ RE2 — no lookaround/backrefs)
@@ -152,25 +166,35 @@ def gopher_gates(
     out_pass: str = "passes_quality",
     out_reasons: str = "fail_reasons",
     thresholds: dict[str, float] | None = None,
+    unseg_relax: bool = True,
 ) -> DataFrame:
     """``df`` + boolean ``out_pass`` + ``out_reasons`` (comma-joined
     failed-rule names in :data:`RULES` order, '' when clean). One
     row-local projection with the token and line arrays LET-BOUND so
     tokenization runs once per row however many rules read it —
     compose as a ``filter(col(out_pass))`` gate or keep the reasons
-    for corpus-quality dashboards."""
+    for corpus-quality dashboards. ``unseg_relax`` (default) skips
+    :data:`UNSEG_RELAXED_RULES` for documents containing
+    unsegmented-script runs — without it every clean CJK/Thai page
+    fails the English-calibrated word-length and stopword rules."""
     from polars_fastx_spark.functions.exprs import let
+    from polars_fastx_spark.operators.text import UNSEG_CLASS_BODY
 
     th = {**THRESHOLDS, **(thresholds or {})}
     col = F.coalesce(_col(text_col), F.lit(""))
+    is_unseg = (
+        col.rlike(f"[{UNSEG_CLASS_BODY}]") if unseg_relax else F.lit(False)
+    )
 
     def with_toks(toks: Column) -> Column:
         def with_lines(lines: Column) -> Column:
             m = _metrics_of(col, toks, lines)
-            verdicts = [
-                F.when(~_passes(m[metric], op, th[key]), F.lit(name))
-                for name, metric, op, key in RULES
-            ]
+            verdicts = []
+            for name, metric, op, key in RULES:
+                ok = _passes(m[metric], op, th[key])
+                if name in UNSEG_RELAXED_RULES:
+                    ok = ok | is_unseg
+                verdicts.append(F.when(~ok, F.lit(name)))
             return F.array_join(
                 F.filter(F.array(*verdicts), lambda x: x.isNotNull()),
                 ",",
@@ -235,16 +259,29 @@ def gopher_metrics_sql(expr: str) -> dict[str, str]:
 
 
 def gopher_reasons_sql(
-    expr: str, thresholds: dict[str, float] | None = None
+    expr: str,
+    thresholds: dict[str, float] | None = None,
+    unseg_relax: bool = True,
 ) -> str:
     """DuckDB expression for the comma-joined failed-rule list —
-    generated from :data:`RULES` + :data:`THRESHOLDS`, mirroring
+    generated from :data:`RULES` + :data:`THRESHOLDS` (+ the
+    :data:`UNSEG_RELAXED_RULES` relaxation), mirroring
     :func:`gopher_gates` (NULL metric fails)."""
+    from polars_fastx_spark.operators.text import UNSEG_CLASS_BODY
+
     th = {**THRESHOLDS, **(thresholds or {})}
     m = gopher_metrics_sql(expr)
+    unseg_cls = f"[{UNSEG_CLASS_BODY}]".replace("'", "''")
+    is_unseg = (
+        f"regexp_matches(coalesce({expr}, ''), '{unseg_cls}')"
+        if unseg_relax
+        else "FALSE"
+    )
     parts = []
     for name, metric, op, key in RULES:
         cond = f"coalesce({m[metric]} {op} {th[key]}, FALSE)"
+        if name in UNSEG_RELAXED_RULES:
+            cond = f"({cond} OR {is_unseg})"
         parts.append(f"CASE WHEN NOT {cond} THEN '{name}' END")
     arr = ", ".join(parts)
     # coalesce: DuckDB renders the all-pass empty list as NULL where

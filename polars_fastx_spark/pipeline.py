@@ -146,6 +146,8 @@ def crawl_to_corpus(
     extractor: str = "regex",
     charset: str = "auto",
     quality_gates: bool | dict = False,
+    robots: DataFrame | None = None,
+    robots_agent: str = "mybot",
     containment_threshold: float | None = None,
     containment_max_df: int | float | None = 0.02,
     timings: dict | None = None,
@@ -180,6 +182,13 @@ def crawl_to_corpus(
         visible text, Arrow-batched), or ``"dom_main"`` (DOM tier
         keeping only main-content blocks — chrome and link-farm
         boilerplate drop before any dedup/cap tier sees them);
+    4b. OPTIONAL post-hoc robots compliance (``robots=`` a
+        (domain, robots_txt) frame): pages whose CURRENT robots.txt
+        disallows ``robots_agent`` drop from the corpus — the
+        C4-style retroactive compliance pass for archives fetched
+        before a site tightened its rules (frontier-time gating is
+        ``functions/robots.robots_gate``; this is the corpus-side
+        twin). One domain-key join against the tiny rule table;
     5.  exact dedup on canonical URL keeping the EARLIEST capture —
         one shuffle on the url;
     6.  length gate, then ``domain_cap`` — mega-domain-safe politeness
@@ -301,6 +310,26 @@ def crawl_to_corpus(
             "'dom_main'"
         )
     rows = _stage("extract", rows)
+    # lineage cut at the extracted-rows seam: downstream, the LSH
+    # candidate generation and (optional) containment tier SELF-JOIN
+    # this frame, the charset tier above is a two-branch union, and a
+    # robots gate adds another self-referencing join — each multiplies
+    # the analyzed tree, and the composed plan grows past what the
+    # driver can even render (measured: OOM in plan stringification
+    # with charset=auto + robots). The checkpoint collapses the tree
+    # to one leaf AND means the scan+decode+extract work runs ONCE
+    # instead of once per self-join branch — a throughput win at any
+    # scale, at the cost of materializing the extracted columns
+    # (url/date/title/text — the small projection of the archive).
+    # eager=False: nothing runs until the first downstream action.
+    rows = rows.localCheckpoint(eager=False)
+    if robots is not None:
+        from polars_fastx_spark.functions.robots import robots_gate
+
+        rows = _stage(
+            "robots_gate",
+            robots_gate(rows, robots, url_col="url", agent=robots_agent),
+        )
     w = Window.partitionBy("url").orderBy(
         F.col("warc_date").asc(), F.col("text").asc()
     )

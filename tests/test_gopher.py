@@ -143,3 +143,34 @@ def test_crawl_to_corpus_quality_tier(spark, tmp_path):
     urls = {r["url"] for r in got.collect()}
     assert urls == {"https://good.example/a"}
     assert timings["quality_gates"]["rows"] == 1
+
+
+def test_unseg_relaxation(spark):
+    """A clean CJK document passes via the unsegmented-script
+    relaxation (English word-length/stopword rules skip); with
+    unseg_relax=False it fails exactly those; and a CJK SPAM page
+    still fails the non-relaxed rules."""
+    clean_cjk = "这是一个质量良好的中文网页正文内容" * 8
+    spam_cjk = "# 标签 " * 60 + "这是正文"
+    df = spark.createDataFrame(
+        [(1, clean_cjk), (2, spam_cjk)], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["passes_quality"], r["fail_reasons"])
+        for r in G.gopher_gates(df).collect()
+    }
+    assert got[1] == (True, "")
+    assert got[2][0] is False and "symbol_ratio" in got[2][1]
+    strict = G.gopher_gates(df, unseg_relax=False).collect()
+    r1 = [r for r in strict if r["id"] == 1][0]
+    assert r1["passes_quality"] is False
+    assert "mean_word_len_min" in r1["fail_reasons"]
+    assert "stopwords" in r1["fail_reasons"]
+    # the SQL twin relaxes identically
+    import duckdb
+
+    sql = (
+        "WITH x(id, text) AS (VALUES (1, '" + clean_cjk + "')) "
+        f"SELECT {G.gopher_reasons_sql('text')} AS r FROM x"
+    )
+    assert duckdb.sql(sql).fetchone()[0] == ""

@@ -598,3 +598,40 @@ def test_crawl_to_corpus_containment_tier_and_timings(spark, tmp_path):
     assert all(
         v["seconds"] >= 0 for v in timings.values()
     )
+
+
+def test_crawl_to_corpus_posthoc_robots_gate(spark, tmp_path):
+    """robots= drops pages the CURRENT robots.txt disallows — the
+    retroactive compliance pass over an already-fetched archive."""
+    from polars_fastx_spark.pipeline import crawl_to_corpus
+
+    def _rec(i, uri):
+        # per-page DISTINCT text: shared filler would make the pages
+        # near-duplicates and the LSH tier would (rightly) collapse
+        # them — this test is about the robots tier only
+        text = " ".join(f"page{i}tok{j} words" for j in range(30))
+        body = f"<html><body><p>{text}</p></body></html>".encode()
+        return warc.render_warc_record(
+            f"<urn:uuid:r-{i}>", "response", uri,
+            "2026-08-01T00:00:00Z", warc.http_response_block(body),
+        )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    warc.write_warc(str(src / "a.warc.gz"), [
+        _rec(0, "https://a.com/public/x"),
+        _rec(1, "https://a.com/private/y"),
+        _rec(2, "https://open.net/z"),
+    ])
+    robots_df = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    timings: dict = {}
+    got = crawl_to_corpus(
+        spark, str(src) + "/*.warc.gz", str(tmp_path / "out"),
+        domain_cap_n=10, robots=robots_df, timings=timings,
+    )
+    urls = {r["url"] for r in got.collect()}
+    assert urls == {"https://a.com/public/x", "https://open.net/z"}
+    assert timings["robots_gate"]["rows"] == 2

@@ -2735,9 +2735,9 @@ def _robots_rules_sql(agent: str = "mybot") -> str:
     ),
     lines2 AS (
       SELECT domain, pos,
-        lower(coalesce(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1), ''))
+        lower(coalesce(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1), ''))
           AS directive,
-        trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1), ''))
+        trim(coalesce(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1), ''))
           AS value
       FROM lines1 WHERE line <> ''
     ),

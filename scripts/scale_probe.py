@@ -893,7 +893,74 @@ def gopher_probe(n: int = 100_000) -> None:
     spark.stop()
 
 
+def charset_probe(n: int = 200_000) -> None:
+    """The charset seam's cost CURVE: decode n payloads at several
+    legacy-charset fractions and against the blind-cast baseline. The
+    100 TB claim is that Arrow cost scales with the NON-UTF-8
+    fraction, not the corpus — this measures it."""
+    import polars_fastx_spark as pfs
+    from polars_fastx_spark.functions.charset import decode_payloads
+    from pyspark.sql import functions as F
+
+    spark = pfs.get_spark("charset-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sjis = "日本語の本文 ".encode("shift_jis").hex()
+    cp = "smart \u201cq\u201d text ".encode("cp1252").hex()
+    rows = []
+    for frac in (0.0, 0.05, 0.2, 0.5):
+        cut = int(1 / frac) if frac else 0
+        legacy_ct = (
+            f"CASE WHEN id % {cut} = 0 AND id % {2 * cut} = 0 "
+            f"THEN 'text/html' "
+            f"WHEN id % {cut} = 0 THEN 'text/html; charset=iso-8859-1' "
+            f"ELSE 'text/html; charset=utf-8' END"
+            if cut
+            else "'text/html; charset=utf-8'"
+        )
+        # every lane ~same byte volume, so the curve isolates the
+        # FRACTION axis instead of confounding it with payload size
+        legacy_pay = (
+            f"CASE WHEN id % {cut} = 0 AND id % {2 * cut} = 0 "
+            f"THEN encode('<meta charset=" + '"' + "shift_jis" + '"'
+            + f">', 'UTF-8') || unhex(repeat('{sjis}', 20)) "
+            f"|| encode('t' || id, 'UTF-8') "
+            f"WHEN id % {cut} = 0 THEN unhex(repeat('{cp}', 20)) "
+            f"|| encode('t' || id, 'UTF-8') "
+            f"ELSE encode(repeat('utf8 body ', 40) || id, 'UTF-8') END"
+            if cut
+            else "encode(repeat('utf8 body ', 40) || id, 'UTF-8')"
+        )
+        df = spark.range(n).selectExpr(
+            "id", f"{legacy_ct} AS http_content_type",
+            f"{legacy_pay} AS payload",
+        ).persist()
+        df.count()
+        out = decode_payloads(df)
+        out.agg(F.sum(F.length("text"))).collect()  # warm
+        t0 = time.time()
+        out.agg(F.sum(F.length("text"))).collect()
+        dt = time.time() - t0
+        t1 = time.time()
+        df.select(F.col("payload").cast("string").alias("t")).agg(
+            F.sum(F.length("t"))
+        ).collect()
+        base = time.time() - t1
+        rows.append((frac, dt, base))
+        df.unpersist()
+    print("| legacy fraction | decode s | blind-cast s | ratio |")
+    print("|---|---|---|---|")
+    for frac, dt, base in rows:
+        print(
+            f"| {frac:.0%} | {dt:.2f} | {base:.2f} | "
+            f"{dt / max(base, 1e-9):.1f}x |"
+        )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--charset":
+        charset_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--gopher":
         gopher_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
         return

@@ -59,7 +59,7 @@ _PRIORITY = [
     # (robots fragment/octet fixes, PSL full-host fix) lead: the
     # zero-err invariant needs their driver rows this round
     "l_charset_decode", "l_gopher_gates", "l_manifest_merge",
-    "l_fetch_schedule",
+    "l_fetch_schedule", "l_span_remove",
     "l_fingerprint", "l_lang_id", "l_token_stats",
     "l_robots_gate", "l_sitemap_seed", "l_url_normalize",
     "l_domain_cap", "l_anchor_text", "l_psl_domain",

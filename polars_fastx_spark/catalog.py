@@ -8783,6 +8783,81 @@ def l_span_dedup(spark, sf_dir):
 
 
 @_q(
+    "l_span_remove",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - 8 + 2)) AS win_start,
+             unnest(list_transform(range(1, len(toks) - 8 + 2),
+                                   i -> array_to_string(toks[i:i+7], ' ')))
+               AS win
+      FROM t WHERE len(toks) >= 8
+    ),
+    dup AS (
+      SELECT win, min(doc_id) AS owner
+      FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT w.doc_id,
+             unnest(range(w.win_start, w.win_start + 8)) AS pos
+      FROM w JOIN dup USING (win) WHERE w.doc_id <> dup.owner
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.pos
+      FROM tokpos tp LEFT JOIN rem
+        ON tp.doc_id = rem.doc_id AND tp.pos = rem.pos
+      WHERE rem.pos IS NULL
+    ),
+    reb AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS rebuilt,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           (len(t.toks) - coalesce(reb.kept_n, 0))::BIGINT
+             AS n_removed_tokens,
+           CASE WHEN len(t.toks) - coalesce(reb.kept_n, 0) > 0
+                THEN coalesce(reb.rebuilt, '')
+                ELSE t.text END AS text_clean
+    FROM t LEFT JOIN reb USING (doc_id)
+    ORDER BY t.doc_id ASC NULLS FIRST
+    """,
+    "L2+ ExactSubstr REMOVAL (Lee et al. 2022 — the surgery, where "
+    "l_span_dedup is the measurement): every 8-token window shared by "
+    ">=2 docs is a duplicated span, the min-id doc keeps its "
+    "occurrence (one copy survives corpus-wide) and every other doc "
+    "excises the covered tokens; no suffix array — md5 window keys "
+    "groupBy to dup keys + owners, covered POSITIONS anti-join each "
+    "doc's token list, one groupBy(doc) rebuilds the kept text in "
+    "position order. Untouched docs keep their original bytes, "
+    "fully-duplicated docs become '' for the downstream length gate; "
+    "the oracle replays with window TEXT keys (same equivalence "
+    "classes as the md5 keys on this corpus)",
+)
+def l_span_remove(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        text.remove_duplicated_spans(
+            d, "doc_id", "text", n=8, min_docs=2
+        )
+        .select("doc_id", "n_removed_tokens", "text_clean")
+        .orderBy(F.col("doc_id").asc_nulls_first())
+    )
+
+
+@_q(
     "l_quality_model",
     """
     WITH t AS (

@@ -1082,6 +1082,96 @@ def duplicated_span_stats(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    out: str = "text_clean",
+    removed_col: str = "n_removed_tokens",
+) -> DataFrame:
+    """The ExactSubstr REMOVAL action (Lee et al. 2022): excise
+    cross-corpus duplicated token spans from documents instead of
+    (or before) dropping whole documents —
+    :func:`duplicated_span_stats` is the measurement, this is the
+    surgery. Every ``n``-token window appearing in ≥ ``min_docs``
+    documents is a duplicated span; the doc with the SMALLEST id per
+    span keeps its occurrence (one copy survives corpus-wide, the
+    content-addressed min-id convention), every other doc removes the
+    covered tokens.
+
+    Dataflow — no suffix array, all bounded shuffles: window keys
+    (md5, 32 chars — never window text) groupBy to find duplicated
+    keys + owners; covered token POSITIONS explode per (doc, window)
+    and anti-join the doc's token-position list; one groupBy(doc)
+    rebuilds the kept text (position-ordered). Output volume scales
+    with the duplicated-span mass, and the rebuild shuffle carries
+    only docs' tokens once.
+
+    Semantics: an UNTOUCHED document keeps its original text
+    byte-for-byte (the rebuild's whitespace normalization applies only
+    where tokens were actually removed); a fully-duplicated document
+    becomes ``''`` (a length gate downstream drops it); documents
+    shorter than ``n`` tokens are never touched. ``removed_col``
+    counts the excised tokens."""
+    wins = ngram_windows(df, id_col, text_col, n)
+    dup = (
+        wins.groupBy("win_key")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("_nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("win_key", "__owner")
+    )
+    removals = (
+        wins.join(dup, "win_key")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("win_idx"), F.col("win_idx") + F.lit(n - 1)
+                )
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    tokpos = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
+    )
+    kept = tokpos.join(removals, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__tok"))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__rebuilt"),
+        F.count(F.lit(1)).alias("__kept_n"),
+    )
+    res = df.join(rebuilt, id_col, "left")
+    removed = token_count(_col(text_col)) - F.coalesce(
+        F.col("__kept_n"), F.lit(0)
+    )
+    return (
+        res.withColumn(removed_col, removed.cast("bigint"))
+        .withColumn(
+            out,
+            F.when(
+                F.col(removed_col) > 0,
+                F.coalesce(F.col("__rebuilt"), F.lit("")),
+            ).otherwise(_col(text_col)),
+        )
+        .drop("__rebuilt", "__kept_n")
+    )
+
+
 # ------------------------------------------------------ DSIR reweighting
 
 def hashed_ngram_buckets(

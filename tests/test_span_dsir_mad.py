@@ -185,3 +185,58 @@ def test_winnow_short_text_keeps_all_hashes(spark):
            text.winnow_shared_stats(d, k=12, w=4).collect()}
     assert got[1] == 2   # 13 chars -> 2 k-grams, fewer than w -> all kept
     assert 2 not in got  # shorter than k -> no k-grams, no row
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """ExactSubstr removal: the min-id doc keeps the shared span,
+    every other doc excises exactly the covered tokens; untouched
+    docs keep their ORIGINAL bytes (odd whitespace included); a doc
+    fully made of a duplicated span becomes ''."""
+    from polars_fastx_spark.operators.text import remove_duplicated_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix one {span} tailone xx"),
+            (2, f"prefix two {span} tailtwo yy"),
+            (3, span),                        # fully duplicated
+            (4, "totally  unrelated   text"), # odd whitespace preserved
+            (5, "short doc"),                 # < n tokens: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_removed_tokens"], r["text_clean"])
+        for r in remove_duplicated_spans(
+            docs, n=8, min_docs=2
+        ).collect()
+    }
+    # doc 1 is the min-id owner: keeps everything, byte-identical
+    assert out[1] == (0, f"prefix one {span} tailone xx")
+    # doc 2 excises the 8 covered tokens, keeps its own words
+    assert out[2] == (8, "prefix two tailtwo yy")
+    # doc 3: the whole text was the duplicated span
+    assert out[3] == (8, "")
+    # untouched docs keep raw bytes (no whitespace normalization)
+    assert out[4] == (0, "totally  unrelated   text")
+    assert out[5] == (0, "short doc")
+
+
+def test_remove_duplicated_spans_overlapping_runs(spark):
+    """A duplicated REGION longer than n removes the union of its
+    overlapping windows, not n tokens per window."""
+    from polars_fastx_spark.operators.text import remove_duplicated_spans
+
+    region = " ".join(f"tok{i}" for i in range(12))  # 12-token region
+    docs = spark.createDataFrame(
+        [(1, f"{region} ownertail"), (2, f"head {region} tail")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_removed_tokens"], r["text_clean"])
+        for r in remove_duplicated_spans(
+            docs, n=8, min_docs=2
+        ).collect()
+    }
+    assert out[1][0] == 0  # owner untouched
+    assert out[2] == (12, "head tail")  # union of windows, once each

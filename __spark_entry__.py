@@ -109,14 +109,13 @@ _PRIORITY = [
 #: the unchecked tier regardless of CORRECTNESS history. Reset each
 #: round to the round's blast radius.
 _RECHECK = {
-    # round 8: robots fragment-strip + octet precedence (oracle
-    # regenerated), PSL full-host fix (+ the new www.ck fixture lane),
-    # and every query whose oracle host derivation changed with it
-    "l_robots_gate", "l_sitemap_seed", "l_url_normalize",
-    "l_domain_cap", "l_anchor_text", "l_link_graph",
-    "l_crawl_frontier", "l_crawl_pipeline",
-    # unicode floor: multilingual fixtures + regenerated oracles
-    "l_fingerprint", "l_lang_id", "l_token_stats",
+    # round 9: BOM precedence over the HTTP header (fixture grew the
+    # BOM-vs-conflicting-header lane, m%6 -> m%7 reshuffles every
+    # lane), span surgery scoped to whitespace-tokenizable docs
+    # (oracle regenerated with the unseg passthrough gate), and the
+    # null-safe robots_gate semi-join (gate consumers re-sampled)
+    "l_charset_decode", "l_span_remove",
+    "l_robots_gate", "l_crawl_pipeline",
 }
 
 

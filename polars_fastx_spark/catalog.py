@@ -3299,14 +3299,17 @@ def l_domain_cap(spark, sf_dir):
 
 
 def _charset_oracle_sql() -> str:
-    """Oracle for l_charset_decode: the RESOLUTION chain (HTTP
-    charset param → BOM → meta sniff → windows-1252 fallback) replays
-    via SQL GENERATED FROM the module's regex + alias constants
+    """Oracle for l_charset_decode: the RESOLUTION chain (BOM → HTTP
+    charset param → meta sniff → windows-1252 fallback — WHATWG gives
+    the BOM precedence over the transport header) replays via SQL
+    GENERATED FROM the module's regex + alias constants
     (functions/charset.py: http_charset_sql / meta_charset_sql) over
     the same content-type and ASCII-prefix strings both engines
     plant. The BOM is a binary-only signal DuckDB's VARCHAR regexes
-    cannot probe, so its lane flags by fixture position (the byte
-    check itself is pytest-pinned in tests/test_charset.py); decoded
+    cannot probe, so its lanes (m=4 plain BOM, m=6 BOM beating a
+    conflicting charset=ISO-8859-1 header — the round-8 ADVICE
+    regression lane) flag by fixture position (the byte check itself
+    is pytest-pinned in tests/test_charset.py); decoded
     TEXT per lane is the planted string both engines construct — the
     legacy-codec byte→text mapping is pytest golden territory, the
     oracle's job is the resolution logic."""
@@ -3316,12 +3319,13 @@ def _charset_oracle_sql() -> str:
     meta_cs = csf.meta_charset_sql("prefix")
     return f"""
     WITH f AS (
-      SELECT doc_id, (doc_id % 6) AS m,
-        CASE (doc_id % 6)
+      SELECT doc_id, (doc_id % 7) AS m,
+        CASE (doc_id % 7)
           WHEN 0 THEN 'text/html; charset=UTF-8'
           WHEN 1 THEN 'text/html; charset=ISO-8859-1'
+          WHEN 6 THEN 'text/html; charset=ISO-8859-1'
           ELSE 'text/html' END AS ct,
-        CASE (doc_id % 6)
+        CASE (doc_id % 7)
           WHEN 2 THEN '<html><head><meta charset="Shift_JIS">'
             || '</head><body>p' || doc_id || ' '
           WHEN 3 THEN '<meta http-equiv="Content-Type" '
@@ -3332,8 +3336,8 @@ def _charset_oracle_sql() -> str:
     r AS (
       SELECT doc_id, m,
         coalesce(
+          CASE WHEN m IN (4, 6) THEN 'utf-8-sig' END,
           {http_cs},
-          CASE WHEN m = 4 THEN 'utf-8-sig' END,
           {meta_cs},
           'windows-1252') AS charset
       FROM f
@@ -3348,6 +3352,7 @@ def _charset_oracle_sql() -> str:
           || 'content="text/html; charset=GB2312">x' || doc_id
           || ' 中文'
         WHEN 4 THEN 'bom σ ' || doc_id
+        WHEN 6 THEN 'rés ' || doc_id
         ELSE '“q' || doc_id || '”' END AS text
     FROM r ORDER BY doc_id
     """
@@ -3358,12 +3363,14 @@ def _charset_oracle_sql() -> str:
     _charset_oracle_sql(),
     "L-crawl: CHARSET-AWARE payload decoding (functions/charset.py) "
     "— the crawl ingest seam that a blind UTF-8 cast corrupts: per "
-    "record the charset resolves HTTP charset= param → BOM → "
+    "record the charset resolves BOM → HTTP charset= param → "
     "meta-tag sniff on a bounded byte prefix → windows-1252 "
-    "fallback (all one codegen expression, labels normalized through "
+    "fallback (WHATWG order — the BOM beats the transport header; "
+    "all one codegen expression, labels normalized through "
     "the WHATWG alias map), then UTF-8 rows decode as a pure Column "
     "cast while the legacy minority (planted Shift_JIS/GBK/cp1252/"
-    "BOM lanes, minted as escaped BYTES) crosses one Arrow "
+    "BOM lanes — incl. a BOM-vs-conflicting-header lane — minted as "
+    "escaped BYTES) crosses one Arrow "
     "mapInPandas stage; the oracle replays the full resolution chain "
     "from the same regex/alias constants, the legacy byte→text "
     "mapping is pytest-golden",
@@ -3373,10 +3380,11 @@ def l_charset_decode(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     ct = (
         F.when(m == 0, F.lit("text/html; charset=UTF-8"))
         .when(m == 1, F.lit("text/html; charset=ISO-8859-1"))
+        .when(m == 6, F.lit("text/html; charset=ISO-8859-1"))
         .otherwise(F.lit("text/html"))
     )
     prefix = (
@@ -3408,6 +3416,9 @@ def l_charset_decode(spark, sf_dir):
         .when(m == 4, F.concat(
             F.lit(b"\xef\xbb\xbf"),
             F.encode(F.concat(F.lit("bom σ "), did), "UTF-8")))
+        .when(m == 6, F.concat(
+            F.lit(b"\xef\xbb\xbf"),
+            F.encode(F.concat(F.lit("rés "), did), "UTF-8")))
         .otherwise(F.concat(
             F.lit(b"\x93"),
             F.encode(F.concat(F.lit("q"), did), "US-ASCII"),
@@ -8782,11 +8793,18 @@ def l_span_dedup(spark, sf_dir):
     )
 
 
-@_q(
-    "l_span_remove",
-    """
+def _span_remove_oracle_sql() -> str:
+    """Oracle for l_span_remove, generated so the unsegmented-script
+    passthrough gate shares :data:`text.UNSEG_CLASS_BODY` with the
+    Spark expression (round-8 ADVICE medium #1: surgery is scoped to
+    whitespace-tokenizable docs — a doc with any Han/kana/Hangul/Thai
+    char passes through untouched, because rebuilding from
+    overlapping character bigrams would corrupt it)."""
+    head = f"[{text.UNSEG_CLASS_BODY}]".replace("'", "''")
+    return f"""
     WITH t AS (
       SELECT doc_id, text,
+             regexp_matches(coalesce(text, ''), '{head}') AS unseg,
              list_filter(string_split_regex(trim(text), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents
@@ -8797,7 +8815,7 @@ def l_span_dedup(spark, sf_dir):
              unnest(list_transform(range(1, len(toks) - 8 + 2),
                                    i -> array_to_string(toks[i:i+7], ' ')))
                AS win
-      FROM t WHERE len(toks) >= 8
+      FROM t WHERE NOT unseg AND len(toks) >= 8
     ),
     dup AS (
       SELECT win, min(doc_id) AS owner
@@ -8811,7 +8829,7 @@ def l_span_dedup(spark, sf_dir):
     tokpos AS (
       SELECT doc_id, unnest(toks) AS tok,
              generate_subscripts(toks, 1) AS pos
-      FROM t
+      FROM t WHERE NOT unseg
     ),
     kept AS (
       SELECT tp.doc_id, tp.tok, tp.pos
@@ -8826,14 +8844,21 @@ def l_span_dedup(spark, sf_dir):
       FROM kept GROUP BY doc_id
     )
     SELECT t.doc_id,
-           (len(t.toks) - coalesce(reb.kept_n, 0))::BIGINT
-             AS n_removed_tokens,
-           CASE WHEN len(t.toks) - coalesce(reb.kept_n, 0) > 0
+           (CASE WHEN t.unseg THEN 0
+                 ELSE len(t.toks) - coalesce(reb.kept_n, 0)
+            END)::BIGINT AS n_removed_tokens,
+           CASE WHEN t.unseg THEN t.text
+                WHEN len(t.toks) - coalesce(reb.kept_n, 0) > 0
                 THEN coalesce(reb.rebuilt, '')
                 ELSE t.text END AS text_clean
     FROM t LEFT JOIN reb USING (doc_id)
     ORDER BY t.doc_id ASC NULLS FIRST
-    """,
+    """
+
+
+@_q(
+    "l_span_remove",
+    _span_remove_oracle_sql(),
     "L2+ ExactSubstr REMOVAL (Lee et al. 2022 — the surgery, where "
     "l_span_dedup is the measurement): every 8-token window shared by "
     ">=2 docs is a duplicated span, the min-id doc keeps its "
@@ -8843,6 +8868,8 @@ def l_span_dedup(spark, sf_dir):
     "doc's token list, one groupBy(doc) rebuilds the kept text in "
     "position order. Untouched docs keep their original bytes, "
     "fully-duplicated docs become '' for the downstream length gate; "
+    "docs with unsegmented-script chars pass through untouched "
+    "(bigram tokens cannot rebuild text — the r8 ADVICE corruption); "
     "the oracle replays with window TEXT keys (same equivalence "
     "classes as the md5 keys on this corpus)",
 )

@@ -10,11 +10,15 @@ and decodes accordingly:
 **Resolution priority** (one pure-Column expression, replayed by the
 DuckDB oracle from the same regex/alias constants):
 
-1. the HTTP ``Content-Type`` header's ``charset=`` parameter (present
+1. a byte-order mark on the payload (UTF-8 / UTF-16 LE / BE — per
+   WHATWG the BOM beats EVERYTHING, including the transport layer:
+   the bytes on the wire are the ground truth, and a UTF-8-BOM page
+   served with a stale ``charset=iso-8859-1`` header must not
+   mojibake — nor may a ``charset=utf-8`` header route a BOM'd body
+   down the pure-cast path and leak U+FEFF into the corpus text);
+2. the HTTP ``Content-Type`` header's ``charset=`` parameter (present
    for a large share of real responses; ``sources/warc.py`` surfaces
    it as ``http_content_type``);
-2. a byte-order mark on the payload (UTF-8 / UTF-16 LE / BE — a BOM
-   is the author's strongest signal and must beat a meta tag);
 3. a ``<meta charset=…>`` / ``http-equiv Content-Type`` sniff over a
    bounded byte prefix (the tag itself is ASCII, so scanning the
    lossy UTF-8 view of the prefix is sound whatever the body's
@@ -162,10 +166,14 @@ def resolve_charset(
     default: str = "windows-1252",
 ) -> Column:
     """The record's charset per the module-docstring priority chain:
-    HTTP param → BOM → meta sniff → ``default``. Pure Column."""
+    BOM → HTTP param → meta sniff → ``default``. Pure Column. The BOM
+    outranks the HTTP header (WHATWG): a BOM'd body with a wrong or
+    even agreeing ``charset=`` header always resolves from its bytes,
+    so ``utf-8-sig``/``utf-16`` decode through the Python lane that
+    strips the mark instead of the pure cast that would leak it."""
     return F.coalesce(
-        http_charset(content_type),
         bom_charset(payload),
+        http_charset(content_type),
         meta_charset(payload, sniff_bytes),
         F.lit(default),
     )

@@ -302,14 +302,25 @@ def robots_gate(
     (crawl rows drag full document text): the rule join and the
     per-URL aggregation only ever see the url string, instead of
     grouping by every payload column (which blows the plan tree up
-    with the whole upstream expression duplicated per column)."""
+    with the whole upstream expression duplicated per column).
+
+    NULL urls: the semi-join is NULL-SAFE (``<=>`` — still a plain
+    equi-join key), so a NULL url row gets the same verdict the
+    inline ``robots_allowed`` path always gave it (host '' → path
+    '/' → allowed unless a rule for the empty domain blocks '/')
+    instead of being silently dropped by a NULL join key (round-8
+    ADVICE finding)."""
     rules = parse_robots(robots, domain_col, text_col)
     keys = urls.select(_col(url_col).alias("__u")).distinct()
     allowed = (
         robots_allowed(keys, rules, "__u", agent)
         .filter(F.col("allowed"))
-        .select(F.col("__u").alias(url_col))
+        .select(F.col("__u").alias("__allowed_u"))
     )
-    # the semi-join reorders columns (join key first): restore the
-    # caller's layout
-    return urls.join(allowed, url_col, "left_semi").select(*urls.columns)
+    # the semi-join would reorder columns (join key first): restore
+    # the caller's layout
+    return urls.join(
+        allowed,
+        _col(url_col).eqNullSafe(F.col("__allowed_u")),
+        "left_semi",
+    ).select(*urls.columns)

@@ -296,8 +296,16 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     it is safe beside readers of the current version; readers pinned
     to OLDER versions (long-running jobs) are the caller's window to
     respect — run vacuum when none are live (the standard table-format
-    contract). Returns the deleted dir names."""
+    contract). Returns the deleted dir names.
+
+    Dirs numbered ABOVE the current version are never touched: they
+    are a writer's in-flight stage (``data/v<N+1>`` is unreferenced
+    by design until its ``_CURRENT`` swap lands), so a vacuum racing
+    a commit must not destroy the stage mid-commit (round-8 ADVICE
+    low #4). A crashed commit's orphaned stage becomes reclaimable
+    as soon as any later commit moves ``_CURRENT`` past it."""
     man = read_manifest(spark, path)
+    current = man["version"]
     live = {rel.rsplit("/", 1)[0] for rel in man["partitions"].values()}
     root, fs = hadoop_fs(spark, f"{path}/data")
     deleted = []
@@ -305,9 +313,13 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
         return deleted
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        try:
+            vnum = int(name[1:])
+        except ValueError:
+            continue
         if st.isDirectory() and name.startswith("v") and (
             f"data/{name}" not in live
-        ):
+        ) and vnum <= current:
             fs.delete(st.getPath(), True)
             deleted.append(name)
     return deleted

@@ -1114,8 +1114,24 @@ def remove_duplicated_spans(
     where tokens were actually removed); a fully-duplicated document
     becomes ``''`` (a length gate downstream drops it); documents
     shorter than ``n`` tokens are never touched. ``removed_col``
-    counts the excised tokens."""
-    wins = ngram_windows(df, id_col, text_col, n)
+    counts the excised tokens.
+
+    Scope: surgery applies to WHITESPACE-TOKENIZABLE documents only.
+    For unsegmented scripts (Han/kana/Hangul/Thai) :func:`tokens`
+    emits OVERLAPPING character bigrams, and rebuilding such a doc as
+    ``array_join(tokens, ' ')`` would duplicate nearly every
+    surviving character space-separated (安倍晋三 → '安倍 倍晋 晋三'
+    — the round-8 ADVICE medium #1 corruption). Documents containing
+    any unsegmented-script character therefore pass through UNTOUCHED
+    (``out`` = original text, ``removed_col`` = 0) and contribute no
+    windows to the duplicated-key count; cross-corpus span removal
+    for those scripts needs an offset-preserving rebuild, which is a
+    different operator."""
+    unseg = F.coalesce(_col(text_col), F.lit("")).rlike(
+        f"[{UNSEG_CLASS_BODY}]"
+    )
+    seg = df.filter(~unseg)
+    wins = ngram_windows(seg, id_col, text_col, n)
     dup = (
         wins.groupBy("win_key")
         .agg(
@@ -1138,7 +1154,7 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    tokpos = df.select(
+    tokpos = seg.select(
         F.col(id_col).alias(id_col),
         F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
     )
@@ -1156,8 +1172,11 @@ def remove_duplicated_spans(
         F.count(F.lit(1)).alias("__kept_n"),
     )
     res = df.join(rebuilt, id_col, "left")
-    removed = token_count(_col(text_col)) - F.coalesce(
-        F.col("__kept_n"), F.lit(0)
+    # unsegmented docs never entered tokpos: their __kept_n is NULL,
+    # and they must read as "0 removed", not "fully removed"
+    removed = F.when(unseg, F.lit(0)).otherwise(
+        token_count(_col(text_col))
+        - F.coalesce(F.col("__kept_n"), F.lit(0))
     )
     return (
         res.withColumn(removed_col, removed.cast("bigint"))

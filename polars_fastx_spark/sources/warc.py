@@ -131,19 +131,64 @@ def _dechunk(body: bytes) -> bytes:
     return b"".join(out)
 
 
-def _decode_content_encoding(body: bytes, encoding: str) -> bytes:
+#: hard ceiling on DECOMPRESSED body size. WARC bytes are untrusted
+#: archive content: a few-KB gzip bomb expands to GBs and OOMs the
+#: executor parsing it unless the inflate is output-bounded. 64 MiB
+#: is ~3 orders of magnitude above a large HTML page; a body that
+#: blows past it keeps its raw bytes (the module's best-effort
+#: contract — downstream quarantine sees the residual encoding).
+DECODE_CAP = 64 << 20
+
+
+def _inflate_capped(body: bytes, wbits: int, cap: int) -> bytes:
+    """zlib inflate with a hard output bound: decompress in 1 MiB
+    output slices, raising ``zlib.error`` the moment the total would
+    exceed ``cap`` — the bomb never materializes in memory."""
+    d = zlib.decompressobj(wbits)
+    chunks: list[bytes] = []
+    total = 0
+    data = body
+    while True:
+        piece = d.decompress(data, 1 << 20)
+        chunks.append(piece)
+        total += len(piece)
+        if total > cap:
+            raise zlib.error("decompressed size exceeds cap")
+        if not d.unconsumed_tail:
+            break
+        data = d.unconsumed_tail
+    tail = d.flush()
+    total += len(tail)
+    if total > cap:
+        raise zlib.error("decompressed size exceeds cap")
+    chunks.append(tail)
+    if not d.eof:
+        # one-shot zlib.decompress raised here (truncated capture);
+        # keep that contract — raw bytes beat silent partial text
+        raise zlib.error("incomplete or truncated stream")
+    return b"".join(chunks)
+
+
+def _decode_content_encoding(
+    body: bytes, encoding: str, cap: int = DECODE_CAP
+) -> bytes:
     """Undo ``Content-Encoding: gzip|x-gzip|deflate`` (the encodings a
     crawl actually meets). Best-effort like :func:`_dechunk`: a
-    corrupt/truncated stream keeps the raw bytes."""
+    corrupt/truncated stream — or a decompression bomb exceeding
+    ``cap`` output bytes (round-8 ADVICE: unbounded
+    ``zlib.decompress`` on untrusted archive bytes is an executor
+    OOM) — keeps the raw bytes."""
     try:
         if encoding in ("gzip", "x-gzip"):
             # wbits=47: gzip OR zlib wrapper auto-detected
-            return zlib.decompress(body, 47)
+            return _inflate_capped(body, 47, cap)
         if encoding == "deflate":
             try:
-                return zlib.decompress(body)
-            except zlib.error:
-                return zlib.decompress(body, -15)  # raw deflate
+                return _inflate_capped(body, 15, cap)
+            except zlib.error as e:
+                if "cap" in str(e):
+                    raise
+                return _inflate_capped(body, -15, cap)  # raw deflate
     except zlib.error:
         return body
     return body

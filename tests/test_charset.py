@@ -2,7 +2,8 @@
 
 The crawl ingest previously cast payload bytes blindly as UTF-8; every
 legacy-charset page mojibake'd silently. These tests pin the
-resolution chain (HTTP param → BOM → meta sniff → windows-1252), the
+resolution chain (BOM → HTTP param → meta sniff → windows-1252 —
+WHATWG order, the BOM beats the transport header), the
 exact byte→text recovery for the big legacy charsets, the plan shape
 (UTF-8 stays codegen; one Arrow stage for the legacy minority), and
 the crawl_to_corpus end-to-end recovery of planted non-UTF-8 records.
@@ -65,21 +66,34 @@ def test_goldens_resolution_and_decode(spark):
         assert got[i] == (want_cs, want_text), name
 
 
-def test_priority_http_beats_meta_and_bom_beats_meta(spark):
-    # HTTP param contradicts the meta tag: HTTP wins (it is the
-    # server's final word and the chain's first stop)
+def test_priority_http_beats_meta_and_bom_beats_all(spark):
+    # HTTP param contradicts the meta tag: HTTP wins (no BOM present,
+    # so the header is the next-strongest signal in the WHATWG chain)
     body = ('<meta charset="shift_jis">déjà').encode("latin-1")
     df = spark.createDataFrame(
         [(1, "text/html; charset=iso-8859-1", body),
          # BOM contradicts meta: BOM wins (stronger byte evidence)
          (2, "text/html",
-          b"\xef\xbb\xbf" + '<meta charset="gbk">é'.encode("utf-8"))],
+          b"\xef\xbb\xbf" + '<meta charset="gbk">é'.encode("utf-8")),
+         # BOM contradicts the HTTP header: BOM STILL wins (WHATWG —
+         # the round-8 ADVICE finding: header-first would mojibake a
+         # UTF-8-BOM body served with a stale latin-1 header)
+         (3, "text/html; charset=iso-8859-1",
+          b"\xef\xbb\xbf" + "rés é".encode("utf-8")),
+         # BOM + an AGREEING utf-8 header must still resolve
+         # utf-8-sig so the Python lane strips U+FEFF instead of the
+         # pure cast leaking it into the corpus text
+         (4, "text/html; charset=utf-8",
+          b"\xef\xbb\xbf" + "clean é".encode("utf-8"))],
         "id long, http_content_type string, payload binary",
     )
     out = CS.decode_payloads(df, charset_col="cs").orderBy("id")
     got = {r["id"]: (r["cs"], r["text"]) for r in out.collect()}
     assert got[1] == ("windows-1252", '<meta charset="shift_jis">déjà')
     assert got[2] == ("utf-8-sig", '<meta charset="gbk">é')
+    assert got[3] == ("utf-8-sig", "rés é")
+    assert got[4] == ("utf-8-sig", "clean é")
+    assert "﻿" not in got[3][1] and "﻿" not in got[4][1]
 
 
 def test_meta_sniff_bounded_and_body_charset_word_ignored(spark):

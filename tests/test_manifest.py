@@ -256,3 +256,36 @@ def test_streaming_upsert_manifest(spark, tmp_path):
     assert {
         (r["id"], r["val"]) for r in M.read_table(spark, table).collect()
     } == fresh
+
+
+def test_vacuum_never_touches_inflight_stage(spark, tmp_path):
+    """data/v<N+1> is unreferenced BY DESIGN until its _CURRENT swap
+    lands — a vacuum racing a commit must skip it (round-8 ADVICE
+    low #4). Only dirs at or below the current version are
+    reclaimable."""
+    path = str(tmp_path / "t")
+    M.create_table(spark, path, _base(spark), "part")
+    updates = spark.createDataFrame(
+        [(1, "a", 99, 200)], "id long, part string, val long, ver long"
+    )
+    M.upsert_table(spark, path, updates, ["id"], "ver")  # -> v2
+    before = _state(spark, path)
+    # simulate a writer mid-commit: v3 staged, _CURRENT still at 2
+    M._stage_version(spark, path, _base(spark), "part", 3)
+    deleted = M.vacuum(spark, path)
+    assert "v3" not in deleted
+    assert os.path.isdir(os.path.join(path, "data", "v3"))
+    # the in-flight commit can still land on its immutable stage
+    assert _state(spark, path) == before
+    # the writer's retry path: the next commit claims version 3,
+    # rebuilds its stage (mode overwrite) and commits — after which
+    # v3 is referenced and still protected, for the right reason
+    upd2 = spark.createDataFrame(
+        [(2, "a", 77, 300)], "id long, part string, val long, ver long"
+    )
+    v = M.upsert_table(spark, path, upd2, ["id"], "ver")
+    assert v == 3
+    deleted2 = M.vacuum(spark, path)
+    assert "v3" not in deleted2
+    got = {r["id"]: r["val"] for r in M.read_table(spark, path).collect()}
+    assert got[2] == 77

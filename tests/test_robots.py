@@ -88,6 +88,23 @@ def test_robots_gate_composition(spark):
     assert kept.columns == ["id", "url"]  # verdict column dropped
 
 
+def test_robots_gate_keeps_null_urls(spark):
+    """A NULL url must get the inline-path verdict (path '/' →
+    allowed), not vanish into a NULL semi-join key (round-8 ADVICE
+    low #5): the gate's semi-join is null-safe."""
+    rb = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no/\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/yes/1"), (2, "https://a.com/no/2"),
+         (3, None)],
+        "id long, url string",
+    )
+    kept = robots.robots_gate(urls, rb, agent="anybot")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
 def test_gate_plan_no_python(spark):
     urls = spark.range(100).selectExpr(
         "id", "concat('https://a.com/p/', id) AS url"

@@ -240,3 +240,39 @@ def test_remove_duplicated_spans_overlapping_runs(spark):
     }
     assert out[1][0] == 0  # owner untouched
     assert out[2] == (12, "head tail")  # union of windows, once each
+
+
+def test_remove_duplicated_spans_unseg_passthrough(spark):
+    """Docs with unsegmented-script chars pass through UNTOUCHED
+    (round-8 ADVICE medium #1): tokens() emits overlapping character
+    bigrams there, so an array_join rebuild would duplicate nearly
+    every surviving character (安倍晋三 → '安倍 倍晋 晋三'). Surgery
+    is scoped to whitespace-tokenizable docs; CJK docs keep their
+    bytes and never count toward the duplicated-window set."""
+    from polars_fastx_spark.operators.text import remove_duplicated_spans
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    cjk = "安倍晋三は日本の政治家でした。首相を務めた。" * 3
+    docs = spark.createDataFrame(
+        [
+            (1, f"one {span} t1"),
+            (2, f"two {span} t2"),
+            (3, cjk),                       # pure CJK: untouched
+            (4, cjk),                       # its exact duplicate: ALSO
+                                            # untouched (whole-doc dedup
+                                            # is a different operator)
+            (5, f"mixed {span} 日本語 tail"),  # mixed: gated out whole
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_removed_tokens"], r["text_clean"])
+        for r in remove_duplicated_spans(docs, n=8, min_docs=2).collect()
+    }
+    assert out[1] == (0, f"one {span} t1")     # owner keeps bytes
+    assert out[2] == (8, "two t2")             # Latin surgery unaffected
+    assert out[3] == (0, cjk)
+    assert out[4] == (0, cjk)
+    assert out[5] == (0, f"mixed {span} 日本語 tail")
+    # no space-joined bigram artifacts anywhere
+    assert "安倍 倍晋" not in out[3][1] and "安倍 倍晋" not in out[4][1]

@@ -106,3 +106,24 @@ def test_scan_undoes_chunked_and_gzip(spark, tmp_path):
     texts = {r["target_uri"]: r["text"] for r in out.collect()}
     want = BODY.decode("utf-8")
     assert all(t == want for t in texts.values()), texts
+
+
+def test_decompression_bomb_keeps_raw_bytes():
+    """Untrusted archive bytes must not OOM the executor (round-8
+    ADVICE medium #2): the inflate is output-bounded, and a body
+    whose decompressed size blows past the cap keeps its raw bytes —
+    the module's best-effort contract, one layer down."""
+    bomb = _gzip.compress(b"\x00" * (8 << 20))   # ~8 KB -> 8 MiB
+    assert len(bomb) < 64 << 10
+    # under a 1 MiB cap the bomb never materializes
+    assert _decode_content_encoding(bomb, "gzip", cap=1 << 20) == bomb
+    zbomb = zlib.compress(b"\x00" * (8 << 20))
+    assert _decode_content_encoding(zbomb, "deflate", cap=1 << 20) == zbomb
+    # a legitimate page under the cap still decodes
+    assert _decode_content_encoding(
+        _gzip.compress(BODY), "gzip", cap=1 << 20
+    ) == BODY
+    # truncated stream still keeps raw bytes (partial inflate would
+    # silently hand downstream a cut-off page as if complete)
+    trunc = _gzip.compress(BODY)[:-6]
+    assert _decode_content_encoding(trunc, "gzip") == trunc

@@ -3436,6 +3436,59 @@ def l_charset_decode(spark, sf_dir):
     )
 
 
+@_q(
+    "l_ce_quarantine",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+        CASE (doc_id % 5)
+          WHEN 1 THEN 'br'
+          WHEN 2 THEN ''
+          WHEN 3 THEN 'gzip, br'
+          WHEN 4 THEN '   '
+          END AS content_encoding
+      FROM documents
+    )
+    SELECT doc_id, content_encoding,
+      (content_encoding IS NOT NULL
+        AND trim(content_encoding) <> '') AS quarantined,
+      CASE WHEN content_encoding IS NOT NULL
+        AND trim(content_encoding) <> '' THEN NULL
+        ELSE text END AS text
+    FROM f ORDER BY doc_id
+    """,
+    "L-crawl: undecoded Content-Encoding QUARANTINE (functions/"
+    "charset.py:quarantine_undecoded over the residual column "
+    "sources/warc.py surfaces) — the round-8 verdict's top finding: "
+    "a br/zstd/corrupt-gzip body the parser could not undo must "
+    "never be charset-'decoded' (windows-1252 maps every byte) into "
+    "garbage text that poisons dedup hashes, lang-ID and quality "
+    "gates. Planted residual lanes (NULL, 'br', '', 'gzip, br', "
+    "whitespace) flag exactly the non-blank residuals and NULL "
+    "their text; the crawl front door uses the drop form of the "
+    "same predicate (pipeline.py step 3a). Pure Column, "
+    "shuffle-free; the oracle replays the predicate",
+)
+def l_ce_quarantine(spark, sf_dir):
+    from polars_fastx_spark.functions.charset import quarantine_undecoded
+
+    m = F.col("doc_id") % 5
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(m == 1, F.lit("br"))
+        .when(m == 2, F.lit(""))
+        .when(m == 3, F.lit("gzip, br"))
+        .when(m == 4, F.lit("   "))
+        .alias("content_encoding"),
+        "text",
+    )
+    return (
+        quarantine_undecoded(d)
+        .select("doc_id", "content_encoding", "quarantined", "text")
+        .orderBy("doc_id")
+    )
+
+
 def _html_entities_sql(col: str) -> str:
     """Entity-decode chain in DuckDB, from the module constants."""
     from polars_fastx_spark.functions import html as _html

@@ -261,6 +261,37 @@ def decode_payloads(
     return res
 
 
+def undecoded_flag(encoding_col: Column | str = "content_encoding") -> Column:
+    """True for rows whose payload still carries an undecoded
+    ``Content-Encoding`` residual (``sources/warc.py`` surfaces it:
+    ``br``/``zstd``/corrupt streams the parser could not undo). The
+    ONE quarantine predicate shared by the crawl front door (which
+    drops flagged rows before the text tier) and the observability
+    lane (which flags + nulls text): compressed bytes must never be
+    charset-"decoded" — windows-1252 maps every byte, so the result
+    is dense garbage that silently poisons dedup hashes, lang-ID and
+    quality gates. Pure Column, shuffle-free."""
+    c = _col(encoding_col)
+    return c.isNotNull() & (F.trim(c) != "")
+
+
+def quarantine_undecoded(
+    df: DataFrame,
+    encoding_col: str = "content_encoding",
+    text_col: str = "text",
+    flag_col: str = "quarantined",
+) -> DataFrame:
+    """Observability form of the quarantine: keep every row, flag the
+    undecodable ones and NULL their text so no downstream tier can
+    read compressed bytes as prose. The crawl front door uses the
+    drop form (``filter(~undecoded_flag())``) — this form is for
+    corpus audits that need the quarantine COUNTED per slice."""
+    flag = undecoded_flag(encoding_col)
+    return df.withColumn(flag_col, flag).withColumn(
+        text_col, F.when(~flag, _col(text_col))
+    )
+
+
 # ---------------------------------------------------------------- SQL
 
 

@@ -162,6 +162,16 @@ def crawl_to_corpus(
     2.  ``resolve_revisits(drop=True)`` — capture-time dedup: bodiless
         revisit records drop, their content is already present once;
     3.  HTTP-200 ``text/html`` filter — shuffle-free;
+    3a. undecoded-body QUARANTINE — rows whose ``content_encoding``
+        residual is non-null (``br``/``zstd``/corrupt streams the
+        parser could not undo; see ``sources/warc.py``) drop HERE,
+        before any text tier: "decoding" compressed bytes as
+        windows-1252 yields dense garbage that would flow into the
+        dedup hashes, lang-ID, and quality gates unmarked. The drop
+        count lands in ``timings['quarantine']`` in probe mode;
+        environments with brotli/zstd can instead
+        ``warc.register_content_decoder('br', ...)`` upstream and
+        those rows never quarantine — shuffle-free either way;
     3b. charset-aware payload decode (``functions/charset.py``;
         ``charset="auto"``, the default): HTTP ``charset=`` param →
         BOM → meta-tag sniff → windows-1252 fallback. UTF-8 pages —
@@ -268,6 +278,12 @@ def crawl_to_corpus(
         & (F.col("http_status") == 200)
         & F.col("http_content_type").startswith("text/html")
     )
+    # quarantine BEFORE the text tier (docstring step 3a): a body the
+    # parser could not fully decode must never be charset-"decoded"
+    # into garbage text
+    from polars_fastx_spark.functions.charset import undecoded_flag
+
+    kept = _stage("quarantine", kept.filter(~undecoded_flag()))
     # charset-aware decode BEFORE any gate/extractor reads the text
     # (docstring step 3b); mode="utf-8" reproduces the legacy blind
     # cast as one codegen expression

@@ -127,3 +127,163 @@ def test_decompression_bomb_keeps_raw_bytes():
     # silently hand downstream a cut-off page as if complete)
     trunc = _gzip.compress(BODY)[:-6]
     assert _decode_content_encoding(trunc, "gzip") == trunc
+
+
+def test_undo_content_encoding_chain_and_residual():
+    """RFC 9110 chain undo with residual surfacing: codings undo in
+    reverse listed order; the undo stops at the first coding it
+    cannot handle and the remainder is the residual downstream
+    quarantine keys on."""
+    body, res = warc._undo_content_encodings(_gzip.compress(BODY), "gzip")
+    assert (body, res) == (BODY, None)
+    body, res = warc._undo_content_encodings(BODY, "identity")
+    assert (body, res) == (BODY, None)
+    # unsupported label: raw kept, residual surfaced
+    body, res = warc._undo_content_encodings(b"\x00br-bytes", "br")
+    assert (body, res) == (b"\x00br-bytes", "br")
+    # 'gzip, br' (gzip applied first, br last): br is outermost and
+    # cannot be undone, so the gzip beneath it is unreachable too
+    blob = _gzip.compress(BODY)
+    body, res = warc._undo_content_encodings(blob, "gzip, br")
+    assert (body, res) == (blob, "gzip, br")
+    # 'br, gzip': the outer gzip undoes, then the chain stops at br
+    body, res = warc._undo_content_encodings(
+        _gzip.compress(b"BRDATA"), "br, gzip"
+    )
+    assert (body, res) == (b"BRDATA", "br")
+    # corrupt stream -> its own label is the residual
+    body, res = warc._undo_content_encodings(b"\x1f\x8bgarbage", "gzip")
+    assert (body, res) == (b"\x1f\x8bgarbage", "gzip")
+
+
+def test_injectable_content_decoder_seam():
+    """Environments with brotli/zstd register a decoder and those
+    bodies decode like gzip (the Pillow/JPEG injection precedent);
+    a decoder that raises keeps the residual."""
+    xor = lambda b: bytes(x ^ 0xFF for x in b)  # noqa: E731 — stand-in codec
+    try:
+        warc.register_content_decoder("br", xor)
+        enc = xor(BODY)
+        assert warc._undo_content_encodings(enc, "br") == (BODY, None)
+        # chained under gzip: both undo
+        assert warc._undo_content_encodings(
+            _gzip.compress(enc), "br, gzip"
+        ) == (BODY, None)
+
+        def _boom(_):
+            raise ValueError("no codec")
+
+        warc.register_content_decoder("zstd", _boom)
+        assert warc._undo_content_encodings(b"zz", "zstd") == (b"zz", "zstd")
+    finally:
+        warc.CONTENT_DECODERS.pop("br", None)
+        warc.CONTENT_DECODERS.pop("zstd", None)
+
+
+def test_scan_surfaces_residual_content_encoding(spark, tmp_path):
+    """The parser surfaces what it could not undo: decodable bodies
+    scan with content_encoding NULL, a br body keeps its raw bytes
+    with 'br' in the column — the signal the crawl front door's
+    quarantine keys on."""
+    br_bytes = bytes(range(256)) * 4  # stand-in compressed bytes
+    recs = [
+        warc.render_warc_record(
+            "<urn:uuid:q-0>", "response", "https://a.com/gz",
+            "2026-08-15T00:00:00Z",
+            _http_block(_gzip.compress(BODY), "Content-Encoding: gzip"),
+        ),
+        warc.render_warc_record(
+            "<urn:uuid:q-1>", "response", "https://a.com/br",
+            "2026-08-15T00:00:00Z",
+            _http_block(br_bytes, "Content-Encoding: br"),
+        ),
+        warc.render_warc_record(
+            "<urn:uuid:q-2>", "response", "https://a.com/plain",
+            "2026-08-15T00:00:00Z", _http_block(BODY, "X-Extra: 1"),
+        ),
+    ]
+    path = tmp_path / "q.warc.gz"
+    warc.write_warc(str(path), recs)
+    rows = {
+        r["target_uri"]: (bytes(r["payload"]), r["content_encoding"])
+        for r in warc.scan_warc(spark, str(path)).collect()
+    }
+    assert rows["https://a.com/gz"] == (BODY, None)
+    assert rows["https://a.com/br"] == (br_bytes, "br")
+    assert rows["https://a.com/plain"] == (BODY, None)
+
+
+def test_crawl_quarantines_undecodable_bodies(spark, tmp_path):
+    """E2E 'done' bar for the round-8 verdict's top task: a planted
+    br-encoded record provably never reaches the text tier as text —
+    it drops at the quarantine stage (counted in the phase
+    accounting), while its decodable neighbors flow through."""
+    from polars_fastx_spark.pipeline import crawl_to_corpus
+
+    def filler(tag):
+        # per-page DISTINCT filler (shared filler -> LSH collapse)
+        return " ".join(f"{tag}{i} token" for i in range(30))
+
+    ok_a = f"plain page body {filler('pa')}"
+    ok_b = f"gzip page body {filler('gb')}"
+    # stand-in br bytes: NOT valid gzip/deflate, high-entropy enough
+    # that a windows-1252 "decode" of them would read as garbage
+    br_bytes = bytes(range(256)) * 8
+
+    def _rec(i, uri, block):
+        return warc.render_warc_record(
+            f"<urn:uuid:e2e-{i}>", "response", uri,
+            "2026-08-01T00:00:00Z", block,
+        )
+
+    recs = [
+        _rec(0, "https://ok.example/a",
+             _http_block(
+                 f"<html><body><p>{ok_a}</p></body></html>".encode(),
+                 "X-Extra: 1")),
+        _rec(1, "https://ok.example/b",
+             _http_block(
+                 _gzip.compress(
+                     f"<html><body><p>{ok_b}</p></body></html>".encode()),
+                 "Content-Encoding: gzip")),
+        _rec(2, "https://bad.example/br",
+             _http_block(br_bytes, "Content-Encoding: br")),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    warc.write_warc(str(src / "a.warc.gz"), recs)
+
+    timings: dict = {}
+    got = crawl_to_corpus(
+        spark, str(src) + "/*.warc.gz", str(tmp_path / "corpus"),
+        domain_cap_n=10, timings=timings,
+    )
+    urls = {r["url"] for r in got.collect()}
+    assert "https://ok.example/a" in urls
+    assert "https://ok.example/b" in urls
+    # the br record is gone — and no corpus text contains its bytes
+    # mojibake'd (the windows-1252 view of byte 0xNN)
+    assert not any("bad.example" in u for u in urls)
+    texts = " ".join(r["text"] for r in got.collect())
+    assert br_bytes.decode("windows-1252", errors="replace")[:40] not in texts
+    # phase accounting shows the drop: 3 responses in, 2 survive
+    assert timings["quarantine"]["rows"] == 2
+
+
+def test_quarantine_observability_form(spark):
+    """quarantine_undecoded keeps rows, flags them, and nulls text."""
+    from polars_fastx_spark.functions.charset import quarantine_undecoded
+
+    df = spark.createDataFrame(
+        [(1, None, "good"), (2, "br", "garbage"),
+         (3, "", "also good"), (4, "gzip, br", "worse")],
+        "id long, content_encoding string, text string",
+    )
+    got = {
+        r["id"]: (r["quarantined"], r["text"])
+        for r in quarantine_undecoded(df).collect()
+    }
+    assert got == {
+        1: (False, "good"), 2: (True, None),
+        3: (False, "also good"), 4: (True, None),
+    }

@@ -591,7 +591,7 @@ def test_crawl_to_corpus_containment_tier_and_timings(spark, tmp_path):
     assert kept == {"https://host.com/full", "https://c.net/other"}
     # phase accounting covers every tier incl. the containment one
     assert set(timings) == {
-        "scan", "gates", "extract", "url_dedup", "domain_cap",
+        "scan", "gates", "quarantine", "extract", "url_dedup", "domain_cap",
         "lsh_neardup", "containment", "splits", "write",
     }
     assert timings["containment"]["rows"] == 2

@@ -6,11 +6,17 @@ Runs each catalog query against $SPARK_GRAFT_SF_DIR (default
 prints ONE JSON line:
 
     {"metric": "suite_seconds", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "sentinels": {...}, "sentinel_factor": f,
+     "value_normalized": N/f, "queries_normalized": {...}}
 
 Timing counts the full action (plan + execute + fetch) per query;
 session/JVM startup and view setup are excluded, consistent with how
-BASELINE.md was measured.
+BASELINE.md was measured. ``value`` stays the raw headline;
+``value_normalized`` divides out the container-drift factor estimated
+from the 5 never-touched sentinel queries vs the latest BENCH_r*.json
+that carries them (scripts/catalog_bench.py machinery) — compare
+THAT round-over-round.
 """
 
 from __future__ import annotations
@@ -22,7 +28,9 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "scripts"))
 
 # name → catalog entry; mirrors BASELINE.md's 8-query suite
 SUITE = {
@@ -35,6 +43,32 @@ SUITE = {
     "q_docs_dedup": "l_exact_dedup",
     "q_vec_knn": "l_cosine_topk",
 }
+
+
+def previous_sentinels(repo_dir: Path) -> tuple[str | None, dict]:
+    """Latest committed BENCH_r*.json that carries a ``sentinels``
+    block — the reference run the drift factor is computed against.
+    (round label, times) or (None, {}) on the first sentinel-bearing
+    round; older artifacts predate the block and are skipped (their
+    drift was adjudicated manually — r6→r7 +17%, r7→r8 +22% on
+    untouched code, the cost this normalization removes)."""
+    for p in sorted(repo_dir.glob("BENCH_r*.json"), reverse=True):
+        try:
+            data = json.loads(p.read_text())
+        except Exception:
+            continue
+        sent = data.get("sentinels")
+        if isinstance(sent, dict) and sent:
+            return p.stem, sent
+    return None, {}
+
+
+def normalized(timings: dict[str, float], factor: float) -> dict[str, float]:
+    """Per-query times with the container-drift factor divided out —
+    the numbers to compare round-over-round; raw stays alongside."""
+    if factor <= 0:
+        factor = 1.0
+    return {k: round(v / factor, 3) for k, v in timings.items()}
 
 
 def main() -> int:
@@ -116,6 +150,29 @@ def main() -> int:
             "max": round(runs[-1], 3),
         }
 
+    # Sentinel pass (r8 verdict task 2): time the same 5 never-touched
+    # drift sentinels the catalog gate uses, under THIS protocol
+    # (same session/conf, min-of-3), so the next round's run can
+    # divide out container drift instead of adjudicating +17–22%
+    # moves on untouched code by hand (r6→r7→r8). The factor here is
+    # computed against the latest BENCH_r*.json that carries a
+    # sentinels block; the first sentinel-bearing round records the
+    # reference times with factor 1.0.
+    from catalog_bench import SENTINELS, sentinel_factor
+
+    sentinels: dict[str, float] = {}
+    for qname in SENTINELS:
+        fn = QUERIES[qname].fn
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            runs.append(time.time() - t0)
+        sentinels[qname] = round(min(runs), 3)
+
+    prev_round, prev_sent = previous_sentinels(_REPO)
+    factor = sentinel_factor(prev_sent, sentinels) if prev_sent else 1.0
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "suite_seconds",
@@ -124,6 +181,11 @@ def main() -> int:
         "queries": timings,
         "dispersion": dispersion,
         "runs_per_query": 5,
+        "sentinels": sentinels,
+        "sentinel_factor": round(factor, 3),
+        "sentinel_reference": prev_round,
+        "value_normalized": round(sum(normalized(timings, factor).values()), 3),
+        "queries_normalized": normalized(timings, factor),
         "sf": sf,
     }))
     return 0

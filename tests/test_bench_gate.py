@@ -72,3 +72,45 @@ def test_sentinels_are_catalog_queries_and_untouched_classes():
         assert s in QUERIES, s
     # spanning distinct plan classes by prefix
     assert len({s.split("_")[0] for s in SENTINELS}) == 5
+
+
+# ---- headline-bench normalization (round-9 #2: BENCH_r{N} carries
+# the sentinel block and drift-normalized numbers, same machinery) ----
+
+
+def test_bench_normalized_divides_out_drift():
+    import bench
+
+    t = {"q_a": 2.0, "q_b": 4.0}
+    assert bench.normalized(t, 2.0) == {"q_a": 1.0, "q_b": 2.0}
+    # degenerate factor never divides by zero / negative
+    assert bench.normalized(t, 0.0) == t
+    assert bench.normalized(t, -3.0) == t
+
+
+def test_bench_previous_sentinels_picks_latest_with_block(tmp_path):
+    import json
+
+    import bench
+
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({"value": 1}))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"value": 1, "sentinels": {"p_filter_project": 0.5}})
+    )
+    (tmp_path / "BENCH_r09.json").write_text("{not json")
+    name, sent = bench.previous_sentinels(tmp_path)
+    assert name == "BENCH_r08"
+    assert sent == {"p_filter_project": 0.5}
+    # no sentinel-bearing artifact at all -> baseline round
+    for p in tmp_path.glob("BENCH_r*.json"):
+        p.unlink()
+    assert bench.previous_sentinels(tmp_path) == (None, {})
+
+
+def test_bench_suite_and_sentinels_disjoint():
+    """The drift estimate must come from queries the headline suite
+    does not itself time (a suite regression would otherwise shift
+    its own normalizer)."""
+    import bench
+
+    assert not set(SENTINELS) & set(bench.SUITE.values())

@@ -11922,6 +11922,97 @@ def l_manifest_merge(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: private manifest table for the TIME-TRAVEL lane: create(v1) →
+#: bad upsert(v2) → rollback to v1 (v3 — a new commit repointing at
+#: v1's immutable dirs, zero data movement) → good upsert(v4). The
+#: query reads the CURRENT state joined with read_table(version=2),
+#: so a green row proves both that the rollback landed (the bad
+#: batch is absent from current) and that the superseded v2 snapshot
+#: stays exactly readable after later commits.
+_MANIFEST_TRAVEL: dict = {}
+
+
+def _manifest_travel_table(spark, sf_dir):
+    import tempfile
+
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _MANIFEST_TRAVEL.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_manifest_tt_")
+        _MANIFEST_TRAVEL[sf_dir] = path
+    if mf.current_version(spark, path) is None:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("source").alias("src"), "n_chars",
+        )
+        base = docs.withColumn("rev", F.lit(1000).cast("long"))
+        mf.create_table(spark, path, base, "src")
+        bad = (
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("n_chars", F.col("n_chars") + 2000)
+            .withColumn("rev", F.lit(2000).cast("long"))
+        )
+        mf.upsert_table(spark, path, bad, ["doc_id"], "rev")  # v2
+        mf.rollback(spark, path, 1)  # v3: the bad batch undone
+        good = (
+            docs.filter(F.col("doc_id") % 7 == 1)
+            .withColumn("n_chars", F.col("n_chars") + 500)
+            .withColumn("rev", F.lit(3000).cast("long"))
+        )
+        mf.upsert_table(spark, path, good, ["doc_id"], "rev")  # v4
+    return path
+
+
+def _prep_manifest_travel(spark, sf_dir):
+    _manifest_travel_table(spark, sf_dir)
+
+
+@_q(
+    "l_manifest_travel",
+    """
+    SELECT doc_id, source AS src,
+      CASE WHEN doc_id % 7 = 1 THEN n_chars + 500
+           ELSE n_chars END AS n_chars,
+      CASE WHEN doc_id % 7 = 1 THEN 3000
+           ELSE 1000 END::BIGINT AS rev,
+      CASE WHEN doc_id % 7 = 0 THEN n_chars + 2000
+           ELSE n_chars END AS n_chars_v2,
+      CASE WHEN doc_id % 7 = 0 THEN 2000
+           ELSE 1000 END::BIGINT AS rev_v2
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "L-write: manifest TIME TRAVEL + ROLLBACK (operators/manifest.py"
+    ":read_table(version=), rollback — round-9 #3): the lifecycle "
+    "commits a bad batch (v2), rolls back to v1 (v3 = a NEW commit "
+    "whose manifest repoints at v1's immutable dirs — one manifest "
+    "write + one _CURRENT rename, zero data movement, history stays "
+    "monotonic so pinned readers of any version survive), then lands "
+    "a good batch (v4). The query joins the CURRENT snapshot with "
+    "read_table(version=2); the oracle recomputes both states from "
+    "scratch — a green row proves the rollback landed AND the "
+    "superseded snapshot stays byte-exactly readable after later "
+    "commits (vacuum keep_versions bounds that window; pytest "
+    "covers reclamation)",
+    prepare=_prep_manifest_travel
+)
+def l_manifest_travel(spark, sf_dir):
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _manifest_travel_table(spark, sf_dir)
+    cur = mf.read_table(spark, path).select(
+        "doc_id", "src", "n_chars", "rev"
+    )
+    v2 = mf.read_table(spark, path, version=2).select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars_v2"),
+        F.col("rev").alias("rev_v2"),
+    )
+    return cur.join(v2, "doc_id").select(
+        "doc_id", "src", "n_chars", "rev", "n_chars_v2", "rev_v2"
+    ).orderBy("doc_id")
+
+
 def _prep_ann_sync_fp(spark, sf_dir):
     old, _ = _ann_sync_snapshots(spark, sf_dir)
     _ann_private_index(spark, sf_dir, "syncfp", old)

@@ -69,19 +69,45 @@ def current_version(spark: SparkSession, path: str) -> int | None:
     return int(raw.strip())
 
 
-def read_manifest(spark: SparkSession, path: str) -> dict:
+def read_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
     """The committed manifest: ``{"version": N, "partition_col": c,
     "partitions": {dir_name: rel_path}}`` (dir_name is the hive-style
-    ``<pcol>=<escaped val>`` name; rel_path points under the table)."""
-    v = current_version(spark, path)
+    ``<pcol>=<escaped val>`` name; rel_path points under the table).
+    ``version`` resolves a HISTORICAL manifest directly (time travel —
+    every ``v<N>.json`` is immutable once committed), default the
+    ``_CURRENT`` pointer."""
+    v = current_version(spark, path) if version is None else int(version)
     if v is None:
         raise FileNotFoundError(f"no committed manifest under {path}")
     raw = _read_small(spark, f"{_manifest_dir(path)}/v{v}.json")
     if raw is None:
+        what = "_CURRENT points at" if version is None else "requested"
         raise FileNotFoundError(
-            f"_CURRENT points at v{v} but v{v}.json is missing: {path}"
+            f"{what} v{v} but v{v}.json is missing: {path}"
+            + ("" if version is None
+               else " (vacuumed, or never committed)")
         )
     return json.loads(raw)
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Every committed (still-unvacuumed) manifest version, ascending
+    — the time-travel index. One listing of the tiny ``_manifest``
+    dir, never of the data tree."""
+    p, fs = hadoop_fs(spark, _manifest_dir(path))
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
 
 
 def _stage_version(
@@ -140,13 +166,18 @@ def read_table(
     spark: SparkSession,
     path: str,
     partition_values: list | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """The committed snapshot as a DataFrame. ``partition_values``
     prunes AT THE MANIFEST — only the named partitions' dirs are ever
     opened (no table-wide listing). The returned frame is pinned to
     the version that was current at call time: commits that land
-    later do not leak into it (the dirs it reads are immutable)."""
-    man = read_manifest(spark, path)
+    later do not leak into it (the dirs it reads are immutable).
+    ``version=N`` time-travels: reads the snapshot manifest ``v<N>``
+    committed, regardless of what ``_CURRENT`` says now (the version
+    must not have been vacuumed — see :func:`vacuum`'s
+    ``keep_versions``)."""
+    man = read_manifest(spark, path, version=version)
     wanted = None
     if partition_values is not None:
         wanted = {
@@ -289,14 +320,46 @@ def _commit_delta(
     return version
 
 
-def vacuum(spark: SparkSession, path: str) -> list[str]:
-    """Delete ``data/v*`` dirs holding NO partition referenced by the
-    CURRENT manifest (orphans of crashed commits, versions fully
-    superseded by later rewrites). Never touches referenced dirs, so
-    it is safe beside readers of the current version; readers pinned
-    to OLDER versions (long-running jobs) are the caller's window to
-    respect — run vacuum when none are live (the standard table-format
-    contract). Returns the deleted dir names.
+def rollback(spark: SparkSession, path: str, version: int) -> int:
+    """Restore the table to historical ``version`` as a NEW commit:
+    the next version's manifest is a copy of the target's partition
+    map (which still points at the old immutable data dirs — zero
+    data movement, one manifest write + the one ``_CURRENT`` rename
+    every commit pays). Rolling FORWARD keeps history monotonic:
+    readers pinned to intermediate versions stay valid, a rollback of
+    the rollback is just another commit, and the version counter
+    never reuses a number (re-staging over a live historical dir
+    would mutate what time travel promises is immutable). Returns
+    the new version number."""
+    man = read_manifest(spark, path)  # current — for the next number
+    target = read_manifest(spark, path, version=version)
+    new_version = man["version"] + 1
+    _commit(spark, path, {
+        "version": new_version,
+        "partition_col": target["partition_col"],
+        "partitions": dict(target["partitions"]),
+        "rollback_of": int(version),
+    })
+    return new_version
+
+
+def vacuum(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> list[str]:
+    """Delete ``data/v*`` dirs holding NO partition referenced by any
+    KEPT manifest (orphans of crashed commits, versions fully
+    superseded by later rewrites). The kept set is the
+    ``keep_versions`` highest committed versions up to and including
+    the current one (default 1 = only the current snapshot, the
+    original behavior); manifest files of versions OLDER than the
+    kept set delete too, so ``list_versions`` is exactly the
+    time-travelable window — a manifest whose data dirs are gone
+    would promise a read it can't serve. Never touches dirs a kept
+    manifest references, so it is safe beside readers of kept
+    versions; readers pinned to vacuumed versions (long-running jobs)
+    are the caller's window to respect — run vacuum when none are
+    live (the standard table-format contract). Returns the deleted
+    names (data dirs + manifest files).
 
     Dirs numbered ABOVE the current version are never touched: they
     are a writer's in-flight stage (``data/v<N+1>`` is unreferenced
@@ -304,22 +367,36 @@ def vacuum(spark: SparkSession, path: str) -> list[str]:
     a commit must not destroy the stage mid-commit (round-8 ADVICE
     low #4). A crashed commit's orphaned stage becomes reclaimable
     as soon as any later commit moves ``_CURRENT`` past it."""
-    man = read_manifest(spark, path)
-    current = man["version"]
-    live = {rel.rsplit("/", 1)[0] for rel in man["partitions"].values()}
-    root, fs = hadoop_fs(spark, f"{path}/data")
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    current = read_manifest(spark, path)["version"]
+    committed = [v for v in list_versions(spark, path) if v <= current]
+    kept = set(committed[-keep_versions:])
+    kept.add(current)
+    live: set[str] = set()
+    for v in kept:
+        man = read_manifest(spark, path, version=v)
+        live |= {rel.rsplit("/", 1)[0] for rel in man["partitions"].values()}
     deleted = []
-    if not fs.exists(root):
-        return deleted
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        try:
-            vnum = int(name[1:])
-        except ValueError:
-            continue
-        if st.isDirectory() and name.startswith("v") and (
-            f"data/{name}" not in live
-        ) and vnum <= current:
-            fs.delete(st.getPath(), True)
-            deleted.append(name)
+    root, fs = hadoop_fs(spark, f"{path}/data")
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            try:
+                vnum = int(name[1:])
+            except ValueError:
+                continue
+            if st.isDirectory() and name.startswith("v") and (
+                f"data/{name}" not in live
+            ) and vnum <= current:
+                fs.delete(st.getPath(), True)
+                deleted.append(name)
+    # drop the manifests outside the time-travelable window
+    mroot, mfs = hadoop_fs(spark, _manifest_dir(path))
+    for v in committed:
+        if v not in kept:
+            mp, _ = hadoop_fs(spark, f"{_manifest_dir(path)}/v{v}.json")
+            if mfs.exists(mp):
+                mfs.delete(mp, False)
+                deleted.append(f"v{v}.json")
     return deleted

@@ -289,3 +289,125 @@ def test_vacuum_never_touches_inflight_stage(spark, tmp_path):
     assert "v3" not in deleted2
     got = {r["id"]: r["val"] for r in M.read_table(spark, path).collect()}
     assert got[2] == 77
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    """read_table(version=N) resolves v<N>.json directly — every
+    committed snapshot stays readable (round-9 #3), pinned to its
+    immutable dirs, while _CURRENT marches on."""
+    path = str(tmp_path / "t")
+    M.create_table(spark, path, _base(spark), "part")
+    M.upsert_table(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "a", 21, 200)], "id long, part string, val long, ver long"
+        ),
+        ["id"], "ver",
+    )
+    M.delete_keys_table(
+        spark, path,
+        spark.createDataFrame([(3, "b")], "id long, part string"),
+        ["id"],
+    )
+    assert M.list_versions(spark, path) == [1, 2, 3]
+    v1 = {r["id"]: r["val"]
+          for r in M.read_table(spark, path, version=1).collect()}
+    assert v1 == {1: 10, 2: 20, 3: 30, 4: 40}
+    v2 = {r["id"]: r["val"]
+          for r in M.read_table(spark, path, version=2).collect()}
+    assert v2 == {1: 10, 2: 21, 3: 30, 4: 40}
+    assert {r["id"] for r in M.read_table(spark, path).collect()} == {
+        1, 2, 4
+    }
+    # pruning composes with time travel
+    a1 = M.read_table(spark, path, partition_values=["a"], version=1)
+    assert {r["id"] for r in a1.collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError):
+        M.read_manifest(spark, path, version=99)
+
+
+def test_rollback_is_a_new_commit_with_zero_data_movement(
+    spark, tmp_path
+):
+    """rollback(path, v) repoints the NEXT version's manifest at the
+    target's immutable dirs: one manifest write + one _CURRENT
+    rename, no re-staging, history monotonic (a pinned reader of any
+    intermediate version stays valid; rollback-of-rollback is just
+    another commit)."""
+    path = str(tmp_path / "t")
+    M.create_table(spark, path, _base(spark), "part")
+    man1 = M.read_manifest(spark, path)
+    M.upsert_table(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "a", 21, 200), (5, "a", 50, 200)],
+            "id long, part string, val long, ver long",
+        ),
+        ["id"], "ver",
+    )
+    # a reader pinned to v2 BEFORE the rollback
+    pinned_v2 = M.read_table(spark, path)
+    v = M.rollback(spark, path, 1)
+    assert v == 3
+    man3 = M.read_manifest(spark, path)
+    assert man3["rollback_of"] == 1
+    # identical partition map -> the v1 dirs, not a copy
+    assert man3["partitions"] == man1["partitions"]
+    assert not os.path.isdir(os.path.join(path, "data", "v3"))
+    assert _state(spark, path) == {
+        (1, "a", 10, 100), (2, "a", 20, 100),
+        (3, "b", 30, 100), (4, "c", 40, 100),
+    }
+    # the pinned pre-rollback reader still serves v2's content
+    assert {r["id"] for r in pinned_v2.collect()} == {1, 2, 3, 4, 5}
+    # rolling forward again composes: back to v2's state as v4
+    assert M.rollback(spark, path, 2) == 4
+    got = {r["id"]: r["val"] for r in M.read_table(spark, path).collect()}
+    assert got == {1: 10, 2: 21, 3: 30, 4: 40, 5: 50}
+    # upserts continue cleanly after a rollback
+    M.upsert_table(
+        spark, path,
+        spark.createDataFrame(
+            [(6, "c", 60, 500)], "id long, part string, val long, ver long"
+        ),
+        ["id"], "ver",
+    )
+    assert M.read_manifest(spark, path)["version"] == 5
+
+
+def test_vacuum_keep_versions_bounds_the_time_travel_window(
+    spark, tmp_path
+):
+    """vacuum(keep_versions=k) keeps the k newest committed snapshots
+    fully readable (their dirs AND manifests) and reclaims everything
+    older — list_versions is exactly the travelable window after."""
+    path = str(tmp_path / "t")
+    M.create_table(spark, path, _base(spark), "part")
+    for i, ver in enumerate((200, 300, 400)):
+        M.upsert_table(
+            spark, path,
+            spark.createDataFrame(
+                [(1, "a", ver, ver)],
+                "id long, part string, val long, ver long",
+            ),
+            ["id"], "ver",
+        )
+    deleted = M.vacuum(spark, path, keep_versions=2)
+    assert M.list_versions(spark, path) == [3, 4]
+    assert "v1.json" in deleted and "v2.json" in deleted
+    # both kept versions remain fully readable
+    assert {r["val"] for r in M.read_table(
+        spark, path, version=3).where(F.col("id") == 1).collect()
+    } == {300}
+    assert {r["val"] for r in M.read_table(
+        spark, path, version=4).where(F.col("id") == 1).collect()
+    } == {400}
+    # v3 still references v1 dirs for untouched partitions: those
+    # dirs must survive even though manifest v1 itself is gone
+    man3 = M.read_manifest(spark, path, version=3)
+    for rel in man3["partitions"].values():
+        assert os.path.isdir(os.path.join(path, rel.rsplit("/", 1)[0]))
+    with pytest.raises(FileNotFoundError):
+        M.read_table(spark, path, version=1)
+    with pytest.raises(ValueError):
+        M.vacuum(spark, path, keep_versions=0)

@@ -118,6 +118,10 @@ _RECHECK = {
     # null-safe robots_gate semi-join (gate consumers re-sampled)
     "l_charset_decode", "l_span_remove",
     "l_robots_gate", "l_crawl_pipeline",
+    # round 9: lang_id's Latin tier extended to 11 languages and its
+    # fixture regrown to 12 planted lanes — the old green row
+    # certifies neither
+    "l_lang_id",
 }
 
 

@@ -4119,6 +4119,50 @@ def l_fingerprint(spark, sf_dir):
     )
 
 
+#: dedicated 12-lane fixture for l_lang_id (round-9 task 4): the
+#: extended Latin tier (pt/it/nl/pl/id/sv/tr) gets a planted lane
+#: each, alongside script-tier lanes (zh/ru), classic-vote lanes
+#: (de/fr) and the raw document text. Sentences are built FROM the
+#: language's own STOPWORDS so the vote has a clear winner; the
+#: oracle constructs the identical column. Per-doc distinctness via
+#: the appended doc_id (the digits don't vote).
+_LANG_LANES: tuple[tuple[str, str], ...] = (
+    ("zh", "中文文档号的正文内容很长 "),
+    ("pt", "não é uma coisa simples você já sabe disso também são mais "),
+    ("it", "il documento che non sono anche questo della prova gli più nella "),
+    ("nl", "het een niet ook maar zijn voor van op dat "),
+    ("pl", "nie jest się że jak ale czy tym dla przez "),
+    ("id", "yang ini dan itu dengan untuk tidak adalah dari di "),
+    ("sv", "och att det som är inte jag på för med "),
+    ("tr", "bir ve bu için ile olarak gibi çok daha ama "),
+    ("de", "der die und das ist nicht ich ein zu mit "),
+    ("fr", "le la les des est une dans pour que pas "),
+    ("ru", "Русский документ номер содержит текст "),
+)
+
+
+def _lang_fixture_text():
+    d = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % (len(_LANG_LANES) + 1)
+    out = None
+    for i, (_, sent) in enumerate(_LANG_LANES, start=1):
+        branch = F.concat(F.lit(sent), d)
+        out = (F.when(m == i, branch) if out is None
+               else out.when(m == i, branch))
+    return out.otherwise(F.col("text"))
+
+
+def _lang_fixture_sql() -> str:
+    whens = "\n".join(
+        "WHEN %d THEN '%s' || doc_id" % (i, sent.replace("'", "''"))
+        for i, (_, sent) in enumerate(_LANG_LANES, start=1)
+    )
+    return (
+        f"CASE (doc_id % {len(_LANG_LANES) + 1})\n{whens}\n"
+        "ELSE text END"
+    )
+
+
 def _lang_id_oracle() -> str:
     """DuckDB twin of text.lang_id, generated from the SAME constants
     so the two can never drift: the SCRIPT-FIRST tier replays via
@@ -4137,7 +4181,7 @@ def _lang_id_oracle() -> str:
     toks = text.tokens_sql("text")
     return f"""
     WITH ml AS (
-      SELECT doc_id, {_ML_TEXT_SQL} AS text FROM documents
+      SELECT doc_id, {_lang_fixture_sql()} AS text FROM documents
     ),
     sc AS (
       SELECT doc_id, text, {script} AS script_lang FROM ml
@@ -4176,13 +4220,15 @@ def _lang_id_oracle() -> str:
     "— SCRIPT-FIRST classification (unicode-range char counts decide "
     "zh/ja/ko/th/ru/ar/el/he/hi before any tokenization: stopword "
     "voting structurally cannot work on unsegmented scripts), then "
-    "the stopword vote within Latin; oracle generated from the same "
-    "SCRIPT_RANGES/STOPWORDS constants and thresholds "
+    "the stopword vote within Latin — round 9 extends the Latin tier "
+    "to pt/it/nl/pl/id/sv/tr (11 Latin languages; a planted lane per "
+    "new language in the 12-lane fixture); oracle generated from the "
+    "same SCRIPT_RANGES/STOPWORDS constants and thresholds "
     "(operators/text.py:lang_id_script_sql)",
 )
 def l_lang_id(spark, sf_dir):
     d = _tp(spark, sf_dir, "documents").select(
-        "doc_id", _ml_text().alias("text")
+        "doc_id", _lang_fixture_text().alias("text")
     )
     return (
         d.select(text.lang_id("text").alias("pred_lang"))

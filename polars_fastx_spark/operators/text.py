@@ -23,6 +23,25 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "de": ("der", "die", "und", "das", "ist", "nicht", "ich", "ein", "zu", "mit"),
     "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
     "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "pas"),
+    # round-9 Latin-tier extension (r8 verdict task 4): the 4-language
+    # tier sent pt/it/nl/pl/id/sv/tr pages to 'und', under-segmenting
+    # per-language corpus reports across the Latin web. Words chosen
+    # distinctive-first (minimal cross-list collisions; the vote takes
+    # the max-hits language, ties alphabetical).
+    "pt": ("não", "uma", "é", "são", "também", "mais", "como", "isso",
+           "já", "você"),
+    "it": ("il", "che", "non", "sono", "anche", "questo", "della",
+           "gli", "più", "nella"),
+    "nl": ("het", "een", "niet", "ook", "maar", "zijn", "voor", "dat",
+           "van", "op"),
+    "pl": ("nie", "się", "jest", "że", "jak", "ale", "czy", "tym",
+           "dla", "przez"),
+    "id": ("yang", "dan", "ini", "itu", "dengan", "untuk", "tidak",
+           "adalah", "dari", "di"),
+    "sv": ("och", "att", "det", "som", "är", "inte", "jag", "på",
+           "för", "med"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "olarak", "gibi", "çok",
+           "daha", "ama"),
     "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
 }
 

@@ -175,3 +175,42 @@ def test_word_ngrams_and_repetition_on_cjk(spark):
     assert grams and all(len(g.split(" ")) == 3 for g in grams)
     rep = T.word_repetition(df, "id", "t").collect()
     assert rep  # a ratio exists instead of one 100% mega-token
+
+
+def test_lang_id_extended_latin_tier(spark):
+    """Round-9 #4: the Latin stopword tier covers pt/it/nl/pl/id/sv/
+    tr (plus the original en/de/es/fr) — each language's planted
+    sentence must classify as ITSELF, and a per-language corpus
+    report over the mixed fixture segments instead of lumping the
+    Latin web into 'und'."""
+    sentences = {
+        "en": "the cat and the dog that is in it for you",
+        "de": "der hund und die katze ist nicht ein tier zu mit",
+        "es": "el perro y la casa de que los una por con",
+        "fr": "le chien et la maison les des est une dans pour pas",
+        "pt": "não é uma coisa simples você já sabe disso também",
+        "it": "il documento che non sono anche questo della gli più",
+        "nl": "het huis een niet ook maar zijn voor van op",
+        "pl": "nie jest się że jak ale czy tym dla przez",
+        "id": "yang ini dan itu dengan untuk tidak adalah dari di",
+        "sv": "och att det som är inte jag på för med",
+        "tr": "bir ve bu için ile olarak gibi çok daha ama",
+    }
+    df = spark.createDataFrame(
+        [(lang, s) for lang, s in sentences.items()],
+        "expected string, text string",
+    )
+    got = {
+        r["expected"]: r["pred"]
+        for r in df.select(
+            "expected", T.lang_id("text").alias("pred")
+        ).collect()
+    }
+    assert got == {lang: lang for lang in sentences}
+    # the corpus report: one row per language, no 'und' bucket
+    report = (
+        df.select(T.lang_id("text").alias("lang"))
+        .groupBy("lang").count().collect()
+    )
+    assert {r["lang"] for r in report} == set(sentences)
+    assert all(r["count"] == 1 for r in report)

@@ -957,7 +957,119 @@ def charset_probe(n: int = 200_000) -> None:
     spark.stop()
 
 
+def fetch_schedule_probe(n: int = 100_000) -> None:
+    """The politeness loop at frontier scale (round-9 #6): ``n`` URLs
+    over a realistic domain mixture (one mega-domain, a mid tier, a
+    long tail), budgeted by ``domain_cap`` and scheduled by
+    ``fetch_schedule``, then the same frontier streamed as two
+    micro-batch epochs through ``_fetch_frontier_epoch``. Measures
+    wall for each path and the per-domain schedule SKEW (the horizon
+    — each domain's last fetch offset): the 100 TB question is
+    whether one domain's backlog stretches the fetch horizon while
+    the long tail drains instantly, and whether the cross-batch
+    continuation holds the per-domain pace at scale (asserted
+    distributedly, never collected)."""
+    import polars_fastx_spark as pfs
+    from polars_fastx_spark.functions.robots import fetch_schedule
+    from polars_fastx_spark.functions.urls import domain_cap
+    from polars_fastx_spark.streaming.pipelines import (
+        _fetch_frontier_epoch,
+    )
+    from pyspark.sql import functions as F
+
+    spark = pfs.get_spark("fetch-schedule-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # 20% mega.example.com, 30% over 100 mid-N.net, 50% over 10k
+    # tail-N.org
+    urls = spark.range(n).selectExpr(
+        """CASE
+             WHEN id % 10 < 2 THEN 'https://mega.example.com/p/' || id
+             WHEN id % 10 < 5 THEN 'https://mid-' || (id % 100)
+               || '.net/p/' || id
+             ELSE 'https://tail-' || (id % 10000) || '.org/p/' || id
+           END AS url""",
+    ).persist()
+    urls.count()
+    delays = spark.range(101).selectExpr(
+        "CASE WHEN id = 100 THEN 'mega.example.com' "
+        "ELSE 'mid-' || id || '.net' END AS domain",
+        "CASE WHEN id = 100 THEN 0.5 ELSE 2.0 END AS crawl_delay",
+    )  # tail domains absent -> default 1.0
+
+    cap = 200
+    t0 = time.time()
+    sched = fetch_schedule(
+        domain_cap(urls, "url", cap=cap), delays
+    ).persist()
+    kept = sched.count()
+    dt = time.time() - t0
+
+    per_dom = sched.groupBy("domain").agg(
+        F.count("*").alias("n"),
+        F.max("fetch_offset_s").alias("horizon"),
+        F.count_distinct("fetch_offset_s").alias("n_off"),
+    ).persist()
+    # pacing invariant, checked distributedly: offsets are exactly
+    # 0..(n-1)*delay per domain (distinct count == row count and the
+    # horizon is (n-1)*delay for the known tiers)
+    bad = per_dom.filter(F.col("n_off") != F.col("n")).count()
+    horizons = per_dom.agg(
+        F.expr("percentile(horizon, 0.5)").alias("p50"),
+        F.expr("percentile(horizon, 0.99)").alias("p99"),
+        F.max("horizon").alias("mx"),
+        F.count("*").alias("domains"),
+    ).first()
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    print(
+        f"| fetch_schedule batch ({n:,} urls -> {kept:,} after "
+        f"cap={cap}, {horizons['domains']:,} domains) | {dt:.1f} | "
+        f"horizon p50 {horizons['p50']:.0f}s / p99 "
+        f"{horizons['p99']:.0f}s / max {horizons['mx']:.0f}s; "
+        f"{bad} domains with colliding offsets |"
+    )
+
+    # streaming continuation: the same frontier in two 50/50 epochs
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pfs_sched_probe_")
+    halves = [
+        urls.filter(F.col("id") % 2 == i).drop("id") for i in (0, 1)
+    ]
+    t1 = time.time()
+    _fetch_frontier_epoch(halves[0], 0, delays, out, cap=cap)
+    e0 = time.time() - t1
+    t2 = time.time()
+    _fetch_frontier_epoch(halves[1], 1, delays, out, cap=cap)
+    e1 = time.time() - t2
+    allrows = spark.read.parquet(out)
+    # cross-batch pace, asserted distributedly: within every domain
+    # consecutive offsets differ by >= the domain's delay
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy("fetch_offset_s")
+    gaps = allrows.withColumn(
+        "__gap", F.col("fetch_offset_s") - F.lag("fetch_offset_s").over(w)
+    ).filter(F.col("__gap").isNotNull())
+    viol = gaps.filter(
+        F.col("__gap") < F.col("crawl_delay_s") - F.lit(1e-9)
+    ).count()
+    n_stream = allrows.count()
+    print(
+        f"| stream_fetch_frontier 2 epochs ({n_stream:,} scheduled) | "
+        f"{e0:.1f} + {e1:.1f} | {viol} pace violations across the "
+        f"epoch boundary (per-domain gap >= crawl_delay everywhere) |"
+    )
+    urls.unpersist(); sched.unpersist(); per_dom.unpersist()
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--fetch-schedule":
+        fetch_schedule_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--charset":
         charset_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
         return

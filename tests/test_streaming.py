@@ -1487,3 +1487,124 @@ def test_stream_containment_gate_fresh_checkpoint_never_overwrites(
         if n.startswith("epoch=")
     )
     assert post_eps[0] == 0 and len(post_eps) >= 2  # ck1's epoch intact
+
+
+def test_stream_fetch_frontier_paces_across_batches(spark, tmp_path):
+    """Round-9 #6, the politeness loop closed end-to-end: candidate
+    URLs stream in micro-batches; each domain's offsets continue
+    ACROSS batches at its robots.txt crawl delay (batch 2 schedules
+    after batch 1's last fetch + delay), already-scheduled URLs never
+    reschedule, and the schedule is md5-deterministic so replicas
+    agree."""
+    from polars_fastx_spark.functions.robots import parse_crawl_delays
+
+    src = tmp_path / "cand"
+    src.mkdir()
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 10\nDisallow:"),
+            ("fast.org", "User-agent: *\nCrawl-delay: 2\nDisallow:"),
+        ],
+        "domain string, robots_txt string",
+    )
+    delays = parse_crawl_delays(robots, agent="mybot")
+
+    def _batch(name, urls):
+        (tmp_path / "cand" / name).write_text(
+            "\n".join(json.dumps({"url": u}) for u in urls) + "\n"
+        )
+
+    stream = spark.readStream.schema("url string").json(str(src))
+    out, ck = str(tmp_path / "sched"), str(tmp_path / "ck")
+
+    b1 = [f"https://slow.com/p/{i}" for i in range(3)] + [
+        f"https://fast.org/a/{i}" for i in range(2)
+    ]
+    _batch("b0.json", b1)
+    q = sp.stream_fetch_frontier(stream, delays, out, ck, cap=100)
+    q.awaitTermination(120)
+
+    # batch 2: new URLs for both domains + a RESEND of a b1 url + a
+    # domain with no Crawl-delay (default pacing)
+    b2 = [f"https://slow.com/q/{i}" for i in range(2)] + [
+        "https://fast.org/b/0",
+        "https://slow.com/p/0",            # already scheduled: dropped
+        "https://nodelay.net/x",
+    ]
+    _batch("b1.json", b2)
+    q = sp.stream_fetch_frontier(stream, delays, out, ck, cap=100)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(
+            (r["epoch"], r["fetch_offset_s"], r["url"])
+        )
+    # no URL scheduled twice
+    assert len({r["url"] for r in rows}) == len(rows) == 9
+    # slow.com: 3 fetches in b1 at 0/10/20, b2 continues at 30/40
+    slow = sorted(o for _, o, _ in by_dom["slow.com"])
+    assert slow == [0.0, 10.0, 20.0, 30.0, 40.0]
+    # fast.org: 0/2 then 4
+    assert sorted(o for _, o, _ in by_dom["fast.org"]) == [0.0, 2.0, 4.0]
+    # absent domain paces at the default delay from zero
+    assert [o for _, o, _ in by_dom["nodelay.net"]] == [0.0]
+    # per-domain pacing holds across the WHOLE stream: consecutive
+    # offsets are >= the domain's delay apart
+    gaps = [b - a for a, b in zip(slow, slow[1:])]
+    assert all(g >= 10.0 for g in gaps)
+    # replicas agree: recomputing batch 1's schedule from the same
+    # input yields the identical assignment (md5-deterministic, no
+    # state-store dependence)
+    b1_rows = {
+        (r["url"], r["fetch_offset_s"]) for r in rows if r["epoch"] == 0
+    }
+    cand = spark.createDataFrame([(u,) for u in b1], "url string")
+    replica = tmp_path / "replica"
+    sp._fetch_frontier_epoch(cand, 0, delays, str(replica))
+    rep_rows = {
+        (r["url"], r["fetch_offset_s"])
+        for r in spark.read.parquet(str(replica)).collect()
+    }
+    assert rep_rows == b1_rows
+
+
+def test_stream_fetch_frontier_retry_is_idempotent(spark, tmp_path):
+    """An at-least-once retry of an epoch reads only epoch<current
+    history, so it reproduces the first attempt's schedule exactly
+    and overwrites its own dir — no double-scheduling, no pace
+    corruption."""
+    from polars_fastx_spark.functions.robots import parse_crawl_delays
+
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nCrawl-delay: 5\nDisallow:")],
+        "domain string, robots_txt string",
+    )
+    delays = parse_crawl_delays(robots, agent="mybot")
+    out = str(tmp_path / "sched")
+
+    b1 = spark.createDataFrame(
+        [(f"https://d.com/{i}",) for i in range(3)], "url string"
+    )
+    sp._fetch_frontier_epoch(b1, 0, delays, out)
+    first = {
+        (r["url"], r["fetch_offset_s"])
+        for r in spark.read.parquet(out).collect()
+    }
+    b2 = spark.createDataFrame(
+        [("https://d.com/new",), ("https://d.com/0",)], "url string"
+    )
+    sp._fetch_frontier_epoch(b2, 1, delays, out)
+    after = {
+        (r["url"], r["fetch_offset_s"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after == first | {("https://d.com/new", 15.0)}
+    # replay epoch 1: identical final state
+    sp._fetch_frontier_epoch(b2, 1, delays, out)
+    again = {
+        (r["url"], r["fetch_offset_s"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == after

@@ -59,7 +59,7 @@ _PRIORITY = [
     # (robots fragment/octet fixes, PSL full-host fix) lead: the
     # zero-err invariant needs their driver rows this round
     # round-9 additions lead
-    "l_ce_quarantine", "l_manifest_travel",
+    "l_ce_quarantine", "l_manifest_travel", "l_gopher_multilingual",
     "l_charset_decode", "l_gopher_gates", "l_manifest_merge",
     "l_fetch_schedule", "l_span_remove",
     "l_fingerprint", "l_lang_id", "l_token_stats",

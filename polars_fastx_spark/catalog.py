@@ -4078,6 +4078,92 @@ def l_gopher_gates(spark, sf_dir):
     )
 
 
+#: planted lanes for the multilingual gopher stopword rule (round 9):
+#: clean English / German / Portuguese pages (each ≥50 words built
+#: from its language's vocabulary, all other rules passing) plus a
+#: word-salad lane with no stopwords in ANY language. Under the
+#: published English-only list the clean de/pt pages FAIL the
+#: stopword rule; under multilingual_stopwords() only the salad does.
+_GOPHER_ML_LANES: tuple[str, ...] = (
+    _GOPHER_CLEAN * 6 + "doc ",
+    "der hund und die katze ist nicht ein tier zu mit haus baum "
+    "wasser licht " * 5 + "doc ",
+    "não é uma coisa simples você já sabe disso também são mais "
+    "como isso para casa " * 4 + "doc ",
+    "zxqv wqkk pmln brzt gkfd vvrn ttsl ppwa hhjd rrkc mmvn bbsw "
+    "ddql ffzt ggxp " * 5 + "doc ",
+)
+
+
+def _gopher_ml_oracle_sql() -> str:
+    from polars_fastx_spark.operators import gopher as G
+
+    lanes = "\n".join(
+        "WHEN %d THEN '%s' || doc_id" % (i, s.replace("'", "''"))
+        for i, s in enumerate(_GOPHER_ML_LANES)
+    )
+    text_case = f"CASE (doc_id % {len(_GOPHER_ML_LANES)})\n{lanes}\nEND"
+    ml = G.gopher_reasons_sql("text", stopwords=G.multilingual_stopwords())
+    en = G.gopher_reasons_sql("text")
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, (doc_id % {len(_GOPHER_ML_LANES)}) AS lane,
+             {text_case} AS text
+      FROM documents
+    )
+    SELECT doc_id, lane,
+           ({ml} = '') AS passes_ml,
+           {ml} AS reasons_ml,
+           (list_contains(string_split({en}, ','), 'stopwords'))
+             AS en_stopword_fail
+    FROM planted ORDER BY doc_id
+    """
+
+
+@_q(
+    "l_gopher_multilingual",
+    _gopher_ml_oracle_sql(),
+    "L4: MULTILINGUAL required-stopword rule for the Gopher pack "
+    "(operators/gopher.py:multilingual_stopwords — round 9): the "
+    "published English-only stopword list fails every clean non-"
+    "English Latin page (the same English-calibration gap the unseg "
+    "relaxation closes for CJK, one script family over); widening "
+    "the vocabulary to the union of the 11 Latin-tier STOPWORDS "
+    "lists keeps the gate one InSet with no plan change. Planted "
+    "lanes: clean en/de/pt pages + a no-language word salad — under "
+    "multilingual only the salad fails the stopword rule, while the "
+    "en_stopword_fail column proves the de/pt lanes WOULD fail under "
+    "the English-only default; oracle generated from the same "
+    "constants via gopher_reasons_sql(stopwords=...)",
+)
+def l_gopher_multilingual(spark, sf_dir):
+    from polars_fastx_spark.operators import gopher as G
+
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % len(_GOPHER_ML_LANES)
+    text_col = None
+    for i, s in enumerate(_GOPHER_ML_LANES):
+        branch = F.concat(F.lit(s), did)
+        text_col = (F.when(m == i, branch) if text_col is None
+                    else text_col.when(m == i, branch))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", m.alias("lane"), text_col.alias("text")
+    )
+    ml = G.gopher_gates(
+        d, stopwords=G.multilingual_stopwords(),
+        out_pass="passes_ml", out_reasons="reasons_ml",
+    )
+    both = G.gopher_gates(
+        ml, out_pass="__en_pass", out_reasons="__en_reasons"
+    )
+    return both.select(
+        "doc_id", "lane", "passes_ml", "reasons_ml",
+        F.array_contains(
+            F.split(F.col("__en_reasons"), ","), "stopwords"
+        ).alias("en_stopword_fail"),
+    ).orderBy("doc_id")
+
+
 @_q(
     "l_fingerprint",
     "WITH ml AS (SELECT doc_id, (doc_id % 5) AS lane, "

@@ -42,6 +42,26 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
     "the", "be", "to", "of", "and", "that", "have", "with",
 )
 
+
+def multilingual_stopwords() -> tuple[str, ...]:
+    """The required-stopword vocabulary for MULTILINGUAL corpora: the
+    published English list unioned with every Latin-tier language's
+    ``text.STOPWORDS`` list (round-9 extension — en/de/es/fr/pt/it/
+    nl/pl/id/sv/tr). A clean German or Portuguese page has zero hits
+    against the English-only list and fails Gopher's stopword rule —
+    the same English-calibration gap the unseg relaxation closes for
+    CJK, one script-family over. Sorted-deduped so the Spark InSet
+    and the generated SQL enumerate identically. Pass as
+    ``gopher_gates(stopwords=multilingual_stopwords())``; the default
+    stays the published English constants."""
+    from polars_fastx_spark.operators.text import STOPWORDS
+
+    pool = set(GOPHER_STOPWORDS)
+    for lang, words in STOPWORDS.items():
+        if lang != "zh":  # unsegmented scripts take the unseg path
+            pool.update(words)
+    return tuple(sorted(pool))
+
 #: every numeric knob of the rule pack, in one place — the SQL
 #: generator reads the SAME dict, and callers override per-corpus.
 THRESHOLDS: dict[str, float] = {
@@ -107,7 +127,12 @@ def _count_occurrences(col: Column, needle: str) -> Column:
     ) / len(needle)
 
 
-def _metrics_of(col: Column, toks: Column, lines: Column) -> dict[str, Column]:
+def _metrics_of(
+    col: Column,
+    toks: Column,
+    lines: Column,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> dict[str, Column]:
     """The metric dict over ALREADY-BOUND token/line arrays — callers
     must let-bind ``toks``/``lines`` (see :func:`gopher_gates`):
     Spark inlines a referenced expression at every use site, and the
@@ -125,7 +150,7 @@ def _metrics_of(col: Column, toks: Column, lines: Column) -> dict[str, Column]:
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RX)))
     n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RX)))
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike(_ALPHA_RX)))
-    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw = F.array(*[F.lit(w) for w in stopwords])
     sw_hits = F.size(
         F.array_intersect(F.transform(toks, lambda t: F.lower(t)), sw)
     )
@@ -145,13 +170,15 @@ def _metrics_of(col: Column, toks: Column, lines: Column) -> dict[str, Column]:
     }
 
 
-def gopher_metrics(c: Column | str) -> dict[str, Column]:
+def gopher_metrics(
+    c: Column | str, stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+) -> dict[str, Column]:
     """Every metric the rule table consumes, as pure Columns over one
     text column — the introspection/debug surface (each metric
     standalone re-tokenizes; the GATE goes through the let-bound
     single-tokenization path in :func:`gopher_gates`)."""
     col = F.coalesce(_col(c), F.lit(""))
-    return _metrics_of(col, tokens(col), F.split(col, "\n"))
+    return _metrics_of(col, tokens(col), F.split(col, "\n"), stopwords)
 
 
 def _passes(metric: Column, op: str, threshold) -> Column:
@@ -167,6 +194,7 @@ def gopher_gates(
     out_reasons: str = "fail_reasons",
     thresholds: dict[str, float] | None = None,
     unseg_relax: bool = True,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> DataFrame:
     """``df`` + boolean ``out_pass`` + ``out_reasons`` (comma-joined
     failed-rule names in :data:`RULES` order, '' when clean). One
@@ -176,7 +204,11 @@ def gopher_gates(
     for corpus-quality dashboards. ``unseg_relax`` (default) skips
     :data:`UNSEG_RELAXED_RULES` for documents containing
     unsegmented-script runs — without it every clean CJK/Thai page
-    fails the English-calibrated word-length and stopword rules."""
+    fails the English-calibrated word-length and stopword rules.
+    ``stopwords`` widens the required-stopword vocabulary (pass
+    :func:`multilingual_stopwords` on mixed-language corpora — the
+    Latin-script analog of the unseg relaxation; still one InSet, no
+    plan change)."""
     from polars_fastx_spark.functions.exprs import let
     from polars_fastx_spark.operators.text import UNSEG_CLASS_BODY
 
@@ -188,7 +220,7 @@ def gopher_gates(
 
     def with_toks(toks: Column) -> Column:
         def with_lines(lines: Column) -> Column:
-            m = _metrics_of(col, toks, lines)
+            m = _metrics_of(col, toks, lines, stopwords)
             verdicts = []
             for name, metric, op, key in RULES:
                 ok = _passes(m[metric], op, th[key])
@@ -211,7 +243,9 @@ def gopher_gates(
 # ---------------------------------------------------------------- SQL
 
 
-def gopher_metrics_sql(expr: str) -> dict[str, str]:
+def gopher_metrics_sql(
+    expr: str, stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+) -> dict[str, str]:
     """DuckDB twins of :func:`gopher_metrics`, generated from the
     same constants."""
     col = f"coalesce({expr}, '')"
@@ -219,7 +253,7 @@ def gopher_metrics_sql(expr: str) -> dict[str, str]:
     bullet = _BULLET_RX.replace("'", "''")
     ellipsis = _ELLIPSIS_RX.replace("'", "''")
     alpha = _ALPHA_RX.replace("'", "''")
-    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    sw = ", ".join(f"'{w}'" for w in stopwords)
     n_words = f"len({toks})"
     nz = f"nullif({n_words}, 0)"
     total_len = f"list_sum(list_transform({toks}, t -> length(t)))"
@@ -262,6 +296,7 @@ def gopher_reasons_sql(
     expr: str,
     thresholds: dict[str, float] | None = None,
     unseg_relax: bool = True,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> str:
     """DuckDB expression for the comma-joined failed-rule list —
     generated from :data:`RULES` + :data:`THRESHOLDS` (+ the
@@ -270,7 +305,7 @@ def gopher_reasons_sql(
     from polars_fastx_spark.operators.text import UNSEG_CLASS_BODY
 
     th = {**THRESHOLDS, **(thresholds or {})}
-    m = gopher_metrics_sql(expr)
+    m = gopher_metrics_sql(expr, stopwords)
     unseg_cls = f"[{UNSEG_CLASS_BODY}]".replace("'", "''")
     is_unseg = (
         f"regexp_matches(coalesce({expr}, ''), '{unseg_cls}')"

@@ -174,3 +174,48 @@ def test_unseg_relaxation(spark):
         f"SELECT {G.gopher_reasons_sql('text')} AS r FROM x"
     )
     assert duckdb.sql(sql).fetchone()[0] == ""
+
+
+def test_multilingual_stopword_vocabulary(spark):
+    """Round-9: a clean German page fails the published English-only
+    stopword rule; multilingual_stopwords() — the union of the
+    11-language Latin STOPWORDS tier — passes it, while word salad
+    with no language's stopwords still fails. The SQL twin widens
+    from the same constants."""
+    de = (
+        "der hund und die katze ist nicht ein tier zu mit haus baum "
+        "wasser licht " * 5
+    )
+    salad = (
+        "zxqv wqkk pmln brzt gkfd vvrn ttsl ppwa hhjd rrkc mmvn bbsw "
+        "ddql ffzt ggxp " * 5
+    )
+    df = spark.createDataFrame(
+        [(1, de), (2, salad)], "id long, text string"
+    )
+    en_only = {
+        r["id"]: r["fail_reasons"] for r in G.gopher_gates(df).collect()
+    }
+    assert "stopwords" in en_only[1]
+    ml = {
+        r["id"]: (r["passes_quality"], r["fail_reasons"])
+        for r in G.gopher_gates(
+            df, stopwords=G.multilingual_stopwords()
+        ).collect()
+    }
+    assert ml[1] == (True, "")
+    assert ml[2][0] is False and "stopwords" in ml[2][1]
+    # the vocabulary is sorted-deduped and contains both tiers
+    v = G.multilingual_stopwords()
+    assert list(v) == sorted(set(v))
+    assert "the" in v and "der" in v and "não" in v and "och" in v
+    assert "的" not in v  # unsegmented scripts take the unseg path
+    # SQL twin widens identically
+    import duckdb
+
+    sql = (
+        "WITH x(id, text) AS (VALUES (1, '" + de + "')) "
+        f"SELECT {G.gopher_reasons_sql('text', stopwords=G.multilingual_stopwords())}"
+        " AS r FROM x"
+    )
+    assert duckdb.sql(sql).fetchone()[0] == ""

@@ -287,3 +287,50 @@ def test_quarantine_observability_form(spark):
         1: (False, "good"), 2: (True, None),
         3: (False, "also good"), 4: (True, None),
     }
+
+
+def test_stream_warc_surfaces_residual_content_encoding(spark, tmp_path):
+    """The streaming WARC source shares the batch parser, so the
+    content_encoding residual (and the quarantine predicate over it)
+    reaches live-ingest pipelines identically: a br body streams with
+    its raw bytes + 'br', a gzip body streams decoded + NULL."""
+    from polars_fastx_spark.functions.charset import undecoded_flag
+    from polars_fastx_spark.streaming.warc_stream import stream_warc
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    br_bytes = bytes(range(256)) * 4
+    warc.write_warc(
+        str(src / "a.warc.gz"),
+        [
+            warc.render_warc_record(
+                "<urn:uuid:sq-0>", "response", "https://a.com/gz",
+                "2026-08-15T00:00:00Z",
+                _http_block(_gzip.compress(BODY), "Content-Encoding: gzip"),
+            ),
+            warc.render_warc_record(
+                "<urn:uuid:sq-1>", "response", "https://a.com/br",
+                "2026-08-15T00:00:00Z",
+                _http_block(br_bytes, "Content-Encoding: br"),
+            ),
+        ],
+    )
+    out = tmp_path / "mem"
+    q = (
+        stream_warc(spark, str(src))
+        .withColumn("q", undecoded_flag())
+        .writeStream.format("memory")
+        .queryName("warc_ce_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["target_uri"]: (bytes(r["payload"]), r["content_encoding"], r["q"])
+        for r in spark.sql("SELECT * FROM warc_ce_stream").collect()
+    }
+    assert rows["https://a.com/gz"] == (BODY, None, False)
+    assert rows["https://a.com/br"] == (br_bytes, "br", True)

@@ -261,26 +261,50 @@ def lang_id(c: Column | str) -> Column:
         branch = F.when(cond, F.lit(lang))
         script = branch if script is None else script.when(cond, F.lit(lang))
 
-    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    from polars_fastx_spark.functions.exprs import let
 
-    def _hits(words: tuple[str, ...]) -> Column:
-        # factory (not a default-arg lambda): Spark binds extra lambda
-        # params to the array index, so closures must be real closures
-        sw = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    def _vote(toks: Column) -> Column:
+        # toks is LET-BOUND: the scored array references the token
+        # list once per language, and Spark inlines a referenced
+        # expression at every use site — unbound, tokenization ran
+        # len(STOPWORDS) times per row, which the round-9 catalog
+        # diff caught the moment the Latin tier grew 5 -> 12 lists
+        # (the gopher-pack lesson, one operator over)
+        def _hits(words: tuple[str, ...]) -> Column:
+            # factory (not a default-arg lambda): Spark binds extra
+            # lambda params to the array index, so closures must be
+            # real closures
+            sw = F.array(*[F.lit(w) for w in words])
+            return F.size(
+                F.filter(toks, lambda t: F.array_contains(sw, t))
+            )
 
-    scored = F.array(
-        *[
-            F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
-            for lang, words in sorted(STOPWORDS.items())
-        ]
-    )
-    top_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
-    first_best = F.element_at(
-        F.filter(scored, lambda s: s["hits"] == top_hits), 1
-    )["lang"]
-    stopword_vote = F.when(top_hits > 0, first_best).otherwise(
-        F.lit("und")
+        scored_expr = F.array(
+            *[
+                F.struct(
+                    _hits(words).alias("hits"), F.lit(lang).alias("lang")
+                )
+                for lang, words in sorted(STOPWORDS.items())
+            ]
+        )
+
+        def _argmax(scored: Column) -> Column:
+            # scored let-bound too: top_hits + the argmax filter read
+            # it twice
+            top_hits = F.array_max(
+                F.transform(scored, lambda s: s["hits"])
+            )
+            first_best = F.element_at(
+                F.filter(scored, lambda s: s["hits"] == top_hits), 1
+            )["lang"]
+            return F.when(top_hits > 0, first_best).otherwise(
+                F.lit("und")
+            )
+
+        return let(scored_expr, _argmax)
+
+    stopword_vote = let(
+        F.transform(tokens(c), lambda t: F.lower(t)), _vote
     )
     return F.coalesce(script, stopword_vote)
 

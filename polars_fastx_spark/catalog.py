@@ -12145,6 +12145,88 @@ def l_manifest_travel(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: private manifest table for the ZONE-MAP data-skipping lane: range
+#: bucketing (bucket = doc_id div 20) makes the per-partition doc_id
+#: [min,max] maps disjoint, so a range_filter read opens only the
+#: overlapping buckets (pruning decision pytest-pinned at the
+#: manifest level); the lifecycle (create with stats_cols → upsert)
+#: proves the maps are MAINTAINED, and the oracle recomputes the
+#: final filtered state from scratch.
+_MANIFEST_SKIP: dict = {}
+
+
+def _manifest_skip_table(spark, sf_dir):
+    import tempfile
+
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _MANIFEST_SKIP.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_manifest_zm_")
+        _MANIFEST_SKIP[sf_dir] = path
+    if mf.current_version(spark, path) is None:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.col("doc_id") / 20).cast("long").cast("string")
+            .alias("bucket"),
+            "n_chars",
+        )
+        base = docs.withColumn("rev", F.lit(1000).cast("long"))
+        mf.create_table(
+            spark, path, base, "bucket", stats_cols=["doc_id", "n_chars"]
+        )
+        batch = (
+            docs.filter(F.col("doc_id") % 10 == 3)
+            .withColumn("n_chars", F.col("n_chars") + 5)
+            .withColumn("rev", F.lit(2000).cast("long"))
+        )
+        mf.upsert_table(spark, path, batch, ["doc_id"], "rev")
+    return path
+
+
+def _prep_manifest_skip(spark, sf_dir):
+    _manifest_skip_table(spark, sf_dir)
+
+
+@_q(
+    "l_manifest_skip",
+    """
+    SELECT doc_id,
+      CASE WHEN doc_id % 10 = 3 THEN n_chars + 5
+           ELSE n_chars END AS n_chars,
+      CASE WHEN doc_id % 10 = 3 THEN 2000
+           ELSE 1000 END::BIGINT AS rev
+    FROM documents
+    WHERE doc_id BETWEEN 15 AND 64
+    ORDER BY doc_id
+    """,
+    "L-write: ZONE-MAP data skipping on manifest tables (operators/"
+    "manifest.py — round 9): create_table(stats_cols=[…]) records "
+    "each partition's [min,max] per column in the manifest (one "
+    "map-side aggregate at commit), upsert/delete/compaction "
+    "maintain the maps for touched partitions, and "
+    "read_table(range_filter={col: (lo, hi)}) prunes whole "
+    "partitions that cannot match BEFORE any file opens — the "
+    "Iceberg/Delta skipping idea at manifest granularity, with the "
+    "row predicate still applied so results are exact whether or "
+    "not stats exist. The lifecycle here range-buckets doc_id, "
+    "upserts a batch (maps re-aggregate), then reads doc_id∈[15,64]; "
+    "the oracle recomputes the filtered final state from scratch — "
+    "the pruning DECISION (only overlapping buckets open) is "
+    "pytest-pinned at the manifest level",
+    prepare=_prep_manifest_skip
+)
+def l_manifest_skip(spark, sf_dir):
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _manifest_skip_table(spark, sf_dir)
+    return (
+        mf.read_table(spark, path, range_filter={"doc_id": (15, 64)})
+        .select("doc_id", "n_chars", "rev")
+        .orderBy("doc_id")
+    )
+
+
 def _prep_ann_sync_fp(spark, sf_dir):
     old, _ = _ann_sync_snapshots(spark, sf_dir)
     _ann_private_index(spark, sf_dir, "syncfp", old)

@@ -132,6 +132,59 @@ def _stage_version(
     return out
 
 
+def _json_bound(v):
+    """A min/max bound as a JSON-storable value: native JSON scalars
+    pass through (so numeric range pruning compares numbers), richer
+    types (timestamps, decimals) stringify — their pruning falls back
+    to the conservative keep when a probe value's type mismatches."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
+def _partition_stats(
+    df: DataFrame, partition_col: str, stats_cols: list[str]
+) -> dict:
+    """Per-partition zone maps: {partition value str: {col: [min,
+    max]}} for ``stats_cols`` — one map-side-combining aggregate (one
+    output row per partition, the same bounded-collect contract as
+    the ``touched`` lists)."""
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    out: dict = {}
+    for r in df.groupBy(
+        F.col(partition_col).alias("__pv")
+    ).agg(*aggs).collect():
+        key = (
+            "__HIVE_DEFAULT_PARTITION__" if r["__pv"] is None
+            else str(r["__pv"])
+        )
+        out[key] = {
+            c: [_json_bound(r[f"__mn_{c}"]), _json_bound(r[f"__mx_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def _range_overlaps(bounds, lo, hi) -> bool:
+    """May a partition whose [min, max] is ``bounds`` contain a row
+    in [lo, hi]? Conservative: unknown stats, NULL bounds, or
+    incomparable types keep the partition."""
+    if not bounds:
+        return True
+    mn, mx = bounds
+    try:
+        if hi is not None and mn is not None and mn > hi:
+            return False
+        if lo is not None and mx is not None and mx < lo:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
 def _commit(
     spark: SparkSession,
     path: str,
@@ -151,15 +204,60 @@ def create_table(
     path: str,
     df: DataFrame,
     partition_col: str,
+    stats_cols: list[str] | None = None,
 ) -> int:
-    """Initialize a manifest table from ``df``; returns version 1."""
-    parts = _stage_version(spark, path, df, partition_col, 1)
-    _commit(spark, path, {
+    """Initialize a manifest table from ``df``; returns version 1.
+
+    ``stats_cols`` turns on ZONE MAPS: every commit records each
+    partition's [min, max] per named column in the manifest (one
+    map-side aggregate at write time), and
+    ``read_table(range_filter=...)`` prunes whole partitions whose
+    range cannot contain a match BEFORE any file is opened — the
+    Iceberg/Delta data-skipping idea at manifest granularity. The
+    column set is a table property: upsert/delete/compaction maintain
+    the stats for every touched partition automatically."""
+    man: dict = {
         "version": 1,
         "partition_col": partition_col,
-        "partitions": parts,
-    })
+        "partitions": _stage_version(spark, path, df, partition_col, 1),
+    }
+    if stats_cols:
+        man["stats_cols"] = list(stats_cols)
+        man["stats"] = _partition_stats(df, partition_col, list(stats_cols))
+    _commit(spark, path, man)
     return 1
+
+
+def _select_partitions(
+    man: dict,
+    partition_values: list | None = None,
+    range_filter: dict | None = None,
+) -> dict[str, str]:
+    """The {dir_name: rel} subset of the manifest a read must open —
+    named-partition selection plus zone-map range pruning, both
+    decided from the manifest alone (module-level so the pruning
+    decision is directly testable without touching storage)."""
+    wanted = None
+    if partition_values is not None:
+        wanted = {
+            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            for v in partition_values
+        }
+    stats = man.get("stats", {})
+    out: dict[str, str] = {}
+    for dir_name, rel in man["partitions"].items():
+        val = _unescape_path_name(dir_name.split("=", 1)[1])
+        if wanted is not None and val not in wanted:
+            continue
+        if range_filter:
+            pstats = stats.get(val, {})
+            if not all(
+                _range_overlaps(pstats.get(c), lo, hi)
+                for c, (lo, hi) in range_filter.items()
+            ):
+                continue
+        out[dir_name] = rel
+    return out
 
 
 def read_table(
@@ -167,6 +265,7 @@ def read_table(
     path: str,
     partition_values: list | None = None,
     version: int | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """The committed snapshot as a DataFrame. ``partition_values``
     prunes AT THE MANIFEST — only the named partitions' dirs are ever
@@ -176,19 +275,28 @@ def read_table(
     ``version=N`` time-travels: reads the snapshot manifest ``v<N>``
     committed, regardless of what ``_CURRENT`` says now (the version
     must not have been vacuumed — see :func:`vacuum`'s
-    ``keep_versions``)."""
+    ``keep_versions``).
+
+    ``range_filter={col: (lo, hi)}`` (``None`` = unbounded on that
+    side) does ZONE-MAP data skipping on a table created with
+    ``stats_cols``: partitions whose recorded [min, max] cannot
+    contain a match are never opened, and the surviving frame ALSO
+    applies the row-level predicate, so the result is exact whether
+    or not stats exist — stats only decide how much is read, never
+    what is true."""
     man = read_manifest(spark, path, version=version)
-    wanted = None
-    if partition_values is not None:
-        wanted = {
-            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-            for v in partition_values
-        }
+    selected = _select_partitions(man, partition_values, range_filter)
+
+    def _with_range(df: DataFrame) -> DataFrame:
+        for c, (lo, hi) in (range_filter or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
     by_version: dict[str, list[str]] = {}
-    for dir_name, rel in man["partitions"].items():
-        val = _unescape_path_name(dir_name.split("=", 1)[1])
-        if wanted is not None and val not in wanted:
-            continue
+    for dir_name, rel in selected.items():
         base = rel.rsplit("/", 1)[0]  # data/v<K>
         by_version.setdefault(base, []).append(f"{path}/{rel}")
     frames = [
@@ -205,11 +313,11 @@ def read_table(
         schema_frame = spark.read.option(
             "basePath", f"{path}/{base}"
         ).parquet(f"{path}/{any_rel}")
-        return schema_frame.limit(0)
+        return _with_range(schema_frame.limit(0))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return _with_range(out)
 
 
 def upsert_table(
@@ -312,11 +420,31 @@ def _commit_delta(
     for d, rel in staged.items():
         if _unescape_path_name(d.split("=", 1)[1]) in touched_names:
             parts[d] = rel
-    _commit(spark, path, {
+    next_man = {
         "version": version,
         "partition_col": pcol,
         "partitions": parts,
-    })
+    }
+    stats_cols = man.get("stats_cols")
+    if stats_cols:
+        # zone maps are a table property: untouched partitions keep
+        # their recorded ranges, touched ones re-aggregate from the
+        # staged content (dropped partitions drop their stats with
+        # their dir)
+        live_vals = {
+            _unescape_path_name(d.split("=", 1)[1]) for d in parts
+        }
+        stats = {
+            v: s for v, s in man.get("stats", {}).items()
+            if v not in touched_names and v in live_vals
+        }
+        fresh = _partition_stats(new_rows, pcol, stats_cols)
+        for v, s in fresh.items():
+            if v in touched_names and v in live_vals:
+                stats[v] = s
+        next_man["stats_cols"] = stats_cols
+        next_man["stats"] = stats
+    _commit(spark, path, next_man)
     return version
 
 
@@ -334,12 +462,16 @@ def rollback(spark: SparkSession, path: str, version: int) -> int:
     man = read_manifest(spark, path)  # current — for the next number
     target = read_manifest(spark, path, version=version)
     new_version = man["version"] + 1
-    _commit(spark, path, {
+    next_man = {
         "version": new_version,
         "partition_col": target["partition_col"],
         "partitions": dict(target["partitions"]),
         "rollback_of": int(version),
-    })
+    }
+    if "stats_cols" in target:  # zone maps travel with the snapshot
+        next_man["stats_cols"] = target["stats_cols"]
+        next_man["stats"] = dict(target.get("stats", {}))
+    _commit(spark, path, next_man)
     return new_version
 
 

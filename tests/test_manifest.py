@@ -411,3 +411,87 @@ def test_vacuum_keep_versions_bounds_the_time_travel_window(
         M.read_table(spark, path, version=1)
     with pytest.raises(ValueError):
         M.vacuum(spark, path, keep_versions=0)
+
+
+def test_zone_map_stats_prune_and_stay_exact(spark, tmp_path):
+    """stats_cols records per-partition [min,max] zone maps in the
+    manifest; read_table(range_filter=...) skips partitions that
+    cannot match BEFORE opening any file (decision pinned via
+    _select_partitions — manifest-only), and the surviving frame
+    still applies the row predicate, so results are exact."""
+    path = str(tmp_path / "t")
+    # range-partitioned ids: bucket b holds ids [100b, 100b+99]
+    df = spark.range(400).selectExpr(
+        "id", "CAST(id DIV 100 AS STRING) AS part", "id * 2 AS val"
+    )
+    M.create_table(spark, path, df, "part", stats_cols=["id", "val"])
+    man = M.read_manifest(spark, path)
+    assert man["stats_cols"] == ["id", "val"]
+    assert man["stats"]["0"]["id"] == [0, 99]
+    assert man["stats"]["3"]["val"] == [600, 798]
+    # pruning decision, manifest-only: a probe inside bucket 1
+    sel = M._select_partitions(man, range_filter={"id": (150, 160)})
+    assert set(sel) == {"part=1"}
+    # half-open ranges
+    assert set(M._select_partitions(
+        man, range_filter={"id": (250, None)})) == {"part=2", "part=3"}
+    assert set(M._select_partitions(
+        man, range_filter={"val": (None, 150)})) == {"part=0"}
+    # conjunction across columns prunes to the intersection
+    assert set(M._select_partitions(
+        man, range_filter={"id": (None, 250), "val": (590, None)}
+    )) == {"part=2"}
+    # and the READ is exact: same rows as a full-scan filter
+    got = sorted(
+        r["id"] for r in M.read_table(
+            spark, path, range_filter={"id": (95, 105)}
+        ).collect()
+    )
+    assert got == list(range(95, 106))
+    # no-match range: empty frame, schema intact
+    none = M.read_table(spark, path, range_filter={"id": (1000, 2000)})
+    assert none.count() == 0 and "val" in none.columns
+
+
+def test_zone_maps_maintained_by_upsert_delete_rollback(spark, tmp_path):
+    """The stats are a table property: upsert re-aggregates touched
+    partitions, untouched ranges persist, a fully-deleted partition
+    drops its stats, and rollback restores the target snapshot's
+    maps. A table created WITHOUT stats never prunes (range_filter
+    still filters rows, conservatively reading everything)."""
+    path = str(tmp_path / "t")
+    df = spark.range(200).selectExpr(
+        "id", "CAST(id DIV 100 AS STRING) AS part", "CAST(1 AS LONG) AS rev"
+    )
+    M.create_table(spark, path, df, "part", stats_cols=["id"])
+    # upsert pushes bucket 1's max id out
+    up = spark.createDataFrame(
+        [(500, "1", 2)], "id long, part string, rev long"
+    )
+    M.upsert_table(spark, path, up, ["id"], "rev")
+    man = M.read_manifest(spark, path)
+    assert man["stats"]["1"]["id"] == [100, 500]
+    assert man["stats"]["0"]["id"] == [0, 99]  # untouched persisted
+    # the widened range is now reachable by a pruned read
+    got = {r["id"] for r in M.read_table(
+        spark, path, range_filter={"id": (400, None)}).collect()}
+    assert got == {500}
+    # delete everything in bucket 0 -> its stats entry goes with it
+    keys = spark.range(100).selectExpr("id", "'0' AS part")
+    M.delete_keys_table(spark, path, keys, ["id"])
+    man2 = M.read_manifest(spark, path)
+    assert "0" not in man2["stats"] and "part=0" not in man2["partitions"]
+    # rollback to v1 restores the original zone maps
+    M.rollback(spark, path, 1)
+    man3 = M.read_manifest(spark, path)
+    assert man3["stats"]["1"]["id"] == [100, 199]
+    assert man3["stats"]["0"]["id"] == [0, 99]
+    # stats-less table: no pruning, exact rows
+    path2 = str(tmp_path / "t2")
+    M.create_table(spark, path2, df, "part")
+    man4 = M.read_manifest(spark, path2)
+    assert len(M._select_partitions(
+        man4, range_filter={"id": (0, 1)})) == len(man4["partitions"])
+    got2 = sorted(r["id"] for r in M.read_table(
+        spark, path2, range_filter={"id": (10, 12)}).collect())
+    assert got2 == [10, 11, 12]

@@ -4258,6 +4258,20 @@ def _lang_id_oracle() -> str:
     (Spark folds the scored array in sorted(STOPWORDS) order and
     takes the first maximum — identical to ORDER BY hits DESC, lang
     ASC)."""
+    return _lang_vote_cte() + """
+    SELECT pred_lang, count(*) AS n
+    FROM voted
+    GROUP BY 1
+    ORDER BY pred_lang NULLS FIRST
+    """
+
+
+def _lang_vote_cte() -> str:
+    """The shared CTE chain replaying text.lang_id over the 12-lane
+    fixture, ending in ``voted(doc_id, text, tk, pred_lang)`` — one
+    row per document with its decided language, consumed by both the
+    distribution tail (l_lang_id) and the corpus-report tail
+    (l_lang_report)."""
     rows = ", ".join(
         "('%s', [%s])"
         % (lang, ", ".join("'%s'" % w for w in words))
@@ -4273,29 +4287,29 @@ def _lang_id_oracle() -> str:
       SELECT doc_id, text, {script} AS script_lang FROM ml
     ),
     toks AS (
-      SELECT doc_id, script_lang,
+      SELECT doc_id, text, script_lang,
              list_transform({toks}, t -> lower(t)) AS tk
       FROM sc
     ),
     scored AS (
-      SELECT doc_id, script_lang, lang,
+      SELECT doc_id, text, tk, script_lang, lang,
              len(list_filter(tk, t -> list_contains(sw, t))) AS hits
       FROM toks CROSS JOIN (VALUES {rows}) AS langs(lang, sw)
     ),
     ranked AS (
-      SELECT doc_id, script_lang, lang, hits,
+      SELECT doc_id, text, tk, script_lang, lang, hits,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY hits DESC, lang ASC) AS rn,
              max(hits) OVER (PARTITION BY doc_id) AS mx
       FROM scored
+    ),
+    voted AS (
+      SELECT doc_id, text, tk,
+             coalesce(script_lang,
+                      CASE WHEN mx > 0 THEN lang ELSE 'und' END)
+               AS pred_lang
+      FROM ranked WHERE rn = 1
     )
-    SELECT coalesce(script_lang,
-                    CASE WHEN mx > 0 THEN lang ELSE 'und' END)
-             AS pred_lang,
-           count(*) AS n
-    FROM ranked WHERE rn = 1
-    GROUP BY 1
-    ORDER BY pred_lang NULLS FIRST
     """
 
 
@@ -4320,6 +4334,47 @@ def l_lang_id(spark, sf_dir):
         d.select(text.lang_id("text").alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n"))
+        .orderBy(F.col("pred_lang").asc_nulls_first())
+    )
+
+
+@_q(
+    "l_lang_report",
+    _lang_vote_cte() + """
+    SELECT pred_lang, count(*) AS n_docs,
+           sum(len(tk))::BIGINT AS total_tokens,
+           sum(length(text))::BIGINT AS total_chars
+    FROM voted
+    GROUP BY 1
+    ORDER BY pred_lang NULLS FIRST
+    """,
+    "L4: per-language CORPUS REPORT (round 9) — the dashboard a "
+    "multilingual-corpus owner actually reads: documents classify "
+    "through the full lang_id chain (script tier + 11-language "
+    "Latin stopword vote), then per predicted language the doc "
+    "count, unicode-aware token volume (CJK bigrams — whitespace "
+    "counts would make the zh lane one token per doc) and char "
+    "volume aggregate in one pass; the old 4-language tier lumped "
+    "pt/it/nl/pl/id/sv/tr into 'und', under-reporting exactly the "
+    "per-language budgets this table exists to track; oracle shares "
+    "the l_lang_id vote CTE (one generator, two tails)",
+)
+def l_lang_report(spark, sf_dir):
+    d = _tp(spark, sf_dir, "documents").select(
+        "doc_id", _lang_fixture_text().alias("text")
+    )
+    return (
+        d.select(
+            text.lang_id("text").alias("pred_lang"),
+            text.token_count("text").alias("__tok"),
+            text.char_count("text").alias("__ch"),
+        )
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.sum("__ch").alias("total_chars"),
+        )
         .orderBy(F.col("pred_lang").asc_nulls_first())
     )
 

@@ -3217,6 +3217,85 @@ def l_fetch_schedule(spark, sf_dir):
 
 
 @_q(
+    "l_recrawl_schedule",
+    """
+    WITH crawled AS (
+      SELECT doc_id,
+        'https://s' || (doc_id % 3) || '.net/p/' || doc_id AS url,
+        (1000 + doc_id)::BIGINT AS fetched_at
+      FROM documents
+    ),
+    entries AS (
+      SELECT 'https://s' || (doc_id % 3) || '.net/p/' || doc_id AS url,
+        (1000 + doc_id
+          + CASE WHEN doc_id % 4 = 0 THEN 7 ELSE -7 END)::BIGINT
+          AS lastmod
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stale AS (
+      SELECT c.doc_id, c.url, c.fetched_at, e.lastmod,
+             's' || (c.doc_id % 3) || '.net' AS domain
+      FROM crawled c JOIN entries e USING (url)
+      WHERE e.lastmod > c.fetched_at
+    ),
+    sched AS (
+      SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY md5(url), url) AS rn,
+        CASE WHEN domain = 's0.net' THEN 5.0 ELSE 1.0 END AS delay
+      FROM stale
+    )
+    SELECT doc_id, url, domain, lastmod,
+           round((rn - 1) * delay, 3) AS fetch_offset_s
+    FROM sched ORDER BY doc_id
+    """,
+    "L-crawl: RECRAWL scheduling (functions/sitemaps.py:"
+    "recrawl_candidates/recrawl_schedule — round 9): sitemap_seeds "
+    "covers DISCOVERY (its anti-join keeps only never-crawled URLs), "
+    "this covers the other half — already-crawled pages whose "
+    "sitemap lastmod moved past the recorded fetch time re-enter the "
+    "fetch queue; one url-key equi-join + row-local compare (NULL "
+    "lastmod never recrawls), then the SAME politeness contract as "
+    "the discovery frontier (fetch_schedule: md5-deterministic "
+    "per-domain order, (k-1)*crawl_delay offsets), so one fetch loop "
+    "drains both queues with one discipline. Planted: even doc_ids "
+    "carry sitemap entries, %4==0 are stale (+7) and the rest moved "
+    "backwards (-7, never recrawled); s0.net is delay-5.0, others "
+    "default; oracle replays join + staleness + schedule",
+)
+def l_recrawl_schedule(spark, sf_dir):
+    from polars_fastx_spark.functions import sitemaps as sm
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".net/p/"), did,
+    )
+    crawled = docs.select(
+        "doc_id", url.alias("url"),
+        (F.lit(1000) + F.col("doc_id")).cast("long").alias("fetched_at"),
+    )
+    entries = docs.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"),
+        (
+            F.lit(1000) + F.col("doc_id")
+            + F.when(F.col("doc_id") % 4 == 0, 7).otherwise(-7)
+        ).cast("long").alias("lastmod"),
+    )
+    delays = spark.createDataFrame(
+        [("s0.net", 5.0)], "domain string, crawl_delay double"
+    )
+    return (
+        sm.recrawl_schedule(crawled, entries, delays, default_delay=1.0)
+        .select(
+            "doc_id", "url", "domain", "lastmod",
+            F.round("fetch_offset_s", 3).alias("fetch_offset_s"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "l_domain_cap",
     """
     WITH u AS (

@@ -132,3 +132,60 @@ def sitemap_seeds(
     if robots is not None:
         seeds = robots_gate(seeds, robots, url_col=url_col, agent=agent)
     return seeds
+
+
+def recrawl_candidates(
+    crawled: DataFrame,
+    entries: DataFrame,
+    url_col: str = "url",
+    fetched_col: str = "fetched_at",
+    lastmod_col: str = "lastmod",
+) -> DataFrame:
+    """Already-crawled URLs whose sitemap ``lastmod`` moved past the
+    recorded fetch time — the RECRAWL half of the sitemap signal
+    (:func:`sitemap_seeds` is the discovery half: its anti-join keeps
+    only never-crawled URLs, so changed-but-known pages were
+    invisible to the loop until this). One equi-join on the url key
+    (both sides corpus-sized → key shuffle) + one row-local compare;
+    output = the ``crawled`` row plus ``lastmod``. The two columns
+    must be mutually comparable — ISO-8601 strings compare correctly
+    as strings (the sitemap wire format), epoch numbers as numbers;
+    NULL lastmod (sitemap didn't say) never triggers a recrawl."""
+    e = (
+        entries.select(F.col(url_col), F.col(lastmod_col))
+        .groupBy(url_col)
+        .agg(F.max(lastmod_col).alias(lastmod_col))
+    )
+    return crawled.join(e, url_col, "inner").filter(
+        F.col(lastmod_col) > F.col(fetched_col)
+    )
+
+
+def recrawl_schedule(
+    crawled: DataFrame,
+    entries: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    fetched_col: str = "fetched_at",
+    lastmod_col: str = "lastmod",
+    cap: int | None = None,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """The full recrawl loop in one call: stale candidates
+    (:func:`recrawl_candidates`) → optional per-domain politeness
+    budget (``urls.domain_cap``) → Crawl-delay pacing
+    (``robots.fetch_schedule``). Returns the candidates with
+    ``domain`` and ``fetch_offset_s`` — the same schedule contract as
+    the discovery frontier, so a fetch loop drains both queues with
+    one discipline."""
+    from polars_fastx_spark.functions.robots import fetch_schedule
+    from polars_fastx_spark.functions.urls import domain_cap
+
+    cand = recrawl_candidates(
+        crawled, entries, url_col, fetched_col, lastmod_col
+    )
+    if cap is not None:
+        cand = domain_cap(cand, url_col, cap=cap)
+    return fetch_schedule(
+        cand, delays, url_col=url_col, default_delay=default_delay
+    )

@@ -108,3 +108,55 @@ def test_plan_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_recrawl_candidates_and_schedule(spark):
+    """Round-9: the recrawl half of the sitemap signal — lastmod past
+    the fetch time re-queues a KNOWN url (discovery's anti-join made
+    those invisible), NULL/absent/backdated lastmod never does,
+    duplicate entries take the max lastmod, and the schedule output
+    follows the fetch_schedule politeness contract."""
+    from polars_fastx_spark.functions import sitemaps as sm
+
+    crawled = spark.createDataFrame(
+        [
+            ("https://a.net/stale", 100),
+            ("https://a.net/fresh", 100),
+            ("https://a.net/nolastmod", 100),
+            ("https://a.net/unknown", 100),
+            ("https://b.org/stale", 100),
+        ],
+        "url string, fetched_at long",
+    )
+    entries = spark.createDataFrame(
+        [
+            ("https://a.net/stale", 90),    # dup: max(90, 150) = 150
+            ("https://a.net/stale", 150),
+            ("https://a.net/fresh", 50),    # moved backwards
+            ("https://a.net/nolastmod", None),
+            ("https://b.org/stale", 101),
+            ("https://b.org/never-crawled", 999),  # discovery's job
+        ],
+        "url string, lastmod long",
+    )
+    cand = {
+        (r["url"], r["lastmod"])
+        for r in sm.recrawl_candidates(crawled, entries).collect()
+    }
+    assert cand == {
+        ("https://a.net/stale", 150),
+        ("https://b.org/stale", 101),
+    }
+    delays = spark.createDataFrame(
+        [("a.net", 3.0)], "domain string, crawl_delay double"
+    )
+    sched = {
+        (r["url"], r["domain"], r["fetch_offset_s"])
+        for r in sm.recrawl_schedule(
+            crawled, entries, delays
+        ).collect()
+    }
+    assert sched == {
+        ("https://a.net/stale", "a.net", 0.0),
+        ("https://b.org/stale", "b.org", 0.0),
+    }

@@ -61,6 +61,7 @@ _PRIORITY = [
     # round-9 additions lead
     "l_ce_quarantine", "l_manifest_travel", "l_gopher_multilingual",
     "l_manifest_skip", "l_lang_report", "l_recrawl_schedule",
+    "l_manifest_evolve",
     "l_charset_decode", "l_gopher_gates", "l_manifest_merge",
     "l_fetch_schedule", "l_span_remove",
     "l_fingerprint", "l_lang_id", "l_token_stats",

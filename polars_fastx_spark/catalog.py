@@ -12279,6 +12279,88 @@ def l_manifest_travel(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: private manifest table for the SCHEMA-EVOLUTION lane: create →
+#: widened upsert (new `score` column, evolve_schema=True) → narrow
+#: upsert (no score). Untouched partitions keep old-schema files;
+#: the read reconciles by name.
+_MANIFEST_EVOLVE: dict = {}
+
+
+def _manifest_evolve_table(spark, sf_dir):
+    import tempfile
+
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _MANIFEST_EVOLVE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="pfs_manifest_ev_")
+        _MANIFEST_EVOLVE[sf_dir] = path
+    if mf.current_version(spark, path) is None:
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("source").alias("src"), "n_chars",
+        )
+        base = docs.withColumn("rev", F.lit(1000).cast("long"))
+        mf.create_table(spark, path, base, "src")
+        widened = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .withColumn("rev", F.lit(2000).cast("long"))
+            .withColumn(
+                "score", (F.col("doc_id") % 7).cast("double") / 10
+            )
+        )
+        mf.upsert_table(
+            spark, path, widened, ["doc_id"], "rev", evolve_schema=True
+        )
+        narrow = (
+            docs.filter(F.col("doc_id") % 5 == 1)
+            .withColumn("n_chars", F.col("n_chars") + 9)
+            .withColumn("rev", F.lit(3000).cast("long"))
+        )
+        mf.upsert_table(
+            spark, path, narrow, ["doc_id"], "rev", evolve_schema=True
+        )
+    return path
+
+
+def _prep_manifest_evolve(spark, sf_dir):
+    _manifest_evolve_table(spark, sf_dir)
+
+
+@_q(
+    "l_manifest_evolve",
+    """
+    SELECT doc_id, source AS src,
+      CASE WHEN doc_id % 5 = 1 THEN n_chars + 9
+           ELSE n_chars END AS n_chars,
+      CASE WHEN doc_id % 5 = 0 THEN 2000
+           WHEN doc_id % 5 = 1 THEN 3000
+           ELSE 1000 END::BIGINT AS rev,
+      CASE WHEN doc_id % 5 = 0 THEN (doc_id % 7)::DOUBLE / 10
+           END AS score
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "L-write: SCHEMA EVOLUTION on manifest MERGE (operators/"
+    "manifest.py:upsert_table(evolve_schema=True) — round 9): a "
+    "widened batch introduces a `score` column (NULL on every row "
+    "the batch didn't rewrite), a later NARROW batch merges too (its "
+    "rows read the column as NULL), and only TOUCHED partitions "
+    "rewrite — untouched dirs keep their old-schema files, the read "
+    "reconciles version schemas by name. Default stays strict "
+    "(mismatched batch raises). Oracle recomputes the final widened "
+    "state from scratch — maintained == recomputed across the "
+    "evolution",
+    prepare=_prep_manifest_evolve
+)
+def l_manifest_evolve(spark, sf_dir):
+    from polars_fastx_spark.operators import manifest as mf
+
+    path = _manifest_evolve_table(spark, sf_dir)
+    return mf.read_table(spark, path).select(
+        "doc_id", "src", "n_chars", "rev", "score"
+    ).orderBy("doc_id")
+
+
 #: private manifest table for the ZONE-MAP data-skipping lane: range
 #: bucketing (bucket = doc_id div 20) makes the per-partition doc_id
 #: [min,max] maps disjoint, so a range_filter read opens only the

@@ -149,10 +149,15 @@ def _partition_stats(
     max]}} for ``stats_cols`` — one map-side-combining aggregate (one
     output row per partition, the same bounded-collect contract as
     the ``touched`` lists)."""
+    # a schema-evolved frame may lack a stats column: skip it — its
+    # absent bounds prune conservatively (the partition always reads)
+    present = [c for c in stats_cols if c in df.columns]
     aggs = []
-    for c in stats_cols:
+    for c in present:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
+    if not present:
+        return {}
     out: dict = {}
     for r in df.groupBy(
         F.col(partition_col).alias("__pv")
@@ -163,7 +168,7 @@ def _partition_stats(
         )
         out[key] = {
             c: [_json_bound(r[f"__mn_{c}"]), _json_bound(r[f"__mx_{c}"])]
-            for c in stats_cols
+            for c in present
         }
     return out
 
@@ -316,7 +321,10 @@ def read_table(
         return _with_range(schema_frame.limit(0))
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # by-name with missing-column tolerance: after a
+        # schema-evolved MERGE, version dirs legitimately differ —
+        # old files read the new column as NULL (and vice versa)
+        out = out.unionByName(f, allowMissingColumns=True)
     return _with_range(out)
 
 
@@ -326,13 +334,25 @@ def upsert_table(
     updates: DataFrame,
     key_cols: list[str],
     order_col: str,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE ``updates`` into the manifest table (last-writer-wins on
     ``order_col``, updates outrank existing rows at equal order —
     identical semantics to ``upsert.upsert_partitioned``). Reads ONLY
     the touched partitions (manifest pruning), stages them as the
     next version, commits with one pointer swap. Returns the new
-    version. Replaying the same batch converges to the same state."""
+    version. Replaying the same batch converges to the same state.
+
+    ``evolve_schema`` permits a SCHEMA-CHANGED batch (the table-format
+    MERGE-evolution semantics): columns new in ``updates`` appear on
+    the table with NULL for rows the batch didn't rewrite, columns
+    absent from ``updates`` are NULL on the rows it did (each
+    surviving row comes wholly from one side of the merge). Only
+    TOUCHED partitions rewrite under the widened schema — untouched
+    dirs keep their old files, and :func:`read_table` reconciles
+    mixed version schemas by name (missing columns read as NULL), so
+    evolution never triggers a table-wide rewrite. Default strict:
+    a mismatched batch raises instead of silently widening."""
     man = read_manifest(spark, path)
     pcol = man["partition_col"]
     touched = [r[0] for r in updates.select(pcol).distinct().collect()]
@@ -342,7 +362,10 @@ def upsert_table(
     )
     merged = (
         current.withColumn("_src", F.lit(0))
-        .unionByName(updates.withColumn("_src", F.lit(1)))
+        .unionByName(
+            updates.withColumn("_src", F.lit(1)),
+            allowMissingColumns=evolve_schema,
+        )
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_src")

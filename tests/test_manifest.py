@@ -495,3 +495,73 @@ def test_zone_maps_maintained_by_upsert_delete_rollback(spark, tmp_path):
     got2 = sorted(r["id"] for r in M.read_table(
         spark, path2, range_filter={"id": (10, 12)}).collect())
     assert got2 == [10, 11, 12]
+
+
+def test_schema_evolution_on_upsert(spark, tmp_path):
+    """evolve_schema=True lets a widened batch MERGE: the new column
+    is NULL on rows the batch didn't rewrite, columns the batch lacks
+    are NULL on its rows, untouched partitions never rewrite (their
+    old-schema files read the new column as NULL via the by-name
+    union), and the default stays STRICT — a mismatched batch raises
+    instead of silently widening."""
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "t")
+    M.create_table(spark, path, _base(spark), "part")
+    man1 = M.read_manifest(spark, path)
+    widened = spark.createDataFrame(
+        [(2, "a", 21, 200, 0.9), (5, "a", 50, 200, 0.5)],
+        "id long, part string, val long, ver long, score double",
+    )
+    with pytest.raises(AnalysisException):
+        M.upsert_table(spark, path, widened, ["id"], "ver")
+    M.upsert_table(
+        spark, path, widened, ["id"], "ver", evolve_schema=True
+    )
+    got = {
+        r["id"]: (r["val"], r["score"])
+        for r in M.read_table(spark, path).collect()
+    }
+    assert got == {
+        1: (10, None), 2: (21, 0.9), 3: (30, None),
+        4: (40, None), 5: (50, 0.5),
+    }
+    # untouched partitions kept their v1 dirs — no table-wide rewrite
+    man2 = M.read_manifest(spark, path)
+    assert man2["partitions"]["part=b"] == man1["partitions"]["part=b"]
+    # a later NARROW batch (no score) merges too: its rows read score
+    # as NULL, others keep theirs
+    narrow = spark.createDataFrame(
+        [(2, "a", 22, 300)], "id long, part string, val long, ver long"
+    )
+    M.upsert_table(spark, path, narrow, ["id"], "ver", evolve_schema=True)
+    got2 = {
+        r["id"]: (r["val"], r["score"])
+        for r in M.read_table(spark, path).collect()
+    }
+    assert got2[2] == (22, None) and got2[5] == (50, 0.5)
+
+
+def test_schema_evolution_with_zone_maps(spark, tmp_path):
+    """Stats on a column a widened batch introduces: the touched
+    partition records bounds for the columns it HAS; absent bounds
+    prune conservatively, so range reads stay exact."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id DIV 50 AS STRING) AS part", "CAST(1 AS LONG) AS rev"
+    )
+    M.create_table(spark, path, df, "part", stats_cols=["id", "score"])
+    # score doesn't exist yet: stats recorded for id only
+    man = M.read_manifest(spark, path)
+    assert man["stats"]["0"]["id"] == [0, 49]
+    assert "score" not in man["stats"]["0"]
+    up = spark.createDataFrame(
+        [(10, "0", 2, 7.5)], "id long, part string, rev long, score double"
+    )
+    M.upsert_table(spark, path, up, ["id"], "rev", evolve_schema=True)
+    man2 = M.read_manifest(spark, path)
+    assert man2["stats"]["0"]["score"] == [7.5, 7.5]
+    # bucket 1 has no score bounds -> conservative keep; read exact
+    got = {r["id"] for r in M.read_table(
+        spark, path, range_filter={"score": (5.0, None)}).collect()}
+    assert got == {10}

@@ -1064,7 +1064,68 @@ def fetch_schedule_probe(n: int = 100_000) -> None:
     spark.stop()
 
 
+def zonemap_probe(n: int = 2_000_000, parts: int = 200) -> None:
+    """Zone-map data skipping at table scale (round 9): ``n`` rows
+    range-bucketed into ``parts`` partitions, then a narrow range
+    read three ways — full scan + filter, manifest zone-map pruning
+    (``read_table(range_filter=…)``), and the pruning DECISION cost
+    alone. The 100 TB question is the read amplification: a narrow
+    probe on a clustered column should open O(1) partitions, not
+    O(parts), and the decision must come from the manifest alone
+    (no storage listing)."""
+    import tempfile
+
+    import polars_fastx_spark as pfs
+    from polars_fastx_spark.operators import manifest as mf
+    from pyspark.sql import functions as F
+
+    spark = pfs.get_spark("zonemap-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    per = n // parts
+    path = tempfile.mkdtemp(prefix="pfs_zm_probe_")
+    df = spark.range(n).selectExpr(
+        "id", f"CAST(id DIV {per} AS STRING) AS part",
+        "id * 3 AS val",
+    )
+    t0 = time.time()
+    mf.create_table(spark, path, df, "part", stats_cols=["id"])
+    t_build = time.time() - t0
+    lo, hi = 5 * per + 10, 5 * per + 500  # inside one bucket
+    man = mf.read_manifest(spark, path)
+    t1 = time.time()
+    sel = mf._select_partitions(man, range_filter={"id": (lo, hi)})
+    t_decide = time.time() - t1
+    t2 = time.time()
+    n_pruned = mf.read_table(
+        spark, path, range_filter={"id": (lo, hi)}
+    ).count()
+    t_pruned = time.time() - t2
+    t3 = time.time()
+    n_full = mf.read_table(spark, path).filter(
+        (F.col("id") >= lo) & (F.col("id") <= hi)
+    ).count()
+    t_full = time.time() - t3
+    assert n_pruned == n_full == hi - lo + 1
+    print("| probe | seconds | result |")
+    print("|---|---|---|")
+    print(
+        f"| zone-map range read ({n:,} rows, {parts} partitions, "
+        f"{hi - lo + 1}-row probe) | build {t_build:.1f} | "
+        f"pruned read {t_pruned:.2f}s opens {len(sel)}/{parts} "
+        f"partitions vs full-scan filter {t_full:.2f}s "
+        f"({t_full / max(t_pruned, 1e-9):.1f}x); decision "
+        f"{t_decide * 1000:.1f}ms from the manifest alone |"
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--zonemap":
+        zonemap_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 200,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--fetch-schedule":
         fetch_schedule_probe(
             int(sys.argv[2]) if len(sys.argv) > 2 else 100_000

@@ -291,6 +291,7 @@ def stream_upsert_manifest(
     order_col: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    evolve_schema: bool = False,
 ) -> StreamingQuery:
     """Effectively-once streaming MERGE with SNAPSHOT ISOLATION: each
     micro-batch upserts into the manifest table at ``path``
@@ -305,7 +306,10 @@ def stream_upsert_manifest(
     table STATE (one extra manifest version records the no-op — state,
     not version count, is the contract). Within-batch duplicate keys
     collapse to their ``order_col`` winner first, so the merge sees
-    one row per key. The first batch CREATES the table."""
+    one row per key. The first batch CREATES the table.
+    ``evolve_schema`` passes through to the batch MERGE (table-format
+    evolution semantics — a mid-stream schema widening merges instead
+    of failing the query); default strict."""
     from polars_fastx_spark.operators import manifest as mf
     from polars_fastx_spark.operators.upsert import latest_per_key
 
@@ -317,7 +321,10 @@ def stream_upsert_manifest(
         if mf.current_version(spark, path) is None:
             mf.create_table(spark, path, b, partition_col)
         else:
-            mf.upsert_table(spark, path, b, key_cols, order_col)
+            mf.upsert_table(
+                spark, path, b, key_cols, order_col,
+                evolve_schema=evolve_schema,
+            )
 
     w = df.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint

@@ -565,3 +565,63 @@ def test_schema_evolution_with_zone_maps(spark, tmp_path):
     got = {r["id"] for r in M.read_table(
         spark, path, range_filter={"score": (5.0, None)}).collect()}
     assert got == {10}
+
+
+def test_streaming_upsert_schema_evolution_across_restart(
+    spark, tmp_path
+):
+    """A mid-stream schema widening is a query RESTART with a new
+    source schema: the next run's batches MERGE under
+    evolve_schema=True instead of failing — old rows read the new
+    column as NULL, and the strict default still raises."""
+    import json as _json
+
+    from pyspark.errors import AnalysisException
+
+    from polars_fastx_spark.streaming.pipelines import (
+        stream_upsert_manifest,
+    )
+
+    src1, src2 = tmp_path / "in1", tmp_path / "in2"
+    src1.mkdir(); src2.mkdir()
+    table = str(tmp_path / "tbl")
+
+    (src1 / "b0.json").write_text(_json.dumps(
+        {"id": 1, "part": "a", "val": 10, "ver": 1}
+    ) + "\n" + _json.dumps(
+        {"id": 2, "part": "b", "val": 20, "ver": 1}
+    ))
+    q = stream_upsert_manifest(
+        spark.readStream.schema(
+            "id long, part string, val long, ver long"
+        ).json(str(src1)),
+        table, ["id"], "part", "ver", str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+
+    (src2 / "b0.json").write_text(_json.dumps(
+        {"id": 2, "part": "b", "val": 21, "ver": 2, "score": 0.9}
+    ))
+    widened = spark.readStream.schema(
+        "id long, part string, val long, ver long, score double"
+    ).json(str(src2))
+    # strict default: the widened batch fails the query
+    q = stream_upsert_manifest(
+        widened, table, ["id"], "part", "ver", str(tmp_path / "ck2"),
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "NUM_COLUMNS_MISMATCH" in str(exc.value) or isinstance(
+        exc.value, AnalysisException
+    )
+    # evolve_schema=True merges it
+    q = stream_upsert_manifest(
+        widened, table, ["id"], "part", "ver", str(tmp_path / "ck3"),
+        evolve_schema=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["val"], r["score"])
+        for r in M.read_table(spark, table).collect()
+    }
+    assert got == {(1, 10, None), (2, 21, 0.9)}

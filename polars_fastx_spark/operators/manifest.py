@@ -471,6 +471,25 @@ def _commit_delta(
     return version
 
 
+def table_history(spark: SparkSession, path: str) -> list[dict]:
+    """The ops-audit view of a manifest table: one dict per
+    still-unvacuumed committed version, ascending —
+    ``{"version", "n_partitions", "current", "rollback_of"}``
+    (``rollback_of`` None for ordinary commits). Reads only the tiny
+    ``_manifest`` dir."""
+    cur = current_version(spark, path)
+    out = []
+    for v in list_versions(spark, path):
+        man = read_manifest(spark, path, version=v)
+        out.append({
+            "version": v,
+            "n_partitions": len(man["partitions"]),
+            "current": v == cur,
+            "rollback_of": man.get("rollback_of"),
+        })
+    return out
+
+
 def rollback(spark: SparkSession, path: str, version: int) -> int:
     """Restore the table to historical ``version`` as a NEW commit:
     the next version's manifest is a copy of the target's partition

@@ -625,3 +625,25 @@ def test_streaming_upsert_schema_evolution_across_restart(
         for r in M.read_table(spark, table).collect()
     }
     assert got == {(1, 10, None), (2, 21, 0.9)}
+
+
+def test_table_history_audit_view(spark, tmp_path):
+    """table_history lists every travelable version with its
+    partition count, the current marker, and rollback provenance."""
+    path = str(tmp_path / "t")
+    M.create_table(spark, path, _base(spark), "part")
+    M.delete_keys_table(
+        spark, path,
+        spark.createDataFrame([(3, "b")], "id long, part string"),
+        ["id"],
+    )
+    M.rollback(spark, path, 1)
+    hist = M.table_history(spark, path)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["n_partitions"] for h in hist] == [3, 2, 3]
+    assert [h["current"] for h in hist] == [False, False, True]
+    assert [h["rollback_of"] for h in hist] == [None, None, 1]
+    # vacuum trims the view to the kept window
+    M.vacuum(spark, path, keep_versions=1)
+    hist2 = M.table_history(spark, path)
+    assert [h["version"] for h in hist2] == [3]

@@ -647,3 +647,31 @@ def test_table_history_audit_view(spark, tmp_path):
     M.vacuum(spark, path, keep_versions=1)
     hist2 = M.table_history(spark, path)
     assert [h["version"] for h in hist2] == [3]
+
+
+def test_time_travel_uses_the_historical_zone_maps(spark, tmp_path):
+    """range_filter on a version=N read prunes with THAT manifest's
+    stats — a later upsert that widened a bucket's range must not
+    leak into the historical pruning decision (and vice versa)."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id DIV 50 AS STRING) AS part", "CAST(1 AS LONG) AS rev"
+    )
+    M.create_table(spark, path, df, "part", stats_cols=["id"])
+    M.upsert_table(
+        spark, path,
+        spark.createDataFrame(
+            [(900, "0", 2)], "id long, part string, rev long"
+        ),
+        ["id"], "rev",
+    )
+    # current manifest: bucket 0 spans [0, 900] -> probe at 900 hits
+    assert {r["id"] for r in M.read_table(
+        spark, path, range_filter={"id": (800, None)}).collect()} == {900}
+    # v1 manifest: bucket 0 spans [0, 49] -> the same probe prunes
+    # EVERYTHING and returns empty (exactly v1's truth)
+    man1 = M.read_manifest(spark, path, version=1)
+    assert M._select_partitions(man1, range_filter={"id": (800, None)}) == {}
+    assert M.read_table(
+        spark, path, version=1, range_filter={"id": (800, None)}
+    ).count() == 0

@@ -160,3 +160,31 @@ def test_recrawl_candidates_and_schedule(spark):
         ("https://a.net/stale", "a.net", 0.0),
         ("https://b.org/stale", "b.org", 0.0),
     }
+
+
+def test_recrawl_schedule_politeness_cap(spark):
+    """cap= budgets stale candidates per registrable domain before
+    scheduling (md5-deterministic survivors), so a mega-domain's
+    stale backlog cannot flood the refetch queue."""
+    from polars_fastx_spark.functions import sitemaps as sm
+
+    crawled = spark.createDataFrame(
+        [(f"https://big.net/p/{i}", 100) for i in range(20)]
+        + [("https://small.org/x", 100)],
+        "url string, fetched_at long",
+    )
+    entries = crawled.selectExpr("url", "CAST(200 AS LONG) AS lastmod")
+    delays = spark.createDataFrame(
+        [("big.net", 2.0)], "domain string, crawl_delay double"
+    )
+    out = sm.recrawl_schedule(crawled, entries, delays, cap=3).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["fetch_offset_s"])
+    assert len(by_dom["big.net"]) == 3
+    assert sorted(by_dom["big.net"]) == [0.0, 2.0, 4.0]
+    assert by_dom["small.org"] == [0.0]
+    # deterministic: a rerun picks the same survivors
+    again = {r["url"] for r in sm.recrawl_schedule(
+        crawled, entries, delays, cap=3).collect()}
+    assert again == {r["url"] for r in out}

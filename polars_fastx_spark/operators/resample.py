@@ -54,7 +54,19 @@ def _spine(df: DataFrame, bucket_col: str, by_cols: list[str],
         )
     )
     sess = df.sparkSession
-    width = max(
+    # 2× the larger of (cluster parallelism, shuffle width). The
+    # factor is not tuning: the bounds aggregate feeding this explode
+    # is ALSO hash-partitioned on the key columns at exactly
+    # `spark.sql.shuffle.partitions`, and a repartition whose
+    # partitioning matches its child's is eliminated as redundant
+    # (verified: the r9 plan had 0 REPARTITION nodes and AQE then
+    # coalesced the tiny bounds exchange to ~1 task, serializing the
+    # explode + join + both window passes — noop-timed 4.9 s at sf0.1
+    # vs 1.8 s with the node intact, the regression the docstring
+    # above describes). 2×max(...) is strictly greater than the
+    # child's width, so the node always survives, and explicit-width
+    # repartitions are exempt from AQE coalescing.
+    width = 2 * max(
         sess.sparkContext.defaultParallelism,
         int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
     )

@@ -317,9 +317,16 @@ def cosine_topk_numpy(
     k: int = 5,
     query_df: DataFrame | None = None,
     block_rows: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Exact top-k pairs via DISTRIBUTED blocked numpy matmul — no
     driver collect anywhere (asserted by tests/test_plans.py).
+
+    ``n``: known row count of ``df`` (a table statistic — e.g. the
+    parquet footer count a metastore serves). When given, the sizing
+    count() job disappears from the query's critical path; it only
+    sizes blocks, so an upper bound is safe (never pass an
+    underestimate — block memory bounds assume n ≥ actual).
 
     ``query_df`` defaults to ``df`` (all-pairs self-similarity, emitting
     id_a < id_b; ids must be unique). Both sides are hash-packed into
@@ -343,12 +350,13 @@ def cosine_topk_numpy(
     id_type = df.schema[id_col].dataType.simpleString()
     self_pairs = query_df is None
     if self_pairs:
-        n = df.count()
+        if n is None:
+            n = df.count()
         if n <= _resolve_block_rows(df, n, block_rows):
             return _self_topk_single_cell(df, id_col, vec_col, k, id_type)
         iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows, n=n)
     else:
-        iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows)
+        iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows, n=n)
     if self_pairs and inb > 1:
         iblocks = iblocks.persist()  # self-join references it twice
     qblocks, qnb = (
@@ -452,6 +460,7 @@ def cosine_pairs_above_numpy(
     vec_col: str,
     threshold: float,
     block_rows: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, via the same
     distributed blocked matmul as :func:`cosine_topk_numpy` — no driver
@@ -461,9 +470,12 @@ def cosine_pairs_above_numpy(
     (measured ~30 s → ~1 s at 2000×64 dims). For corpora where even one
     exact pass is too much, prune candidates with
     :func:`ann_lsh_buckets` / IVF cells first.
+
+    ``n``: known row count (table statistic), same contract as
+    :func:`cosine_topk_numpy` — removes the sizing count() job.
     """
     id_type = df.schema[id_col].dataType.simpleString()
-    blocks, nb = _hash_blocks(df, id_col, vec_col, block_rows)
+    blocks, nb = _hash_blocks(df, id_col, vec_col, block_rows, n=n)
     if nb > 1:
         blocks = blocks.persist()  # self-join references it twice
     paired = _block_pairs(blocks, nb, blocks, nb, self_pairs=True)

@@ -4640,6 +4640,10 @@ def x_applyinpandas_zscore(spark, sf_dir):
     from polars_fastx_spark.operators import udaf
 
     c = _t(spark, sf_dir, "customer")
+    # 3 of customer's 8 columns feed the group z-score; projecting
+    # before the applyInPandas boundary keeps c_comment/c_address etc.
+    # out of the group shuffle and the Arrow transpose (guide §4.1).
+    c = c.select("c_custkey", "c_nationkey", "c_acctbal")
     return (
         udaf.zscore_by_group(c, "c_nationkey", "c_acctbal")
         .select("c_custkey", F.round("zscore", 6).alias("zscore"))
@@ -6490,8 +6494,15 @@ def q_tpch18(spark, sf_dir):
 )
 def t_ewma(spark, sf_dir):
     e = _events(spark, sf_dir)
+    # Project to the 4 columns the recursion needs BEFORE the
+    # applyInPandas boundary (guide §4.1): ewma() emits its whole
+    # input schema, so an unprojected call ships event_type and the
+    # wide props JSON string through BOTH exchanges and the Arrow
+    # transpose for nothing — the final select keeps only
+    # event_id/user_id/ewma either way.
     out = timeseries.ewma(
-        e, "value", ["ts", "event_id"], "user_id", alpha=0.1
+        e.select("event_id", "user_id", "ts", "value"),
+        "value", ["ts", "event_id"], "user_id", alpha=0.1
     )
     return (
         out.select(

@@ -123,28 +123,41 @@ def _freq_map(tokens: Column) -> Column:
             F.array().cast("array<int>")
         )
         # when() (not boolean or) so element_at(srt, 0) is never evaluated
-        starts = F.filter(
+        starts_expr = F.filter(
             idx,
             lambda i: F.when(i == 1, F.lit(True)).otherwise(
                 F.element_at(srt, i) != F.element_at(srt, i - 1)
             ),
         )
-        ends = F.concat(
-            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-            F.array(total + 1),
-        )
-        entries = F.zip_with(
-            starts,
-            ends,
-            lambda s, e: F.struct(
-                F.element_at(srt, s).alias("key"),
-                ((e - s) / total).alias("value"),
-            ),
-        )
+
+        # Second let-binding, same reason as the outer one: ``starts``
+        # is referenced three times below (slice, size, zip_with), and
+        # a lambda EXPRESSION is re-evaluated per reference — three
+        # O(n) boundary filters per row instead of one. Binding it
+        # through a 1-element transform makes the references read a
+        # bound value.
+        def _emit(starts: Column) -> Column:
+            ends = F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(total + 1),
+            )
+            entries = F.zip_with(
+                starts,
+                ends,
+                lambda s, e: F.struct(
+                    F.element_at(srt, s).alias("key"),
+                    ((e - s) / total).alias("value"),
+                ),
+            )
+            return F.map_from_entries(entries)
+
         empty = F.map_from_arrays(
             F.array().cast("array<string>"), F.array().cast("array<double>")
         )
-        return F.when(total > 0, F.map_from_entries(entries)).otherwise(empty)
+        return F.when(
+            total > 0,
+            F.element_at(F.transform(F.array(starts_expr), _emit), 1),
+        ).otherwise(empty)
 
     return F.element_at(F.transform(F.array(srt_expr), _build), 1)
 

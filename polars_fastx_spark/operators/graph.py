@@ -221,6 +221,12 @@ def pagerank(
     SQL unroll replays exactly.
     """
     sc = edges.sparkSession
+    # Materialize the caller's edge lineage ONCE: nodes, deg and ed all
+    # derive from it, and without the persist each materializes it
+    # separately (for l_crawl_rank that lineage is the whole
+    # html_links → normalize_url extraction — measured 2 full
+    # executions before this).
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -232,6 +238,7 @@ def pagerank(
         # can drain the edge list) — return an empty ranks frame, don't
         # ZeroDivisionError on 1/n
         nodes.unpersist()
+        edges.unpersist()
         return sc.createDataFrame([], "node long, rank double").select(
             F.col("node").cast(edges.schema[src].dataType), "rank"
         )
@@ -244,6 +251,16 @@ def pagerank(
         .join(deg, "node")
         .persist()
     )
+    # The DANGLING NODE SET (out-degree 0) is a property of the graph,
+    # not of the rank vector — compute it once instead of rebuilding a
+    # per-round anti-join hash over ed's one-row-per-EDGE node column
+    # (|edges| build rows × rounds before; |nodes| once now). Only the
+    # dangling MASS changes per round. Same node set, so the summed
+    # rank set per round is unchanged (sum order may differ; the
+    # oracles' round(7) absorbs order noise by design).
+    dangling_nodes = nodes.join(
+        ed.select("node"), "node", "left_anti"
+    ).persist()
     if init_ranks is None:
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     else:
@@ -270,12 +287,10 @@ def pagerank(
             .groupBy(F.col("to").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
-        # anti-join against the CACHED edge table, not `deg` — deg is a
-        # lazy agg over the caller's edge lineage and would re-execute
-        # that lineage every round (same node set either way: deg's
-        # keys are exactly ed's senders)
+        # semi-join against the precomputed dangling-node set (same
+        # rows as the old per-round anti-join vs ed's senders)
         dangling = (
-            ranks.join(ed.select("node"), "node", "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.sum("rank"))
             .collect()[0][0]
             or 0.0
@@ -324,6 +339,8 @@ def pagerank(
             _release_checkpoint(prev_ck)
     nodes.unpersist()
     ed.unpersist()
+    dangling_nodes.unpersist()
+    edges.unpersist()
     return ranks
 
 

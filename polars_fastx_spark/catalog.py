@@ -9821,7 +9821,11 @@ def l_pq_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
-    codes, books = vectors.pq_train(e, "vec_id", "v", m=8, k=8, iterations=3)
+    # dim is known from the collected query vector — drops pq_train's
+    # one-row dimensionality probe job from the critical path
+    codes, books = vectors.pq_train(
+        e, "vec_id", "v", m=8, k=8, iterations=3, dim=len(q)
+    )
     return vectors.pq_topk(codes, books, q, "vec_id", n=10).select(
         "vec_id", F.round("adc_dist", 6).alias("adc_dist")
     )
@@ -9913,7 +9917,8 @@ def l_pq_topk_pinned(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
-    books = vectors.pq_seed_books(e, "vec_id", "v", m=8, k=8)
+    # same dim-threading as l_pq_topk: the probe job is redundant
+    books = vectors.pq_seed_books(e, "vec_id", "v", m=8, k=8, dim=len(q))
     codes = vectors.pq_encode(e, "vec_id", "v", books)
     return vectors.pq_topk(codes, books, q, "vec_id", n=10).select(
         "vec_id", F.round("adc_dist", 6).alias("adc_dist")

@@ -348,13 +348,19 @@ def _codes_frame(assigned: DataFrame, id_col: str) -> DataFrame:
 
 
 def pq_seed_books(
-    df: DataFrame, id_col: str, vec_col: str, m: int, k: int
+    df: DataFrame, id_col: str, vec_col: str, m: int, k: int,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """The md5-seeded (zero-training) PQ codebooks for ``df`` — the
     PINNED variant: fully deterministic and SQL-replayable, so an
     external oracle can reproduce codes and ADC rankings bit-for-bit.
-    Production indexes refine these with :func:`pq_train`."""
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    Production indexes refine these with :func:`pq_train`.
+
+    ``dim``: vector dimensionality when the caller already knows it
+    (e.g. from the query vector or the index metadata) — skips the
+    one-row probe job against ``df``."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
     subs = _subvectors(df, id_col, vec_col, m, sub)
@@ -384,6 +390,7 @@ def pq_train(
     m: int = 8,
     k: int = 16,
     iterations: int = 5,
+    dim: int | None = None,
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Product quantization (Jégou et al. 2011): split each D-dim
     vector into ``m`` subvectors and k-means each subspace to ``k``
@@ -402,13 +409,18 @@ def pq_train(
 
     Returns (codes frame (id, codes array<int> length m), codebooks
     [m][k][sub]). Only m·k centroid rows ever reach the driver.
+
+    ``dim``: vector dimensionality when the caller already knows it
+    (the query vector's length, the index metadata) — skips the
+    one-row probe job against ``df``.
     """
     if iterations < 1:
         raise ValueError(
             "pq_train needs iterations >= 1 (codes come from the last "
             "assignment pass; with 0 passes there is nothing to encode)"
         )
-    dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
     subs = _subvectors(df, id_col, vec_col, m, sub).persist()
@@ -575,11 +587,12 @@ def ivfpq_topk(
         if pinned_books:
             # zero-training md5-seeded books: fully SQL-replayable (the
             # pinned-oracle variant; also the frozen-codebook encode path)
-            books = pq_seed_books(resid, "__id", "__r", m=m, k=pq_k)
+            books = pq_seed_books(resid, "__id", "__r", m=m, k=pq_k,
+                                  dim=len(query))
             codes = pq_encode(resid, "__id", "__r", books)
         else:
             codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
-                                    iterations=iterations)
+                                    iterations=iterations, dim=len(query))
         coded = codes.join(resid.select("__id", "cell"), "__id")
         cent_rows = centroids.collect()  # num_cells rows — bounded
         return adc_search(

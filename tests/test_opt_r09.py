@@ -1,0 +1,158 @@
+"""Round-9 optimization pins — each optimization that changed an
+operator's internals gets an equivalence test (optimized form ==
+unoptimized form, value-level) and, where the win is a plan shape, a
+plan pin so a regression that silently reverts it fails CI.
+
+Covers: `_sort1` bounded presentation sorts, the `n=` sizing hint on
+the blocked-gemm kNN, the `dim=` hint on PQ training/seeding, the
+MinHash shingle let-binding, and the `_spine` explicit-width
+repartition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_fastx_spark import plans
+
+
+def test_sort1_matches_global_orderby_and_drops_range_exchange(spark):
+    """_sort1 (coalesce(1).sortWithinPartitions) must return the same
+    rows in the same total order as a global orderBy, with the
+    rangepartitioning Exchange (and its sampling job) gone."""
+    from polars_fastx_spark.catalog import _sort1
+
+    df = (
+        spark.range(0, 1000)
+        .withColumn("g", (F.col("id") % 7).cast("int"))
+        .groupBy("g")
+        .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+    )
+    expected = df.orderBy("g").collect()
+    got = _sort1(df, "g")
+    assert got.collect() == expected
+    assert "rangepartitioning" not in plans.explain_str(got)
+    assert "rangepartitioning" in plans.explain_str(df.orderBy("g"))
+
+
+def _vec_table(spark, n, dim):
+    """Deterministic (id, vec) rows — content-addressed, RNG-free."""
+    rows = [
+        (i, [float((i * 31 + j * 17) % 97) / 97.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id int, vec array<float>")
+
+
+def test_cosine_topk_row_count_hint_is_identity(spark):
+    """cosine_topk_numpy(n=<row count>) must equal the unhinted form:
+    n only sizes the gemm blocks (it replaced a count() job on the
+    critical path), never the result. An OVERestimate is documented
+    safe too."""
+    from polars_fastx_spark.operators.similarity import cosine_topk_numpy
+
+    df = _vec_table(spark, 60, 8)
+
+    def key(rows):
+        return sorted((r[0], r[1], round(r[2], 9)) for r in rows)
+
+    base = key(cosine_topk_numpy(df, "id", "vec", k=3).collect())
+    hinted = key(cosine_topk_numpy(df, "id", "vec", k=3, n=60).collect())
+    over = key(cosine_topk_numpy(df, "id", "vec", k=3, n=200).collect())
+    assert hinted == base
+    assert over == base
+
+
+def test_pq_dim_hint_is_identity(spark):
+    """pq_train/pq_seed_books with dim= (skips the one-row probe job)
+    must produce byte-identical codebooks and codes."""
+    from polars_fastx_spark.operators.vectors import pq_seed_books, pq_train
+
+    df = _vec_table(spark, 40, 8)
+    seeded = pq_seed_books(df, "id", "vec", m=2, k=4)
+    seeded_hint = pq_seed_books(df, "id", "vec", m=2, k=4, dim=8)
+    assert seeded == seeded_hint
+
+    codes, books = pq_train(df, "id", "vec", m=2, k=4, iterations=2)
+    codes_h, books_h = pq_train(
+        df, "id", "vec", m=2, k=4, iterations=2, dim=8
+    )
+    assert books == books_h
+    assert sorted(map(tuple, codes.collect())) == sorted(
+        map(tuple, codes_h.collect())
+    )
+
+
+def test_minhash_shingle_binding_is_identity(spark):
+    """The band build projects the shingle array into a named column
+    before the 16 signature passes consume it (materialize once per
+    row). A projection boundary must not change values: signatures
+    computed over the bound column == signatures over the inline
+    expression, for every family."""
+    from polars_fastx_spark.operators.dedup import (
+        char_shingles,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document body {i} " + "abcdefgh"[i % 8] * (5 + i % 7))
+         for i in range(50)],
+        "id int, text string",
+    ).filter(F.length("text") >= 5)
+
+    for family in ("md5", "xxhash64", "perm"):
+        inline = df.select(
+            "id",
+            minhash_signature(
+                char_shingles("text", 5), 16, family
+            ).alias("sig"),
+        )
+        bound = df.select(
+            "id", char_shingles("text", 5).alias("__sh")
+        ).select(
+            "id", minhash_signature(F.col("__sh"), 16, family).alias("sig")
+        )
+        assert sorted(map(tuple, bound.collect())) == sorted(
+            map(tuple, inline.collect())
+        ), family
+
+
+def test_band_table_plan_builds_shingles_once(spark):
+    """Plan pin for the let-binding: the optimized band build carries
+    exactly ONE array_distinct (the shingle construction) — inlined,
+    each of the 16 array_min passes re-evaluated it (16 occurrences),
+    the 4.15→2.64 s regression shape."""
+    from polars_fastx_spark.operators.dedup import minhash_band_table
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i}") for i in range(20)],
+        "id int, text string",
+    )
+    bands = minhash_band_table(df, "id", "text")
+    plan = plans.explain_str(bands)
+    assert plan.count("array_distinct") == 1
+
+
+def test_spine_explicit_repartition_survives_planning(spark):
+    """The resample spine's spread repartition must stay in the plan:
+    a width matching the child's hash partitioning is eliminated as
+    redundant and AQE then coalesces the tiny bounds exchange to ~1
+    task, serializing the explode + window passes (the 4.9 s vs 1.8 s
+    regression). REPARTITION_BY_NUM is exempt from AQE coalescing."""
+    from polars_fastx_spark.operators.resample import upsample_ffill
+
+    df = spark.createDataFrame(
+        [(u, b, float(u * 10 + b)) for u in range(5) for b in (0, 3, 9)],
+        "user_id int, bucket int, v double",
+    )
+    out = upsample_ffill(df, "bucket", "user_id", ["v"])
+    assert "REPARTITION_BY_NUM" in plans.explain_str(out)
+    # and the spread width strictly exceeds the session shuffle width,
+    # so Catalyst can never prove it redundant against the bounds agg
+    width = 2 * max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    shuffle_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    assert width > shuffle_w

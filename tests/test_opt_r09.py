@@ -134,6 +134,29 @@ def test_band_table_plan_builds_shingles_once(spark):
     assert plan.count("array_distinct") == 1
 
 
+def test_fuzzy_self_join_reuses_variant_exchange(spark):
+    """Adjudication pin for the 'j_fuzzy2 self-join symmetry' item in
+    OPTIMIZATION_r09.md: when both sides of the fuzzy join are the
+    same column of the same table, the two variant-explode subplans
+    are canonically equal (aliases cancel) and Spark ALREADY executes
+    the O(len²/2) k=2 neighborhood fan-out once — the second side is a
+    ReusedExchange (plans/r09/j_fuzzy2_before.txt node 20 → 18). A
+    'build the neighborhood once' rewrite was implemented, produced a
+    byte-identical physical plan, and was reverted. This pin fails if
+    a future change breaks the canonical equality and silently doubles
+    the fan-out stage."""
+    from polars_fastx_spark.operators.fuzzyjoin import fuzzy_join_k2
+
+    df = spark.createDataFrame(
+        [(f"name{i:03d}",) for i in range(50)], "w string"
+    )
+    a = df.select(F.col("w").alias("wa"))
+    b = df.select(F.col("w").alias("wb"))
+    out = fuzzy_join_k2(a, b, "wa", "wb")
+    out.collect()  # AQE materializes stage reuse in the final plan
+    assert "ReusedExchange" in plans.explain_str(out)
+
+
 def test_spine_explicit_repartition_survives_planning(spark):
     """The resample spine's spread repartition must stay in the plan:
     a width matching the child's hash partitioning is eliminated as

@@ -1073,17 +1073,26 @@ def ngram_windows(
     from polars_fastx_spark.functions.exprs import let
 
     df = ensure_min_parallelism(df)
-    toks = tokens(_col(text_col))
+    # The short-doc guard lives INSIDE the let body (empty window
+    # array -> posexplode emits nothing) rather than as a separate
+    # df.filter(size(tokens(..)) >= n): the filter form re-ran the
+    # whole tokenization (regex gate + split) a second time per row
+    # just to test the size, doubling the operator's scan cost.
     wins = let(
-        toks,
-        lambda tk: F.transform(  # tk let-bound: O(windows), not O(w·len)
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.md5(
-                F.encode(F.array_join(F.slice(tk, i + 1, n), " "), "UTF-8")
+        tokens(_col(text_col)),
+        lambda tk: F.when(  # tk let-bound: O(windows), not O(w·len)
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.md5(
+                    F.encode(
+                        F.array_join(F.slice(tk, i + 1, n), " "), "UTF-8"
+                    )
+                ),
             ),
-        ),
+        ).otherwise(F.array().cast("array<string>")),
     )
-    return df.filter(F.size(toks) >= n).select(
+    return df.select(
         _col(id_col).alias(id_col),
         F.posexplode(wins).alias("win_idx", "win_key"),
     )
@@ -1148,9 +1157,17 @@ def remove_duplicated_spans(
     (md5, 32 chars — never window text) groupBy to find duplicated
     keys + owners; covered token POSITIONS explode per (doc, window)
     and anti-join the doc's token-position list; one groupBy(doc)
-    rebuilds the kept text (position-ordered). Output volume scales
-    with the duplicated-span mass, and the rebuild shuffle carries
-    only docs' tokens once.
+    rebuilds the kept text (position-ordered). The token explode +
+    rebuild shuffle runs over TOUCHED docs only (a semi-join against
+    the removal set): an untouched document's rebuilt text is never
+    read (it keeps its original bytes below), so at corpus scale the
+    surgery's heavy stage is proportional to the duplicated-span
+    mass, not the corpus. ``removed_col`` comes from counting the
+    distinct removal positions per doc — arithmetically identical to
+    the previous ``token_count − kept_n`` form for every case
+    (untouched → no removals → 0; fully-removed → every position →
+    the full count), without re-tokenizing the whole corpus in the
+    final projection.
 
     Semantics: an UNTOUCHED document keeps its original text
     byte-for-byte (the rebuild's whitespace normalization applies only
@@ -1197,7 +1214,16 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    tokpos = seg.select(
+    # removal positions are distinct (doc, pos): their per-doc count IS
+    # the excised-token count, and the doc list IS the set whose text
+    # needs rebuilding. Both consumers share the distinct's exchange
+    # (reused stage), so the removal lineage still executes once.
+    n_removed = removals.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nrm")
+    )
+    tokpos = seg.join(
+        n_removed.select(id_col), id_col, "left_semi"
+    ).select(
         F.col(id_col).alias(id_col),
         F.posexplode(tokens(text_col)).alias("__pos", "__tok"),
     )
@@ -1212,17 +1238,16 @@ def remove_duplicated_spans(
             ),
             " ",
         ).alias("__rebuilt"),
-        F.count(F.lit(1)).alias("__kept_n"),
     )
-    res = df.join(rebuilt, id_col, "left")
-    # unsegmented docs never entered tokpos: their __kept_n is NULL,
-    # and they must read as "0 removed", not "fully removed"
-    removed = F.when(unseg, F.lit(0)).otherwise(
-        token_count(_col(text_col))
-        - F.coalesce(F.col("__kept_n"), F.lit(0))
-    )
+    res = df.join(rebuilt, id_col, "left").join(n_removed, id_col, "left")
+    # unsegmented and untouched docs are absent from n_removed, so the
+    # coalesce reads "0 removed" for both — no per-row unseg rlike or
+    # re-tokenization in the final projection
     return (
-        res.withColumn(removed_col, removed.cast("bigint"))
+        res.withColumn(
+            removed_col,
+            F.coalesce(F.col("__nrm"), F.lit(0)).cast("bigint"),
+        )
         .withColumn(
             out,
             F.when(
@@ -1230,7 +1255,7 @@ def remove_duplicated_spans(
                 F.coalesce(F.col("__rebuilt"), F.lit("")),
             ).otherwise(_col(text_col)),
         )
-        .drop("__rebuilt", "__kept_n")
+        .drop("__rebuilt", "__nrm")
     )
 
 

@@ -157,6 +157,64 @@ def test_fuzzy_self_join_reuses_variant_exchange(spark):
     assert "ReusedExchange" in plans.explain_str(out)
 
 
+def test_ngram_windows_tokenizes_once(spark):
+    """The short-doc guard lives inside the let-bound window
+    expression; the old df.filter(size(tokens(..)) >= n) form ran the
+    whole tokenization a second time per row. Pin: exactly one
+    tokenization (regexp_extract_all unit scan) in the plan, and
+    short docs still contribute zero windows."""
+    from polars_fastx_spark.operators.text import ngram_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "too short"), (3, None)],
+        "doc_id int, text string",
+    )
+    w = ngram_windows(df, n=3)
+    assert plans.explain_str(w).count("regexp_extract_all") == 1
+    got = w.collect()
+    assert {r["doc_id"] for r in got} == {1}
+    assert len(got) == 3  # 5 tokens, n=3 -> 3 windows
+
+
+def test_span_removal_rebuild_only_touches_removal_docs(spark):
+    """remove_duplicated_spans rebuilds text for TOUCHED docs only
+    (semi-join against the removal set) — at corpus scale the token
+    explode + rebuild shuffle is proportional to duplicated-span
+    mass, not the corpus. Pins the LeftSemi in the plan and the exact
+    old output semantics on every edge: untouched docs byte-identical
+    (weird whitespace preserved), fully-removed docs '', null text
+    untouched with 0 removed."""
+    from polars_fastx_spark.operators.text import remove_duplicated_spans
+
+    dup8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{dup8} unique tail one"),   # owner (min id): untouched
+            (2, f"{dup8} other tail here"),   # loses the span
+            (3, "completely  unrelated\ttext body"),  # untouched, odd ws
+            (4, dup8),                        # fully duplicated -> ''
+            (5, None),                        # null text
+            (6, "short doc"),                 # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    out = remove_duplicated_spans(docs, n=8, min_docs=2)
+    assert "LeftSemi" in plans.explain_str(out)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_removed_tokens"] == 0
+    assert rows[1]["text_clean"] == f"{dup8} unique tail one"
+    assert rows[2]["n_removed_tokens"] == 8
+    assert rows[2]["text_clean"] == "other tail here"
+    assert rows[3]["n_removed_tokens"] == 0
+    assert rows[3]["text_clean"] == "completely  unrelated\ttext body"
+    assert rows[4]["n_removed_tokens"] == 8
+    assert rows[4]["text_clean"] == ""
+    assert rows[5]["n_removed_tokens"] == 0
+    assert rows[5]["text_clean"] is None
+    assert rows[6]["n_removed_tokens"] == 0
+    assert rows[6]["text_clean"] == "short doc"
+
+
 def test_spine_explicit_repartition_survives_planning(spark):
     """The resample spine's spread repartition must stay in the plan:
     a width matching the child's hash partitioning is eliminated as

@@ -628,7 +628,23 @@ def containment_pairs(
     post = shingle_postings(
         ensure_min_parallelism(df), id_col, text_col, k, hash_shingles
     )
-    sizes = post.groupBy("__id").agg(F.count("*").alias("__sz"))
+    # per-doc distinct-shingle count = the SIZE of the (already
+    # array_distinct) shingle array — a row-local projection. The old
+    # post.groupBy(__id).count() form re-ran the whole shingle explode
+    # a second time as the aggregate's map side (the sizes consumer
+    # shares no exchange with the postings join) plus a full groupBy
+    # shuffle, one of three explode executions the l_containment plan
+    # carried. hash_shingles keeps the row count (transform preserves
+    # array length, and the explode never deduped hash collisions
+    # either). Docs with zero shingles now appear with __sz = 0 where
+    # they were absent before — indistinguishable after the inner
+    # joins below, since a doc without postings can never be in
+    # ``common``.
+    sizes = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        # bigint: the count() this replaces was LongType
+        F.size(char_shingles(text_col, k)).cast("bigint").alias("__sz"),
+    )
     if max_shingle_df is not None:
         dfreq = post.groupBy("shingle").agg(F.count("*").alias("__df"))
         if isinstance(max_shingle_df, float):

@@ -215,6 +215,53 @@ def test_span_removal_rebuild_only_touches_removal_docs(spark):
     assert rows[6]["text_clean"] == "short doc"
 
 
+def test_containment_sizes_are_rowlocal(spark):
+    """containment_pairs' per-doc set size is F.size of the (already
+    distinct) shingle array — a row-local projection. The old
+    postings.groupBy(__id).count() re-ran the whole shingle explode as
+    its map side plus a full groupBy shuffle (the l_containment plan
+    carried 3 explode executions; now 2). Pins the values (sizes ==
+    len(distinct shingles), bigint), the pair set on a fixture with
+    zero-shingle docs (short/null text must not disturb pairs), and
+    the explode count in the plan."""
+    from polars_fastx_spark.operators.dedup import containment_pairs
+
+    host = "the quick brown fox jumps over the lazy dog repeatedly now"
+    docs = spark.createDataFrame(
+        [
+            (1, host),
+            (2, host[:30]),        # contained prefix
+            (3, "completely different content lives here"),
+            (4, "short"),          # < k chars -> zero shingles
+            (5, None),             # null text -> zero shingles
+        ],
+        "doc_id int, text string",
+    )
+    out = containment_pairs(docs, "doc_id", "text", k=8, threshold=0.5)
+    rows = out.collect()
+
+    def shset(s):
+        return {s[i : i + 8] for i in range(len(s) - 7)}
+
+    texts = {1: host, 2: host[:30],
+             3: "completely different content lives here"}
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+    r = rows[0]
+    assert r["size_a"] == len(shset(texts[1]))
+    assert r["size_b"] == len(shset(texts[2]))
+    assert r["common"] == len(shset(texts[1]) & shset(texts[2]))
+    assert dict(out.dtypes)["size_a"] == "bigint"  # count() parity
+    # plan pin: postings + dfreq-map explodes only — no sizes explode.
+    # Counted on the executed (final adaptive) plan so exchange reuse
+    # is visible; the old sizes-by-groupBy form ran 3.
+    capped = containment_pairs(
+        docs, "doc_id", "text", k=8, threshold=0.5, max_shingle_df=0.9
+    )
+    capped.collect()
+    final = plans.explain_str(capped, "simple").split("== Initial Plan ==")[0]
+    assert final.count("Generate") == 2, final
+
+
 def test_spine_explicit_repartition_survives_planning(spark):
     """The resample spine's spread repartition must stay in the plan:
     a width matching the child's hash partitioning is eliminated as

@@ -1385,15 +1385,21 @@ def _md5_bits64(token: F.Column) -> F.Column:
     expand to 4 bits with integer arithmetic. ``token`` must be a bound
     lambda variable so the md5 is computed once per token, not once per
     bit (outer computed expressions are inlined per element — see
-    minhash's seed-factory note above).
+    minhash's seed-factory note above). The digest itself is let-bound
+    for the same reason: inlined, each of the 16 nibble lookups
+    re-hashed the token (16 md5 calls/token — the dominant cost of the
+    md5 simhash tier); bound, the hex string materializes once and the
+    nibbles read it.
     """
-    h = F.md5(F.encode(token, "UTF-8"))
-    # h is recomputed per nibble (16×/token) — acceptable for the
-    # correctness tier; the production family stays xxhash64.
-    nibbles = F.transform(
-        F.sequence(F.lit(1), F.lit(16)),
-        lambda j: F.conv(F.substring(h, j, F.lit(1)), 16, 10).cast("int"),
-    )
+    from polars_fastx_spark.functions.exprs import let
+
+    def nibbles_of(h: F.Column) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda j: F.conv(F.substring(h, j, F.lit(1)), 16, 10).cast("int"),
+        )
+
+    nibbles = let(F.md5(F.encode(token, "UTF-8")), nibbles_of)
     return F.flatten(
         F.transform(
             nibbles,

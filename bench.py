@@ -45,7 +45,8 @@ SUITE = {
 }
 
 
-def previous_sentinels(repo_dir: Path) -> tuple[str | None, dict]:
+def previous_sentinels(repo_dir: Path, cpus: str | None = None,
+                       sf: float | None = None) -> tuple[str | None, dict]:
     """Latest committed BENCH_r*.json that carries a ``sentinels``
     block — the reference run the drift factor is computed against.
     (round label, times) or (None, {}) on the first sentinel-bearing
@@ -57,9 +58,23 @@ def previous_sentinels(repo_dir: Path) -> tuple[str | None, dict]:
             data = json.loads(p.read_text())
         except Exception:
             continue
-        sent = data.get("sentinels")
-        if isinstance(sent, dict) and sent:
-            return p.stem, sent
+        # drift is only comparable between runs at the SAME core count
+        # (the driver also benches at a lower count into *_c8.json) —
+        # skip artifacts whose recorded cpus differ from this run's
+        ref_cpus = data.get("cpus")
+        if cpus is not None and ref_cpus is not None and str(ref_cpus) != str(cpus):
+            continue
+        ref_sf = data.get("sf")
+        if sf is not None and ref_sf is not None and float(ref_sf) != float(sf):
+            continue
+        # the driver's BENCH_r*.json wraps bench.py's JSON line under
+        # "parsed" ({"n": .., "tail": .., "parsed": {...}}); our own
+        # direct runs keep it top-level — accept either, else the
+        # reference lookup silently misses and factor pins to 1.0
+        for block in (data, data.get("parsed") or {}):
+            sent = block.get("sentinels")
+            if isinstance(sent, dict) and sent:
+                return p.stem, sent
     return None, {}
 
 
@@ -170,7 +185,7 @@ def main() -> int:
             runs.append(time.time() - t0)
         sentinels[qname] = round(min(runs), 3)
 
-    prev_round, prev_sent = previous_sentinels(_REPO)
+    prev_round, prev_sent = previous_sentinels(_REPO, cpus=cpus, sf=sf)
     factor = sentinel_factor(prev_sent, sentinels) if prev_sent else 1.0
 
     total = round(sum(timings.values()), 3)

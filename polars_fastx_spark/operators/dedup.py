@@ -1378,38 +1378,27 @@ def _compact_containment_with_tombstones(
 
 # ------------------------------------------------------------- SimHash (L2)
 
-def _md5_bits64(token: F.Column) -> F.Column:
-    """64-bit hash of a token as an array<int> of bits, via md5 hex.
-
-    Nibble-by-nibble: ``conv`` each of the first 16 hex chars to 0–15,
-    expand to 4 bits with integer arithmetic. ``token`` must be a bound
-    lambda variable so the md5 is computed once per token, not once per
-    bit (outer computed expressions are inlined per element — see
-    minhash's seed-factory note above). The digest itself is let-bound
-    for the same reason: inlined, each of the 16 nibble lookups
-    re-hashed the token (16 md5 calls/token — the dominant cost of the
-    md5 simhash tier); bound, the hex string materializes once and the
-    nibbles read it.
-    """
+def _md5_words64(token: F.Column) -> F.Column:
+    """First 64 bits of ``md5(token)`` as a struct of two 32-bit words
+    (hi = hex chars 1–8, lo = chars 9–16, each ``conv``'d in one call),
+    so signature bit i reads as ``getbit(hi, 31-i)`` / ``getbit(lo,
+    63-i)`` — bit-identical to the old nibble expansion (hex char j is
+    nibble j, MSB-first within the word). ``token`` must be a bound
+    lambda variable and the digest is let-bound, so each token hashes
+    once (inlined, outer computed expressions re-evaluate per
+    reference — see minhash's seed-factory note above). Two ``conv``
+    calls replace the previous 16 per-nibble substring+conv pairs and
+    the nested 4-bit array expansion — a much smaller interpreted
+    expression tree per token and zero intermediate array
+    allocations."""
     from polars_fastx_spark.functions.exprs import let
 
-    def nibbles_of(h: F.Column) -> F.Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda j: F.conv(F.substring(h, j, F.lit(1)), 16, 10).cast("int"),
-        )
-
-    nibbles = let(F.md5(F.encode(token, "UTF-8")), nibbles_of)
-    return F.flatten(
-        F.transform(
-            nibbles,
-            lambda n: F.array(
-                (F.floor(n / 8).cast("int") % 2),
-                (F.floor(n / 4).cast("int") % 2),
-                (F.floor(n / 2).cast("int") % 2),
-                (n % 2),
-            ),
-        )
+    return let(
+        F.md5(F.encode(token, "UTF-8")),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        ),
     )
 
 
@@ -1430,36 +1419,66 @@ def simhash(col: str | F.Column, bits: int = 64, family: str = "xxhash64") -> F.
       can brute-force the identical signatures (SURVEY.md §5.1).
       Requires ``bits == 64``.
     """
+    from polars_fastx_spark.functions.exprs import let
+
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.trim(c), r"\s+")
+    # The bit-count fold runs as 64 SCALAR folds over the let-bound
+    # per-token hash array instead of one fold that zip_with's a fresh
+    # 64-int array per token: the old shape allocated two 64-element
+    # arrays per token per row (token bits + the zip_with accumulator),
+    # churning the heap and destabilizing JIT on long documents; the
+    # scalar folds allocate nothing per step. Integer addition is
+    # order-independent, so the counts — and the signature — are
+    # bit-identical. The hash array is let-bound so each token hashes
+    # ONCE, not once per bit position.
     if family == "md5":
         if bits != 64:
             raise ValueError("md5 simhash family is fixed at 64 bits")
-        token_bits = F.transform(tokens, _md5_bits64)
-        counts = F.aggregate(
-            token_bits,
-            F.array_repeat(F.lit(0), bits),
-            lambda acc, tb: F.zip_with(
-                acc, tb, lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1)
+
+        def fold_bit(words: F.Column, word: str, p: F.Column) -> F.Column:
+            return F.aggregate(
+                words,
+                F.lit(0),
+                lambda acc, w: acc
+                + F.when(F.getbit(w[word], p) == 1, 1).otherwise(-1),
+            )
+
+        counts = let(
+            F.transform(tokens, _md5_words64),
+            lambda words: F.concat(
+                # hi covers signature bits 0..31 (MSB-first), lo 32..63
+                F.transform(
+                    F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+                    lambda p: fold_bit(words, "hi", p),
+                ),
+                F.transform(
+                    F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+                    lambda p: fold_bit(words, "lo", p),
+                ),
             ),
         )
     elif family == "xxhash64":
-        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-        counts = F.aggregate(
-            hashes,
-            F.array_repeat(F.lit(0), bits),
-            lambda acc, h: F.zip_with(
-                acc,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bits - 1)),
-                    lambda i: F.getbit(h, i),
+        counts = let(
+            F.transform(tokens, lambda t: F.xxhash64(t)),
+            lambda hashes: F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.aggregate(
+                    hashes,
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
                 ),
-                lambda a, bit: a + F.when(bit == 1, 1).otherwise(-1),
             ),
         )
     else:
         raise ValueError(f"unknown simhash family: {family!r}")
-    return F.transform(counts, lambda cnt: F.when(cnt > 0, 1).otherwise(0))
+    sig = F.transform(counts, lambda cnt: F.when(cnt > 0, 1).otherwise(0))
+    # null text must stay a null SIGNATURE (the banding join then drops
+    # the doc, matching the oracle's unnest semantics); without the
+    # guard the scalar folds would each return null and the sign map
+    # would turn the null ELEMENTS into an all-zero signature
+    return F.when(c.isNull(), F.lit(None).cast("array<int>")).otherwise(sig)
 
 
 def hamming_distance(a: F.Column, b: F.Column) -> F.Column:

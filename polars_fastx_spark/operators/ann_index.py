@@ -94,7 +94,10 @@ def index_build(
     k-means of ``vectors.pq_train`` for ``iterations`` rounds. Either
     way only num_cells + m·pq_k centroid rows ever reach the driver.
     """
-    from polars_fastx_spark.operators.similarity import ivf_assign
+    from polars_fastx_spark.operators.similarity import (
+        ivf_assign_to,
+        ivf_centroids,
+    )
 
     spark = df.sparkSession
     # Rebuild hygiene: a build into a previously-used path must start
@@ -110,7 +113,14 @@ def index_build(
         sp = _hfs(spark, f"{path}/{stale}")[0]
         if fs.exists(sp):
             fs.delete(sp, True)
-    assigned, centroids = ivf_assign(df, id_col, vec_col, num_cells)
+    # collect the num_cells centroid rows ONCE and feed every consumer
+    # a literal table — the cell assignment, the residual broadcast
+    # join, and the centroids/ parquet write each re-executed the
+    # TakeOrderedAndProject corpus pass the lazy frame carries
+    lazy_cent = ivf_centroids(df, id_col, vec_col, num_cells)
+    cent_rows = lazy_cent.collect()
+    centroids = spark.createDataFrame(cent_rows, lazy_cent.schema)
+    assigned = ivf_assign_to(df, id_col, vec_col, centroids)
     with_cent = assigned.join(F.broadcast(centroids), "cell")
     # persisted across the eager codebook-construction jobs (dim probe,
     # seed collect, training collects) — same lifecycle as ivfpq_topk
@@ -120,12 +130,18 @@ def index_build(
         _vec_fp(F.col("__v")).alias("__fp"),
     ).persist()
     try:
+        # dim comes free from the collected centroid rows — drops the
+        # one-row dimensionality probe job from both training paths
+        vdim = len(cent_rows[0]["centroid_vec"]) if cent_rows else None
         if pinned:
-            books = vectors.pq_seed_books(resid, "__id", "__r", m=m, k=pq_k)
+            books = vectors.pq_seed_books(
+                resid, "__id", "__r", m=m, k=pq_k, dim=vdim
+            )
             codes = vectors.pq_encode(resid, "__id", "__r", books)
         else:
             codes, books = vectors.pq_train(
-                resid, "__id", "__r", m=m, k=pq_k, iterations=iterations
+                resid, "__id", "__r", m=m, k=pq_k, iterations=iterations,
+                dim=vdim,
             )
         coded = codes.join(resid.select("__id", "cell", "__fp"), "__id")
         dim = m * len(books[0][0])

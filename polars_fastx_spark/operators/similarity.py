@@ -537,7 +537,32 @@ def ivf_assign(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__n", l2_norm(F.col("__v")))
-    centroids = (
+    centroids = ivf_centroids(df, id_col, vec_col, num_cells)
+    return _assign_to_centroids(base, centroids), centroids
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_cells: int = 16,
+) -> DataFrame:
+    """The LAZY (cell, centroid_vec, centroid_norm) frame of
+    :func:`ivf_assign`'s content-addressed centroid pick (num_cells
+    data vectors with the smallest ``md5(id)``; the hash is the cell
+    id) — exposed so callers that need the centroid ROWS on the driver
+    anyway (ivfpq_topk's probe table, an index build's centroid file)
+    can collect them ONCE and route assignment through
+    :func:`ivf_assign_to` with a literal table, instead of paying the
+    TakeOrderedAndProject corpus pass per lazy consumer."""
+    from polars_fastx_spark.operators.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    return (
         base.withColumn("cell", F.md5(F.col("__id").cast("string")))
         .orderBy("cell")
         .limit(num_cells)
@@ -547,7 +572,6 @@ def ivf_assign(
             F.col("__n").alias("centroid_norm"),
         )
     )
-    return _assign_to_centroids(base, centroids), centroids
 
 
 def ivf_assign_to(

@@ -292,7 +292,15 @@ def _seed_books_from_subs(subs: DataFrame, id_col: str, m: int, k: int,
     """Content-addressed PQ codebook seeding: per subspace ``j``, the
     ``k`` subvectors with the smallest ``md5(id || ':' || j)`` become
     centroids 0..k-1 — deterministic, RNG-free, and replayable in any
-    engine with md5 (the DuckDB oracles rebuild the same books)."""
+    engine with md5 (the DuckDB oracles rebuild the same books).
+
+    Deliberately ONE plain collect: an r10 experiment fused this seed
+    pass with the first training assignment (lazy seed frame broadcast
+    into the assignment join, one combined driver round trip) and it
+    REGRESSED — the broadcast build, the seed-frame persist, and the
+    zero-fill grid join each materialize as their own AQE jobs, +4
+    jobs vs the single collect they replaced (l_pq_topk 26→30 jobs,
+    wall flat-to-worse). The driver round trip is the cheap part."""
     from pyspark.sql import Window
 
     wseed = Window.partitionBy("j").orderBy(
@@ -570,9 +578,21 @@ def ivfpq_topk(
     the corpus — neither the table nor the codes ever ship to the
     driver.
     """
-    from polars_fastx_spark.operators.similarity import ivf_assign
+    from polars_fastx_spark.operators.similarity import (
+        ivf_assign_to,
+        ivf_centroids,
+    )
 
-    assigned, centroids = ivf_assign(df, id_col, vec_col, num_cells)
+    # collect the num_cells centroid rows ONCE, up front (bounded —
+    # the same rows adc_search needs at the end), and feed every
+    # downstream consumer a literal table: the cell assignment, the
+    # residual join's broadcast build, and the final probe table stop
+    # re-executing the TakeOrderedAndProject corpus scan the lazy
+    # centroid frame carries
+    lazy_cent = ivf_centroids(df, id_col, vec_col, num_cells)
+    cent_rows = lazy_cent.collect()
+    centroids = df.sparkSession.createDataFrame(cent_rows, lazy_cent.schema)
+    assigned = ivf_assign_to(df, id_col, vec_col, centroids)
     with_cent = assigned.join(F.broadcast(centroids), "cell")
     # persisted across the EAGER codebook-construction jobs (dim probe,
     # seed-window collect, training collects), which would otherwise
@@ -594,7 +614,6 @@ def ivfpq_topk(
             codes, books = pq_train(resid, "__id", "__r", m=m, k=pq_k,
                                     iterations=iterations, dim=len(query))
         coded = codes.join(resid.select("__id", "cell"), "__id")
-        cent_rows = centroids.collect()  # num_cells rows — bounded
         return adc_search(
             coded, cent_rows, books, query, id_col, k=k, nprobe=nprobe
         )

@@ -73,9 +73,15 @@ def connected_components(
     ids the convergence check is a single exact Σcomponent scan (labels
     only ever decrease); string ids fall back to a join-based count.
     """
+    # Persist the INPUT edge projection before symmetrizing: the union
+    # references ``edges`` twice, and for LSH dedup callers that
+    # lineage is the banded self-join — without this cache the
+    # quadratic candidate join executed once PER UNION BRANCH (block-
+    # level locking makes the racing branch wait for, then read, the
+    # one computation). Released with bidir in the finally below.
+    ein = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     bidir = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        ein.union(ein.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .persist()
     )
@@ -172,6 +178,7 @@ def connected_components(
         )
     finally:
         bidir.unpersist()
+        ein.unpersist()
 
 
 def duplicate_groups_from_pairs(

@@ -40,6 +40,21 @@ def test_every_oracle_query_matches_column_names(spark, oracle_cols):
     assert not mismatches, "\n".join(mismatches)
 
 
+def test_column_name_contract_smoke_sample(spark, oracle_cols):
+    """Fast-tier smoke of the full sweep above (which is `slow`: it
+    ANALYZES all ~240 Spark plans, ~2 min): a deterministic every-8th
+    slice of the sorted query list keeps the contract covered in the
+    default run without the full analysis bill."""
+    names = sorted(oracle_cols)[::8]
+    mismatches = []
+    for name in names:
+        want = oracle_cols[name]
+        got = QUERIES[name].fn(spark, SF).columns
+        if got != want:
+            mismatches.append(f"{name}: spark={got} oracle={want}")
+    assert not mismatches, "\n".join(mismatches)
+
+
 # NOTE: row ORDER is deliberately not asserted — the driver protocol
 # sorts rows by all columns before hashing, so output order never
 # affects the compare; only the column NAMES are load-bearing.

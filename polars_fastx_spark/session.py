@@ -67,6 +67,20 @@ _DEFAULTS: dict[str, str] = {
     # Session timezone pinned so timestamp formatting is deterministic
     # against the oracle regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # One BLAS thread per Python worker: Spark owns the parallelism
+    # (one task per core), so an unpinned OpenBLAS/OMP pool spawns its
+    # own threads PER WORKER on top of it and the blocked-gemm fan-out
+    # oversubscribes the box cores×N (the standard pin for BLAS-inside-
+    # tasks; guide §4.5 once-per-task posture). On THIS sandbox the
+    # effect is mild — numpy's OpenBLAS is built MAX_THREADS=2, so the
+    # pin halves worker thread count and measures neutral (the
+    # single-cell q_vec_knn gemm is ~10 ms either way) — but a
+    # full-width BLAS build (MAX_THREADS=cores, the common wheel) would
+    # thrash 32 tasks × 32 threads without it. Workers read these from
+    # the executor env at fork, before numpy loads.
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 

@@ -44,7 +44,7 @@ def sf001(spark):
 
 
 # ------------------------------------------------------------- fast tier
-#: Tests measured >= 8 s wall clock on local[8] (full-suite
+#: Tests measured >= 5 s wall clock on local[8] (full-suite
 #: --durations profile). pytest.ini deselects them by default so the
 #: default `pytest tests/` run (the automated verify window) finishes
 #: in ~10-14 min instead of ~46; `pytest tests/ -m ""` runs everything
@@ -54,6 +54,37 @@ def sf001(spark):
 #: fast tier until re-listed here.
 SLOW_TESTS = {
     "test_ann_index.py::test_build_if_absent_after_compact_is_noop",
+    "test_ann_index.py::test_empty_id_edge_cases",
+    "test_ann_index.py::test_index_sync_from_index_float_vectors_no_spurious_changes",
+    "test_ann_index.py::test_redelivered_pinned_epoch_add_is_idempotent",
+    "test_bgzf.py::test_bgzf_fasta_scan_splits_and_matches_whole",
+    "test_charset.py::test_decode_payloads_on_streaming_warc",
+    "test_containment_index.py::test_add_extends_history_without_reshingling",
+    "test_containment_index.py::test_compact_applies_tombstones_physically",
+    "test_containment_index.py::test_compaction_preserves_gate_results",
+    "test_containment_index.py::test_delete_then_readd_revives",
+    "test_containment_index.py::test_maintained_df_cap_cuts_hot_shingles",
+    "test_containment_index.py::test_stream_containment_gate_end_to_end",
+    "test_dedup_recall.py::test_containment_hashed_shingles_match_strings",
+    "test_dedup_recall.py::test_lsh_collapse_preserves_components",
+    "test_graph.py::test_iterative_loops_do_not_leak_storage",
+    "test_multimodal.py::test_image_neardup_gate_grows_like_text_gate",
+    "test_opt_r09.py::test_pq_dim_hint_is_identity",
+    "test_pq.py::test_ivfpq_prunes_to_probed_cells",
+    "test_pq.py::test_pq_codes_shape_and_range",
+    "test_pq.py::test_pq_training_reduces_reconstruction_error",
+    "test_sampling.py::test_weighted_take_weight_proportional",
+    "test_sitemaps.py::test_recrawl_schedule_politeness_cap",
+    "test_streaming.py::test_stream_containment_gate_fresh_checkpoint_never_overwrites",
+    "test_streaming.py::test_streaming_composes_with_seq_functions",
+    "test_streaming.py::test_streaming_ewma_matches_batch_operator",
+    "test_streaming.py::test_update_mode_reemits_growing_windows",
+    "test_streaming.py::test_watermark_drops_late_rows",
+    "test_streaming.py::test_windowed_quantiles_kll",
+    "test_timeseries.py::test_backfill_rollup_day_touches_one_partition",
+    "test_urls.py::test_domain_cap_null_domain_rows_are_capped",
+    "test_warc_html.py::test_stream_warc_ingests_new_archives_and_resumes",
+    "test_warc_html.py::test_streaming_crawl_pipeline_dedups_canonical_urls",
     "test_ann_index.py::test_build_if_absent_reuses_complete_rebuilds_partial",
     "test_ann_index.py::test_compact_applies_tombstones_and_drops_them",
     "test_ann_index.py::test_crashed_add_epoch_is_reused_on_retry",

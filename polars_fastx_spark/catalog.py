@@ -151,10 +151,19 @@ def _meta_rows(sf_dir: str, name: str) -> int:
     ~1 ms local metadata read; it replaces a count() JOB on the
     query's critical path for operators that only need a row count to
     SIZE their plan (blocked-gemm cell layout). Nothing is cached
-    across runs: every invocation re-reads the footer."""
+    across runs: every invocation re-reads the footer(s). Handles a
+    directory-style multi-file table by summing fragment counts (the
+    testdata ships single files today, but a plan-sizing statistic
+    must not crash if that layout ever changes)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        return pq.ParquetFile(path).metadata.num_rows
+    except (OSError, IsADirectoryError):
+        return sum(
+            f.count_rows() for f in pq.ParquetDataset(path).fragments
+        )
 
 
 def _sort1(df: DataFrame, *cols) -> DataFrame:
@@ -166,7 +175,14 @@ def _sort1(df: DataFrame, *cols) -> DataFrame:
     at ANY scale factor (the group count does not grow with the data,
     so coalescing to one partition is scale-safe, unlike doing this
     under a window or per-row sort). Same rows, same total order, one
-    fewer exchange + one fewer job."""
+    fewer exchange + one fewer job.
+
+    Memory note: the single task holds the final MERGE buffers of
+    every group. For full-buffer aggregates (exact median/percentile,
+    collect_list) that is every group's value list in one task — fine
+    at these bounded group counts, but do NOT apply ``_sort1`` to a
+    full-buffer aggregate whose per-group state scales with the data
+    unless the group count stays tiny (g_stats: 3 groups)."""
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 

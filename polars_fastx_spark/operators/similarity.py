@@ -354,9 +354,7 @@ def cosine_topk_numpy(
             n = df.count()
         if n <= _resolve_block_rows(df, n, block_rows):
             return _self_topk_single_cell(df, id_col, vec_col, k, id_type)
-        iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows, n=n)
-    else:
-        iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows, n=n)
+    iblocks, inb = _hash_blocks(df, id_col, vec_col, block_rows, n=n)
     if self_pairs and inb > 1:
         iblocks = iblocks.persist()  # self-join references it twice
     qblocks, qnb = (

@@ -78,7 +78,10 @@ def connected_components(
     # lineage is the banded self-join — without this cache the
     # quadratic candidate join executed once PER UNION BRANCH (block-
     # level locking makes the racing branch wait for, then read, the
-    # one computation). Released with bidir in the finally below.
+    # one computation). Released as soon as bidir's own cache is
+    # materialized (the first collect below) — bidir serves every
+    # later consumer, so holding ein past that point only adds heap
+    # pressure; the finally keeps a backstop for the string-id path.
     ein = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     bidir = (
         ein.union(ein.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -110,6 +113,10 @@ def connected_components(
     prev_sum = (
         labels.agg(_label_sum).collect()[0][0] if sum_check else None
     )
+    if sum_check:
+        # that collect materialized labels ← bidir ← ein; bidir's own
+        # blocks now serve every consumer, so ein's can go
+        ein.unpersist()
     prev_ck: DataFrame | None = None
     try:
         for i in range(max_iterations):

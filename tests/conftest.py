@@ -27,7 +27,12 @@ def spark():
                             # between GCs and the 1g default heap OOMs
                             # mid-suite. Periodic GC keeps the context
                             # cleaner's reference queue draining.
-                            "spark.driver.memory": "6g",
+                            # 6g OOM'd once at minute ~35 of the full
+                            # tier (heap exhausted building a plan
+                            # string during localCheckpoint in the
+                            # crawl e2e tests); 8g gives the shared
+                            # session headroom for the full -m "" run
+                            "spark.driver.memory": "8g",
                             "spark.cleaner.periodicGC.interval": "1min"})
         .getOrCreate()
     )
